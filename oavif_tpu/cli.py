@@ -1,0 +1,144 @@
+"""CLI driver (reference /root/reference/src/main.zig:37-117).
+
+Same orchestration: banner → -h/-v pre-scan → parse → load → (search |
+fixed-q bypass) → write, with the same human progress lines on stderr so
+measure.py-style harnesses can scrape pass counts (reference
+scripts/measure.py:22-28 greps stderr for "N passes").
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from . import __version__
+from .backend import EncBuffer, EncCtx, get_backend
+from .io.image import load_image, to_rgb8
+from .options import OptionError, parse_args, usage_text
+from .tq import find_target_quality
+
+
+def _perr(msg: str) -> None:
+    print(msg, file=sys.stderr)
+
+
+def _print_version() -> None:
+    _perr(f"oavif-tpu {__version__}")
+    try:
+        import jax
+
+        _perr(f"jax {jax.__version__} [{jax.default_backend()}]")
+    except Exception:
+        _perr("jax unavailable")
+    try:
+        from PIL import _avif, __version__ as pilver
+
+        _perr(f"pillow {pilver} (oracle: {_avif.codec_versions()})")
+    except Exception:
+        pass
+
+
+def make_probe(ctx: EncCtx, backend, metric):
+    """One search pass: encode at ctx.q, decode, score, cache the bitstream
+    (reference tq.zig:21-38)."""
+
+    def probe(q: int) -> float:
+        ctx.q = q
+        data = backend.encode(ctx)
+        decoded = backend.decode_to_rgb8(data)
+        ctx.num_pass += 1
+        ctx.buf = EncBuffer(q=q, data=data, size=len(data))
+        return float(metric(ctx.rgb, decoded))
+
+    return probe
+
+
+def run(argv: List[str]) -> int:
+    _perr(f"\x1b[31moavif-tpu\x1b[0m | {__version__}")
+
+    # argv pre-scan for -h/-v (main.zig:51-62)
+    for arg in argv:
+        if arg in ("--help", "-h"):
+            _perr(usage_text())
+            return 0
+        if arg in ("--version", "-v"):
+            _print_version()
+            return 0
+        break
+
+    try:
+        parsed = parse_args(argv)
+    except OptionError:
+        return 1
+    o = parsed.options
+
+    if parsed.input_file is None or parsed.output_file is None:
+        _perr("Error: missing input or output path")
+        return 1
+
+    try:
+        src = load_image(parsed.input_file)
+    except (OSError, ValueError) as e:
+        _perr(f"Error: {e}")
+        return 1
+
+    in_depth = 16 if src.hbd else 8
+    in_bytes = os.path.getsize(parsed.input_file)
+    _perr(
+        f"Read {src.width}x{src.height}, "
+        f"{'RGBA' if src.channels > 3 else 'RGB'}, {in_depth}-bit, {in_bytes} bytes"
+    )
+
+    rgb = to_rgb8(src)
+    ctx = EncCtx(o=o, src=src, rgb=rgb, w=src.width, h=src.height)
+
+    # Default flips to "tpu" once the device encode path is complete;
+    # "oracle" is the libavif stand-in (SURVEY.md §7 build-order step 2).
+    backend_name = os.environ.get("OAVIF_TPU_BACKEND", "oracle")
+    backend = get_backend(backend_name)
+
+    out_depth = 10 if o.tenbit else (10 if src.hbd else 8)
+
+    if o.quality is not None:  # bypass TQ (main.zig:93-100)
+        ctx.q = o.quality
+        _perr(f"Encoding [q{o.quality}, speed {o.speed}, {out_depth}-bit]")
+        data = backend.encode(ctx)
+        with open(parsed.output_file, "wb") as f:
+            f.write(data)
+        ctx.buf = EncBuffer(q=ctx.q, data=data, size=len(data))
+        bpp = len(data) * 8 / (ctx.w * ctx.h)
+        _perr(f"Compressed to {len(data)} bytes ({bpp:.3f} bpp)")
+        return 0
+
+    from .metric import compute_ssimulacra2
+
+    _perr(
+        f"Searching [tgt {o.score_tgt:g}±{o.tolerance:.1f}, "
+        f"speed {o.speed}, {out_depth}-bit]"
+    )
+    probe = make_probe(ctx, backend, compute_ssimulacra2)
+    result = find_target_quality(probe, o.score_tgt, o.tolerance, o.max_pass)
+    ctx.q = result.q
+    _perr(f"Found q{result.q} (score {result.score:.2f}, {ctx.num_pass} passes)")
+
+    # Reuse the cached bitstream when the final q matches (main.zig:109-113).
+    if ctx.buf.q == result.q and ctx.buf.data is not None:
+        data = ctx.buf.data
+    else:
+        data = backend.encode(ctx)
+    with open(parsed.output_file, "wb") as f:
+        f.write(data)
+    bpp = len(data) * 8 / (ctx.w * ctx.h)
+    _perr(f"Compressed to {len(data)} bytes ({bpp:.3f} bpp)")
+    return 0
+
+
+def main() -> None:
+    sys.exit(run(sys.argv[1:]))
+
+
+if __name__ == "__main__":
+    main()

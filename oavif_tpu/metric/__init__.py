@@ -1,0 +1,5 @@
+from .ssimulacra2 import (  # noqa: F401
+    compute_ssimulacra2,
+    compute_ssimulacra2_batch,
+    ssimulacra2_precompute_ref,
+)

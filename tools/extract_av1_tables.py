@@ -1,0 +1,293 @@
+"""Extract AV1 specification constant tables from the system libaom binary.
+
+The AV1 bitstream's default CDF initializations, quantizer lookup tables,
+scan orders, and prediction weight tables are normative constants from the
+AV1 specification. The environment has no machine-readable copy of the spec,
+but the Debian libaom runtime (/usr/lib/x86_64-linux-gnu/libaom.so.3) embeds
+them in .rodata. This tool locates each table by structural signature
+(libaom stores CDFs as inverse-CDF Q15 arrays: strictly decreasing values
+then a 0 terminator and a 0 adaptation counter) and verifies known anchor
+values from the specification before emitting `oavif_tpu/av1/av1_tables.npz`.
+
+Every extracted table is independently validated end-to-end by the
+conformance tests: bitstreams produced with these tables must decode
+bit-exactly through libavif/dav1d (tests/test_conformance.py).
+
+Usage: python tools/extract_av1_tables.py
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+LIBAOM = "/usr/lib/x86_64-linux-gnu/libaom.so.3.6.0"
+OUT = Path(__file__).resolve().parent.parent / "oavif_tpu" / "av1" / "av1_tables.npz"
+
+
+def load_rodata() -> np.ndarray:
+    with tempfile.NamedTemporaryFile(suffix=".bin") as f:
+        subprocess.run(
+            ["objcopy", "-O", "binary", "--only-section=.rodata", LIBAOM, f.name],
+            check=True,
+        )
+        return np.fromfile(f.name, dtype="<u2").copy()
+
+
+def parse_cdf_units(d, start, max_units=10**9):
+    """Parse consecutive CDF units at u16 offset `start`.
+
+    Returns (list of (offset, nsym), end_offset). A unit for an N-symbol CDF
+    is N-1 strictly-decreasing values in (0, 32768) followed by 0, 0.
+    """
+    units = []
+    i = start
+    n = len(d)
+    while i < n and len(units) < max_units:
+        j = i
+        while j < n and 0 < d[j] < 32768 and (j == i or d[j] < d[j - 1]):
+            j += 1
+        k = j - i
+        if k == 0 or j + 1 >= n or d[j] != 0 or d[j + 1] != 0:
+            break
+        units.append((i, k + 1))
+        i = j + 2
+    return units, i
+
+
+def icdf_unit(d, off, nsym):
+    """Return one CDF as nsym ICDF values (last is 0), dtype uint16."""
+    out = np.zeros(nsym, dtype=np.uint16)
+    out[: nsym - 1] = d[off : off + nsym - 1]
+    return out
+
+
+def take_table(d, start, shape, nsym, stride=None):
+    """Read prod(shape) consecutive CDF units of nsym symbols each.
+
+    ``stride`` (u16 per row) handles storage padded wider than
+    CDF_SIZE(nsym) — e.g. the 13-symbol uv_mode CDFs stored in
+    CDF_SIZE(14)=15-wide rows. Returns (array shaped shape + (nsym,),
+    end offset).
+    """
+    count = int(np.prod(shape))
+    if stride is None:
+        units, end = parse_cdf_units(d, start, count)
+        assert len(units) == count, (start, shape, nsym, len(units))
+        assert all(u[1] == nsym for u in units), (start, shape, nsym)
+        arr = np.stack([icdf_unit(d, off, nsym) for off, _ in units])
+        return arr.reshape(tuple(shape) + (nsym,)), end
+    rows = []
+    for r in range(count):
+        off = start + r * stride
+        row = d[off : off + stride]
+        vals = row[: nsym - 1].astype(np.int64)
+        assert np.all(vals[:-1] > vals[1:]) and 0 < vals[0] < 32768, (start, r)
+        assert np.all(row[nsym - 1 :] == 0), (start, r, row.tolist())
+        rows.append(np.concatenate([row[: nsym - 1], [0]]).astype(np.uint16))
+    arr = np.stack(rows)
+    return arr.reshape(tuple(shape) + (nsym,)), start + count * stride
+
+
+def find_u16_seq(d, seq):
+    seq = np.asarray(seq, dtype="<u2")
+    # naive scan with early filter on first element
+    idxs = np.nonzero(d[: len(d) - len(seq)] == seq[0])[0]
+    for i in idxs:
+        if np.array_equal(d[i : i + len(seq)], seq):
+            return int(i)
+    raise AssertionError(f"sequence not found: {seq[:8]}")
+
+
+def icdf(probs):
+    return [32768 - p for p in probs]
+
+
+def main():
+    d = load_rodata()
+    out = {}
+
+    # ---- quantizer lookup tables (spec: Dc_Qlookup / Ac_Qlookup) ----
+    # libaom layout: ac12, ac10, ac8, dc12, dc10, dc8 contiguous.
+    ac12_off = find_u16_seq(d, [4, 13, 19, 27, 35, 44])
+    names = ["ac_q12", "ac_q10", "ac_q8", "dc_q12", "dc_q10", "dc_q8"]
+    for k, name in enumerate(names):
+        seg = d[ac12_off + 256 * k : ac12_off + 256 * (k + 1)].astype(np.int32)
+        assert np.all(np.diff(seg) >= 0) and seg[0] == 4, name
+        out[name] = seg
+    # spec anchor endpoints
+    assert out["ac_q8"][255] == 1828 and out["dc_q8"][255] == 1336
+    assert out["ac_q10"][255] == 7312 and out["dc_q10"][255] == 5347
+    assert out["ac_q12"][255] == 29247 and out["dc_q12"][255] == 21387
+
+    # ---- coefficient CDFs (token_cdfs region) ----
+    # Region order in .rodata: coeff_base_eob, coeff_base, coeff_br.
+    cbe_off = find_u16_seq(d, icdf([17837, 29055]) + [0, 0])
+    t, end = take_table(d, cbe_off, (4, 5, 2, 4), 3)
+    out["coeff_base_eob"] = t  # [qctx][txsz][plane][ctx][3]
+    t, end = take_table(d, end, (4, 5, 2, 42), 4)
+    out["coeff_base"] = t  # [qctx][txsz][plane][ctx][4]
+    assert list(t[0, 0, 0, 0][:3]) == icdf([4034, 8930, 12727])  # spec anchor
+    t, end = take_table(d, end, (4, 5, 2, 21), 4)
+    out["coeff_br"] = t  # [qctx][txsz][plane][ctx][4]
+
+    # ---- EOB class CDFs, stored 1024 → 16, then eob_extra ----
+    eob_off = find_u16_seq(d, icdf([393, 421, 751]))
+    sizes = [("eob_pt_1024", 11), ("eob_pt_512", 10), ("eob_pt_256", 9),
+             ("eob_pt_128", 8), ("eob_pt_64", 7), ("eob_pt_32", 6),
+             ("eob_pt_16", 5)]
+    off = eob_off
+    for name, nsym in sizes:
+        t, off = take_table(d, off, (4, 2, 2), nsym)
+        out[name] = t  # [qctx][plane][ctx][nsym]
+    t, off = take_table(d, off, (4, 5, 2, 9), 2)
+    out["eob_extra"] = t  # [qctx][txsz][plane][ctx][2]
+
+    # ---- txb_skip / dc_sign ----
+    tsk_off = find_u16_seq(d, icdf([31849]) + [0, 0])
+    t, _ = take_table(d, tsk_off, (4, 5, 13), 2)
+    out["txb_skip"] = t  # [qctx][txsz][ctx][2]
+    dcs_off = find_u16_seq(d, icdf([16000]) + [0, 0] + icdf([13056]))
+    t, _ = take_table(d, dcs_off, (4, 2, 3), 2)
+    out["dc_sign"] = t  # [qctx][plane][ctx][2]
+
+    # ---- mode CDFs ----
+    kfy_off = find_u16_seq(d, icdf([15588, 17027, 19338]))
+    t, _ = take_table(d, kfy_off, (5, 5), 13)
+    out["kf_y_mode"] = t  # [ctx_above][ctx_left][13]
+
+    # uv mode, CfL-allowed variant (14 symbols)
+    uvc_off = find_u16_seq(d, icdf([10407, 11208, 12900]))
+    t, _ = take_table(d, uvc_off, (13,), 14)
+    out["uv_mode_cfl"] = t
+    # uv mode, CfL-not-allowed variant (13 symbols) — stored in the same
+    # CDF_SIZE(14)=15-wide rows as the allowed variant (shared declaration
+    # uv_mode_cdf[CFL_ALLOWED_TYPES][13][CDF_SIZE(14)]).
+    uvn_off = find_u16_seq(d, icdf([22631, 24152, 25378]))
+    t, _ = take_table(d, uvn_off, (13,), 13, stride=15)
+    out["uv_mode"] = t
+
+    # partition: one declaration partition_cdf[20][CDF_SIZE(10)=11]; rows
+    # 0-3 = w8 (CDF4), 4-15 = w16/w32/w64 (CDF10), 16-19 = w128 (CDF8).
+    p8_off = find_u16_seq(d, icdf([19132, 25510, 30392]))
+    t, end = take_table(d, p8_off, (4,), 4, stride=11)
+    out["partition_w8"] = t
+    t, end = take_table(d, end, (4,), 10, stride=11)
+    out["partition_w16"] = t
+    assert list(t[0][:2]) == icdf([15597, 20929])
+    t, end = take_table(d, end, (4,), 10, stride=11)
+    out["partition_w32"] = t
+    t, end = take_table(d, end, (4,), 10, stride=11)
+    out["partition_w64"] = t
+    t, end = take_table(d, end, (4,), 8, stride=11)
+    out["partition_w128"] = t
+
+    # skip flag: three CDF2 rows at stride 3 (the trailing counter of the
+    # last row is elided by the next array's placement).
+    skp_off = find_u16_seq(d, icdf([31671]) + [0, 0] + icdf([16515]))
+    skip = np.zeros((3, 2), dtype=np.uint16)
+    for c in range(3):
+        skip[c, 0] = d[skp_off + 3 * c]
+        assert d[skp_off + 3 * c + 1] == 0
+    assert list(skip[:, 0]) == icdf([31671, 16515, 4576])  # spec anchor
+    out["skip"] = skip
+
+    # angle_delta[8] (directional modes), CDF7
+    ang_off = find_u16_seq(d, icdf([2180, 5032, 7567]))
+    t, _ = take_table(d, ang_off, (8,), 7)
+    out["angle_delta"] = t
+
+    # intra_ext_tx: set1 [TX_SIZES=? used 4][13 modes] CDF7 and
+    # set2 [..][13] CDF5 — needed once tx < 32x32 lands. Located by its
+    # first unit (spec Default_Intra_Ext_Tx_Cdf[1][0][0]): probe lazily;
+    # not fatal if layout differs (guarded by conformance tests).
+    try:
+        # set1, tx4x4, DC mode anchor
+        ext1_off = find_u16_seq(d, icdf([1535, 8035, 8980]))
+        t, end = take_table(d, ext1_off, (3, 13), 7)
+        out["intra_ext_tx_set1"] = t
+        t, end = take_table(d, end, (3, 13), 5)
+        out["intra_ext_tx_set2"] = t
+    except AssertionError:
+        print("note: intra_ext_tx tables not located (tx<32 signaling "
+              "unavailable until extracted)", file=sys.stderr)
+
+    # ---- prediction weight tables ----
+    # sm_weights (u8): concatenated arrays for bs 4,8,16,32,64; starts
+    # 255,149,85,64 (bs4).
+    db = d.view(np.uint8)
+    sm_sig = np.array([255, 149, 85, 64, 255, 197], dtype=np.uint8)
+    idxs = np.nonzero(db[: len(db) - 8] == 255)[0]
+    sm_off = None
+    for i in idxs:
+        if np.array_equal(db[i : i + 6], sm_sig):
+            sm_off = int(i)
+            break
+    assert sm_off is not None, "sm_weights not found"
+    sm = db[sm_off : sm_off + 4 + 8 + 16 + 32 + 64].astype(np.int32)
+    out["sm_weights_4"] = sm[0:4]
+    out["sm_weights_8"] = sm[4:12]
+    out["sm_weights_16"] = sm[12:28]
+    out["sm_weights_32"] = sm[28:60]
+    out["sm_weights_64"] = sm[60:124]
+    assert out["sm_weights_8"][0] == 255 and out["sm_weights_64"][-1] >= 0
+
+    # dr_intra_derivative (u16[90], nonzero at multiples of 3): signature
+    # 1023 @3, 547 @6, 372 @9 with zeros between.
+    dr_off = None
+    for i in np.nonzero(d[: len(d) - 90] == 0)[0]:
+        seg = d[i : i + 90]
+        if (
+            seg[1] == 0 and seg[2] == 0 and seg[3] == 1023
+            and seg[6] == 547 and seg[9] == 372 and seg[87] > 0
+        ):
+            dr_off = int(i)
+            break
+    assert dr_off is not None, "dr_intra_derivative not found"
+    out["dr_intra_derivative"] = d[dr_off : dr_off + 90].astype(np.int32)
+
+    # ---- default (diagonal) scan tables ----
+    # Stored as int16 permutations of 0..N-1. Located by permutation check.
+    def find_scan(n, w):
+        """Find a length-n u16 permutation that walks anti-diagonals of a
+        w-wide block (the AV1 default scan)."""
+        cand = np.nonzero(d[: len(d) - n] == 0)[0]
+        for i in cand:
+            seg = d[i : i + n]
+            if seg[0] != 0 or seg[n - 1] != n - 1:
+                continue
+            s = np.sort(seg)
+            if not np.array_equal(s, np.arange(n)):
+                continue
+            # verify anti-diagonal monotonicity: positions sorted by
+            # (r+c) nondecreasing
+            r, c = seg // w, seg % w
+            diag = r + c
+            if np.all(np.diff(diag.astype(np.int32)) >= 0):
+                return seg.astype(np.int32)
+        return None
+
+    for name, n, w in [
+        ("scan_4x4", 16, 4),
+        ("scan_8x8", 64, 8),
+        ("scan_16x16", 256, 16),
+        ("scan_32x32", 1024, 32),
+    ]:
+        s = find_scan(n, w)
+        assert s is not None, f"{name} not found"
+        out[name] = s
+
+    OUT.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(OUT, **out)
+    total = sum(v.size for v in out.values())
+    print(f"wrote {OUT} with {len(out)} tables, {total} values")
+    for k, v in sorted(out.items()):
+        print(f"  {k}: shape {v.shape}")
+
+
+if __name__ == "__main__":
+    main()

@@ -233,8 +233,9 @@ def update_cdf(icdf, val: int, nsyms: int) -> None:
     element is the adaptation counter.
     """
     count = icdf[nsyms]
+    # nsymbs2speed: 2-3 symbols → 1, 4+ → 2 (libaom/spec adaptation rate)
     rate = 3 + (1 if count > 15 else 0) + (1 if count > 31 else 0) + (
-        0 if nsyms == 2 else (1 if nsyms <= 4 else 2)
+        1 if nsyms <= 3 else 2
     )
     tmp = PROB_TOP
     for i in range(nsyms - 1):

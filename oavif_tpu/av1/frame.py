@@ -1,0 +1,600 @@
+"""AV1 intra frame encoder: tile symbol emission + reconstruction.
+
+Host reference implementation (exact integer arithmetic, NumPy). The
+compute-heavy stages (prediction, transforms, quantization, RD, and the
+SSIMULACRA2 in-loop scoring) have batched TPU counterparts in
+oavif_tpu.av1.encode; this module owns the *sequential* parts: context
+tracking and adaptive symbol coding, which are entropy-inherent serial per
+tile (SURVEY.md §2c — tiles are the parallel axis).
+
+Replaces the reference's libaom delegation (io.zig:629-632). Coding-tool
+configuration matches oavif_tpu.av1.obu (no cdef/lf/restoration, LARGEST
+tx, no screen content tools) so reconstruction here equals the decoder's
+output bit-exactly — verified against dav1d in tests/test_conformance.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from .consts import (
+    DC_PRED,
+    INTRA_MODE_CONTEXT,
+    MODE_TO_ANGLE,
+    PARTITION_NONE,
+    PARTITION_SPLIT,
+    SKIP_CONTEXTS_TABLE,
+    coeff_q_ctx,
+)
+from .entropy.rangecoder import RangeEncoder, update_cdf
+from .intra import build_edges, predict
+from .tables import TABLES, ac_q, dc_q
+from .transform import INV_ROW_SHIFT, fwd_txfm2d, inv_txfm2d
+
+# dequant right-shift per (max) tx dimension — normative (spec 7.12.2 /
+# dav1d dq_shift). Validated by single-coefficient oracle probes.
+DQ_SHIFT = {4: 0, 8: 0, 16: 0, 32: 1, 64: 2}
+
+_PARTITION_CDF_KEY = {8: "partition_w8", 16: "partition_w16",
+                      32: "partition_w32", 64: "partition_w64"}
+_PARTITION_NSYM = {8: 4, 16: 10, 32: 10, 64: 10}
+
+# partition context lookup: above/left byte per block width/height in px
+_PART_CTX_BYTE = {4: 31, 8: 30, 16: 28, 32: 24, 64: 16, 128: 0}
+
+_TXS_CTX = {4: 0, 8: 1, 16: 2, 32: 3, 64: 4}
+
+_EOB_PT_KEY = {16: "eob_pt_16", 32: "eob_pt_32", 64: "eob_pt_64",
+               128: "eob_pt_128", 256: "eob_pt_256", 512: "eob_pt_512",
+               1024: "eob_pt_1024"}
+
+NUM_BASE_LEVELS_ = 2
+
+
+def _adaptive(arr: np.ndarray) -> list:
+    """ICDF table row → mutable adaptive CDF (values + counter)."""
+    return list(int(v) for v in arr) + [0]
+
+
+class CdfBank:
+    """All adaptive CDFs for one tile, initialized from the extracted
+    defaults (av1_tables.npz), sliced at the frame's coefficient q-ctx."""
+
+    def __init__(self, qctx: int) -> None:
+        t = TABLES
+        self.partition = {
+            w: [_adaptive(t[_PARTITION_CDF_KEY[w]][c]) for c in range(4)]
+            for w in (8, 16, 32, 64)
+        }
+        self.skip = [_adaptive(t["skip"][c]) for c in range(3)]
+        self.kf_y = [
+            [_adaptive(t["kf_y_mode"][a][l]) for l in range(5)] for a in range(5)
+        ]
+        self.uv_mode = [_adaptive(t["uv_mode"][m]) for m in range(13)]
+        self.uv_mode_cfl = [_adaptive(t["uv_mode_cfl"][m]) for m in range(13)]
+        self.angle_delta = [_adaptive(t["angle_delta"][m]) for m in range(8)]
+        self.txb_skip = [
+            [_adaptive(t["txb_skip"][qctx][s][c]) for c in range(13)]
+            for s in range(5)
+        ]
+        self.eob_pt = {
+            n: [
+                [_adaptive(t[_EOB_PT_KEY[n]][qctx][p][c]) for c in range(2)]
+                for p in range(2)
+            ]
+            for n in (16, 32, 64, 128, 256, 512, 1024)
+        }
+        self.eob_extra = [
+            [
+                [_adaptive(t["eob_extra"][qctx][s][p][c]) for c in range(9)]
+                for p in range(2)
+            ]
+            for s in range(5)
+        ]
+        self.coeff_base_eob = [
+            [
+                [_adaptive(t["coeff_base_eob"][qctx][s][p][c]) for c in range(4)]
+                for p in range(2)
+            ]
+            for s in range(5)
+        ]
+        self.coeff_base = [
+            [
+                [_adaptive(t["coeff_base"][qctx][s][p][c]) for c in range(42)]
+                for p in range(2)
+            ]
+            for s in range(5)
+        ]
+        self.coeff_br = [
+            [
+                [_adaptive(t["coeff_br"][qctx][s][p][c]) for c in range(21)]
+                for p in range(2)
+            ]
+            for s in range(5)
+        ]
+        self.dc_sign = [
+            [_adaptive(t["dc_sign"][qctx][p][c]) for c in range(3)]
+            for p in range(2)
+        ]
+
+
+@dataclass
+class PlaneState:
+    """Per-plane entropy context lines (4x4 granularity)."""
+
+    above_lvl: np.ndarray  # cul levels, frame-width mi units
+    left_lvl: np.ndarray  # one SB tall (16 units)
+    above_dc: np.ndarray  # dc sign categories
+    left_dc: np.ndarray
+
+
+class TileEncoder:
+    """Encodes one tile (round 1: the whole frame is one tile)."""
+
+    def __init__(
+        self,
+        planes: List[np.ndarray],  # [y, u, v] int arrays (h, w)
+        qindex: int,
+        bitdepth: int = 8,
+        speed: int = 9,
+    ) -> None:
+        self.planes = planes
+        self.qindex = qindex
+        self.bitdepth = bitdepth
+        self.speed = speed
+        h, w = planes[0].shape
+        self.w, self.h = w, h
+        self.mi_cols = 2 * ((w + 7) >> 3)
+        self.mi_rows = 2 * ((h + 7) >> 3)
+        self.sb_cols = (self.mi_cols + 15) >> 4
+        self.sb_rows = (self.mi_rows + 15) >> 4
+
+        self.enc = RangeEncoder()
+        self.cdf = CdfBank(coeff_q_ctx(qindex))
+
+        # reconstruction buffers (padded to mi grid)
+        pw, ph = self.mi_cols * 4, self.mi_rows * 4
+        self.recon = [np.zeros((ph, pw), dtype=np.int32) for _ in planes]
+        self.src = []
+        for p in planes:
+            buf = np.zeros((ph, pw), dtype=np.int32)
+            buf[:h, :w] = p
+            # edge-replicate into the padding so edge blocks predict sanely
+            buf[:h, w:] = buf[:h, w - 1 : w]
+            buf[h:, :] = buf[h - 1 : h, :]
+            self.src.append(buf)
+
+        # context lines
+        self.above_part = np.zeros(self.mi_cols, dtype=np.uint8)
+        self.left_part = np.zeros(16, dtype=np.uint8)
+        self.above_skip = np.zeros(self.mi_cols, dtype=np.uint8)
+        self.left_skip = np.zeros(16, dtype=np.uint8)
+        self.above_mode = np.full(self.mi_cols, DC_PRED, dtype=np.uint8)
+        self.left_mode = np.full(16, DC_PRED, dtype=np.uint8)
+        self.pstate = [
+            PlaneState(
+                above_lvl=np.zeros(self.mi_cols, dtype=np.int32),
+                left_lvl=np.zeros(16, dtype=np.int32),
+                above_dc=np.zeros(self.mi_cols, dtype=np.int32),
+                left_dc=np.zeros(16, dtype=np.int32),
+            )
+            for _ in planes
+        ]
+
+        self.dq_dc = dc_q(qindex, bitdepth)
+        self.dq_ac = ac_q(qindex, bitdepth)
+
+    # -- symbol helpers -------------------------------------------------------
+
+    def _sym(self, cdf: list, s: int) -> None:
+        nsym = len(cdf) - 1
+        self.enc.encode_symbol(s, cdf, nsym)
+        update_cdf(cdf, s, nsym)
+
+    # -- top level ------------------------------------------------------------
+
+    def encode(self) -> bytes:
+        for sb_r in range(self.sb_rows):
+            self.left_part[:] = 0
+            self.left_skip[:] = 0
+            self.left_mode[:] = DC_PRED
+            for ps in self.pstate:
+                ps.left_lvl[:] = 0
+                ps.left_dc[:] = 0
+            for sb_c in range(self.sb_cols):
+                self._encode_partition(sb_r * 16, sb_c * 16, 64)
+        return self.enc.done()
+
+    # -- partitions -----------------------------------------------------------
+
+    def _partition_ctx(self, r: int, c: int, size: int) -> int:
+        bsl = {8: 0, 16: 1, 32: 2, 64: 3}[size]
+        above = (int(self.above_part[c]) >> bsl) & 1
+        left = (int(self.left_part[r & 15]) >> bsl) & 1
+        return left * 2 + above
+
+    def _update_part_ctx(self, r: int, c: int, size: int, sub: int) -> None:
+        n_mi = size // 4
+        byte = _PART_CTX_BYTE[sub]
+        self.above_part[c : c + n_mi] = byte
+        self.left_part[(r & 15) : (r & 15) + n_mi] = byte
+
+    def _partition_bool_icdf(self, cdf: list, size: int, members) -> int:
+        """Derived psplit for split_or_horz / split_or_vert (spec): the sum
+        of the partition CDF widths of the named partition types."""
+        nsym = len(cdf) - 1
+        widths = []
+        prev = 32768
+        for s in range(nsym):
+            widths.append(prev - cdf[s])
+            prev = cdf[s]
+        return sum(widths[m] for m in members if m < nsym)
+
+    def _encode_partition(self, r: int, c: int, size: int) -> None:
+        if r >= self.mi_rows or c >= self.mi_cols:
+            return
+        half_mi = size // 8
+        has_rows = (r + half_mi) < self.mi_rows
+        has_cols = (c + half_mi) < self.mi_cols
+
+        # policy: split to 32x32 inside; split partial nodes; NONE at leaves
+        if has_rows and has_cols:
+            part = PARTITION_SPLIT if size > 32 else PARTITION_NONE
+            ctx = self._partition_ctx(r, c, size)
+            cdf = self.cdf.partition[size][ctx]
+            self._sym(cdf, part)
+        elif not has_rows and not has_cols:
+            part = PARTITION_SPLIT  # implicit, nothing coded
+        else:
+            part = PARTITION_SPLIT if size > 8 else PARTITION_NONE
+            ctx = self._partition_ctx(r, c, size)
+            cdf = self.cdf.partition[size][ctx]
+            if size > 8:
+                if has_cols:  # bottom clipped: split_or_horz
+                    # {VERT, SPLIT, HORZ_A, VERT_A, VERT_B, VERT_4}
+                    members = (2, 3, 4, 6, 7, 9)
+                else:  # right clipped: split_or_vert
+                    # {HORZ, SPLIT, HORZ_A, HORZ_B, VERT_A, HORZ_4}
+                    members = (1, 3, 4, 5, 6, 8)
+                psum = self._partition_bool_icdf(cdf, size, members)
+                self.enc.encode_symbol(1, [psum, 0], 2)  # always split
+            # at size 8: partition would be HORZ/VERT bool... 8x8 partial
+            # cannot happen (mi dims are even), assert:
+            else:
+                raise AssertionError("partial 8x8 block impossible")
+
+        if part == PARTITION_SPLIT:
+            sub = size // 2
+            sub_mi = half_mi
+            if size == 8:
+                raise AssertionError
+            self._encode_partition(r, c, sub)
+            self._encode_partition(r, c + sub_mi, sub)
+            self._encode_partition(r + sub_mi, c, sub)
+            self._encode_partition(r + sub_mi, c + sub_mi, sub)
+        else:
+            self._encode_block(r, c, size)
+            self._update_part_ctx(r, c, size, size)
+
+    # -- blocks ---------------------------------------------------------------
+
+    def _choose_y_mode(self, r: int, c: int, size: int):
+        """Pick the Y mode by prediction SSD over the source block (fast
+        path; full RD runs on TPU in the batched encoder)."""
+        x, y = c * 4, r * 4
+        have_above = r > 0
+        have_left = c > 0
+        src = self.src[0][y : y + size, x : x + size]
+        above, left = build_edges(
+            self.recon[0], x, y, size, size, have_above, have_left, self.bitdepth
+        )
+        from .consts import (
+            H_PRED,
+            PAETH_PRED,
+            SMOOTH_H_PRED,
+            SMOOTH_PRED,
+            SMOOTH_V_PRED,
+            V_PRED,
+        )
+
+        candidates = [DC_PRED, V_PRED, H_PRED, SMOOTH_PRED, PAETH_PRED]
+        if self.speed <= 6:
+            candidates += [SMOOTH_V_PRED, SMOOTH_H_PRED]
+        best = None
+        for m in candidates:
+            pred = predict(m, above, left, size, size, have_above, have_left)
+            ssd = int(((src - pred) ** 2).sum())
+            if best is None or ssd < best[0]:
+                best = (ssd, m, pred)
+        return best[1], best[2], above, left
+
+    def _encode_block(self, r: int, c: int, size: int) -> None:
+        x, y = c * 4, r * 4
+        n_mi = size // 4
+        lr = r & 15
+
+        y_mode, y_pred, _, _ = self._choose_y_mode(r, c, size)
+
+        # --- plan residuals for all planes (decide skip) ---
+        tx_y = min(size, 64)
+        tx_uv = min(size, 32)
+        plane_txs = [tx_y, tx_uv, tx_uv]
+        plane_modes = [y_mode, DC_PRED, DC_PRED]
+
+        can_code_coeffs = size >= 32  # tx < 32 would need tx-type signaling
+        plane_jobs = []  # (plane, tx, px, py, levels, pred) per txb
+        any_nonzero = False
+        for plane in range(3):
+            tx = plane_txs[plane]
+            mode = plane_modes[plane]
+            for ty in range(y, y + size, tx):
+                for tx_x in range(x, x + size, tx):
+                    have_above = ty > 0
+                    have_left = tx_x > 0
+                    above, left = build_edges(
+                        self.recon[plane], tx_x, ty, tx, tx,
+                        have_above, have_left, self.bitdepth,
+                    )
+                    pred = predict(
+                        mode, above, left, tx, tx, have_above, have_left
+                    )
+                    src = self.src[plane][ty : ty + tx, tx_x : tx_x + tx]
+                    resid = src - pred
+                    if can_code_coeffs:
+                        levels = self._quantize(resid, tx)
+                        if np.any(levels):
+                            any_nonzero = True
+                    else:
+                        levels = np.zeros((tx, tx), dtype=np.int64)
+                    plane_jobs.append((plane, tx, tx_x, ty, levels, pred))
+
+        skip = not any_nonzero
+
+        # --- symbols: skip, modes ---
+        skip_ctx = int(self.above_skip[c]) + int(self.left_skip[lr])
+        self._sym(self.cdf.skip[skip_ctx], 1 if skip else 0)
+
+        actx = INTRA_MODE_CONTEXT[int(self.above_mode[c])] if r > 0 else 0
+        lctx = INTRA_MODE_CONTEXT[int(self.left_mode[lr])] if c > 0 else 0
+        self._sym(self.cdf.kf_y[actx][lctx], y_mode)
+        if y_mode in MODE_TO_ANGLE and size >= 8:
+            self._sym(self.cdf.angle_delta[y_mode - 1], 3)  # delta 0
+
+        cfl_allowed = size <= 32
+        uv_cdfs = self.cdf.uv_mode_cfl if cfl_allowed else self.cdf.uv_mode
+        self._sym(uv_cdfs[y_mode], DC_PRED)
+        # uv DC is not directional → no uv angle_delta
+
+        # --- residual coding + recon ---
+        for plane, tx, px, py, levels, pred in plane_jobs:
+            if skip:
+                self._set_lvl_ctx(plane, px, py, tx, 0, 0)
+                recon_block = pred
+            else:
+                self._encode_coeffs(plane, tx, px, py, levels, size)
+                resid = self._dequant_inv(levels, tx)
+                recon_block = pred + resid
+            lo, hi = 0, (1 << self.bitdepth) - 1
+            self.recon[plane][py : py + tx, px : px + tx] = np.clip(
+                recon_block, lo, hi
+            )
+
+        # --- context updates ---
+        self.above_skip[c : c + n_mi] = 1 if skip else 0
+        self.left_skip[lr : lr + n_mi] = 1 if skip else 0
+        self.above_mode[c : c + n_mi] = y_mode
+        self.left_mode[lr : lr + n_mi] = y_mode
+
+    # -- quant / dequant --------------------------------------------------------
+
+    def _quantize(self, resid: np.ndarray, tx: int) -> np.ndarray:
+        coeffs = fwd_txfm2d(resid)
+        shift = DQ_SHIFT[tx]
+        qmat = np.full_like(coeffs, float(self.dq_ac))
+        qmat[0, 0] = float(self.dq_dc)
+        scaled = coeffs * (1 << shift) / qmat
+        # light deadzone: bias magnitudes down a touch to favor zeros
+        levels = np.sign(scaled) * np.floor(np.abs(scaled) + 0.35)
+        return levels.astype(np.int64)
+
+    def _dequant_inv(self, levels: np.ndarray, tx: int) -> np.ndarray:
+        shift = DQ_SHIFT[tx]
+        q = np.full_like(levels, self.dq_ac)
+        q[0, 0] = self.dq_dc
+        mag = (np.abs(levels) * q) & 0xFFFFFF
+        mag >>= shift
+        deq = np.sign(levels) * mag
+        return inv_txfm2d(deq, self.bitdepth)
+
+    # -- coefficient coding -----------------------------------------------------
+
+    def _txb_skip_ctx(self, plane: int, px: int, py: int, tx: int, bsize: int) -> int:
+        if plane == 0:
+            # tx_mode LARGEST + square blocks → tx == block for Y
+            return 0
+        ps = self.pstate[plane]
+        mi_c, mi_r = px // 4, py // 4
+        n = tx // 4
+        above_nz = np.any(ps.above_lvl[mi_c : mi_c + n] != 0)
+        left_nz = np.any(ps.left_lvl[(mi_r & 15) : (mi_r & 15) + n] != 0)
+        offset = 7 if tx == bsize else 10
+        return offset + int(above_nz) + int(left_nz)
+
+    def _dc_sign_ctx(self, plane: int, px: int, py: int, tx: int) -> int:
+        ps = self.pstate[plane]
+        mi_c, mi_r = px // 4, py // 4
+        n = tx // 4
+        cats = np.concatenate(
+            [
+                ps.above_dc[mi_c : mi_c + n],
+                ps.left_dc[(mi_r & 15) : (mi_r & 15) + n],
+            ]
+        )
+        bal = int((cats == 2).sum()) - int((cats == 1).sum())
+        if bal < 0:
+            return 1
+        if bal > 0:
+            return 2
+        return 0
+
+    def _set_lvl_ctx(
+        self, plane: int, px: int, py: int, tx: int, cul: int, dc_cat: int
+    ) -> None:
+        ps = self.pstate[plane]
+        mi_c, mi_r = px // 4, py // 4
+        n = tx // 4
+        ps.above_lvl[mi_c : mi_c + n] = cul
+        ps.left_lvl[(mi_r & 15) : (mi_r & 15) + n] = cul
+        ps.above_dc[mi_c : mi_c + n] = dc_cat
+        ps.left_dc[(mi_r & 15) : (mi_r & 15) + n] = dc_cat
+
+    def _encode_coeffs(
+        self, plane: int, tx: int, px: int, py: int, levels2d: np.ndarray, bsize: int
+    ) -> None:
+        txs_ctx = _TXS_CTX[tx]
+        ptype = 0 if plane == 0 else 1
+
+        cw = min(tx, 32)  # coded region (64-pt keeps 32)
+        lv = levels2d[:cw, :cw]
+        scan = TABLES[f"scan_{cw}x{cw}"]
+        flat = lv.reshape(-1)
+        nz = np.nonzero(flat[scan])[0]
+        eob = int(nz[-1]) + 1 if len(nz) else 0
+
+        ctx = self._txb_skip_ctx(plane, px, py, tx, bsize)
+        self._sym(self.cdf.txb_skip[txs_ctx][ctx], 1 if eob == 0 else 0)
+        if eob == 0:
+            self._set_lvl_ctx(plane, px, py, tx, 0, 0)
+            return
+
+        # eob_pt
+        n_coded = cw * cw
+        if eob == 1:
+            eob_pt = 1
+        elif eob == 2:
+            eob_pt = 2
+        else:
+            eob_pt = (eob - 1).bit_length() + 1
+        self._sym(self.cdf.eob_pt[n_coded][ptype][0], eob_pt - 1)
+        if eob_pt >= 3:
+            nbits = eob_pt - 2
+            rest = eob - (1 << (eob_pt - 2)) - 1
+            msb = (rest >> (nbits - 1)) & 1
+            self._sym(
+                self.cdf.eob_extra[txs_ctx][ptype][eob_pt - 3], msb
+            )
+            for i in range(nbits - 2, -1, -1):
+                self.enc.encode_bool_q15((rest >> i) & 1, 16384)
+
+        # levels buffer, padded for neighbor context reads
+        absl = np.minimum(np.abs(lv), 127).astype(np.int64)
+        pad = np.zeros((cw + 2, cw + 2), dtype=np.int64)
+        pad[:cw, :cw] = absl
+
+        bwl = cw.bit_length() - 1
+
+        # base + br levels, reverse scan; br interleaves per coefficient
+        # immediately after its base symbol (spec coeffs() order).
+        for si in range(eob - 1, -1, -1):
+            pos = int(scan[si])
+            rr, cc = pos >> bwl, pos & (cw - 1)
+            level = int(absl[rr, cc])
+            if si == eob - 1:
+                if si == 0:
+                    ctx_eob = 0
+                elif si <= n_coded // 8:
+                    ctx_eob = 1
+                elif si <= n_coded // 4:
+                    ctx_eob = 2
+                else:
+                    ctx_eob = 3
+                self._sym(
+                    self.cdf.coeff_base_eob[txs_ctx][ptype][ctx_eob],
+                    min(level, 3) - 1,
+                )
+            else:
+                mag = (
+                    min(int(pad[rr, cc + 1]), 3)
+                    + min(int(pad[rr + 1, cc]), 3)
+                    + min(int(pad[rr + 1, cc + 1]), 3)
+                    + min(int(pad[rr, cc + 2]), 3)
+                    + min(int(pad[rr + 2, cc]), 3)
+                )
+                mag = min((mag + 1) >> 1, 4)
+                if pos == 0:
+                    base_ctx = 0
+                elif rr + cc < 2:
+                    base_ctx = mag + 1
+                elif rr + cc < 4:
+                    base_ctx = mag + 6
+                else:
+                    base_ctx = mag + 21
+                self._sym(
+                    self.cdf.coeff_base[txs_ctx][ptype][base_ctx], min(level, 3)
+                )
+            if level > NUM_BASE_LEVELS_:
+                mag = (
+                    min(int(pad[rr, cc + 1]), 15)
+                    + min(int(pad[rr + 1, cc]), 15)
+                    + min(int(pad[rr + 1, cc + 1]), 15)
+                )
+                mag = min((mag + 1) >> 1, 6)
+                if pos == 0:
+                    br_ctx = mag
+                elif rr < 2 and cc < 2:
+                    br_ctx = mag + 7
+                else:
+                    br_ctx = mag + 14
+                remaining = level - 3
+                for _ in range(4):
+                    k = min(remaining, 3)
+                    self._sym(self.cdf.coeff_br[txs_ctx][ptype][br_ctx], k)
+                    remaining -= k
+                    if k < 3:
+                        break
+
+        # signs + golomb, forward scan
+        dc_cat = 0
+        cul = 0
+        for si in range(eob):
+            pos = int(scan[si])
+            rr, cc = pos >> bwl, pos & (cw - 1)
+            v = int(lv[rr, cc])
+            level = abs(v)
+            cul += level
+            if level == 0:
+                continue
+            sign = 1 if v < 0 else 0
+            if si == 0:
+                sctx = self._dc_sign_ctx(plane, px, py, tx)
+                self._sym(self.cdf.dc_sign[ptype][sctx], sign)
+                dc_cat = 1 if sign else 2
+            else:
+                self.enc.encode_bool_q15(sign, 16384)
+            if level > 14:
+                self._write_golomb(level - 15)
+
+        self._set_lvl_ctx(plane, px, py, tx, min(cul, 63), dc_cat)
+
+    def _write_golomb(self, value: int) -> None:
+        x = value + 1
+        n = x.bit_length()
+        for _ in range(n - 1):
+            self.enc.encode_bool_q15(0, 16384)
+        self.enc.encode_bool_q15(1, 16384)
+        for i in range(n - 2, -1, -1):
+            self.enc.encode_bool_q15((x >> i) & 1, 16384)
+
+
+def encode_frame_planes(
+    planes: List[np.ndarray], qindex: int, bitdepth: int = 8, speed: int = 9
+):
+    """Encode YUV444 planes → (tile payload bytes, recon planes)."""
+    te = TileEncoder(planes, qindex, bitdepth, speed)
+    payload = te.encode()
+    h, w = planes[0].shape
+    recon = [r[:h, :w].copy() for r in te.recon]
+    return payload, recon

@@ -1,0 +1,297 @@
+/* oavif-tpu native entropy coder.
+ *
+ * C mirror of the verified Python range coder + coefficient tokenizer
+ * (rangecoder.py / frame.py::_encode_coeffs). The serial, entropy-inherent
+ * part of the AV1 encode runs here; everything batched runs on the TPU.
+ *
+ * Semantics are locked by tests/test_rangecoder.py (round-trip vs the
+ * Python decoder) and tests/test_conformance.py (bit-exact decode through
+ * dav1d).
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define EC_PROB_SHIFT 6
+#define EC_MIN_PROB 4
+#define PROB_TOP 32768u
+
+typedef struct {
+    uint64_t low;     /* < 2^(15+pending), transiently < 2^(22+15) in
+                         normalize — must be 64-bit */
+    uint32_t rng;     /* [0x8000, 0xFFFF] */
+    int pending;      /* 0..7 */
+    uint8_t *out;
+    size_t len, cap;
+} Enc;
+
+static void out_push(Enc *e, uint8_t b) {
+    if (e->len == e->cap) {
+        e->cap = e->cap ? e->cap * 2 : 4096;
+        e->out = (uint8_t *)realloc(e->out, e->cap);
+    }
+    e->out[e->len++] = b;
+}
+
+Enc *enc_new(void) {
+    Enc *e = (Enc *)calloc(1, sizeof(Enc));
+    e->rng = 0x8000;
+    return e;
+}
+
+void enc_free(Enc *e) {
+    if (e) {
+        free(e->out);
+        free(e);
+    }
+}
+
+static void carry(Enc *e) {
+    size_t i = e->len;
+    while (i-- > 0) {
+        if (e->out[i] != 0xFF) {
+            e->out[i]++;
+            return;
+        }
+        e->out[i] = 0;
+    }
+    /* carry out of stream start: cannot happen for valid streams */
+}
+
+static int ilog_nz(uint32_t x) {
+    return 32 - __builtin_clz(x);
+}
+
+static void normalize(Enc *e, uint64_t low, uint32_t rng) {
+    uint64_t bound = 1ull << (15 + e->pending);
+    while (low >= bound) {
+        low -= bound;
+        carry(e);
+    }
+    int d = 16 - ilog_nz(rng);
+    low <<= d;
+    rng <<= d;
+    int pending = e->pending + d;
+    while (pending >= 8) {
+        int shift = 15 + pending - 8;
+        out_push(e, (uint8_t)(low >> shift));
+        low &= (1ull << shift) - 1;
+        pending -= 8;
+    }
+    e->low = low;
+    e->rng = rng;
+    e->pending = pending;
+}
+
+/* icdf: nsym entries (last 0) followed by the adaptation counter. */
+void enc_symbol(Enc *e, uint16_t *icdf, int nsym, int s) {
+    uint32_t fl = s > 0 ? icdf[s - 1] : PROB_TOP;
+    uint32_t fh = icdf[s];
+    uint64_t l = e->low;
+    uint32_t r = e->rng, u, v;
+    int n = nsym - 1;
+    if (fl < PROB_TOP) {
+        u = (((r >> 8) * (fl >> EC_PROB_SHIFT)) >> (7 - EC_PROB_SHIFT)) +
+            EC_MIN_PROB * (uint32_t)(n - (s - 1));
+        v = (((r >> 8) * (fh >> EC_PROB_SHIFT)) >> (7 - EC_PROB_SHIFT)) +
+            EC_MIN_PROB * (uint32_t)(n - s);
+        l += r - u;
+        r = u - v;
+    } else {
+        r -= (((r >> 8) * (fh >> EC_PROB_SHIFT)) >> (7 - EC_PROB_SHIFT)) +
+             EC_MIN_PROB * (uint32_t)(n - s);
+    }
+    normalize(e, l, r);
+}
+
+void update_cdf_c(uint16_t *icdf, int nsym, int val) {
+    int count = icdf[nsym];
+    int rate = 3 + (count > 15) + (count > 31) + (nsym <= 3 ? 1 : 2);
+    int tmp = PROB_TOP;
+    for (int i = 0; i < nsym - 1; i++) {
+        if (i == val) tmp = 0;
+        if (tmp < icdf[i])
+            icdf[i] -= (uint16_t)((icdf[i] - tmp) >> rate);
+        else
+            icdf[i] += (uint16_t)((tmp - icdf[i]) >> rate);
+    }
+    icdf[nsym] = (uint16_t)(count + (count < 32));
+}
+
+void enc_symbol_adapt(Enc *e, uint16_t *icdf, int nsym, int s) {
+    enc_symbol(e, icdf, nsym, s);
+    update_cdf_c(icdf, nsym, s);
+}
+
+void enc_bool(Enc *e, int val, uint32_t f) {
+    uint64_t l = e->low;
+    uint32_t r = e->rng;
+    uint32_t v =
+        (((r >> 8) * (f >> EC_PROB_SHIFT)) >> (7 - EC_PROB_SHIFT)) + EC_MIN_PROB;
+    if (val) {
+        l += r - v;
+        r = v;
+    } else {
+        r -= v;
+    }
+    normalize(e, l, r);
+}
+
+void enc_literal(Enc *e, uint32_t value, int bits) {
+    for (int i = bits - 1; i >= 0; i--) enc_bool(e, (value >> i) & 1, 16384);
+}
+
+static void enc_golomb(Enc *e, uint32_t v) {
+    uint32_t x = v + 1;
+    int n = ilog_nz(x);
+    for (int i = 0; i < n - 1; i++) enc_bool(e, 0, 16384);
+    enc_bool(e, 1, 16384);
+    for (int i = n - 2; i >= 0; i--) enc_bool(e, (x >> i) & 1, 16384);
+}
+
+/* Flush: returns number of bytes written to *dst (caller frees via
+ * enc_free; dst points into internal storage after this call). */
+size_t enc_done(Enc *e, uint8_t **dst) {
+    uint32_t m = 0x3FFF;
+    uint64_t ev = ((uint64_t)(e->low + m) & ~(uint64_t)m) | (m + 1);
+    int bits = 15 + e->pending;
+    int nbytes = (bits + 7) / 8;
+    ev <<= nbytes * 8 - bits;
+    if (ev >> (nbytes * 8)) {
+        ev &= ((uint64_t)1 << (nbytes * 8)) - 1;
+        carry(e);
+    }
+    for (int i = nbytes - 1; i >= 0; i--) out_push(e, (uint8_t)(ev >> (8 * i)));
+    *dst = e->out;
+    return e->len;
+}
+
+/* ------------------------------------------------------------------ */
+/* Coefficient tokenizer: one call per transform block.                 */
+/* ------------------------------------------------------------------ */
+
+static inline int min_i(int a, int b) { return a < b ? a : b; }
+
+/* levels: cw*cw natural-order int32 (signed). scan: cw*cw int32.
+ * CDF row pointers with strides; returns eob (0 if all-zero txb).
+ * Also writes cul_level (capped 63) and dc category to out_ctx[2]. */
+int enc_coeffs(
+    Enc *e,
+    const int32_t *lv, int cw,
+    const int32_t *scan,
+    uint16_t *txb_skip_row,                 /* 1 row: 2+1 */
+    uint16_t *eob_pt_row, int eob_pt_nsym,  /* 1 row */
+    uint16_t *eob_extra_rows,               /* 9 rows x 3 */
+    uint16_t *base_eob_rows,                /* 4 rows x 4 */
+    uint16_t *base_rows,                    /* 42 rows x 5 */
+    uint16_t *br_rows,                      /* 21 rows x 5 */
+    uint16_t *dc_sign_row,                  /* 1 row (ctx preselected) */
+    int32_t *out_ctx)
+{
+    int n_coded = cw * cw;
+    int bwl = ilog_nz((uint32_t)cw) - 1;
+
+    /* eob from scan order */
+    int eob = 0;
+    for (int si = 0; si < n_coded; si++)
+        if (lv[scan[si]]) eob = si + 1;
+
+    enc_symbol_adapt(e, txb_skip_row, 2, eob == 0);
+    if (eob == 0) {
+        out_ctx[0] = 0;
+        out_ctx[1] = 0;
+        return 0;
+    }
+
+    int eob_pt;
+    if (eob == 1) eob_pt = 1;
+    else if (eob == 2) eob_pt = 2;
+    else eob_pt = ilog_nz((uint32_t)(eob - 1)) + 1;
+    enc_symbol_adapt(e, eob_pt_row, eob_pt_nsym, eob_pt - 1);
+    if (eob_pt >= 3) {
+        int nbits = eob_pt - 2;
+        int rest = eob - (1 << (eob_pt - 2)) - 1;
+        enc_symbol_adapt(e, eob_extra_rows + (size_t)(eob_pt - 3) * 3, 2,
+                         (rest >> (nbits - 1)) & 1);
+        for (int i = nbits - 2; i >= 0; i--) enc_bool(e, (rest >> i) & 1, 16384);
+    }
+
+    /* padded abs levels (cap 127) for context reads */
+    int stride = cw + 2;
+    uint8_t *pad = (uint8_t *)calloc((size_t)(cw + 2) * stride, 1);
+    for (int r = 0; r < cw; r++)
+        for (int c = 0; c < cw; c++) {
+            int32_t v = lv[r * cw + c];
+            int a = v < 0 ? -v : v;
+            pad[r * stride + c] = (uint8_t)(a > 127 ? 127 : a);
+        }
+
+    for (int si = eob - 1; si >= 0; si--) {
+        int pos = scan[si];
+        int rr = pos >> bwl, cc = pos & (cw - 1);
+        int32_t v = lv[pos];
+        int level = v < 0 ? -v : v;
+        if (si == eob - 1) {
+            int ctx_eob;
+            if (si == 0) ctx_eob = 0;
+            else if (si <= n_coded / 8) ctx_eob = 1;
+            else if (si <= n_coded / 4) ctx_eob = 2;
+            else ctx_eob = 3;
+            enc_symbol_adapt(e, base_eob_rows + (size_t)ctx_eob * 4, 3,
+                             min_i(level, 3) - 1);
+        } else {
+            const uint8_t *p = pad + rr * stride + cc;
+            int mag = min_i(p[1], 3) + min_i(p[stride], 3) +
+                      min_i(p[stride + 1], 3) + min_i(p[2], 3) +
+                      min_i(p[2 * stride], 3);
+            mag = min_i((mag + 1) >> 1, 4);
+            int bctx;
+            if (pos == 0) bctx = 0;
+            else if (rr + cc < 2) bctx = mag + 1;
+            else if (rr + cc < 4) bctx = mag + 6;
+            else bctx = mag + 21;
+            enc_symbol_adapt(e, base_rows + (size_t)bctx * 5, 4, min_i(level, 3));
+        }
+        if (level > 2) {
+            const uint8_t *p = pad + rr * stride + cc;
+            int mag = min_i(p[1], 15) + min_i(p[stride], 15) +
+                      min_i(p[stride + 1], 15);
+            mag = min_i((mag + 1) >> 1, 6);
+            int brctx;
+            if (pos == 0) brctx = mag;
+            else if (rr < 2 && cc < 2) brctx = mag + 7;
+            else brctx = mag + 14;
+            int remaining = level - 3;
+            for (int k = 0; k < 4; k++) {
+                int kk = min_i(remaining, 3);
+                enc_symbol_adapt(e, br_rows + (size_t)brctx * 5, 4, kk);
+                remaining -= kk;
+                if (kk < 3) break;
+            }
+        }
+    }
+
+    /* signs + golomb, forward */
+    int dc_cat = 0;
+    int cul = 0;
+    for (int si = 0; si < eob; si++) {
+        int pos = scan[si];
+        int32_t v = lv[pos];
+        int level = v < 0 ? -v : v;
+        cul += level;
+        if (!level) continue;
+        int sign = v < 0;
+        if (si == 0) {
+            enc_symbol_adapt(e, dc_sign_row, 2, sign);
+            dc_cat = sign ? 1 : 2;
+        } else {
+            enc_bool(e, sign, 16384);
+        }
+        if (level > 14) enc_golomb(e, (uint32_t)(level - 15));
+    }
+    free(pad);
+    out_ctx[0] = cul > 63 ? 63 : cul;
+    out_ctx[1] = dc_cat;
+    return eob;
+}

@@ -30,6 +30,47 @@ from .consts import (
     coeff_q_ctx,
 )
 from .entropy.rangecoder import RangeEncoder, update_cdf
+
+
+class _PyShim:
+    """Adapter giving the pure-Python RangeEncoder the native interface."""
+
+    def __init__(self, enc: "RangeEncoder") -> None:
+        self.enc = enc
+
+    def sym_adapt(self, cdf_row, s: int) -> None:
+        nsym = len(cdf_row) - 1
+        self.enc.encode_symbol(s, cdf_row, nsym)
+        update_cdf(cdf_row, s, nsym)
+
+    def sym_noadapt(self, cdf_row, s: int) -> None:
+        self.enc.encode_symbol(s, cdf_row, len(cdf_row) - 1)
+
+    def bool_q15(self, val: int, f: int) -> None:
+        self.enc.encode_bool_q15(val, f)
+
+    def done(self) -> bytes:
+        return self.enc.done()
+
+    coeffs = None  # python coefficient path used instead
+
+
+class _NativeShim:
+    def __init__(self, enc) -> None:
+        self.enc = enc
+        self.coeffs = enc.coeffs
+
+    def sym_adapt(self, cdf_row, s: int) -> None:
+        self.enc.sym_adapt(cdf_row, s)
+
+    def sym_noadapt(self, cdf_row, s: int) -> None:
+        self.enc.sym_noadapt(cdf_row, s)
+
+    def bool_q15(self, val: int, f: int) -> None:
+        self.enc.bool_q15(val, f)
+
+    def done(self) -> bytes:
+        return self.enc.done()
 from .intra import build_edges, predict
 from .tables import TABLES, ac_q, dc_q
 from .transform import INV_ROW_SHIFT, fwd_txfm2d, inv_txfm2d
@@ -54,71 +95,42 @@ _EOB_PT_KEY = {16: "eob_pt_16", 32: "eob_pt_32", 64: "eob_pt_64",
 NUM_BASE_LEVELS_ = 2
 
 
-def _adaptive(arr: np.ndarray) -> list:
-    """ICDF table row → mutable adaptive CDF (values + counter)."""
-    return list(int(v) for v in arr) + [0]
+def _adaptive(arr: np.ndarray) -> np.ndarray:
+    """ICDF table row(s) → mutable adaptive CDF rows with a trailing
+    adaptation-counter column, contiguous uint16 (shared with the native
+    coder)."""
+    a = np.asarray(arr, dtype=np.uint16)
+    out = np.zeros(a.shape[:-1] + (a.shape[-1] + 1,), dtype=np.uint16)
+    out[..., : a.shape[-1]] = a
+    return np.ascontiguousarray(out)
 
 
 class CdfBank:
     """All adaptive CDFs for one tile, initialized from the extracted
-    defaults (av1_tables.npz), sliced at the frame's coefficient q-ctx."""
+    defaults (av1_tables.npz), sliced at the frame's coefficient q-ctx.
+    Every leaf is a contiguous uint16 array of rows (nsym values, last 0,
+    then the counter)."""
 
     def __init__(self, qctx: int) -> None:
         t = TABLES
         self.partition = {
-            w: [_adaptive(t[_PARTITION_CDF_KEY[w]][c]) for c in range(4)]
-            for w in (8, 16, 32, 64)
+            w: _adaptive(t[_PARTITION_CDF_KEY[w]]) for w in (8, 16, 32, 64)
         }
-        self.skip = [_adaptive(t["skip"][c]) for c in range(3)]
-        self.kf_y = [
-            [_adaptive(t["kf_y_mode"][a][l]) for l in range(5)] for a in range(5)
-        ]
-        self.uv_mode = [_adaptive(t["uv_mode"][m]) for m in range(13)]
-        self.uv_mode_cfl = [_adaptive(t["uv_mode_cfl"][m]) for m in range(13)]
-        self.angle_delta = [_adaptive(t["angle_delta"][m]) for m in range(8)]
-        self.txb_skip = [
-            [_adaptive(t["txb_skip"][qctx][s][c]) for c in range(13)]
-            for s in range(5)
-        ]
+        self.skip = _adaptive(t["skip"])
+        self.kf_y = _adaptive(t["kf_y_mode"])
+        self.uv_mode = _adaptive(t["uv_mode"])
+        self.uv_mode_cfl = _adaptive(t["uv_mode_cfl"])
+        self.angle_delta = _adaptive(t["angle_delta"])
+        self.txb_skip = _adaptive(t["txb_skip"][qctx])  # (5, 13, 3)
         self.eob_pt = {
-            n: [
-                [_adaptive(t[_EOB_PT_KEY[n]][qctx][p][c]) for c in range(2)]
-                for p in range(2)
-            ]
+            n: _adaptive(t[_EOB_PT_KEY[n]][qctx])  # (2, 2, nsym+1)
             for n in (16, 32, 64, 128, 256, 512, 1024)
         }
-        self.eob_extra = [
-            [
-                [_adaptive(t["eob_extra"][qctx][s][p][c]) for c in range(9)]
-                for p in range(2)
-            ]
-            for s in range(5)
-        ]
-        self.coeff_base_eob = [
-            [
-                [_adaptive(t["coeff_base_eob"][qctx][s][p][c]) for c in range(4)]
-                for p in range(2)
-            ]
-            for s in range(5)
-        ]
-        self.coeff_base = [
-            [
-                [_adaptive(t["coeff_base"][qctx][s][p][c]) for c in range(42)]
-                for p in range(2)
-            ]
-            for s in range(5)
-        ]
-        self.coeff_br = [
-            [
-                [_adaptive(t["coeff_br"][qctx][s][p][c]) for c in range(21)]
-                for p in range(2)
-            ]
-            for s in range(5)
-        ]
-        self.dc_sign = [
-            [_adaptive(t["dc_sign"][qctx][p][c]) for c in range(3)]
-            for p in range(2)
-        ]
+        self.eob_extra = _adaptive(t["eob_extra"][qctx])  # (5, 2, 9, 3)
+        self.coeff_base_eob = _adaptive(t["coeff_base_eob"][qctx])  # (5,2,4,4)
+        self.coeff_base = _adaptive(t["coeff_base"][qctx])  # (5, 2, 42, 5)
+        self.coeff_br = _adaptive(t["coeff_br"][qctx])  # (5, 2, 21, 5)
+        self.dc_sign = _adaptive(t["dc_sign"][qctx])  # (2, 3, 3)
 
 
 @dataclass
@@ -152,8 +164,17 @@ class TileEncoder:
         self.sb_cols = (self.mi_cols + 15) >> 4
         self.sb_rows = (self.mi_rows + 15) >> 4
 
-        self.enc = RangeEncoder()
+        from .entropy.fast import NativeEncoder, get_lib
+
+        if get_lib() is not None:
+            self.enc = _NativeShim(NativeEncoder())
+        else:
+            self.enc = _PyShim(RangeEncoder())
         self.cdf = CdfBank(coeff_q_ctx(qindex))
+        self._scan_cache = {
+            n: np.ascontiguousarray(TABLES[f"scan_{n}x{n}"], dtype=np.int32)
+            for n in (4, 8, 16, 32)
+        }
 
         # reconstruction buffers (padded to mi grid)
         pw, ph = self.mi_cols * 4, self.mi_rows * 4
@@ -189,10 +210,8 @@ class TileEncoder:
 
     # -- symbol helpers -------------------------------------------------------
 
-    def _sym(self, cdf: list, s: int) -> None:
-        nsym = len(cdf) - 1
-        self.enc.encode_symbol(s, cdf, nsym)
-        update_cdf(cdf, s, nsym)
+    def _sym(self, cdf_row: np.ndarray, s: int) -> None:
+        self.enc.sym_adapt(cdf_row, s)
 
     # -- top level ------------------------------------------------------------
 
@@ -260,7 +279,8 @@ class TileEncoder:
                     # {HORZ, SPLIT, HORZ_A, HORZ_B, VERT_A, HORZ_4}
                     members = (1, 3, 4, 5, 6, 8)
                 psum = self._partition_bool_icdf(cdf, size, members)
-                self.enc.encode_symbol(1, [psum, 0], 2)  # always split
+                derived = np.array([psum, 0, 0], dtype=np.uint16)
+                self.enc.sym_noadapt(derived, 1)  # always split
             # at size 8: partition would be HORZ/VERT bool... 8x8 partial
             # cannot happen (mi dims are even), assert:
             else:
@@ -456,15 +476,32 @@ class TileEncoder:
     ) -> None:
         txs_ctx = _TXS_CTX[tx]
         ptype = 0 if plane == 0 else 1
-
         cw = min(tx, 32)  # coded region (64-pt keeps 32)
         lv = levels2d[:cw, :cw]
-        scan = TABLES[f"scan_{cw}x{cw}"]
+        scan32 = self._scan_cache[cw]
+        ctx = self._txb_skip_ctx(plane, px, py, tx, bsize)
+
+        if self.enc.coeffs is not None:
+            sctx = self._dc_sign_ctx(plane, px, py, tx)
+            eob, cul, dc_cat = self.enc.coeffs(
+                lv.astype(np.int32),
+                scan32,
+                self.cdf.txb_skip[txs_ctx][ctx],
+                self.cdf.eob_pt[cw * cw][ptype][0],
+                self.cdf.eob_extra[txs_ctx][ptype],
+                self.cdf.coeff_base_eob[txs_ctx][ptype],
+                self.cdf.coeff_base[txs_ctx][ptype],
+                self.cdf.coeff_br[txs_ctx][ptype],
+                self.cdf.dc_sign[ptype][sctx],
+            )
+            self._set_lvl_ctx(plane, px, py, tx, cul, dc_cat)
+            return
+
+        scan = scan32
         flat = lv.reshape(-1)
         nz = np.nonzero(flat[scan])[0]
         eob = int(nz[-1]) + 1 if len(nz) else 0
 
-        ctx = self._txb_skip_ctx(plane, px, py, tx, bsize)
         self._sym(self.cdf.txb_skip[txs_ctx][ctx], 1 if eob == 0 else 0)
         if eob == 0:
             self._set_lvl_ctx(plane, px, py, tx, 0, 0)
@@ -487,7 +524,7 @@ class TileEncoder:
                 self.cdf.eob_extra[txs_ctx][ptype][eob_pt - 3], msb
             )
             for i in range(nbits - 2, -1, -1):
-                self.enc.encode_bool_q15((rest >> i) & 1, 16384)
+                self.enc.bool_q15((rest >> i) & 1, 16384)
 
         # levels buffer, padded for neighbor context reads
         absl = np.minimum(np.abs(lv), 127).astype(np.int64)
@@ -573,7 +610,7 @@ class TileEncoder:
                 self._sym(self.cdf.dc_sign[ptype][sctx], sign)
                 dc_cat = 1 if sign else 2
             else:
-                self.enc.encode_bool_q15(sign, 16384)
+                self.enc.bool_q15(sign, 16384)
             if level > 14:
                 self._write_golomb(level - 15)
 
@@ -583,10 +620,10 @@ class TileEncoder:
         x = value + 1
         n = x.bit_length()
         for _ in range(n - 1):
-            self.enc.encode_bool_q15(0, 16384)
-        self.enc.encode_bool_q15(1, 16384)
+            self.enc.bool_q15(0, 16384)
+        self.enc.bool_q15(1, 16384)
         for i in range(n - 2, -1, -1):
-            self.enc.encode_bool_q15((x >> i) & 1, 16384)
+            self.enc.bool_q15((x >> i) & 1, 16384)
 
 
 def encode_frame_planes(

@@ -22,6 +22,14 @@ class TpuBackend:
 
         return encode_avif(ctx)
 
+    def encode_with_recon(self, ctx: EncCtx):
+        """Encode and return (bytes, recon RGB8). The recon equals the
+        decoder's output (bit-exact YUV), so the TQ loop scores it directly
+        without a decode round-trip (SURVEY.md §2b N3)."""
+        from ..av1.encode import encode_avif_with_recon
+
+        return encode_avif_with_recon(ctx)
+
     def decode_to_rgb8(self, data: bytes) -> np.ndarray:
         # Scoring decode: the conformance-oracle decoder (independent AV1
         # implementation). The in-loop TQ path instead uses the encoder's

@@ -42,13 +42,17 @@ def _print_version() -> None:
 
 
 def make_probe(ctx: EncCtx, backend, metric):
-    """One search pass: encode at ctx.q, decode, score, cache the bitstream
-    (reference tq.zig:21-38)."""
+    """One search pass: encode at ctx.q, reconstruct/decode, score, cache
+    the bitstream (reference tq.zig:21-38). The TPU backend scores its own
+    reconstruction (== decoder output) instead of round-tripping bytes."""
 
     def probe(q: int) -> float:
         ctx.q = q
-        data = backend.encode(ctx)
-        decoded = backend.decode_to_rgb8(data)
+        if hasattr(backend, "encode_with_recon"):
+            data, decoded = backend.encode_with_recon(ctx)
+        else:
+            data = backend.encode(ctx)
+            decoded = backend.decode_to_rgb8(data)
         ctx.num_pass += 1
         ctx.buf = EncBuffer(q=q, data=data, size=len(data))
         return float(metric(ctx.rgb, decoded))
@@ -95,9 +99,7 @@ def run(argv: List[str]) -> int:
     rgb = to_rgb8(src)
     ctx = EncCtx(o=o, src=src, rgb=rgb, w=src.width, h=src.height)
 
-    # Default flips to "tpu" once the device encode path is complete;
-    # "oracle" is the libavif stand-in (SURVEY.md §7 build-order step 2).
-    backend_name = os.environ.get("OAVIF_TPU_BACKEND", "oracle")
+    backend_name = os.environ.get("OAVIF_TPU_BACKEND", "tpu")
     backend = get_backend(backend_name)
 
     out_depth = 10 if o.tenbit else (10 if src.hbd else 8)

@@ -1,0 +1,109 @@
+"""Bitstream conformance: our encoder's output must decode through the
+independent libavif/dav1d decoder, bit-exact with our reconstruction
+(SURVEY.md §4a — the reference decoder as oracle)."""
+
+import numpy as np
+import pytest
+from PIL import Image as PILImage
+
+from oavif_tpu.av1 import frame as frame_mod
+from oavif_tpu.av1.encode import encode_avif_with_recon
+from oavif_tpu.av1.mux import mux_avif
+from oavif_tpu.av1.obu import FrameConfig, SequenceConfig, assemble_av1_stream
+from oavif_tpu.backend import EncCtx
+from oavif_tpu.io.image import Image
+from oavif_tpu.options import EncOptions
+
+
+def _encode(rgb, q=60, speed=9):
+    h, w = rgb.shape[:2]
+    img = Image(width=w, height=h, channels=3, hbd=False, data=rgb)
+    ctx = EncCtx(o=EncOptions(speed=speed), src=img, rgb=rgb, w=w, h=h, q=q)
+    return encode_avif_with_recon(ctx)
+
+
+def _decode(data):
+    import io
+
+    im = PILImage.open(io.BytesIO(data))
+    im.load()
+    return np.asarray(im.convert("RGB"))
+
+
+@pytest.mark.parametrize(
+    "shape", [(16, 16), (32, 32), (64, 64), (48, 48), (96, 80), (64, 129)]
+)
+def test_flat_images_roundtrip_exact(shape):
+    rgb = np.full(shape + (3,), 128, np.uint8)
+    data, recon = _encode(rgb)
+    dec = _decode(data)
+    np.testing.assert_array_equal(dec, recon)
+
+
+def test_textured_image_recon_matches_decoder(test_rgb8):
+    data, recon = _encode(test_rgb8, q=60)
+    dec = _decode(data)
+    # YUV recon is bit-exact (probe-tested); RGB conversion may differ ±1
+    assert np.abs(dec.astype(int) - recon.astype(int)).max() <= 1
+
+
+def test_quality_ordering(test_rgb8):
+    sizes = {}
+    maes = {}
+    for q in (20, 50, 85):
+        data, _ = _encode(test_rgb8, q=q)
+        dec = _decode(data)
+        sizes[q] = len(data)
+        maes[q] = np.abs(dec.astype(int) - test_rgb8.astype(int)).mean()
+    assert sizes[20] < sizes[50] < sizes[85]
+    assert maes[20] > maes[50] > maes[85]
+
+
+def test_single_coefficient_probes_bit_exact():
+    """Decoder recon equals ours for crafted coefficient patterns (the
+    transform/dequant bit-exactness anchor)."""
+    from oavif_tpu.io.avif_ctypes import decode_to_yuv
+
+    planes = [np.full((32, 32), 128, np.int32) for _ in range(3)]
+    orig = frame_mod.TileEncoder._quantize
+
+    def probe(lv):
+        def q(self, resid, tx):
+            q.calls += 1
+            return lv.copy() if q.calls == 1 else np.zeros((tx, tx), np.int64)
+
+        q.calls = 0
+        frame_mod.TileEncoder._quantize = q
+        try:
+            te = frame_mod.TileEncoder(planes, 100, 8, 9)
+            tile = te.encode()
+        finally:
+            frame_mod.TileEncoder._quantize = orig
+        mine = te.recon[0][:32, :32].copy()
+        seq = SequenceConfig(width=32, height=32)
+        fr = FrameConfig(width=32, height=32, base_q_idx=100)
+        data = mux_avif(assemble_av1_stream(seq, fr, [tile]), 32, 32)
+        yuv, _, _ = decode_to_yuv(data)
+        return yuv[0], mine
+
+    rng = np.random.default_rng(7)
+    cases = [(0, 0, 5), (0, 1, -42), (1, 1, 7), (31, 31, 4), (0, 0, -264)]
+    for r, c, v in cases:
+        lv = np.zeros((32, 32), np.int64)
+        lv[r, c] = v
+        dec, mine = probe(lv)
+        np.testing.assert_array_equal(dec, mine, err_msg=f"probe {(r, c, v)}")
+    dense = (rng.integers(-6, 7, (32, 32)) * (rng.random((32, 32)) < 0.1)).astype(
+        np.int64
+    )
+    dec, mine = probe(dense)
+    np.testing.assert_array_equal(dec, mine)
+
+
+def test_system_decoder_agrees(test_rgb8):
+    from oavif_tpu.io.avif_ctypes import decode_to_yuv
+
+    data, _ = _encode(test_rgb8, q=70)
+    yuv, depth, _ = decode_to_yuv(data)
+    assert depth == 8
+    assert yuv[0].shape == test_rgb8.shape[:2]

@@ -50,6 +50,9 @@ def _build() -> Optional[C.CDLL]:
             C.c_void_p, C.POINTER(C.c_uint16), C.c_int, C.c_int,
         ]
         lib.enc_free.argtypes = [C.c_void_p]
+        lib.inv_txfm2d_c.argtypes = [
+            C.POINTER(C.c_int32), C.c_int, C.c_int, C.c_int,
+        ]
         lib.enc_coeffs.restype = C.c_int
         lib.enc_coeffs.argtypes = [
             C.c_void_p,
@@ -148,3 +151,14 @@ class NativeEncoder:
         ptr = C.POINTER(C.c_uint8)()
         n = self.lib.enc_done(self._enc, C.byref(ptr))
         return bytes(bytearray(C.cast(ptr, C.POINTER(C.c_uint8 * n))[0]))
+
+
+def inv_txfm2d_native(coeffs: np.ndarray, bitdepth: int = 8) -> Optional[np.ndarray]:
+    """Native inverse DCT_DCT 2D transform; None if the library is absent."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h, w = coeffs.shape
+    buf = np.ascontiguousarray(coeffs, dtype=np.int32).copy()
+    lib.inv_txfm2d_c(_i32p(buf), w, h, bitdepth)
+    return buf.astype(np.int64)

@@ -295,3 +295,143 @@ int enc_coeffs(
     out_ctx[1] = dc_cat;
     return eob;
 }
+
+
+/* ------------------------------------------------------------------ */
+/* Normative inverse DCT (generic cascade, mirrors transform.py).      */
+/* ------------------------------------------------------------------ */
+
+static const int32_t COSPI[65] = {
+    4096, 4095, 4091, 4085, 4076, 4065, 4052, 4036, 4017, 3996, 3973,
+    3948, 3920, 3889, 3857, 3822, 3784, 3745, 3703, 3659, 3612, 3564,
+    3513, 3461, 3406, 3349, 3290, 3229, 3166, 3102, 3035, 2967, 2896,
+    2824, 2751, 2675, 2598, 2520, 2440, 2359, 2276, 2191, 2106, 2019,
+    1931, 1842, 1751, 1660, 1567, 1474, 1380, 1285, 1189, 1092, 995,
+    897, 799, 700, 601, 501, 401, 301, 201, 101, 0,
+};
+
+static inline int64_t round2(int64_t x, int n) {
+    return (x + ((int64_t)1 << (n - 1))) >> n;
+}
+
+static inline int64_t hb(int64_t w0, int64_t x0, int64_t w1, int64_t x1) {
+    return round2(w0 * x0 + w1 * x1, 12);
+}
+
+static int brev_c(int nbits, int x) {
+    int out = 0;
+    for (int i = 0; i < nbits; i++) out |= ((x >> i) & 1) << (nbits - 1 - i);
+    return out;
+}
+
+static void idct_1d_c(const int64_t *x, int64_t *out, int N);
+
+static void idct_odd_c(const int64_t *o, int64_t *s, int N) {
+    int h = N / 2;
+    int m = 0;
+    while ((1 << m) < h) m++;
+    for (int i = 0; i < h / 2; i++) {
+        int k = 2 * brev_c(m, i) + 1;
+        int theta = k * (64 / N);
+        const int64_t a = o[(k - 1) / 2], b = o[(N - k - 1) / 2];
+        s[i] = hb(COSPI[64 - theta], a, -COSPI[theta], b);
+        s[h - 1 - i] = hb(COSPI[theta], a, COSPI[64 - theta], b);
+    }
+    int64_t t[32];
+    for (int L = 1; L < m; L++) {
+        int gs = 1 << L;
+        memcpy(t, s, sizeof(int64_t) * h);
+        for (int q = 0; q < h / gs; q++) {
+            int base = q * gs;
+            for (int j = 0; j < gs / 2; j++) {
+                int64_t xx = s[base + j], yy = s[base + gs - 1 - j];
+                if (q % 2 == 0) {
+                    t[base + j] = xx + yy;
+                    t[base + gs - 1 - j] = xx - yy;
+                } else {
+                    t[base + j] = -xx + yy;
+                    t[base + gs - 1 - j] = xx + yy;
+                }
+            }
+        }
+        memcpy(s, t, sizeof(int64_t) * h);
+        int gr = 1 << (L + 1);
+        memcpy(t, s, sizeof(int64_t) * h);
+        int unit = 64 >> (m - L);
+        for (int i = 0; i < h / 2; i++) {
+            int pig = i % gr;
+            if (!(gr / 4 <= pig && pig < 3 * gr / 4)) continue;
+            int q = i / gr;
+            int nb = m - L - 1;
+            if (nb < 0) nb = 0;
+            int theta = (2 * brev_c(nb, q) + 1) * unit;
+            int64_t xx = s[i], yy = s[h - 1 - i];
+            if (pig < gr / 2) {
+                t[i] = hb(-COSPI[theta], xx, COSPI[64 - theta], yy);
+                t[h - 1 - i] = hb(COSPI[64 - theta], xx, COSPI[theta], yy);
+            } else {
+                t[i] = hb(-COSPI[64 - theta], xx, -COSPI[theta], yy);
+                t[h - 1 - i] = hb(-COSPI[theta], xx, COSPI[64 - theta], yy);
+            }
+        }
+        memcpy(s, t, sizeof(int64_t) * h);
+    }
+}
+
+static void idct_1d_c(const int64_t *x, int64_t *out, int N) {
+    if (N == 4) {
+        int64_t s0 = hb(COSPI[32], x[0], COSPI[32], x[2]);
+        int64_t s1 = hb(COSPI[32], x[0], -COSPI[32], x[2]);
+        int64_t s2 = hb(COSPI[48], x[1], -COSPI[16], x[3]);
+        int64_t s3 = hb(COSPI[16], x[1], COSPI[48], x[3]);
+        out[0] = s0 + s3; out[1] = s1 + s2; out[2] = s1 - s2; out[3] = s0 - s3;
+        return;
+    }
+    int h = N / 2;
+    int64_t ev_in[32], ev[32], od_in[32], od[32];
+    for (int i = 0; i < h; i++) { ev_in[i] = x[2 * i]; od_in[i] = x[2 * i + 1]; }
+    idct_1d_c(ev_in, ev, h);
+    idct_odd_c(od_in, od, N);
+    for (int i = 0; i < h; i++) {
+        out[i] = ev[i] + od[h - 1 - i];
+        out[h + i] = ev[h - 1 - i] - od[i];
+    }
+}
+
+/* 2D inverse (square DCT_DCT only for now): coeffs h*w int32 natural
+ * order in `c`, result residual written back into `c`. */
+void inv_txfm2d_c(int32_t *c, int w, int h, int bitdepth) {
+    int64_t buf[64 * 64];
+    int64_t vec[64], outv[64];
+    int row_shift = (w >= 16 || h >= 16) ? 2 : (w >= 8 ? 1 : 0);
+    /* INV_ROW_SHIFT: {4:0, 8:1, 16:2, 32:2, 64:2} by max dim */
+    int maxd = w > h ? w : h;
+    row_shift = maxd >= 16 ? 2 : (maxd >= 8 ? 1 : 0);
+    int64_t clamp = ((int64_t)1 << (bitdepth + 7)) - 1;
+
+    for (int r = 0; r < h; r++)
+        for (int cc = 0; cc < w; cc++)
+            buf[r * w + cc] = (w == 64 && cc >= 32) || (h == 64 && r >= 32)
+                                  ? 0
+                                  : c[r * w + cc];
+
+    /* rows */
+    for (int r = 0; r < h; r++) {
+        for (int i = 0; i < w; i++) vec[i] = buf[r * w + i];
+        idct_1d_c(vec, outv, w);
+        for (int i = 0; i < w; i++) {
+            int64_t v = row_shift ? round2(outv[i], row_shift) : outv[i];
+            if (v < -clamp - 1) v = -clamp - 1;
+            if (v > clamp) v = clamp;
+            buf[r * w + i] = v;
+        }
+    }
+    /* cols */
+    for (int cc = 0; cc < w; cc++) {
+        for (int i = 0; i < h; i++) vec[i] = buf[i * w + cc];
+        idct_1d_c(vec, outv, h);
+        for (int i = 0; i < h; i++) buf[i * w + cc] = round2(outv[i], 4);
+    }
+    for (int r = 0; r < h; r++)
+        for (int cc = 0; cc < w; cc++) c[r * w + cc] = (int32_t)buf[r * w + cc];
+}

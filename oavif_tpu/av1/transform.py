@@ -170,8 +170,16 @@ def inv_txfm2d(coeffs: np.ndarray, bitdepth: int = 8, tx_type: str = "dct_dct") 
 
     ``coeffs`` is the dequantized coefficient array (h, w) in natural
     order, where h/w may be 64 with only the upper-left 32×32 nonzero.
+    Dispatches to the native implementation when available (byte-identical;
+    tests/test_transform.py cross-checks).
     """
     h, w = coeffs.shape
+    if tx_type == "dct_dct":
+        from .entropy.fast import inv_txfm2d_native
+
+        out = inv_txfm2d_native(coeffs, bitdepth)
+        if out is not None:
+            return out
     log2w, log2h = w.bit_length() - 1, h.bit_length() - 1
     t = coeffs.astype(np.int64)
 

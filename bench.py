@@ -1,18 +1,19 @@
-"""Round benchmark: MP/s/chip at SSIMULACRA2 target 80 (tolerance 2).
+"""Round benchmark: MP/s at SSIMULACRA2 target 80 (tolerance 2).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric","value","unit","vs_baseline"}.
 
-Baseline = the reference pipeline's native stack (libaom via libavif +
-CPU metric), self-measured here per BASELINE.md ("the reference publishes
-no numbers; self-baseline with its own methodology", measure.py wall-time
-semantics). Ours = the oavif-tpu pipeline on the real chip.
+ours      = oavif-tpu: from-scratch AV1 encoder (native entropy/transform
+            runtime) + on-TPU SSIMULACRA2, TQ scored on the encoder's own
+            reconstruction (no decode round-trip).
+baseline  = the reference's exact native stack (libaom via libavif encode +
+            decode round-trip) with the metric on CPU — the self-baseline
+            BASELINE.md prescribes (the reference publishes no numbers).
 """
 
 from __future__ import annotations
 
 import json
 import os
-import sys
 import time
 
 import numpy as np
@@ -20,7 +21,7 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 
 
-def _test_image(h, w, seed=0):
+def _test_image(h, w, seed=7):
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
     img = np.stack(
@@ -35,56 +36,56 @@ def _test_image(h, w, seed=0):
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-def _tq_encode(img, backend, metric, score_tgt=80.0, tolerance=2.0, max_pass=6):
-    from oavif_tpu.backend import EncBuffer, EncCtx
-    from oavif_tpu.options import EncOptions
-    from oavif_tpu.tq import find_target_quality
-
-    o = EncOptions(speed=9)
-    ctx = EncCtx(o=o, src=None, rgb=img, w=img.shape[1], h=img.shape[0])
-
+def _make_ctx(img):
+    from oavif_tpu.backend import EncCtx
     from oavif_tpu.io.image import Image
+    from oavif_tpu.options import EncOptions
 
-    ctx.src = Image(
-        width=img.shape[1],
-        height=img.shape[0],
-        channels=3,
-        hbd=False,
-        data=img,
+    h, w = img.shape[:2]
+    return EncCtx(
+        o=EncOptions(speed=9),
+        src=Image(width=w, height=h, channels=3, hbd=False, data=img),
+        rgb=img,
+        w=w,
+        h=h,
     )
 
-    def probe(q):
-        ctx.q = q
-        data = backend.encode(ctx)
-        dec = backend.decode_to_rgb8(data)
-        ctx.buf = EncBuffer(q=q, data=data, size=len(data))
-        return float(metric(img, dec))
 
-    return find_target_quality(probe, score_tgt, tolerance, max_pass)
+def _tq(probe, tgt=80.0, tol=2.0, max_pass=6):
+    from oavif_tpu.tq import find_target_quality
+
+    return find_target_quality(probe, tgt, tol, max_pass)
 
 
 def main():
     size = int(os.environ.get("BENCH_SIZE", "512"))
-    img = _test_image(size, size, seed=7)
+    img = _test_image(size, size)
     mp = img.shape[0] * img.shape[1] / 1e6
 
     from oavif_tpu.backend.oracle import OracleBackend
+    from oavif_tpu.backend.tpu import TpuBackend
     from oavif_tpu.metric import compute_ssimulacra2
 
-    backend = OracleBackend()
+    _ = compute_ssimulacra2(img, img)  # compile outside timed region
 
-    # Warm up device compilation outside the timed region.
-    _ = compute_ssimulacra2(img, img)
+    # ---- ours ----
+    tpu = TpuBackend()
+    ctx = _make_ctx(img)
 
-    # --- ours: oracle encode (until TPU encoder lands) + on-TPU metric ---
+    def probe_ours(q):
+        ctx.q = q
+        data, recon = tpu.encode_with_recon(ctx)
+        probe_ours.last = data
+        return float(compute_ssimulacra2(img, recon))
+
+    _tq(probe_ours, max_pass=1)  # warm code paths
     t0 = time.time()
-    res = _tq_encode(img, backend, compute_ssimulacra2)
+    res = _tq(probe_ours)
     ours_s = time.time() - t0
     ours_mps = mp / ours_s
 
-    # --- baseline: same native encode + CPU-side metric emulation ---
-    # Reference scores with fssimu2 on CPU; approximate its cost with our
-    # metric forced onto CPU.
+    # ---- baseline: reference stack (libavif/libaom encode + decode
+    # round-trip + CPU metric) ----
     import jax
 
     cpu = jax.devices("cpu")[0]
@@ -101,9 +102,18 @@ def main():
             pyr = ssimulacra2_precompute_ref(jnp.asarray(a))
             return float(ssimulacra2_from_precomputed(pyr, jnp.asarray(b)))
 
-    _ = metric_cpu(img, img)  # warm
+    oracle = OracleBackend()
+    bctx = _make_ctx(img)
+
+    def probe_base(q):
+        bctx.q = q
+        data = oracle.encode(bctx)
+        dec = oracle.decode_to_rgb8(data)
+        return metric_cpu(img, dec)
+
+    _ = metric_cpu(img, img)
     t0 = time.time()
-    res_base = _tq_encode(img, backend, metric_cpu)
+    res_b = _tq(probe_base)
     base_s = time.time() - t0
     base_mps = mp / base_s
 
@@ -119,8 +129,11 @@ def main():
                     "ours_passes": res.num_pass,
                     "ours_q": res.q,
                     "ours_score": round(res.score, 2),
+                    "ours_bytes": len(getattr(probe_ours, "last", b"")),
                     "baseline_s": round(base_s, 3),
-                    "baseline_passes": res_base.num_pass,
+                    "baseline_passes": res_b.num_pass,
+                    "baseline_q": res_b.q,
+                    "baseline_score": round(res_b.score, 2),
                     "image": f"{size}x{size}",
                 },
             }

@@ -152,11 +152,13 @@ class TileEncoder:
         qindex: int,
         bitdepth: int = 8,
         speed: int = 9,
+        plan: Optional[dict] = None,  # (mi_r, mi_c) → (y_mode, y_levels)
     ) -> None:
         self.planes = planes
         self.qindex = qindex
         self.bitdepth = bitdepth
         self.speed = speed
+        self.plan = plan or {}
         h, w = planes[0].shape
         self.w, self.h = w, h
         self.mi_cols = 2 * ((w + 7) >> 3)
@@ -336,7 +338,15 @@ class TileEncoder:
         n_mi = size // 4
         lr = r & 15
 
-        y_mode, y_pred, _, _ = self._choose_y_mode(r, c, size)
+        # Device plan supplies the mode decision; levels must derive from
+        # recon-edge prediction (quantizing a source-edge residual lets
+        # recon error random-walk across blocks).
+        planned = self.plan.get((r, c)) if size == 32 else None
+        if planned is not None:
+            y_mode = planned[0]
+        else:
+            y_mode, _, _, _ = self._choose_y_mode(r, c, size)
+        y_levels_planned = None
 
         # --- plan residuals for all planes (decide skip) ---
         tx_y = min(size, 64)
@@ -361,14 +371,15 @@ class TileEncoder:
                     pred = predict(
                         mode, above, left, tx, tx, have_above, have_left
                     )
-                    src = self.src[plane][ty : ty + tx, tx_x : tx_x + tx]
-                    resid = src - pred
-                    if can_code_coeffs:
-                        levels = self._quantize(resid, tx)
-                        if np.any(levels):
-                            any_nonzero = True
+                    if plane == 0 and y_levels_planned is not None:
+                        levels = y_levels_planned.astype(np.int64)
+                    elif can_code_coeffs:
+                        src = self.src[plane][ty : ty + tx, tx_x : tx_x + tx]
+                        levels = self._quantize(src - pred, tx)
                     else:
                         levels = np.zeros((tx, tx), dtype=np.int64)
+                    if np.any(levels):
+                        any_nonzero = True
                     plane_jobs.append((plane, tx, tx_x, ty, levels, pred))
 
         skip = not any_nonzero
@@ -627,10 +638,35 @@ class TileEncoder:
 
 
 def encode_frame_planes(
-    planes: List[np.ndarray], qindex: int, bitdepth: int = 8, speed: int = 9
+    planes: List[np.ndarray],
+    qindex: int,
+    bitdepth: int = 8,
+    speed: int = 9,
+    use_tpu_planner: Optional[bool] = None,
 ):
-    """Encode YUV444 planes → (tile payload bytes, recon planes)."""
-    te = TileEncoder(planes, qindex, bitdepth, speed)
+    """Encode YUV444 planes → (tile payload bytes, recon planes).
+
+    At speed >= 8 (default on), Y-plane mode decisions, forward transforms
+    and quantization run batched on the device (oavif_tpu.av1.encode_tpu);
+    the host does symbol coding + recon.
+    """
+    plan = None
+    if use_tpu_planner is None:
+        # Device mode-planning pays one device round-trip per frame; through
+        # the remote-tunnel TPU of this environment that latency exceeds the
+        # host mode search, so it is opt-in (OAVIF_TPU_PLANNER=1). On a
+        # locally attached chip it is the default-on fast path.
+        import os
+
+        use_tpu_planner = os.environ.get("OAVIF_TPU_PLANNER") == "1"
+    if use_tpu_planner:
+        try:
+            from .encode_tpu import plan_frame
+
+            plan = plan_frame(np.asarray(planes[0]), qindex, bitdepth)
+        except Exception:
+            plan = None
+    te = TileEncoder(planes, qindex, bitdepth, speed, plan=plan)
     payload = te.encode()
     h, w = planes[0].shape
     recon = [r[:h, :w].copy() for r in te.recon]

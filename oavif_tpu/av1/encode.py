@@ -1,13 +1,17 @@
 """Top-level AVIF encode: the TPU backend's entry point.
 
 Pipeline (reference behavior: io.zig:544-636 encodeAvifToBuffer):
-  RGB → YUV444 → AV1 intra frame encode (oavif_tpu.av1.frame) →
-  OBU assembly (oavif_tpu.av1.obu) → ISOBMFF mux (oavif_tpu.av1.mux).
+  RGB(A) → depth conversion (io.zig:566-617 formulas) → YUV444 →
+  AV1 intra frame encode (oavif_tpu.av1.frame) → OBU assembly
+  (oavif_tpu.av1.obu) → ISOBMFF mux (oavif_tpu.av1.mux), plus an optional
+  monochrome alpha item at quality_alpha (io.zig:564, :626).
 
-Returns standard AVIF bytes decodable by any conformant decoder. The
-frame encoder also returns the reconstruction, which equals the decoder's
-output bit-exactly (coding tools configured for no post-filters) — the TQ
-loop scores that recon directly instead of round-tripping bytes.
+Returns standard AVIF bytes decodable by any conformant decoder. The frame
+encoder also returns the reconstruction, which equals the decoder's output
+bit-exactly (coding tools configured for no post-filters) — the TQ loop
+scores that recon directly instead of round-tripping bytes. The metric
+window stays 8-bit even for 10-bit encodes (reference main.zig:86 +
+io.zig:639 force 8-bit RGB scoring).
 """
 
 from __future__ import annotations
@@ -24,6 +28,18 @@ from .obu import FrameConfig, SequenceConfig, assemble_av1_stream
 from .yuv import rgb_to_yuv444, yuv444_to_rgb
 
 
+def _depth_convert(src_data: np.ndarray, src_hbd: bool, out_depth: int) -> np.ndarray:
+    """Reference depth-conversion formulas (io.zig:566-617)."""
+    if not src_hbd and out_depth == 10:
+        # (v*1023 + 127) / 255  (io.zig:572)
+        return ((src_data.astype(np.uint32) * 1023 + 127) // 255).astype(np.uint16)
+    if src_hbd and out_depth == 10:
+        return (src_data >> 6).astype(np.uint16)  # io.zig:587
+    if src_hbd and out_depth == 8:
+        return (src_data >> 8).astype(np.uint8)  # io.zig:602
+    return src_data
+
+
 def encode_avif(ctx: EncCtx) -> bytes:
     data, _ = encode_avif_with_recon(ctx)
     return data
@@ -31,31 +47,44 @@ def encode_avif(ctx: EncCtx) -> bytes:
 
 def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
     """Encode per ctx options at quantizer ctx.q; returns (avif bytes,
-    reconstructed RGB8 for in-loop scoring)."""
+    reconstructed 8-bit RGB for in-loop scoring)."""
     o = ctx.o
     src = ctx.src
+    out_depth = 10 if o.tenbit else (10 if src.hbd else 8)
+
     d = src.data
-    if src.hbd:
-        d = (d >> 8).astype(np.uint8)  # 8-bit path first (io.zig:602 16→8)
-    if src.channels == 1 or (d.ndim == 3 and d.shape[2] == 1):
-        d = np.repeat(d.reshape(d.shape[0], d.shape[1], 1), 3, axis=2)
-    rgb = d[..., :3]
+    if d.ndim == 2:
+        d = d[..., None]
+    channels = src.channels
+    has_alpha = channels == 4 or channels == 2
 
-    qindex = quality_to_qindex(ctx.q)
-    # qindex 0 is lossless mode (different coding path); clamp to 1 until
-    # the lossless path lands.
-    qindex = max(qindex, 1)
+    if channels in (1, 2):  # gray → replicate to RGB (io.zig toRGB8 family)
+        gray = d[..., 0]
+        rgb_src = np.repeat(gray[..., None], 3, axis=2)
+        alpha_src = d[..., 1] if channels == 2 else None
+    else:
+        rgb_src = d[..., :3]
+        alpha_src = d[..., 3] if channels == 4 else None
 
-    planes = rgb_to_yuv444(rgb, bitdepth=8)
+    rgb = _depth_convert(rgb_src, src.hbd, out_depth)
+    alpha = (
+        _depth_convert(alpha_src, src.hbd, out_depth)
+        if alpha_src is not None
+        else None
+    )
+
+    qindex = max(quality_to_qindex(ctx.q), 1)  # qindex 0 = lossless path TBD
+
+    planes = rgb_to_yuv444(rgb, bitdepth=out_depth)
     payload, recon_planes = encode_frame_planes(
-        planes, qindex, bitdepth=8, speed=o.speed
+        planes, qindex, bitdepth=out_depth, speed=o.speed
     )
 
     h, w = planes[0].shape
     seq = SequenceConfig(
         width=w,
         height=h,
-        bit_depth=8,
+        bit_depth=out_depth,
         color_primaries=o.color_primaries,
         transfer_characteristics=o.transfer_characteristics,
         matrix_coefficients=o.matrix_coefficients,
@@ -63,13 +92,34 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
     frame = FrameConfig(width=w, height=h, base_q_idx=qindex)
     av1 = assemble_av1_stream(seq, frame, [payload])
 
+    alpha_payload = None
+    if alpha is not None:
+        aq = max(quality_to_qindex(o.quality_alpha), 1)
+        apayload, _ = encode_frame_planes(
+            [alpha.astype(np.int32)], aq, bitdepth=out_depth, speed=o.speed
+        )
+        aseq = SequenceConfig(
+            width=w,
+            height=h,
+            bit_depth=out_depth,
+            monochrome=True,
+            seq_profile=0,
+            color_primaries=o.color_primaries,
+            transfer_characteristics=o.transfer_characteristics,
+            matrix_coefficients=o.matrix_coefficients,
+        )
+        aframe = FrameConfig(width=w, height=h, base_q_idx=aq)
+        alpha_payload = assemble_av1_stream(aseq, aframe, [apayload])
+
     avif = mux_avif(
         av1,
         w,
         h,
-        bit_depth=8,
+        bit_depth=out_depth,
+        high_bitdepth=out_depth == 10,
         cicp=(o.color_primaries, o.transfer_characteristics, o.matrix_coefficients),
         icc=src.icc,
+        alpha_payload=alpha_payload,
     )
-    recon_rgb = yuv444_to_rgb(recon_planes, bitdepth=8)
+    recon_rgb = yuv444_to_rgb(recon_planes, bitdepth=out_depth)
     return avif, recon_rgb

@@ -327,7 +327,7 @@ class TileEncoder:
             candidates += [SMOOTH_V_PRED, SMOOTH_H_PRED]
         best = None
         for m in candidates:
-            pred = predict(m, above, left, size, size, have_above, have_left)
+            pred = predict(m, above, left, size, size, have_above, have_left, bitdepth=self.bitdepth)
             ssd = int(((src - pred) ** 2).sum())
             if best is None or ssd < best[0]:
                 best = (ssd, m, pred)
@@ -357,7 +357,7 @@ class TileEncoder:
         can_code_coeffs = size >= 32  # tx < 32 would need tx-type signaling
         plane_jobs = []  # (plane, tx, px, py, levels, pred) per txb
         any_nonzero = False
-        for plane in range(3):
+        for plane in range(len(self.planes)):
             tx = plane_txs[plane]
             mode = plane_modes[plane]
             for ty in range(y, y + size, tx):
@@ -369,7 +369,8 @@ class TileEncoder:
                         have_above, have_left, self.bitdepth,
                     )
                     pred = predict(
-                        mode, above, left, tx, tx, have_above, have_left
+                        mode, above, left, tx, tx, have_above, have_left,
+                        bitdepth=self.bitdepth,
                     )
                     if plane == 0 and y_levels_planned is not None:
                         levels = y_levels_planned.astype(np.int64)
@@ -394,10 +395,11 @@ class TileEncoder:
         if y_mode in MODE_TO_ANGLE and size >= 8:
             self._sym(self.cdf.angle_delta[y_mode - 1], 3)  # delta 0
 
-        cfl_allowed = size <= 32
-        uv_cdfs = self.cdf.uv_mode_cfl if cfl_allowed else self.cdf.uv_mode
-        self._sym(uv_cdfs[y_mode], DC_PRED)
-        # uv DC is not directional → no uv angle_delta
+        if len(self.planes) > 1:
+            cfl_allowed = size <= 32
+            uv_cdfs = self.cdf.uv_mode_cfl if cfl_allowed else self.cdf.uv_mode
+            self._sym(uv_cdfs[y_mode], DC_PRED)
+            # uv DC is not directional → no uv angle_delta
 
         # --- residual coding + recon ---
         for plane, tx, px, py, levels, pred in plane_jobs:

@@ -92,6 +92,7 @@ def predict(
     have_above: bool,
     have_left: bool,
     angle_delta: int = 0,
+    bitdepth: int = 8,
 ) -> np.ndarray:
     """Predict a w×h block from neighbor arrays. Returns (h, w) int32."""
     a = above[1 : 1 + w + h].astype(np.int64)
@@ -107,7 +108,7 @@ def predict(
         elif have_left:
             avg = (l[:h].sum() + (h >> 1)) >> int(np.log2(h))
         else:
-            avg = 1 << 7  # spec dc_128 (8-bit); 10-bit via caller scale
+            avg = 1 << (bitdepth - 1)  # spec dc_128 predictor
         return np.full((h, w), avg, dtype=np.int32)
 
     if mode == V_PRED:

@@ -129,10 +129,14 @@ def write_sequence_header(cfg: SequenceConfig) -> bytes:
     w.f(cfg.color_primaries, 8)
     w.f(cfg.transfer_characteristics, 8)
     w.f(cfg.matrix_coefficients, 8)
-    # (not the RGB-identity special case as long as mc != 0)
-    w.f(cfg.color_range, 1)
-    # profile 1 → subsampling 0,0 implied; no chroma_sample_position
-    w.f(0, 1)  # separate_uv_delta_q
+    if cfg.monochrome:
+        # mono: color_range then done (spec color_config early return)
+        w.f(cfg.color_range, 1)
+    else:
+        # (not the RGB-identity special case as long as mc != 0)
+        w.f(cfg.color_range, 1)
+        # profile 1 → subsampling 0,0 implied; no chroma_sample_position
+        w.f(0, 1)  # separate_uv_delta_q
     w.f(0, 1)  # film_grain_params_present
     w.trailing_bits()
     return obu(OBU_SEQUENCE_HEADER, w.data())
@@ -252,9 +256,11 @@ def _write_tile_info(
         w.f(3, 2)  # tile_size_bytes_minus_1 = 3 (4-byte tile sizes)
 
 
-def write_frame_obu(cfg: FrameConfig, tile_payloads: List[bytes]) -> bytes:
+def write_frame_obu(
+    cfg: FrameConfig, tile_payloads: List[bytes], num_planes: int = 3
+) -> bytes:
     """OBU_FRAME: uncompressed header, byte alignment, tile group."""
-    w = write_frame_header_bits(cfg)
+    w = write_frame_header_bits(cfg, num_planes)
     w.byte_align()
     num_tiles = (1 << cfg.tile_cols_log2) * (1 << cfg.tile_rows_log2)
     assert len(tile_payloads) == num_tiles
@@ -277,4 +283,5 @@ def write_frame_obu(cfg: FrameConfig, tile_payloads: List[bytes]) -> bytes:
 
 def assemble_av1_stream(seq: SequenceConfig, frame: FrameConfig, tiles: List[bytes]) -> bytes:
     """Sequence header + frame OBU (the AVIF item payload)."""
-    return write_sequence_header(seq) + write_frame_obu(frame, tiles)
+    num_planes = 1 if seq.monochrome else 3
+    return write_sequence_header(seq) + write_frame_obu(frame, tiles, num_planes)

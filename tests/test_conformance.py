@@ -18,7 +18,11 @@ from oavif_tpu.options import EncOptions
 def _encode(rgb, q=60, speed=9):
     h, w = rgb.shape[:2]
     img = Image(width=w, height=h, channels=3, hbd=False, data=rgb)
-    ctx = EncCtx(o=EncOptions(speed=speed), src=img, rgb=rgb, w=w, h=h, q=q)
+    # explicit 8-bit for these tests (the EncOptions default is 10-bit,
+    # matching the reference's --tenbit default)
+    ctx = EncCtx(
+        o=EncOptions(speed=speed, tenbit=False), src=img, rgb=rgb, w=w, h=h, q=q
+    )
     return encode_avif_with_recon(ctx)
 
 
@@ -107,3 +111,36 @@ def test_system_decoder_agrees(test_rgb8):
     yuv, depth, _ = decode_to_yuv(data)
     assert depth == 8
     assert yuv[0].shape == test_rgb8.shape[:2]
+
+
+def test_tenbit_roundtrip(test_rgb8):
+    from oavif_tpu.options import EncOptions
+
+    h, w = test_rgb8.shape[:2]
+    img = Image(width=w, height=h, channels=3, hbd=False, data=test_rgb8)
+    ctx = EncCtx(o=EncOptions(tenbit=True), src=img, rgb=test_rgb8, w=w, h=h, q=60)
+    data, recon = encode_avif_with_recon(ctx)
+    dec = _decode(data)
+    # 10-bit coding scored through the 8-bit window (reference main.zig:86)
+    assert np.abs(dec.astype(int) - recon.astype(int)).max() <= 2
+
+
+def test_alpha_item_roundtrip(test_rgb8):
+    import io
+
+    from oavif_tpu.options import EncOptions
+
+    h, w = test_rgb8.shape[:2]
+    a = np.linspace(30, 250, w, dtype=np.uint8)[None, :].repeat(h, 0)
+    rgba = np.dstack([test_rgb8, a])
+    img = Image(width=w, height=h, channels=4, hbd=False, data=rgba)
+    ctx = EncCtx(
+        o=EncOptions(tenbit=False, quality_alpha=85),
+        src=img, rgb=test_rgb8, w=w, h=h, q=60,
+    )
+    data, _ = encode_avif_with_recon(ctx)
+    im = PILImage.open(io.BytesIO(data))
+    im.load()
+    assert "A" in im.mode
+    deca = np.asarray(im.convert("RGBA"))
+    assert np.abs(deca[..., 3].astype(int) - a.astype(int)).mean() < 2.0

@@ -24,8 +24,25 @@ from ..backend import EncCtx
 from .consts import quality_to_qindex
 from .frame import encode_frame_planes
 from .mux import mux_avif
-from .obu import FrameConfig, SequenceConfig, assemble_av1_stream
+from .obu import FrameConfig, SequenceConfig, assemble_av1_stream, clamp_tile_log2s
 from .yuv import rgb_to_yuv444, yuv444_to_rgb
+
+
+def _auto_tile_log2s(w: int, h: int, max_threads: int):
+    """Auto-tiling policy (reference --auto-tiling, parse_args.zig:52-54
+    delegated to libaom): split toward one tile per thread, never below
+    512 px per tile axis. With the reference-default 1 thread this yields a
+    single tile, matching libaom's single-threaded choice."""
+    cols = rows = 0
+    while (1 << (cols + rows)) < max_threads:
+        tw, th = w >> cols, h >> rows
+        if max(tw, th) < 512:
+            break
+        if tw >= th:
+            cols += 1
+        else:
+            rows += 1
+    return cols, rows
 
 
 def _depth_convert(src_data: np.ndarray, src_hbd: bool, out_depth: int) -> np.ndarray:
@@ -75,12 +92,24 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
 
     qindex = max(quality_to_qindex(ctx.q), 1)  # qindex 0 = lossless path TBD
 
+    h, w = rgb.shape[:2]
+    if o.auto_tiling and o.tile_cols_log2 == 0 and o.tile_rows_log2 == 0:
+        tcl, trl = _auto_tile_log2s(w, h, o.max_threads)
+    else:
+        tcl, trl = o.tile_cols_log2, o.tile_rows_log2
+    tcl, trl = clamp_tile_log2s(w, h, tcl, trl)
+
     planes = rgb_to_yuv444(rgb, bitdepth=out_depth)
-    payload, recon_planes = encode_frame_planes(
-        planes, qindex, bitdepth=out_depth, speed=o.speed
+    payloads, recon_planes = encode_frame_planes(
+        planes,
+        qindex,
+        bitdepth=out_depth,
+        speed=o.speed,
+        tile_cols_log2=tcl,
+        tile_rows_log2=trl,
+        max_threads=o.max_threads,
     )
 
-    h, w = planes[0].shape
     seq = SequenceConfig(
         width=w,
         height=h,
@@ -89,14 +118,23 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
         transfer_characteristics=o.transfer_characteristics,
         matrix_coefficients=o.matrix_coefficients,
     )
-    frame = FrameConfig(width=w, height=h, base_q_idx=qindex)
-    av1 = assemble_av1_stream(seq, frame, [payload])
+    frame = FrameConfig(
+        width=w, height=h, base_q_idx=qindex,
+        tile_cols_log2=tcl, tile_rows_log2=trl,
+    )
+    av1 = assemble_av1_stream(seq, frame, payloads)
 
     alpha_payload = None
     if alpha is not None:
         aq = max(quality_to_qindex(o.quality_alpha), 1)
-        apayload, _ = encode_frame_planes(
-            [alpha.astype(np.int32)], aq, bitdepth=out_depth, speed=o.speed
+        apayloads, _ = encode_frame_planes(
+            [alpha.astype(np.int32)],
+            aq,
+            bitdepth=out_depth,
+            speed=o.speed,
+            tile_cols_log2=tcl,
+            tile_rows_log2=trl,
+            max_threads=o.max_threads,
         )
         aseq = SequenceConfig(
             width=w,
@@ -108,8 +146,11 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
             transfer_characteristics=o.transfer_characteristics,
             matrix_coefficients=o.matrix_coefficients,
         )
-        aframe = FrameConfig(width=w, height=h, base_q_idx=aq)
-        alpha_payload = assemble_av1_stream(aseq, aframe, [apayload])
+        aframe = FrameConfig(
+            width=w, height=h, base_q_idx=aq,
+            tile_cols_log2=tcl, tile_rows_log2=trl,
+        )
+        alpha_payload = assemble_av1_stream(aseq, aframe, apayloads)
 
     avif = mux_avif(
         av1,

@@ -639,20 +639,40 @@ class TileEncoder:
             self.enc.bool_q15((x >> i) & 1, 16384)
 
 
+def _encode_one_tile(args):
+    tile_planes, qindex, bitdepth, speed, use_tpu_planner = args
+    plan = None
+    if use_tpu_planner:
+        try:
+            from .encode_tpu import plan_frame
+
+            plan = plan_frame(np.asarray(tile_planes[0]), qindex, bitdepth)
+        except Exception:
+            plan = None
+    te = TileEncoder(tile_planes, qindex, bitdepth, speed, plan=plan)
+    payload = te.encode()
+    th, tw = tile_planes[0].shape
+    return payload, [r[:th, :tw] for r in te.recon]
+
+
 def encode_frame_planes(
     planes: List[np.ndarray],
     qindex: int,
     bitdepth: int = 8,
     speed: int = 9,
+    tile_cols_log2: int = 0,
+    tile_rows_log2: int = 0,
+    max_threads: int = 1,
     use_tpu_planner: Optional[bool] = None,
 ):
-    """Encode YUV444 planes → (tile payload bytes, recon planes).
+    """Encode YUV444 planes → (list of tile payloads, recon planes).
 
-    At speed >= 8 (default on), Y-plane mode decisions, forward transforms
-    and quantization run batched on the device (oavif_tpu.av1.encode_tpu);
-    the host does symbol coding + recon.
+    Tiles are AV1's parallel axis (entropy- and prediction-independent,
+    SURVEY.md §2c): each tile encodes as an isolated region, in parallel
+    across host threads when max_threads > 1 (the native coder releases
+    the GIL per call). At speed >= 8, per-tile Y-plane mode decisions run
+    batched on the device (oavif_tpu.av1.encode_tpu).
     """
-    plan = None
     if use_tpu_planner is None:
         # Device mode-planning pays one device round-trip per frame; through
         # the remote-tunnel TPU of this environment that latency exceeds the
@@ -661,15 +681,35 @@ def encode_frame_planes(
         import os
 
         use_tpu_planner = os.environ.get("OAVIF_TPU_PLANNER") == "1"
-    if use_tpu_planner:
-        try:
-            from .encode_tpu import plan_frame
 
-            plan = plan_frame(np.asarray(planes[0]), qindex, bitdepth)
-        except Exception:
-            plan = None
-    te = TileEncoder(planes, qindex, bitdepth, speed, plan=plan)
-    payload = te.encode()
     h, w = planes[0].shape
-    recon = [r[:h, :w].copy() for r in te.recon]
-    return payload, recon
+    from .obu import tile_grid
+
+    col_starts, row_starts = tile_grid(w, h, tile_cols_log2, tile_rows_log2)
+    jobs = []
+    bounds = []
+    for r0, r1 in zip(row_starts[:-1], row_starts[1:]):
+        for c0, c1 in zip(col_starts[:-1], col_starts[1:]):
+            y0, y1 = r0 * 64, min(r1 * 64, h)
+            x0, x1 = c0 * 64, min(c1 * 64, w)
+            tile_planes = [
+                np.ascontiguousarray(p[y0:y1, x0:x1]) for p in planes
+            ]
+            jobs.append((tile_planes, qindex, bitdepth, speed, use_tpu_planner))
+            bounds.append((y0, y1, x0, x1))
+
+    if max_threads > 1 and len(jobs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(max_threads, len(jobs))) as ex:
+            results = list(ex.map(_encode_one_tile, jobs))
+    else:
+        results = [_encode_one_tile(j) for j in jobs]
+
+    recon = [np.zeros((h, w), dtype=np.int32) for _ in planes]
+    payloads = []
+    for (payload, tile_recon), (y0, y1, x0, x1) in zip(results, bounds):
+        payloads.append(payload)
+        for pi in range(len(planes)):
+            recon[pi][y0:y1, x0:x1] = tile_recon[pi]
+    return payloads, recon

@@ -218,6 +218,45 @@ def _tile_log2(blk_size: int, target: int) -> int:
     return k
 
 
+def tile_grid(width: int, height: int, tile_cols_log2: int, tile_rows_log2: int):
+    """Uniform-spacing tile start positions in superblock units (spec 5.9.15).
+
+    Returns (col_starts_sb, row_starts_sb): lists whose consecutive pairs
+    bound each tile; the final element is sb_cols/sb_rows. Note the actual
+    tile count along an axis can be smaller than 1 << log2 when the frame is
+    narrow (ceil-division step loop, exactly as the decoder computes it).
+    """
+    sb_cols = (width + 63) >> 6
+    sb_rows = (height + 63) >> 6
+    tw = (sb_cols + (1 << tile_cols_log2) - 1) >> tile_cols_log2
+    th = (sb_rows + (1 << tile_rows_log2) - 1) >> tile_rows_log2
+    col_starts = list(range(0, sb_cols, tw)) + [sb_cols]
+    row_starts = list(range(0, sb_rows, th)) + [sb_rows]
+    return col_starts, row_starts
+
+
+def clamp_tile_log2s(
+    width: int, height: int, tile_cols_log2: int, tile_rows_log2: int
+):
+    """Clamp requested tile log2s into the spec-legal range for this frame
+    (max tile width 4096 px, max tile area 4096*2304, at most 64 tiles per
+    axis — spec 5.9.15 limits). Mirrors libaom's internal clamping of the
+    values oavif passes through (reference parse_args.zig:69-71)."""
+    sb_cols = (width + 63) >> 6
+    sb_rows = (height + 63) >> 6
+    max_tile_width_sb = 4096 >> 6
+    max_tile_area_sb = (4096 * 2304) >> 12
+    min_log2_tile_cols = _tile_log2(max_tile_width_sb, sb_cols)
+    max_log2_tile_cols = _tile_log2(1, min(sb_cols, 64))
+    max_log2_tile_rows = _tile_log2(1, min(sb_rows, 64))
+    min_log2_tiles = max(
+        min_log2_tile_cols, _tile_log2(max_tile_area_sb, sb_rows * sb_cols)
+    )
+    cols = min(max(tile_cols_log2, min_log2_tile_cols), max_log2_tile_cols)
+    rows = min(max(tile_rows_log2, max(min_log2_tiles - cols, 0)), max_log2_tile_rows)
+    return cols, rows
+
+
 def _write_tile_info(
     w: BitWriter, sb_cols: int, sb_rows: int, tile_cols_log2: int, tile_rows_log2: int
 ) -> None:
@@ -262,7 +301,10 @@ def write_frame_obu(
     """OBU_FRAME: uncompressed header, byte alignment, tile group."""
     w = write_frame_header_bits(cfg, num_planes)
     w.byte_align()
-    num_tiles = (1 << cfg.tile_cols_log2) * (1 << cfg.tile_rows_log2)
+    col_starts, row_starts = tile_grid(
+        cfg.width, cfg.height, cfg.tile_cols_log2, cfg.tile_rows_log2
+    )
+    num_tiles = (len(col_starts) - 1) * (len(row_starts) - 1)
     assert len(tile_payloads) == num_tiles
     body = bytearray(w.data())
     # tile_group_obu: NumTiles > 1 would need tile_start_and_end flag; in an

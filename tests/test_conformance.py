@@ -144,3 +144,51 @@ def test_alpha_item_roundtrip(test_rgb8):
     assert "A" in im.mode
     deca = np.asarray(im.convert("RGBA"))
     assert np.abs(deca[..., 3].astype(int) - a.astype(int)).mean() < 2.0
+
+
+def _encode_tiled(rgb, q=60, tcl=1, trl=1, threads=1):
+    h, w = rgb.shape[:2]
+    img = Image(width=w, height=h, channels=3, hbd=False, data=rgb)
+    ctx = EncCtx(
+        o=EncOptions(
+            speed=9, tenbit=False, auto_tiling=False,
+            tile_cols_log2=tcl, tile_rows_log2=trl, max_threads=threads,
+        ),
+        src=img, rgb=rgb, w=w, h=h, q=q,
+    )
+    return encode_avif_with_recon(ctx)
+
+
+@pytest.mark.parametrize("shape,tcl,trl", [
+    ((128, 128), 1, 1),   # 2x2 tiles, exact SB multiples
+    ((192, 128), 1, 2),   # uneven rows
+    ((130, 200), 2, 1),   # non-SB-aligned frame, last tiles clipped
+    ((96, 320), 3, 0),    # request > available SBs on rows (grid clamps)
+])
+def test_tiled_roundtrip_matches_decoder(test_rgb8, shape, tcl, trl):
+    h, w = shape
+    rng = np.random.default_rng(3)
+    base = np.asarray(
+        PILImage.fromarray(test_rgb8).resize((w, h), PILImage.BILINEAR)
+    )
+    rgb = np.clip(base.astype(int) + rng.integers(-4, 5, base.shape), 0, 255
+                  ).astype(np.uint8)
+    data, recon = _encode_tiled(rgb, q=60, tcl=tcl, trl=trl)
+    dec = _decode(data)
+    assert np.abs(dec.astype(int) - recon.astype(int)).max() <= 1
+
+
+def test_tiled_threads_bitstream_identical(test_rgb8):
+    """Thread-parallel tile encode must produce byte-identical output."""
+    d1, _ = _encode_tiled(test_rgb8, tcl=1, trl=1, threads=1)
+    d4, _ = _encode_tiled(test_rgb8, tcl=1, trl=1, threads=4)
+    assert d1 == d4
+
+
+def test_tile_grid_spec_counts():
+    from oavif_tpu.av1.obu import tile_grid
+
+    # 5 SBs across, log2=2 → tile width ceil(5/4)=2 → 3 tiles (spec loop)
+    cols, rows = tile_grid(5 * 64, 64, 2, 0)
+    assert cols == [0, 2, 4, 5]
+    assert rows == [0, 1]

@@ -17,6 +17,7 @@ from typing import Optional
 import numpy as np
 
 _SRC = Path(__file__).parent / "oav1ec.c"
+_SRC_TILE = Path(__file__).parent / "oav1tile.c"
 _SO = Path(__file__).parent / "_oav1ec.so"
 
 _lib: Optional[C.CDLL] = None
@@ -28,11 +29,14 @@ def _build() -> Optional[C.CDLL]:
     if _build_failed:
         return None
     try:
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        srcs = [_SRC, _SRC_TILE]
+        newest = max(s.stat().st_mtime for s in srcs)
+        if not _SO.exists() or _SO.stat().st_mtime < newest:
             with tempfile.TemporaryDirectory() as td:
                 tmp = Path(td) / "_oav1ec.so"
                 subprocess.run(
-                    ["gcc", "-O3", "-shared", "-fPIC", "-o", str(tmp), str(_SRC)],
+                    ["gcc", "-O3", "-march=native", "-shared", "-fPIC",
+                     "-o", str(tmp)] + [str(s) for s in srcs] + ["-lm"],
                     check=True,
                     capture_output=True,
                 )
@@ -53,6 +57,23 @@ def _build() -> Optional[C.CDLL]:
         lib.inv_txfm2d_c.argtypes = [
             C.POINTER(C.c_int32), C.c_int, C.c_int, C.c_int,
         ]
+        _p32 = C.POINTER(C.c_int32)
+        _pu16 = C.POINTER(C.c_uint16)
+        lib.tile_encode.restype = C.c_size_t
+        lib.tile_encode.argtypes = [
+            C.POINTER(_p32),   # src_planes
+            C.POINTER(_p32),   # recon_out
+            C.c_int, C.c_int, C.c_int, C.c_int, C.c_int,  # nplanes,w,h,bd,speed
+            C.c_int, C.c_int,  # dq_dc, dq_ac
+            C.POINTER(_pu16),  # cdf_ptrs
+            C.POINTER(_p32),   # scans
+            C.POINTER(_p32),   # sm_weights
+            C.POINTER(C.c_double), C.POINTER(C.c_double),  # fh32, fw32
+            _p32,              # dr_deriv
+            _p32, C.c_int, C.c_int,  # plan, plan_nbx, plan_nby
+            C.POINTER(C.POINTER(C.c_uint8)),  # out_payload
+        ]
+        lib.tile_payload_free.argtypes = [C.POINTER(C.c_uint8)]
         lib.enc_coeffs.restype = C.c_int
         lib.enc_coeffs.argtypes = [
             C.c_void_p,
@@ -162,3 +183,100 @@ def inv_txfm2d_native(coeffs: np.ndarray, bitdepth: int = 8) -> Optional[np.ndar
     buf = np.ascontiguousarray(coeffs, dtype=np.int32).copy()
     lib.inv_txfm2d_c(_i32p(buf), w, h, bitdepth)
     return buf.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Whole-tile native encode (oav1tile.c): the production serial path.
+# ---------------------------------------------------------------------------
+
+# Pointer pack order — must match oav1tile.c enum CDF_*.
+_CDF_ORDER = (
+    "part8", "part16", "part32", "part64",
+    "skip", "kf_y", "uv_mode", "uv_mode_cfl", "angle_delta", "txb_skip",
+    "eob16", "eob64", "eob256", "eob1024",
+    "eob_extra", "coeff_base_eob", "coeff_base", "coeff_br", "dc_sign",
+)
+
+
+def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None):
+    """Encode one tile entirely in C. Returns (payload bytes, [recon
+    planes (h, w) int32]) or None when the native library is unavailable.
+
+    Mirrors frame.py TileEncoder symbol-for-symbol (same CDFs, same mode
+    search, same quantizer); conformance-tested against the independent
+    decoder in tests/test_conformance.py.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+
+    from ..consts import coeff_q_ctx
+    from ..frame import CdfBank
+    from ..tables import TABLES, ac_q, dc_q
+    from ..transform import fwd_matrices
+
+    h, w = planes[0].shape
+    nplanes = len(planes)
+    bank = CdfBank(coeff_q_ctx(qindex))
+    cdfs = {
+        "part8": bank.partition[8], "part16": bank.partition[16],
+        "part32": bank.partition[32], "part64": bank.partition[64],
+        "skip": bank.skip, "kf_y": bank.kf_y, "uv_mode": bank.uv_mode,
+        "uv_mode_cfl": bank.uv_mode_cfl, "angle_delta": bank.angle_delta,
+        "txb_skip": bank.txb_skip,
+        "eob16": bank.eob_pt[16], "eob64": bank.eob_pt[64],
+        "eob256": bank.eob_pt[256], "eob1024": bank.eob_pt[1024],
+        "eob_extra": bank.eob_extra, "coeff_base_eob": bank.coeff_base_eob,
+        "coeff_base": bank.coeff_base, "coeff_br": bank.coeff_br,
+        "dc_sign": bank.dc_sign,
+    }
+    cdf_arrs = [np.ascontiguousarray(cdfs[k], dtype=np.uint16) for k in _CDF_ORDER]
+    cdf_ptrs = (C.POINTER(C.c_uint16) * len(cdf_arrs))(*[_u16p(a) for a in cdf_arrs])
+
+    src_arrs = [np.ascontiguousarray(p, dtype=np.int32) for p in planes]
+    recon_arrs = [np.zeros((h, w), dtype=np.int32) for _ in planes]
+    src_ptrs = (C.POINTER(C.c_int32) * nplanes)(*[_i32p(a) for a in src_arrs])
+    recon_ptrs = (C.POINTER(C.c_int32) * nplanes)(*[_i32p(a) for a in recon_arrs])
+
+    scan_arrs = [
+        np.ascontiguousarray(TABLES[f"scan_{n}x{n}"], dtype=np.int32)
+        for n in (4, 8, 16, 32)
+    ]
+    scan_ptrs = (C.POINTER(C.c_int32) * 4)(*[_i32p(a) for a in scan_arrs])
+    sm_arrs = [
+        np.ascontiguousarray(TABLES[f"sm_weights_{n}"], dtype=np.int32)
+        for n in (4, 8, 16, 32, 64)
+    ]
+    sm_ptrs = (C.POINTER(C.c_int32) * 5)(*[_i32p(a) for a in sm_arrs])
+    dr = np.ascontiguousarray(TABLES["dr_intra_derivative"], dtype=np.int32)
+
+    fh, fw = fwd_matrices(32, 32)
+    fh = np.ascontiguousarray(fh, dtype=np.float64)
+    fw = np.ascontiguousarray(fw, dtype=np.float64)
+
+    plan_arr = None
+    plan_ptr = C.POINTER(C.c_int32)()
+    nbx = nby = 0
+    if plan:
+        nby, nbx = h // 32, w // 32
+        if nby and nbx:
+            plan_arr = np.full((nby, nbx), -1, dtype=np.int32)
+            for (mi_r, mi_c), v in plan.items():
+                plan_arr[mi_r // 8, mi_c // 8] = int(v[0])
+            plan_ptr = _i32p(plan_arr)
+
+    out = C.POINTER(C.c_uint8)()
+    n = lib.tile_encode(
+        src_ptrs, recon_ptrs,
+        nplanes, w, h, bitdepth, speed,
+        int(dc_q(qindex, bitdepth)), int(ac_q(qindex, bitdepth)),
+        cdf_ptrs, scan_ptrs, sm_ptrs,
+        fh.ctypes.data_as(C.POINTER(C.c_double)),
+        fw.ctypes.data_as(C.POINTER(C.c_double)),
+        _i32p(dr),
+        plan_ptr, nbx, nby,
+        C.byref(out),
+    )
+    payload = bytes(bytearray(C.cast(out, C.POINTER(C.c_uint8 * n))[0]))
+    lib.tile_payload_free(out)
+    return payload, recon_arrs

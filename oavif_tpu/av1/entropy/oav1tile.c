@@ -1,0 +1,707 @@
+/* oavif-tpu native tile encoder.
+ *
+ * The whole per-tile serial path in C: partition walk, intra prediction,
+ * forward DCT (double matmuls with matrices derived from the normative
+ * integer inverse), quantization, symbol coding (via the range coder /
+ * coefficient tokenizer in oav1ec.c), and reconstruction.
+ *
+ * Mirrors the verified Python reference (oavif_tpu/av1/frame.py
+ * TileEncoder) symbol-for-symbol; the Python path remains the readable
+ * reference and fallback. Conformance is anchored the same way: every
+ * bitstream must decode bit-exactly to this encoder's reconstruction
+ * through the independent libavif/dav1d decoder
+ * (tests/test_conformance.py). Replaces the reference's libaom delegation
+ * (/root/reference/src/io.zig:629-632) with a from-scratch runtime.
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+#include <math.h>
+
+/* from oav1ec.c (compiled into the same shared object) */
+typedef struct Enc Enc;
+Enc *enc_new(void);
+void enc_free(Enc *e);
+void enc_symbol(Enc *e, uint16_t *icdf, int nsym, int s);
+void enc_symbol_adapt(Enc *e, uint16_t *icdf, int nsym, int s);
+void enc_bool(Enc *e, int val, uint32_t f);
+size_t enc_done(Enc *e, uint8_t **dst);
+int enc_coeffs(Enc *e, const int32_t *lv, int cw, const int32_t *scan,
+               uint16_t *txb_skip_row, uint16_t *eob_pt_row, int eob_pt_nsym,
+               uint16_t *eob_extra_rows, uint16_t *base_eob_rows,
+               uint16_t *base_rows, uint16_t *br_rows, uint16_t *dc_sign_row,
+               int32_t *out_ctx);
+void inv_txfm2d_c(int32_t *c, int w, int h, int bitdepth);
+
+/* ---- modes (oavif_tpu/av1/consts.py) ---- */
+enum {
+    DC_PRED = 0, V_PRED = 1, H_PRED = 2, D45_PRED = 3, D135_PRED = 4,
+    D113_PRED = 5, D157_PRED = 6, D203_PRED = 7, D67_PRED = 8,
+    SMOOTH_PRED = 9, SMOOTH_V_PRED = 10, SMOOTH_H_PRED = 11, PAETH_PRED = 12,
+};
+static const int INTRA_MODE_CONTEXT[13] = {0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0};
+static const int MODE_ANGLE[13] = {0, 90, 180, 45, 135, 113, 157, 203, 67,
+                                   0, 0, 0, 0};
+enum { PARTITION_NONE = 0, PARTITION_SPLIT = 3 };
+
+/* CDF pointer pack order (must match fast.py CDF_ORDER) */
+enum {
+    CDF_PART_W8 = 0, CDF_PART_W16, CDF_PART_W32, CDF_PART_W64,
+    CDF_SKIP, CDF_KF_Y, CDF_UV_MODE, CDF_UV_MODE_CFL, CDF_ANGLE_DELTA,
+    CDF_TXB_SKIP, CDF_EOB_PT16, CDF_EOB_PT64, CDF_EOB_PT256, CDF_EOB_PT1024,
+    CDF_EOB_EXTRA, CDF_COEFF_BASE_EOB, CDF_COEFF_BASE, CDF_COEFF_BR,
+    CDF_DC_SIGN, CDF_N
+};
+
+typedef struct {
+    Enc *enc;
+    int w, h;               /* tile px dims */
+    int mi_cols, mi_rows;
+    int sb_cols, sb_rows;
+    int pw, ph;             /* padded dims (mi grid * 4) */
+    int nplanes;
+    int bitdepth, speed;
+    int dq_dc, dq_ac;
+    int32_t *src[3];        /* padded (ph, pw) */
+    int32_t *recon[3];      /* padded (ph, pw) */
+    uint16_t *cdf[CDF_N];
+    const int32_t *scan[6]; /* index by log2(cw)-2: 4,8,16,32 */
+    const int32_t *smw[5];  /* sm_weights by log2(n)-2: 4,8,16,32,64 */
+    const double *fh32, *fw32;
+    const int32_t *dr_deriv; /* dr_intra_derivative[90] */
+    const int32_t *plan;    /* per-32x32-block mode, -1 = search; or NULL */
+    int plan_nbx, plan_nby;
+    /* context lines */
+    uint8_t *above_part, *above_skip, *above_mode;
+    uint8_t left_part[16], left_skip[16], left_mode[16];
+    int32_t *above_lvl[3], *above_dc[3];
+    int32_t left_lvl[3][16], left_dc[3][16];
+} Tile;
+
+static inline int imin(int a, int b) { return a < b ? a : b; }
+static inline int imax(int a, int b) { return a > b ? a : b; }
+
+/* ---- edges + prediction (mirrors intra.py) ---- */
+
+typedef struct {
+    int64_t above[129]; /* above[0] = corner, above[1..w+h] */
+    int64_t left[129];
+} Edges;
+
+static void build_edges(const Tile *t, int plane, int x, int y, int w, int h,
+                        int have_above, int have_left, Edges *e) {
+    int base = 1 << (t->bitdepth - 1);
+    const int32_t *recon = t->recon[plane];
+    int pw = t->pw;
+    int n = w + h;
+    if (have_above) {
+        const int32_t *srcrow = recon + (size_t)(y - 1) * pw + x;
+        int n_avail = w; /* num_top_right = 0 */
+        for (int i = 0; i < n_avail; i++) e->above[1 + i] = srcrow[i];
+        for (int i = n_avail; i < n; i++) e->above[1 + i] = srcrow[n_avail - 1];
+    } else if (have_left) {
+        int64_t v = recon[(size_t)y * pw + x - 1];
+        for (int i = 0; i < n; i++) e->above[1 + i] = v;
+    } else {
+        for (int i = 0; i < n; i++) e->above[1 + i] = base - 1;
+    }
+    if (have_left) {
+        int n_avail = h; /* num_bottom_left = 0 */
+        for (int i = 0; i < n_avail; i++)
+            e->left[1 + i] = recon[(size_t)(y + i) * pw + x - 1];
+        for (int i = n_avail; i < n; i++)
+            e->left[1 + i] = recon[(size_t)(y + n_avail - 1) * pw + x - 1];
+    } else if (have_above) {
+        int64_t v = recon[(size_t)(y - 1) * pw + x];
+        for (int i = 0; i < n; i++) e->left[1 + i] = v;
+    } else {
+        for (int i = 0; i < n; i++) e->left[1 + i] = base + 1;
+    }
+    int64_t corner;
+    if (have_above && have_left) corner = recon[(size_t)(y - 1) * pw + x - 1];
+    else if (have_above) corner = recon[(size_t)(y - 1) * pw + x];
+    else if (have_left) corner = recon[(size_t)y * pw + x - 1];
+    else corner = base;
+    e->above[0] = corner;
+    e->left[0] = corner;
+}
+
+static int log2i(int n) { return 31 - __builtin_clz((unsigned)n); }
+
+/* Directional prediction, zones 1-3 (intra edge filter disabled). */
+static void pred_directional(const Edges *e, int mode, int angle_delta,
+                             const int32_t *dr, int w, int h, int32_t *out) {
+    const int64_t *a = e->above + 1;
+    const int64_t *l = e->left + 1;
+    int p_angle = MODE_ANGLE[mode] + angle_delta * 3;
+    if (p_angle < 90) { /* zone 1: above only */
+        int dx = dr[p_angle];
+        int max_base = w + h - 1;
+        for (int r = 0; r < h; r++) {
+            int x = (r + 1) * dx;
+            for (int c = 0; c < w; c++) {
+                int base = (x >> 6) + c;
+                if (base > max_base) { out[r * w + c] = (int32_t)a[max_base]; continue; }
+                int shift = (x >> 1) & 0x1F;
+                int b2 = imin(base + 1, max_base);
+                out[r * w + c] =
+                    (int32_t)((a[base] * (32 - shift) + a[b2] * shift + 16) >> 5);
+            }
+        }
+        return;
+    }
+    if (p_angle > 180) { /* zone 3: left only */
+        int dy = dr[270 - p_angle];
+        int max_base = w + h - 1;
+        for (int c = 0; c < w; c++) {
+            int y = (c + 1) * dy;
+            for (int r = 0; r < h; r++) {
+                int base = (y >> 6) + r;
+                if (base > max_base) { out[r * w + c] = (int32_t)l[max_base]; continue; }
+                int shift = (y >> 1) & 0x1F;
+                int b2 = imin(base + 1, max_base);
+                out[r * w + c] =
+                    (int32_t)((l[base] * (32 - shift) + l[b2] * shift + 16) >> 5);
+            }
+        }
+        return;
+    }
+    /* zone 2: both edges; -1-indexed arrays (above[-1] = corner) */
+    int dx = dr[180 - p_angle];
+    int dy = dr[p_angle - 90];
+    for (int r = 0; r < h; r++)
+        for (int c = 0; c < w; c++) {
+            int x = (c << 6) - (r + 1) * dx;
+            int base_x = x >> 6;
+            int64_t v;
+            if (base_x >= -1) {
+                int shift = (x >> 1) & 0x1F;
+                v = e->above[base_x + 1] * (32 - shift) + e->above[base_x + 2] * shift;
+            } else {
+                int y = (r << 6) - (c + 1) * dy;
+                int base_y = y >> 6;
+                int shift = (y >> 1) & 0x1F;
+                v = e->left[base_y + 1] * (32 - shift) + e->left[base_y + 2] * shift;
+            }
+            out[r * w + c] = (int32_t)((v + 16) >> 5);
+        }
+}
+
+static void predict(const Tile *t, const Edges *e, int mode, int w, int h,
+                    int have_above, int have_left, int32_t *out) {
+    const int64_t *a = e->above + 1;
+    const int64_t *l = e->left + 1;
+    int64_t corner = e->above[0];
+    if (mode == DC_PRED) {
+        int64_t avg;
+        if (have_above && have_left) {
+            int64_t s = 0;
+            for (int i = 0; i < w; i++) s += a[i];
+            for (int i = 0; i < h; i++) s += l[i];
+            avg = (s + ((w + h) >> 1)) / (w + h);
+        } else if (have_above) {
+            int64_t s = 0;
+            for (int i = 0; i < w; i++) s += a[i];
+            avg = (s + (w >> 1)) >> log2i(w);
+        } else if (have_left) {
+            int64_t s = 0;
+            for (int i = 0; i < h; i++) s += l[i];
+            avg = (s + (h >> 1)) >> log2i(h);
+        } else {
+            avg = 1 << (t->bitdepth - 1);
+        }
+        for (int i = 0; i < w * h; i++) out[i] = (int32_t)avg;
+        return;
+    }
+    if (mode == V_PRED || mode == H_PRED) {
+        if (MODE_ANGLE[mode] == 90) {
+            for (int r = 0; r < h; r++)
+                for (int c = 0; c < w; c++) out[r * w + c] = (int32_t)a[c];
+        } else {
+            for (int r = 0; r < h; r++)
+                for (int c = 0; c < w; c++) out[r * w + c] = (int32_t)l[r];
+        }
+        return;
+    }
+    if (mode == PAETH_PRED) {
+        for (int r = 0; r < h; r++)
+            for (int c = 0; c < w; c++) {
+                int64_t base = a[c] + l[r] - corner;
+                int64_t pa = llabs(base - a[c]);
+                int64_t pl = llabs(base - l[r]);
+                int64_t pc = llabs(base - corner);
+                out[r * w + c] = (int32_t)((pa <= pl && pa <= pc)
+                                               ? a[c]
+                                               : (pl <= pc ? l[r] : corner));
+            }
+        return;
+    }
+    if (mode == SMOOTH_PRED || mode == SMOOTH_V_PRED || mode == SMOOTH_H_PRED) {
+        const int32_t *wh = t->smw[log2i(h) - 2];
+        const int32_t *ww = t->smw[log2i(w) - 2];
+        int64_t below = l[h - 1];
+        int64_t right = a[w - 1];
+        for (int r = 0; r < h; r++)
+            for (int c = 0; c < w; c++) {
+                int64_t acc;
+                if (mode == SMOOTH_PRED) {
+                    acc = (int64_t)wh[r] * a[c] + (int64_t)(256 - wh[r]) * below +
+                          (int64_t)ww[c] * l[r] + (int64_t)(256 - ww[c]) * right;
+                    out[r * w + c] = (int32_t)((acc + 256) >> 9);
+                } else if (mode == SMOOTH_V_PRED) {
+                    acc = (int64_t)wh[r] * a[c] + (int64_t)(256 - wh[r]) * below;
+                    out[r * w + c] = (int32_t)((acc + 128) >> 8);
+                } else {
+                    acc = (int64_t)ww[c] * l[r] + (int64_t)(256 - ww[c]) * right;
+                    out[r * w + c] = (int32_t)((acc + 128) >> 8);
+                }
+            }
+        return;
+    }
+    /* directional D45..D67 (and V/H with nonzero delta) */
+    pred_directional(e, mode, 0, t->dr_deriv, w, h, out);
+}
+
+/* ---- forward transform + quant (mirrors frame.py _quantize) ---- */
+
+static const int DQ_SHIFT_BY_TX[65] = {
+    [4] = 0, [8] = 0, [16] = 0, [32] = 1, [64] = 2};
+
+/* resid (tx*tx int32) -> levels (int32, natural order) via
+ * coeffs = fh @ resid @ fw^T in double, deadzone quant. tx==32 only. */
+static void quantize32(const Tile *t, const int32_t *resid, int32_t *levels) {
+    const int n = 32;
+    double tmp[32 * 32];
+    double rd[32 * 32];
+    for (int i = 0; i < n * n; i++) rd[i] = (double)resid[i];
+    /* tmp = fh @ resid (k-inner moved to j for unit-stride accumulate) */
+    memset(tmp, 0, sizeof(tmp));
+    for (int i = 0; i < n; i++) {
+        const double *fr = t->fh32 + (size_t)i * n;
+        double *to = tmp + (size_t)i * n;
+        for (int k = 0; k < n; k++) {
+            double cf = fr[k];
+            const double *rrow = rd + (size_t)k * n;
+            for (int j = 0; j < n; j++) to[j] += cf * rrow[j];
+        }
+    }
+    int shift = DQ_SHIFT_BY_TX[32];
+    double scale_ac = (double)(1 << shift) / (double)t->dq_ac;
+    double scale_dc = (double)(1 << shift) / (double)t->dq_dc;
+    /* levels = quant(tmp @ fw^T) */
+    for (int i = 0; i < n; i++)
+        for (int j = 0; j < n; j++) {
+            const double *fr = t->fw32 + (size_t)j * n;
+            double s = 0;
+            for (int k = 0; k < n; k++) s += tmp[i * n + k] * fr[k];
+            double scaled = s * ((i == 0 && j == 0) ? scale_dc : scale_ac);
+            double mag = floor(fabs(scaled) + 0.35);
+            levels[i * n + j] = (int32_t)(scaled < 0 ? -mag : mag);
+        }
+}
+
+/* dequant + normative inverse transform (frame.py _dequant_inv) */
+static void dequant_inv(const Tile *t, const int32_t *levels, int tx,
+                        int32_t *resid_out) {
+    int shift = DQ_SHIFT_BY_TX[tx];
+    for (int i = 0; i < tx * tx; i++) {
+        int64_t lv = levels[i];
+        int64_t q = i == 0 ? t->dq_dc : t->dq_ac;
+        int64_t mag = (llabs(lv) * q) & 0xFFFFFF;
+        mag >>= shift;
+        resid_out[i] = (int32_t)(lv < 0 ? -mag : mag);
+    }
+    inv_txfm2d_c(resid_out, tx, tx, t->bitdepth);
+}
+
+/* ---- coefficient-coding context (mirrors frame.py) ---- */
+
+static int txb_skip_ctx(const Tile *t, int plane, int px, int py, int tx,
+                        int bsize) {
+    if (plane == 0) return 0; /* tx == block for Y under LARGEST */
+    int mi_c = px / 4, mi_r = py / 4;
+    int n = tx / 4;
+    int above_nz = 0, left_nz = 0;
+    for (int i = 0; i < n; i++) {
+        if (t->above_lvl[plane][mi_c + i]) above_nz = 1;
+        if (t->left_lvl[plane][((mi_r & 15) + i)]) left_nz = 1;
+    }
+    int offset = tx == bsize ? 7 : 10;
+    return offset + above_nz + left_nz;
+}
+
+static int dc_sign_ctx(const Tile *t, int plane, int px, int py, int tx) {
+    int mi_c = px / 4, mi_r = py / 4;
+    int n = tx / 4;
+    int bal = 0;
+    for (int i = 0; i < n; i++) {
+        int32_t c1 = t->above_dc[plane][mi_c + i];
+        int32_t c2 = t->left_dc[plane][(mi_r & 15) + i];
+        bal += (c1 == 2) - (c1 == 1) + (c2 == 2) - (c2 == 1);
+    }
+    return bal < 0 ? 1 : (bal > 0 ? 2 : 0);
+}
+
+static void set_lvl_ctx(Tile *t, int plane, int px, int py, int tx, int cul,
+                        int dc_cat) {
+    int mi_c = px / 4, mi_r = py / 4;
+    int n = tx / 4;
+    for (int i = 0; i < n; i++) {
+        t->above_lvl[plane][mi_c + i] = cul;
+        t->left_lvl[plane][(mi_r & 15) + i] = cul;
+        t->above_dc[plane][mi_c + i] = dc_cat;
+        t->left_dc[plane][(mi_r & 15) + i] = dc_cat;
+    }
+}
+
+static void encode_coeffs_txb(Tile *t, int plane, int tx, int px, int py,
+                              const int32_t *levels, int bsize) {
+    static const int TXS_CTX[65] = {[4] = 0, [8] = 1, [16] = 2, [32] = 3, [64] = 4};
+    int txs = TXS_CTX[tx];
+    int ptype = plane == 0 ? 0 : 1;
+    int cw = imin(tx, 32);
+    int ctx = txb_skip_ctx(t, plane, px, py, tx, bsize);
+    int sctx = dc_sign_ctx(t, plane, px, py, tx);
+
+    /* CDF row addressing (strides from CdfBank shapes, see fast.py) */
+    uint16_t *txb_skip_row = t->cdf[CDF_TXB_SKIP] + ((size_t)txs * 13 + ctx) * 3;
+    int eob_idx, eob_nsym;
+    switch (cw) {
+        case 4: eob_idx = CDF_EOB_PT16; eob_nsym = 5; break;
+        case 8: eob_idx = CDF_EOB_PT64; eob_nsym = 7; break;
+        case 16: eob_idx = CDF_EOB_PT256; eob_nsym = 9; break;
+        default: eob_idx = CDF_EOB_PT1024; eob_nsym = 11; break;
+    }
+    uint16_t *eob_pt_row =
+        t->cdf[eob_idx] + (size_t)ptype * 2 * (eob_nsym + 1); /* [ptype][0] */
+    uint16_t *eob_extra_rows =
+        t->cdf[CDF_EOB_EXTRA] + ((size_t)txs * 2 + ptype) * 9 * 3;
+    uint16_t *base_eob_rows =
+        t->cdf[CDF_COEFF_BASE_EOB] + ((size_t)txs * 2 + ptype) * 4 * 4;
+    uint16_t *base_rows =
+        t->cdf[CDF_COEFF_BASE] + ((size_t)txs * 2 + ptype) * 42 * 5;
+    uint16_t *br_rows = t->cdf[CDF_COEFF_BR] + ((size_t)txs * 2 + ptype) * 21 * 5;
+    uint16_t *dc_sign_row = t->cdf[CDF_DC_SIGN] + ((size_t)ptype * 3 + sctx) * 3;
+
+    int32_t out_ctx[2];
+    enc_coeffs(t->enc, levels, cw, t->scan[log2i(cw) - 2], txb_skip_row,
+               eob_pt_row, eob_nsym, eob_extra_rows, base_eob_rows, base_rows,
+               br_rows, dc_sign_row, out_ctx);
+    set_lvl_ctx(t, plane, px, py, tx, out_ctx[0], out_ctx[1]);
+}
+
+/* ---- block encode (mirrors frame.py _encode_block) ---- */
+
+static int choose_y_mode(const Tile *t, int r, int c, int size,
+                         const Edges *e, int have_above, int have_left,
+                         int32_t *pred_scratch) {
+    int x = c * 4, y = r * 4;
+    const int32_t *src = t->src[0];
+    int cands[7] = {DC_PRED, V_PRED, H_PRED, SMOOTH_PRED, PAETH_PRED,
+                    SMOOTH_V_PRED, SMOOTH_H_PRED};
+    int ncand = t->speed <= 6 ? 7 : 5;
+    int best_mode = DC_PRED;
+    int64_t best_ssd = -1;
+    for (int m = 0; m < ncand; m++) {
+        predict(t, e, cands[m], size, size, have_above, have_left, pred_scratch);
+        int64_t ssd = 0;
+        for (int rr = 0; rr < size; rr++)
+            for (int cc = 0; cc < size; cc++) {
+                int64_t d = src[(size_t)(y + rr) * t->pw + x + cc] -
+                            pred_scratch[rr * size + cc];
+                ssd += d * d;
+            }
+        if (best_ssd < 0 || ssd < best_ssd) {
+            best_ssd = ssd;
+            best_mode = cands[m];
+        }
+    }
+    return best_mode;
+}
+
+static void encode_block(Tile *t, int r, int c, int size) {
+    int x = c * 4, y = r * 4;
+    int n_mi = size / 4;
+    int lr = r & 15;
+    int nplanes = t->nplanes;
+
+    int have_above0 = r > 0, have_left0 = c > 0;
+    Edges ey;
+    build_edges(t, 0, x, y, size, size, have_above0, have_left0, &ey);
+
+    int y_mode = -1;
+    if (t->plan && size == 32 && (r & 7) == 0 && (c & 7) == 0 &&
+        r / 8 < t->plan_nby && c / 8 < t->plan_nbx) {
+        int32_t pm = t->plan[(size_t)(r / 8) * t->plan_nbx + (c / 8)];
+        if (pm >= 0) y_mode = pm;
+    }
+    int32_t pred_scratch[64 * 64];
+    if (y_mode < 0)
+        y_mode = choose_y_mode(t, r, c, size, &ey, have_above0, have_left0,
+                               pred_scratch);
+
+    /* plan residuals for all planes (one txb per plane: tx == size) */
+    int can_code = size >= 32;
+    int tx = size;
+    int32_t *preds = (int32_t *)malloc((size_t)nplanes * tx * tx * 4);
+    int32_t *levels = (int32_t *)malloc((size_t)nplanes * tx * tx * 4);
+    int any_nonzero = 0;
+    for (int plane = 0; plane < nplanes; plane++) {
+        int mode = plane == 0 ? y_mode : DC_PRED;
+        Edges e;
+        build_edges(t, plane, x, y, tx, tx, y > 0, x > 0, &e);
+        int32_t *pred = preds + (size_t)plane * tx * tx;
+        predict(t, &e, mode, tx, tx, y > 0, x > 0, pred);
+        int32_t *lv = levels + (size_t)plane * tx * tx;
+        if (can_code) {
+            int32_t resid[64 * 64];
+            const int32_t *srcp = t->src[plane];
+            for (int rr = 0; rr < tx; rr++)
+                for (int cc = 0; cc < tx; cc++)
+                    resid[rr * tx + cc] =
+                        srcp[(size_t)(y + rr) * t->pw + x + cc] -
+                        pred[rr * tx + cc];
+            quantize32(t, resid, lv);
+            for (int i = 0; i < tx * tx; i++)
+                if (lv[i]) { any_nonzero = 1; break; }
+        } else {
+            memset(lv, 0, (size_t)tx * tx * 4);
+        }
+    }
+    int skip = !any_nonzero;
+
+    /* symbols: skip, modes */
+    int skip_ctx = t->above_skip[c] + t->left_skip[lr];
+    enc_symbol_adapt(t->enc, t->cdf[CDF_SKIP] + (size_t)skip_ctx * 3, 2, skip);
+
+    int actx = r > 0 ? INTRA_MODE_CONTEXT[t->above_mode[c]] : 0;
+    int lctx = c > 0 ? INTRA_MODE_CONTEXT[t->left_mode[lr]] : 0;
+    enc_symbol_adapt(t->enc,
+                     t->cdf[CDF_KF_Y] + ((size_t)actx * 5 + lctx) * 14, 13,
+                     y_mode);
+    if (MODE_ANGLE[y_mode] && size >= 8)
+        enc_symbol_adapt(t->enc,
+                         t->cdf[CDF_ANGLE_DELTA] + (size_t)(y_mode - 1) * 8, 7,
+                         3); /* delta 0 */
+    if (nplanes > 1) {
+        int cfl_allowed = size <= 32;
+        if (cfl_allowed)
+            enc_symbol_adapt(
+                t->enc, t->cdf[CDF_UV_MODE_CFL] + (size_t)y_mode * 15, 14,
+                DC_PRED);
+        else
+            enc_symbol_adapt(t->enc, t->cdf[CDF_UV_MODE] + (size_t)y_mode * 14,
+                             13, DC_PRED);
+    }
+
+    /* residual coding + recon */
+    int32_t hi = (1 << t->bitdepth) - 1;
+    for (int plane = 0; plane < nplanes; plane++) {
+        int32_t *pred = preds + (size_t)plane * tx * tx;
+        int32_t *lv = levels + (size_t)plane * tx * tx;
+        int32_t *rec = t->recon[plane];
+        if (skip) {
+            set_lvl_ctx(t, plane, x, y, tx, 0, 0);
+            for (int rr = 0; rr < tx; rr++)
+                for (int cc = 0; cc < tx; cc++) {
+                    int32_t v = pred[rr * tx + cc];
+                    rec[(size_t)(y + rr) * t->pw + x + cc] =
+                        v < 0 ? 0 : (v > hi ? hi : v);
+                }
+        } else {
+            encode_coeffs_txb(t, plane, tx, x, y, lv, size);
+            int32_t resid[64 * 64];
+            dequant_inv(t, lv, tx, resid);
+            for (int rr = 0; rr < tx; rr++)
+                for (int cc = 0; cc < tx; cc++) {
+                    int32_t v = pred[rr * tx + cc] + resid[rr * tx + cc];
+                    rec[(size_t)(y + rr) * t->pw + x + cc] =
+                        v < 0 ? 0 : (v > hi ? hi : v);
+                }
+        }
+    }
+    free(preds);
+    free(levels);
+
+    /* context updates */
+    for (int i = 0; i < n_mi; i++) {
+        t->above_skip[c + i] = skip;
+        t->left_skip[lr + i] = skip;
+        t->above_mode[c + i] = (uint8_t)y_mode;
+        t->left_mode[lr + i] = (uint8_t)y_mode;
+    }
+}
+
+/* ---- partitions (mirrors frame.py) ---- */
+
+static const uint8_t PART_CTX_BYTE[65] = {
+    [4] = 31, [8] = 30, [16] = 28, [32] = 24, [64] = 16};
+
+static int partition_ctx(const Tile *t, int r, int c, int size) {
+    static const int BSL[65] = {[8] = 0, [16] = 1, [32] = 2, [64] = 3};
+    int bsl = BSL[size];
+    int above = (t->above_part[c] >> bsl) & 1;
+    int left = (t->left_part[r & 15] >> bsl) & 1;
+    return left * 2 + above;
+}
+
+static void update_part_ctx(Tile *t, int r, int c, int size, int sub) {
+    int n_mi = size / 4;
+    uint8_t byte = PART_CTX_BYTE[sub];
+    for (int i = 0; i < n_mi; i++) {
+        t->above_part[c + i] = byte;
+        t->left_part[(r & 15) + i] = byte;
+    }
+}
+
+static uint32_t partition_bool_icdf(const uint16_t *cdf, int nsym,
+                                    const int *members, int nmem) {
+    uint32_t widths[10];
+    uint32_t prev = 32768;
+    for (int s = 0; s < nsym; s++) {
+        widths[s] = prev - cdf[s];
+        prev = cdf[s];
+    }
+    uint32_t psum = 0;
+    for (int i = 0; i < nmem; i++)
+        if (members[i] < nsym) psum += widths[members[i]];
+    return psum;
+}
+
+static void encode_partition(Tile *t, int r, int c, int size) {
+    if (r >= t->mi_rows || c >= t->mi_cols) return;
+    int half_mi = size / 8;
+    int has_rows = (r + half_mi) < t->mi_rows;
+    int has_cols = (c + half_mi) < t->mi_cols;
+    static const int PART_NSYM[65] = {[8] = 4, [16] = 10, [32] = 10, [64] = 10};
+    int cdf_idx = size == 8 ? CDF_PART_W8
+                  : size == 16 ? CDF_PART_W16
+                  : size == 32 ? CDF_PART_W32 : CDF_PART_W64;
+    int nsym = PART_NSYM[size];
+
+    int part;
+    if (has_rows && has_cols) {
+        part = size > 32 ? PARTITION_SPLIT : PARTITION_NONE;
+        int ctx = partition_ctx(t, r, c, size);
+        enc_symbol_adapt(t->enc,
+                         t->cdf[cdf_idx] + (size_t)ctx * (nsym + 1), nsym, part);
+    } else if (!has_rows && !has_cols) {
+        part = PARTITION_SPLIT; /* implicit */
+    } else {
+        part = PARTITION_SPLIT; /* size > 8 guaranteed (mi dims even) */
+        int ctx = partition_ctx(t, r, c, size);
+        uint16_t *cdf = t->cdf[cdf_idx] + (size_t)ctx * (nsym + 1);
+        static const int horz_members[6] = {2, 3, 4, 6, 7, 9};
+        static const int vert_members[6] = {1, 3, 4, 5, 6, 8};
+        uint32_t psum = partition_bool_icdf(
+            cdf, nsym, has_cols ? horz_members : vert_members, 6);
+        uint16_t derived[3] = {(uint16_t)psum, 0, 0};
+        enc_symbol(t->enc, derived, 2, 1);
+    }
+
+    if (part == PARTITION_SPLIT) {
+        int sub = size / 2;
+        encode_partition(t, r, c, sub);
+        encode_partition(t, r, c + half_mi, sub);
+        encode_partition(t, r + half_mi, c, sub);
+        encode_partition(t, r + half_mi, c + half_mi, sub);
+    } else {
+        encode_block(t, r, c, size);
+        update_part_ctx(t, r, c, size, size);
+    }
+}
+
+/* ---- public entry ---- */
+
+size_t tile_encode(
+    const int32_t *const *src_planes, /* per-plane (h, w) int32, row-major */
+    int32_t *const *recon_out,        /* per-plane (h, w) int32 out */
+    int nplanes, int w, int h, int bitdepth, int speed,
+    int dq_dc, int dq_ac,
+    uint16_t *const *cdf_ptrs,        /* CDF_N pointers */
+    const int32_t *const *scans,      /* 4: scan4,8,16,32 */
+    const int32_t *const *sm_weights, /* 5: 4,8,16,32,64 */
+    const double *fh32, const double *fw32,
+    const int32_t *dr_deriv,
+    const int32_t *plan, int plan_nbx, int plan_nby,
+    uint8_t **out_payload)            /* malloc'd; caller frees */
+{
+    Tile t;
+    memset(&t, 0, sizeof(t));
+    t.w = w; t.h = h;
+    t.nplanes = nplanes;
+    t.bitdepth = bitdepth;
+    t.speed = speed;
+    t.dq_dc = dq_dc; t.dq_ac = dq_ac;
+    t.mi_cols = 2 * ((w + 7) >> 3);
+    t.mi_rows = 2 * ((h + 7) >> 3);
+    t.sb_cols = (t.mi_cols + 15) >> 4;
+    t.sb_rows = (t.mi_rows + 15) >> 4;
+    t.pw = t.mi_cols * 4;
+    t.ph = t.mi_rows * 4;
+    for (int i = 0; i < CDF_N; i++) t.cdf[i] = cdf_ptrs[i];
+    for (int i = 0; i < 4; i++) t.scan[i] = scans[i];
+    for (int i = 0; i < 5; i++) t.smw[i] = sm_weights[i];
+    t.fh32 = fh32; t.fw32 = fw32;
+    t.dr_deriv = dr_deriv;
+    t.plan = plan;
+    t.plan_nbx = plan_nbx;
+    t.plan_nby = plan_nby;
+
+    /* padded src (edge-replicated) + zeroed recon */
+    for (int p = 0; p < nplanes; p++) {
+        t.src[p] = (int32_t *)malloc((size_t)t.ph * t.pw * 4);
+        t.recon[p] = (int32_t *)calloc((size_t)t.ph * t.pw, 4);
+        for (int r = 0; r < t.ph; r++) {
+            int sr = r < h ? r : h - 1;
+            const int32_t *srow = src_planes[p] + (size_t)sr * w;
+            int32_t *drow = t.src[p] + (size_t)r * t.pw;
+            memcpy(drow, srow, (size_t)w * 4);
+            for (int c = w; c < t.pw; c++) drow[c] = srow[w - 1];
+        }
+    }
+    t.above_part = (uint8_t *)calloc(t.mi_cols, 1);
+    t.above_skip = (uint8_t *)calloc(t.mi_cols, 1);
+    t.above_mode = (uint8_t *)malloc(t.mi_cols);
+    memset(t.above_mode, DC_PRED, t.mi_cols);
+    for (int p = 0; p < nplanes; p++) {
+        t.above_lvl[p] = (int32_t *)calloc(t.mi_cols, 4);
+        t.above_dc[p] = (int32_t *)calloc(t.mi_cols, 4);
+    }
+
+    t.enc = enc_new();
+    for (int sb_r = 0; sb_r < t.sb_rows; sb_r++) {
+        memset(t.left_part, 0, 16);
+        memset(t.left_skip, 0, 16);
+        memset(t.left_mode, DC_PRED, 16);
+        for (int p = 0; p < nplanes; p++) {
+            memset(t.left_lvl[p], 0, sizeof(t.left_lvl[p]));
+            memset(t.left_dc[p], 0, sizeof(t.left_dc[p]));
+        }
+        for (int sb_c = 0; sb_c < t.sb_cols; sb_c++)
+            encode_partition(&t, sb_r * 16, sb_c * 16, 64);
+    }
+
+    uint8_t *payload;
+    size_t n = enc_done(t.enc, &payload);
+    *out_payload = (uint8_t *)malloc(n);
+    memcpy(*out_payload, payload, n);
+    enc_free(t.enc);
+
+    for (int p = 0; p < nplanes; p++) {
+        for (int r = 0; r < h; r++)
+            memcpy(recon_out[p] + (size_t)r * w, t.recon[p] + (size_t)r * t.pw,
+                   (size_t)w * 4);
+        free(t.src[p]);
+        free(t.recon[p]);
+        free(t.above_lvl[p]);
+        free(t.above_dc[p]);
+    }
+    free(t.above_part);
+    free(t.above_skip);
+    free(t.above_mode);
+    return n;
+}
+
+void tile_payload_free(uint8_t *p) { free(p); }

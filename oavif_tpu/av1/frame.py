@@ -649,6 +649,18 @@ def _encode_one_tile(args):
             plan = plan_frame(np.asarray(tile_planes[0]), qindex, bitdepth)
         except Exception:
             plan = None
+
+    import os
+
+    if os.environ.get("OAVIF_PY_TILE") != "1":
+        # Production path: the whole per-tile serial loop in C
+        # (entropy/oav1tile.c), releasing the GIL for tile-thread scaling.
+        from .entropy.fast import tile_encode_native
+
+        res = tile_encode_native(tile_planes, qindex, bitdepth, speed, plan)
+        if res is not None:
+            return res
+
     te = TileEncoder(tile_planes, qindex, bitdepth, speed, plan=plan)
     payload = te.encode()
     th, tw = tile_planes[0].shape

@@ -192,3 +192,40 @@ def test_tile_grid_spec_counts():
     cols, rows = tile_grid(5 * 64, 64, 2, 0)
     assert cols == [0, 2, 4, 5]
     assert rows == [0, 1]
+
+
+def test_native_tile_encoder_matches_python_reference(test_rgb8):
+    """The C tile encoder (oav1tile.c) must emit the identical bitstream
+    and reconstruction as the Python reference TileEncoder."""
+    from oavif_tpu.av1.frame import TileEncoder
+    from oavif_tpu.av1.entropy.fast import tile_encode_native
+    from oavif_tpu.av1.yuv import rgb_to_yuv444
+
+    planes = rgb_to_yuv444(test_rgb8, bitdepth=8)
+    native = tile_encode_native([p.copy() for p in planes], 80, 8, 9)
+    if native is None:
+        pytest.skip("native library unavailable")
+    te = TileEncoder([p.copy() for p in planes], 80, 8, 9)
+    py_payload = te.encode()
+    h, w = planes[0].shape
+    assert native[0] == py_payload
+    for pi in range(3):
+        np.testing.assert_array_equal(native[1][pi], te.recon[pi][:h, :w])
+
+
+def test_native_tile_encoder_odd_sizes_and_10bit():
+    from oavif_tpu.av1.frame import TileEncoder
+    from oavif_tpu.av1.entropy.fast import tile_encode_native
+
+    rng = np.random.default_rng(11)
+    for (h, w, bd) in [(96, 130, 8), (64, 64, 10), (40, 72, 8)]:
+        mx = (1 << bd) - 1
+        planes = [
+            rng.integers(0, mx + 1, (h, w)).astype(np.int32) for _ in range(3)
+        ]
+        native = tile_encode_native([p.copy() for p in planes], 60, bd, 9)
+        if native is None:
+            pytest.skip("native library unavailable")
+        te = TileEncoder([p.copy() for p in planes], 60, bd, 9)
+        py_payload = te.encode()
+        assert native[0] == py_payload, (h, w, bd)

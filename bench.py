@@ -68,21 +68,21 @@ def main():
 
     _ = compute_ssimulacra2(img, img)  # compile outside timed region
 
-    # ---- ours ----
+    # ---- ours (batched speculative search; BASELINE config 2) ----
+    from oavif_tpu.tq.driver import search_encode
+
     tpu = TpuBackend()
+
+    warm = _make_ctx(img)
+    warm.o.max_pass = 1
+    search_encode(warm, tpu)  # warm code paths + compile the batch scorer
+
     ctx = _make_ctx(img)
-
-    def probe_ours(q):
-        ctx.q = q
-        data, recon = tpu.encode_with_recon(ctx)
-        probe_ours.last = data
-        return float(compute_ssimulacra2(img, recon))
-
-    _tq(probe_ours, max_pass=1)  # warm code paths
     t0 = time.time()
-    res = _tq(probe_ours)
+    res, ours_data = search_encode(ctx, tpu)
     ours_s = time.time() - t0
     ours_mps = mp / ours_s
+    res.num_pass = ctx.num_pass
 
     # ---- baseline: reference stack (libavif/libaom encode + decode
     # round-trip + CPU metric) ----
@@ -129,7 +129,7 @@ def main():
                     "ours_passes": res.num_pass,
                     "ours_q": res.q,
                     "ours_score": round(res.score, 2),
-                    "ours_bytes": len(getattr(probe_ours, "last", b"")),
+                    "ours_bytes": len(ours_data),
                     "baseline_s": round(base_s, 3),
                     "baseline_passes": res_b.num_pass,
                     "baseline_q": res_b.q,

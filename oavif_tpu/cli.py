@@ -18,7 +18,6 @@ from . import __version__
 from .backend import EncBuffer, EncCtx, get_backend
 from .io.image import load_image, to_rgb8
 from .options import OptionError, parse_args, usage_text
-from .tq import find_target_quality
 
 
 def _perr(msg: str) -> None:
@@ -39,25 +38,6 @@ def _print_version() -> None:
         _perr(f"pillow {pilver} (oracle: {_avif.codec_versions()})")
     except Exception:
         pass
-
-
-def make_probe(ctx: EncCtx, backend, metric):
-    """One search pass: encode at ctx.q, reconstruct/decode, score, cache
-    the bitstream (reference tq.zig:21-38). The TPU backend scores its own
-    reconstruction (== decoder output) instead of round-tripping bytes."""
-
-    def probe(q: int) -> float:
-        ctx.q = q
-        if hasattr(backend, "encode_with_recon"):
-            data, decoded = backend.encode_with_recon(ctx)
-        else:
-            data = backend.encode(ctx)
-            decoded = backend.decode_to_rgb8(data)
-        ctx.num_pass += 1
-        ctx.buf = EncBuffer(q=q, data=data, size=len(data))
-        return float(metric(ctx.rgb, decoded))
-
-    return probe
 
 
 def run(argv: List[str]) -> int:
@@ -115,22 +95,15 @@ def run(argv: List[str]) -> int:
         _perr(f"Compressed to {len(data)} bytes ({bpp:.3f} bpp)")
         return 0
 
-    from .metric import compute_ssimulacra2
+    from .tq.driver import search_encode
 
     _perr(
         f"Searching [tgt {o.score_tgt:g}±{o.tolerance:.1f}, "
         f"speed {o.speed}, {out_depth}-bit]"
     )
-    probe = make_probe(ctx, backend, compute_ssimulacra2)
-    result = find_target_quality(probe, o.score_tgt, o.tolerance, o.max_pass)
-    ctx.q = result.q
+    result, data = search_encode(ctx, backend)
     _perr(f"Found q{result.q} (score {result.score:.2f}, {ctx.num_pass} passes)")
 
-    # Reuse the cached bitstream when the final q matches (main.zig:109-113).
-    if ctx.buf.q == result.q and ctx.buf.data is not None:
-        data = ctx.buf.data
-    else:
-        data = backend.encode(ctx)
     with open(parsed.output_file, "wb") as f:
         f.write(data)
     bpp = len(data) * 8 / (ctx.w * ctx.h)

@@ -1,0 +1,114 @@
+"""Search drivers: glue between the TQ algorithms and an encoder backend.
+
+The sequential driver replicates the reference loop exactly (one encode +
+decode + score per pass, tq.zig:124-210). The batched driver is the
+TPU-native upgrade (BASELINE.json config 2): each round encodes a small
+vector of candidate quantizers concurrently (tile encodes run in the C
+runtime with the GIL released) and scores the whole batch in ONE device
+step (vmapped SSIMULACRA2 against the precomputed reference pyramid), so
+wall-clock per round ≈ one encode + one device call.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import replace
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ..backend import EncBuffer, EncCtx
+from .search import (
+    SearchResult,
+    find_target_quality,
+    find_target_quality_batched,
+)
+
+
+def make_probe(ctx: EncCtx, backend, metric):
+    """One search pass: encode at q, reconstruct/decode, score, cache the
+    bitstream (reference tq.zig:21-38). The TPU backend scores its own
+    reconstruction (== decoder output) instead of round-tripping bytes."""
+
+    def probe(q: int) -> float:
+        ctx.q = q
+        if hasattr(backend, "encode_with_recon"):
+            data, decoded = backend.encode_with_recon(ctx)
+        else:
+            data = backend.encode(ctx)
+            decoded = backend.decode_to_rgb8(data)
+        ctx.num_pass += 1
+        ctx.buf = EncBuffer(q=q, data=data, size=len(data))
+        probe.cache[q] = data
+        return float(metric(ctx.rgb, decoded))
+
+    probe.cache = {}
+    return probe
+
+
+def make_probe_batch(ctx: EncCtx, backend, batch_width: int):
+    """Batched probe: encode each candidate concurrently, score the recon
+    batch in one vmapped device step. Pads the batch to a fixed width so
+    every round reuses one compiled executable."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..metric.ssimulacra2 import compute_ssimulacra2_batch
+
+    def probe_batch(qs):
+        def enc(q):
+            return backend.encode_with_recon(replace(ctx, q=q))
+
+        if len(qs) > 1:
+            with ThreadPoolExecutor(max_workers=len(qs)) as ex:
+                outs = list(ex.map(enc, qs))
+        else:
+            outs = [enc(qs[0])]
+        recons = [r for (_, r) in outs]
+        batch = np.stack(recons + [recons[-1]] * (batch_width - len(recons)))
+        scores = compute_ssimulacra2_batch(ctx.rgb, batch)[: len(qs)]
+        for q, (data, _) in zip(qs, outs):
+            ctx.buf = EncBuffer(q=q, data=data, size=len(data))
+            probe_batch.cache[q] = data
+        ctx.num_pass += 1  # one round = one sequential encode wave
+        return [float(s) for s in scores]
+
+    probe_batch.cache = {}
+    return probe_batch
+
+
+def search_encode(
+    ctx: EncCtx, backend, metric=None
+) -> Tuple[SearchResult, bytes]:
+    """Run the target-quality search for ctx.o and return (result, final
+    AVIF bytes), reusing a cached bitstream when the selected quantizer was
+    already probed (reference main.zig:109-113).
+
+    Batched speculative probing is the default on backends that expose
+    encode_with_recon; OAVIF_TQ_BATCH=0 forces the reference's sequential
+    loop, OAVIF_TQ_BATCH_WIDTH sets candidates per round (default 4).
+    """
+    o = ctx.o
+    use_batch = (
+        hasattr(backend, "encode_with_recon")
+        and os.environ.get("OAVIF_TQ_BATCH", "1") != "0"
+    )
+    cache: Dict[int, bytes]
+    if use_batch:
+        bw = max(1, int(os.environ.get("OAVIF_TQ_BATCH_WIDTH", "4")))
+        probe_b = make_probe_batch(ctx, backend, bw)
+        result = find_target_quality_batched(
+            probe_b, o.score_tgt, o.tolerance, o.max_pass, batch_width=bw
+        )
+        cache = probe_b.cache
+    else:
+        if metric is None:
+            from ..metric import compute_ssimulacra2 as metric
+        probe = make_probe(ctx, backend, metric)
+        result = find_target_quality(probe, o.score_tgt, o.tolerance, o.max_pass)
+        cache = probe.cache
+
+    ctx.q = result.q
+    data = cache.get(result.q)
+    if data is None:
+        data = backend.encode(ctx)
+    return result, data

@@ -150,3 +150,31 @@ def test_batched_search_matches_selection_policy():
 
     res = find_target_quality_batched(probe_batch, 80.0, 1.0, 4)
     assert res.score == max(max(h.score, 0.0) for h in res.history)
+
+
+def test_search_encode_batched_hits_target(monkeypatch):
+    """The batched driver must hit the target within tolerance on the real
+    encoder and reuse a cached bitstream for the selected quantizer."""
+    import numpy as np
+    from oavif_tpu.backend import EncCtx
+    from oavif_tpu.backend.tpu import TpuBackend
+    from oavif_tpu.io.image import Image
+    from oavif_tpu.options import EncOptions
+    from oavif_tpu.tq.driver import search_encode
+
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:128, 0:128].astype(np.float64)
+    img = np.stack(
+        [128 + 90 * np.sin(xx / 13) * np.cos(yy / 17),
+         120 + 70 * np.cos(xx / 23),
+         100 + 80 * np.sin((xx + yy) / 29)], -1)
+    img = np.clip(img + rng.normal(0, 5, img.shape), 0, 255).astype(np.uint8)
+
+    src = Image(width=128, height=128, channels=3, hbd=False, data=img)
+    ctx = EncCtx(o=EncOptions(tenbit=False), src=src, rgb=img, w=128, h=128)
+    monkeypatch.setenv("OAVIF_TQ_BATCH", "1")
+    res, data = search_encode(ctx, TpuBackend())
+    assert data[:12].endswith(b"ftyp" + b"avif") or data[4:8] == b"ftyp"
+    assert res.num_pass <= ctx.o.max_pass
+    # either within tolerance or the best-achievable endpoint
+    assert res.score >= ctx.o.score_tgt - ctx.o.tolerance or res.q == 100

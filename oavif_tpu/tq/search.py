@@ -217,21 +217,29 @@ def speculative_candidates(
     The reference probes one q per pass; on TPU a whole batch of candidate
     quantizers encodes+scores in a single vmapped device step, so each round
     can probe the interpolant plus a bracket around it, collapsing the
-    expected number of sequential rounds. Candidates are unique, in-bound,
-    and exclude already-probed quantizers.
+    expected number of sequential rounds. The spread is proportional to the
+    remaining bracket (center, then the midpoints toward each bound, then
+    quarter points) so one round both refines the estimate and shrinks the
+    bracket the way two to three sequential bisection passes would.
+    Candidates are unique, in-bound, and exclude already-probed quantizers.
     """
     center = interpolate_quantizer(lo_bound, hi_bound, history, target)
     probed = {h.q for h in history}
+    cands = [
+        center,
+        (center + hi_bound + 1) // 2,
+        (center + lo_bound) // 2,
+        (3 * center + hi_bound + 3) // 4,
+        (3 * center + lo_bound) // 4,
+        center + 1,
+        center - 1,
+        center + 2,
+        center - 2,
+        center + 3,
+        center - 3,
+    ]
     out: List[int] = []
-    # Expand around the prediction: center, ±1, ±2, ±4, ±7, ±11 ...
-    offsets = [0]
-    step, d = 1, 1
-    while len(offsets) < 2 * width + 1:
-        offsets.extend([d, -d])
-        step += 1
-        d += step
-    for off in offsets:
-        cand = center + off
+    for cand in cands:
         if lo_bound <= cand <= hi_bound and cand not in probed and cand not in out:
             out.append(cand)
         if len(out) >= width:
@@ -260,11 +268,17 @@ def find_target_quality_batched(
 
     for rnd in range(max_pass):
         if rnd == 0:
-            cands = [predict_q_from_score(score_tgt)]
-            extra = speculative_candidates(
-                lo_bound, hi_bound, [PassResult(cands[0], score_tgt)], score_tgt, batch_width - 1
-            )
-            cands += [c for c in extra if c != cands[0]]
+            # Seed + a symmetric spread around it: the seed formula's
+            # residual error is roughly ±10 q on typical content, so ±6/±12
+            # probes usually bracket the target in the very first round.
+            seed = predict_q_from_score(score_tgt)
+            cands = [seed]
+            for off in (6, -6, 12, -12, 18, -18, 24, -24):
+                c = seed + off
+                if 0 <= c <= 100 and c not in cands:
+                    cands.append(c)
+                if len(cands) >= batch_width:
+                    break
         else:
             cands = speculative_candidates(lo_bound, hi_bound, history, score_tgt, batch_width)
         cands = cands[:batch_width]

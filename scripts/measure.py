@@ -1,0 +1,213 @@
+#!/usr/bin/env python3
+"""Corpus benchmark harness, CLI- and CSV-compatible with the reference's
+scripts/measure.py (behavior documented at SURVEY.md §3.4; written from
+that spec, not copied):
+
+    measure.py [--tolerance T] [--keep] [--shard K/N] [--jobs J] \
+               images_dir oavif_path output_csv
+
+  - collects *.png / *.jpg / *.jpeg (sorted) from images_dir
+  - encodes each via the given encoder command (the reference binary, or
+    "module:oavif_tpu" to run this package in-process), timing the run and
+    scraping "<N> pass(es)" from stderr
+  - writes the same CSV schema (Image, Original Bytes, Final Bytes,
+    Savings Bytes, Savings %, Encoding Time (ms), Passes, Status, Error)
+    and prints the same summary statistics family (throughput, overall +
+    geomean savings, time and pass dispersion)
+
+Scale-out (BASELINE config 5): --shard K/N statically shards the sorted
+corpus across N hosts (host K takes images[K::N]); under a
+jax.distributed-initialized job the shard defaults to
+(process_index, process_count). Each host writes its shard CSV; `--merge`
+concatenates shard CSVs and reprints the summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import math
+import re
+import statistics
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+PASS_RE = re.compile(r"(\d+)\s+pass(?:es)?")
+
+
+def parse_pass_count(stderr_text: str):
+    m = None
+    for m in PASS_RE.finditer(stderr_text):
+        pass
+    return int(m.group(1)) if m else None
+
+
+def encode_one(enc_cmd, tolerance, in_path: Path, out_path: Path):
+    """Run one encode; returns dict row fields."""
+    row = {
+        "Image": in_path.name,
+        "Original Bytes": in_path.stat().st_size,
+        "Final Bytes": "",
+        "Savings Bytes": "",
+        "Savings %": "",
+        "Encoding Time (ms)": "",
+        "Passes": "",
+        "Status": "ok",
+        "Error": "",
+    }
+    args = list(enc_cmd)
+    if tolerance is not None:
+        args += ["--tolerance", str(tolerance)]
+    args += [str(in_path), str(out_path)]
+    t0 = time.time()
+    try:
+        if args[0] == "module:oavif_tpu":
+            import contextlib
+            import io as iomod
+
+            repo_root = str(Path(__file__).resolve().parent.parent)
+            if repo_root not in sys.path:
+                sys.path.insert(0, repo_root)
+            from oavif_tpu.cli import run as cli_run
+
+            buf = iomod.StringIO()
+            with contextlib.redirect_stderr(buf):
+                rc = cli_run(args[1:])
+            stderr_text = buf.getvalue()
+            if rc != 0:
+                raise RuntimeError(f"exit {rc}: {stderr_text.strip()[-200:]}")
+        else:
+            proc = subprocess.run(args, capture_output=True, text=True)
+            stderr_text = proc.stderr
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f"exit {proc.returncode}: {stderr_text.strip()[-200:]}"
+                )
+        elapsed_ms = (time.time() - t0) * 1000
+        final = out_path.stat().st_size
+        row["Final Bytes"] = final
+        row["Savings Bytes"] = row["Original Bytes"] - final
+        row["Savings %"] = round(
+            100.0 * (row["Original Bytes"] - final) / row["Original Bytes"], 2
+        )
+        row["Encoding Time (ms)"] = round(elapsed_ms, 1)
+        p = parse_pass_count(stderr_text)
+        row["Passes"] = p if p is not None else ""
+    except Exception as e:  # per-image failure tolerated, like the reference
+        row["Status"] = "error"
+        row["Error"] = str(e)[:200]
+    return row
+
+
+def summarize(rows, wall_s):
+    ok = [r for r in rows if r["Status"] == "ok"]
+    print(f"\nImages: {len(ok)}/{len(rows)} ok in {wall_s:.1f}s "
+          f"({len(ok) / wall_s:.2f} images/s)" if wall_s > 0 else "")
+    if not ok:
+        return
+    in_bytes = sum(r["Original Bytes"] for r in ok)
+    out_bytes = sum(r["Final Bytes"] for r in ok)
+    print(f"Throughput: {in_bytes / wall_s / 1e6:.2f} MB/s in, "
+          f"{out_bytes / wall_s / 1e6:.2f} MB/s out")
+    overall = 100.0 * (in_bytes - out_bytes) / in_bytes
+    ratios = [r["Final Bytes"] / r["Original Bytes"] for r in ok
+              if r["Original Bytes"]]
+    geo = 100.0 * (1.0 - math.exp(sum(math.log(x) for x in ratios) / len(ratios)))
+    print(f"Savings: overall {overall:.2f}%, geomean {geo:.2f}%")
+    times = [r["Encoding Time (ms)"] for r in ok if r["Encoding Time (ms)"] != ""]
+    if times:
+        sd = statistics.stdev(times) if len(times) > 1 else 0.0
+        print(f"Time (ms): mean {statistics.mean(times):.1f}, "
+              f"median {statistics.median(times):.1f}, stddev {sd:.1f}")
+    passes = [r["Passes"] for r in ok if r["Passes"] != ""]
+    if passes:
+        sd = statistics.stdev(passes) if len(passes) > 1 else 0.0
+        print(f"Passes: mean {statistics.mean(passes):.2f}, stddev {sd:.2f}, "
+              f"min {min(passes)}, max {max(passes)}")
+
+
+FIELDS = ["Image", "Original Bytes", "Final Bytes", "Savings Bytes",
+          "Savings %", "Encoding Time (ms)", "Passes", "Status", "Error"]
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("images_dir")
+    ap.add_argument("oavif_path",
+                    help="encoder command, or module:oavif_tpu for in-process")
+    ap.add_argument("output_csv")
+    ap.add_argument("--tolerance", type=float, default=None)
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the encoded AVIF files")
+    ap.add_argument("--shard", default=None,
+                    help="K/N static corpus shard (defaults to the "
+                         "jax.distributed process index when initialized)")
+    ap.add_argument("--merge", nargs="*", default=None,
+                    help="merge shard CSVs given as arguments instead of "
+                         "encoding (images_dir/oavif_path ignored)")
+    args = ap.parse_args(argv)
+
+    if args.merge is not None:
+        rows = []
+        for path in args.merge:
+            with open(path) as f:
+                rows += list(csv.DictReader(f))
+        for r in rows:
+            for k in ("Original Bytes", "Final Bytes", "Savings Bytes"):
+                r[k] = int(r[k]) if r[k] else ""
+            r["Encoding Time (ms)"] = (
+                float(r["Encoding Time (ms)"]) if r["Encoding Time (ms)"] else ""
+            )
+            r["Passes"] = int(r["Passes"]) if r["Passes"] else ""
+        with open(args.output_csv, "w", newline="") as f:
+            wr = csv.DictWriter(f, fieldnames=FIELDS)
+            wr.writeheader()
+            wr.writerows(rows)
+        times = [r["Encoding Time (ms)"] for r in rows
+                 if r["Status"] == "ok" and r["Encoding Time (ms)"] != ""]
+        summarize(rows, sum(times) / 1000 if times else 1.0)
+        return 0
+
+    images = sorted(
+        p for p in Path(args.images_dir).iterdir()
+        if p.suffix.lower() in (".png", ".jpg", ".jpeg")
+    )
+    shard_k, shard_n = 0, 1
+    if args.shard:
+        shard_k, shard_n = (int(x) for x in args.shard.split("/"))
+    else:
+        try:  # under a multi-host jax job, shard by process automatically
+            import jax
+
+            if jax.process_count() > 1:
+                shard_k, shard_n = jax.process_index(), jax.process_count()
+        except Exception:
+            pass
+    images = images[shard_k::shard_n]
+    if not images:
+        print("no images in shard", file=sys.stderr)
+        return 1
+
+    enc_cmd = args.oavif_path.split()
+    out_dir = Path(args.output_csv).parent
+    rows = []
+    t0 = time.time()
+    for img in images:
+        out_path = out_dir / (img.stem + ".avif")
+        rows.append(encode_one(enc_cmd, args.tolerance, img, out_path))
+        if not args.keep and out_path.exists():
+            out_path.unlink()
+    wall_s = time.time() - t0
+
+    with open(args.output_csv, "w", newline="") as f:
+        wr = csv.DictWriter(f, fieldnames=FIELDS)
+        wr.writeheader()
+        wr.writerows(rows)
+    summarize(rows, wall_s)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,73 @@
+"""Corpus harness tests (scripts/measure.py — reference measure.py parity,
+SURVEY.md §3.4)."""
+
+import csv
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image as PILImage
+
+SCRIPT = Path(__file__).resolve().parent.parent / "scripts" / "measure.py"
+
+
+@pytest.fixture
+def corpus(tmp_path):
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        a = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        PILImage.fromarray(a).save(d / f"img{i}.png")
+    return d
+
+
+def test_pass_regex():
+    sys.path.insert(0, str(SCRIPT.parent))
+    import importlib
+    m = importlib.import_module("measure")
+    assert m.parse_pass_count("Found q60 (score 80.1, 3 passes)") == 3
+    assert m.parse_pass_count("1 pass") == 1
+    assert m.parse_pass_count("nothing") is None
+
+
+def test_corpus_run_inprocess(corpus, tmp_path):
+    out_csv = tmp_path / "out.csv"
+    r = subprocess.run(
+        [sys.executable, str(SCRIPT), str(corpus),
+         "module:oavif_tpu -q 60", str(out_csv)],
+        capture_output=True, text=True, timeout=300,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    rows = list(csv.DictReader(open(out_csv)))
+    assert len(rows) == 3
+    assert all(row["Status"] == "ok" for row in rows)
+    assert all(int(row["Final Bytes"]) > 0 for row in rows)
+    assert "Savings" in r.stdout
+
+
+def test_corpus_sharding(corpus, tmp_path):
+    csvs = []
+    for k in range(2):
+        out_csv = tmp_path / f"shard{k}.csv"
+        r = subprocess.run(
+            [sys.executable, str(SCRIPT), str(corpus),
+             "module:oavif_tpu -q 60", str(out_csv), "--shard", f"{k}/2"],
+            capture_output=True, text=True, timeout=300,
+            env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+        )
+        assert r.returncode == 0, r.stderr[-500:]
+        csvs.append(out_csv)
+    merged = tmp_path / "merged.csv"
+    r = subprocess.run(
+        [sys.executable, str(SCRIPT), ".", "x", str(merged),
+         "--merge"] + [str(c) for c in csvs],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    rows = list(csv.DictReader(open(merged)))
+    assert len(rows) == 3  # shards disjoint and complete
+    assert len({row["Image"] for row in rows}) == 3

@@ -58,11 +58,14 @@ def make_probe_batch(ctx: EncCtx, backend, batch_width: int):
         def enc(q):
             return backend.encode_with_recon(replace(ctx, q=q))
 
-        if len(qs) > 1:
-            with ThreadPoolExecutor(max_workers=len(qs)) as ex:
+        # Concurrency pays only with real cores: the C tile encoder releases
+        # the GIL, but on a single-core host threads just thrash the cache.
+        workers = min(len(qs), os.cpu_count() or 1)
+        if workers > 1:
+            with ThreadPoolExecutor(max_workers=workers) as ex:
                 outs = list(ex.map(enc, qs))
         else:
-            outs = [enc(qs[0])]
+            outs = [enc(q) for q in qs]
         recons = [r for (_, r) in outs]
         batch = np.stack(recons + [recons[-1]] * (batch_width - len(recons)))
         scores = compute_ssimulacra2_batch(ctx.rgb, batch)[: len(qs)]

@@ -157,17 +157,42 @@ def plan_frame(y_plane: np.ndarray, qindex: int, bitdepth: int = 8):
             left.append(l)
             corner.append(cnr)
     fh, fw = fwd_matrices(BLK, BLK)
-    best, levels, _ = plan_blocks(
-        jnp.asarray(np.stack(blocks)),
-        jnp.asarray(np.stack(above)),
-        jnp.asarray(np.stack(left)),
-        jnp.asarray(np.asarray(corner)),
-        jnp.asarray(fh, dtype=jnp.float32),
-        jnp.asarray(fw, dtype=jnp.float32),
-        jnp.float32(dc_q(qindex, bitdepth)),
-        jnp.float32(ac_q(qindex, bitdepth)),
-        DQ_SHIFT[BLK],
-    )
+    import os
+
+    if os.environ.get("OAVIF_PALLAS") == "1":
+        # Fused Pallas planner (predict+select+DCT+quant in VMEM). At the
+        # current 32-lane block geometry XLA's fused einsum is measured
+        # slightly faster, so the kernel is opt-in; kept as the template
+        # for lane-packed variants.
+        from .pallas_kernels import plan_blocks_pallas
+
+        best, levels = plan_blocks_pallas(
+            jnp.asarray(np.stack(blocks)),
+            jnp.asarray(np.stack(above)),
+            jnp.asarray(np.stack(left)),
+            jnp.asarray(np.asarray(corner)),
+            jnp.asarray(TABLES["sm_weights_32"], dtype=jnp.float32),
+            jnp.asarray(fh, dtype=jnp.float32),
+            jnp.asarray(fw, dtype=jnp.float32),
+            jnp.asarray(
+                [dc_q(qindex, bitdepth), ac_q(qindex, bitdepth),
+                 1 << DQ_SHIFT[BLK]],
+                dtype=jnp.float32,
+            ),
+            interpret=jax.default_backend() == "cpu",
+        )
+    else:
+        best, levels, _ = plan_blocks(
+            jnp.asarray(np.stack(blocks)),
+            jnp.asarray(np.stack(above)),
+            jnp.asarray(np.stack(left)),
+            jnp.asarray(np.asarray(corner)),
+            jnp.asarray(fh, dtype=jnp.float32),
+            jnp.asarray(fw, dtype=jnp.float32),
+            jnp.float32(dc_q(qindex, bitdepth)),
+            jnp.float32(ac_q(qindex, bitdepth)),
+            DQ_SHIFT[BLK],
+        )
     best = np.asarray(best)
     levels = np.asarray(levels)
     out = {}

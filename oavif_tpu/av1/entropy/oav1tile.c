@@ -299,6 +299,19 @@ static void quantize32(const Tile *t, const int32_t *resid, int32_t *levels) {
             double mag = floor(fabs(scaled) + 0.35);
             levels[i * n + j] = (int32_t)(scaled < 0 ? -mag : mag);
         }
+
+    /* tail trim (mirrors frame.py _trim_tail): zero trailing +-1 levels in
+     * the back half of the scan — each costs an eob extension + base symbol
+     * for near-zero distortion gain. */
+    const int32_t *scan = t->scan[3]; /* 32x32 */
+    int eob = 0;
+    for (int si = 0; si < n * n; si++)
+        if (levels[scan[si]]) eob = si + 1;
+    for (int si = eob - 1; si >= eob / 2; si--) {
+        int32_t v = levels[scan[si]];
+        if (v == 1 || v == -1) levels[scan[si]] = 0;
+        else if (v != 0) break;
+    }
 }
 
 /* dequant + normative inverse transform (frame.py _dequant_inv) */

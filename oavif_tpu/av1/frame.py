@@ -352,7 +352,10 @@ class TileEncoder:
         tx_y = min(size, 64)
         tx_uv = min(size, 32)
         plane_txs = [tx_y, tx_uv, tx_uv]
-        plane_modes = [y_mode, DC_PRED, DC_PRED]
+        # UV stays DC: measured RD over {DC, y_mode, V, H, SMOOTH} is a wash
+        # (the chroma win is CfL, which rides this same signaling path).
+        uv_mode = DC_PRED
+        plane_modes = [y_mode, uv_mode, uv_mode]
 
         can_code_coeffs = size >= 32  # tx < 32 would need tx-type signaling
         plane_jobs = []  # (plane, tx, px, py, levels, pred) per txb
@@ -398,8 +401,9 @@ class TileEncoder:
         if len(self.planes) > 1:
             cfl_allowed = size <= 32
             uv_cdfs = self.cdf.uv_mode_cfl if cfl_allowed else self.cdf.uv_mode
-            self._sym(uv_cdfs[y_mode], DC_PRED)
-            # uv DC is not directional → no uv angle_delta
+            self._sym(uv_cdfs[y_mode], uv_mode)
+            if uv_mode in MODE_TO_ANGLE and size >= 8:
+                self._sym(self.cdf.angle_delta[uv_mode - 1], 3)  # delta 0
 
         # --- residual coding + recon ---
         for plane, tx, px, py, levels, pred in plane_jobs:

@@ -195,6 +195,7 @@ _CDF_ORDER = (
     "skip", "kf_y", "uv_mode", "uv_mode_cfl", "angle_delta", "txb_skip",
     "eob16", "eob64", "eob256", "eob1024",
     "eob_extra", "coeff_base_eob", "coeff_base", "coeff_br", "dc_sign",
+    "cfl_sign", "cfl_alpha",
 )
 
 
@@ -229,6 +230,7 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None):
         "eob_extra": bank.eob_extra, "coeff_base_eob": bank.coeff_base_eob,
         "coeff_base": bank.coeff_base, "coeff_br": bank.coeff_br,
         "dc_sign": bank.dc_sign,
+        "cfl_sign": bank.cfl_sign, "cfl_alpha": bank.cfl_alpha,
     }
     cdf_arrs = [np.ascontiguousarray(cdfs[k], dtype=np.uint16) for k in _CDF_ORDER]
     cdf_ptrs = (C.POINTER(C.c_uint16) * len(cdf_arrs))(*[_u16p(a) for a in cdf_arrs])

@@ -51,8 +51,10 @@ enum {
     CDF_SKIP, CDF_KF_Y, CDF_UV_MODE, CDF_UV_MODE_CFL, CDF_ANGLE_DELTA,
     CDF_TXB_SKIP, CDF_EOB_PT16, CDF_EOB_PT64, CDF_EOB_PT256, CDF_EOB_PT1024,
     CDF_EOB_EXTRA, CDF_COEFF_BASE_EOB, CDF_COEFF_BASE, CDF_COEFF_BR,
-    CDF_DC_SIGN, CDF_N
+    CDF_DC_SIGN, CDF_CFL_SIGN, CDF_CFL_ALPHA, CDF_N
 };
+
+enum { UV_CFL_PRED = 13 };
 
 typedef struct {
     Enc *enc;
@@ -433,6 +435,32 @@ static int choose_y_mode(const Tile *t, int r, int c, int size,
     return best_mode;
 }
 
+/* quantized residual of src-plane minus pred; zero when coeffs can't code */
+static int plane_levels_c(Tile *t, int plane, int x, int y, int tx,
+                          int can_code, const int32_t *pred, int32_t *lv) {
+    if (!can_code) {
+        memset(lv, 0, (size_t)tx * tx * 4);
+        return 0;
+    }
+    int32_t resid[64 * 64];
+    const int32_t *srcp = t->src[plane];
+    for (int rr = 0; rr < tx; rr++)
+        for (int cc = 0; cc < tx; cc++)
+            resid[rr * tx + cc] =
+                srcp[(size_t)(y + rr) * t->pw + x + cc] - pred[rr * tx + cc];
+    quantize32(t, resid, lv);
+    for (int i = 0; i < tx * tx; i++)
+        if (lv[i]) return 1;
+    return 0;
+}
+
+static int64_t rate_proxy(const int32_t *lv, int n) {
+    int64_t s = 0;
+    for (int i = 0; i < n; i++)
+        if (lv[i]) s += 1 + llabs((int64_t)lv[i]);
+    return s;
+}
+
 static void encode_block(Tile *t, int r, int c, int size) {
     int x = c * 4, y = r * 4;
     int n_mi = size / 4;
@@ -454,32 +482,134 @@ static void encode_block(Tile *t, int r, int c, int size) {
         y_mode = choose_y_mode(t, r, c, size, &ey, have_above0, have_left0,
                                pred_scratch);
 
-    /* plan residuals for all planes (one txb per plane: tx == size) */
     int can_code = size >= 32;
     int tx = size;
-    int32_t *preds = (int32_t *)malloc((size_t)nplanes * tx * tx * 4);
-    int32_t *levels = (int32_t *)malloc((size_t)nplanes * tx * tx * 4);
-    int any_nonzero = 0;
-    for (int plane = 0; plane < nplanes; plane++) {
-        int mode = plane == 0 ? y_mode : DC_PRED;
-        Edges e;
-        build_edges(t, plane, x, y, tx, tx, y > 0, x > 0, &e);
-        int32_t *pred = preds + (size_t)plane * tx * tx;
-        predict(t, &e, mode, tx, tx, y > 0, x > 0, pred);
-        int32_t *lv = levels + (size_t)plane * tx * tx;
-        if (can_code) {
-            int32_t resid[64 * 64];
-            const int32_t *srcp = t->src[plane];
-            for (int rr = 0; rr < tx; rr++)
-                for (int cc = 0; cc < tx; cc++)
-                    resid[rr * tx + cc] =
-                        srcp[(size_t)(y + rr) * t->pw + x + cc] -
-                        pred[rr * tx + cc];
-            quantize32(t, resid, lv);
-            for (int i = 0; i < tx * tx; i++)
-                if (lv[i]) { any_nonzero = 1; break; }
-        } else {
-            memset(lv, 0, (size_t)tx * tx * 4);
+    int npx = tx * tx;
+    int hi = (1 << t->bitdepth) - 1;
+    int32_t *preds = (int32_t *)malloc((size_t)nplanes * npx * 4);
+    int32_t *levels = (int32_t *)malloc((size_t)nplanes * npx * 4);
+
+    /* --- luma first: pred, levels, local recon (CfL reads it) --- */
+    predict(t, &ey, y_mode, tx, tx, have_above0, have_left0, preds);
+    int any_nonzero = plane_levels_c(t, 0, x, y, tx, can_code, preds, levels);
+    int32_t y_recon[64 * 64];
+    if (any_nonzero) {
+        int32_t resid[64 * 64];
+        dequant_inv(t, levels, tx, resid);
+        for (int i = 0; i < npx; i++) {
+            int32_t v = preds[i] + resid[i];
+            y_recon[i] = v < 0 ? 0 : (v > hi ? hi : v);
+        }
+    } else {
+        for (int i = 0; i < npx; i++) {
+            int32_t v = preds[i];
+            y_recon[i] = v < 0 ? 0 : (v > hi ? hi : v);
+        }
+    }
+
+    /* --- chroma: DC vs CfL (mirrors frame.py _plan_chroma) --- */
+    int uv_mode = DC_PRED;
+    int alpha_u = 0, alpha_v = 0;
+    if (nplanes > 1) {
+        int32_t *dc_pred[2] = {preds + npx, preds + 2 * (size_t)npx};
+        for (int i = 0; i < 2; i++) {
+            Edges e;
+            build_edges(t, 1 + i, x, y, tx, tx, y > 0, x > 0, &e);
+            predict(t, &e, DC_PRED, tx, tx, y > 0, x > 0, dc_pred[i]);
+        }
+        int use_cfl = 0;
+        static _Thread_local int32_t cfl_pred[2][64 * 64];
+        if (size <= 32) {
+            /* lumaAC: (recon << 3) - Round2(sum, log2w+log2h) */
+            int64_t sum = 0;
+            int lg = 0;
+            while ((1 << lg) < size) lg++;
+            lg *= 2;
+            static _Thread_local int64_t diff[64 * 64];
+            for (int i = 0; i < npx; i++) sum += (int64_t)y_recon[i] << 3;
+            int64_t avg = (sum + ((int64_t)1 << (lg - 1))) >> lg;
+            for (int i = 0; i < npx; i++)
+                diff[i] = ((int64_t)y_recon[i] << 3) - avg;
+
+            int best_a[2] = {0, 0};
+            for (int i = 0; i < 2; i++) {
+                const int32_t *srcp = t->src[1 + i];
+                int64_t best_ssd = -1;
+                for (int a = -16; a <= 16; a++) {
+                    int64_t ssd = 0;
+                    for (int rr = 0; rr < tx; rr++)
+                        for (int cc = 0; cc < tx; cc++) {
+                            int64_t prod = (int64_t)a * diff[rr * tx + cc];
+                            int64_t contrib =
+                                prod < 0 ? -((-prod + 32) >> 6)
+                                         : ((prod + 32) >> 6);
+                            int64_t p = dc_pred[i][rr * tx + cc] + contrib;
+                            if (p < 0) p = 0;
+                            if (p > hi) p = hi;
+                            int64_t dd =
+                                srcp[(size_t)(y + rr) * t->pw + x + cc] - p;
+                            ssd += dd * dd;
+                        }
+                    if (best_ssd < 0 || ssd < best_ssd) {
+                        best_ssd = ssd;
+                        best_a[i] = a;
+                    }
+                }
+            }
+            if (best_a[0] || best_a[1]) {
+                for (int i = 0; i < 2; i++)
+                    for (int rr = 0; rr < tx; rr++)
+                        for (int cc = 0; cc < tx; cc++) {
+                            int64_t prod =
+                                (int64_t)best_a[i] * diff[rr * tx + cc];
+                            int64_t contrib =
+                                prod < 0 ? -((-prod + 32) >> 6)
+                                         : ((prod + 32) >> 6);
+                            int64_t p =
+                                dc_pred[i][rr * tx + cc] + contrib;
+                            if (p < 0) p = 0;
+                            if (p > hi) p = hi;
+                            cfl_pred[i][rr * tx + cc] = (int32_t)p;
+                        }
+                static _Thread_local int32_t lv_dc[2][64 * 64],
+                    lv_cfl[2][64 * 64];
+                int64_t cost_dc = 0, cost_cfl = 4;
+                for (int i = 0; i < 2; i++) {
+                    plane_levels_c(t, 1 + i, x, y, tx, can_code, dc_pred[i],
+                                   lv_dc[i]);
+                    plane_levels_c(t, 1 + i, x, y, tx, can_code, cfl_pred[i],
+                                   lv_cfl[i]);
+                    cost_dc += rate_proxy(lv_dc[i], npx);
+                    cost_cfl += rate_proxy(lv_cfl[i], npx);
+                }
+                if (cost_cfl < cost_dc) {
+                    uv_mode = UV_CFL_PRED;
+                    alpha_u = best_a[0];
+                    alpha_v = best_a[1];
+                    for (int i = 0; i < 2; i++) {
+                        memcpy(preds + (size_t)(1 + i) * npx, cfl_pred[i],
+                               (size_t)npx * 4);
+                        memcpy(levels + (size_t)(1 + i) * npx, lv_cfl[i],
+                               (size_t)npx * 4);
+                        for (int k = 0; k < npx; k++)
+                            if (lv_cfl[i][k]) { any_nonzero = 1; break; }
+                    }
+                } else {
+                    for (int i = 0; i < 2; i++) {
+                        memcpy(levels + (size_t)(1 + i) * npx, lv_dc[i],
+                               (size_t)npx * 4);
+                        for (int k = 0; k < npx; k++)
+                            if (lv_dc[i][k]) { any_nonzero = 1; break; }
+                    }
+                }
+                use_cfl = 1; /* levels already computed either way */
+            }
+        }
+        if (!use_cfl) {
+            for (int i = 0; i < 2; i++)
+                if (plane_levels_c(t, 1 + i, x, y, tx, can_code, dc_pred[i],
+                                   levels + (size_t)(1 + i) * npx))
+                    any_nonzero = 1;
         }
     }
     int skip = !any_nonzero;
@@ -502,14 +632,35 @@ static void encode_block(Tile *t, int r, int c, int size) {
         if (cfl_allowed)
             enc_symbol_adapt(
                 t->enc, t->cdf[CDF_UV_MODE_CFL] + (size_t)y_mode * 15, 14,
-                DC_PRED);
+                uv_mode);
         else
             enc_symbol_adapt(t->enc, t->cdf[CDF_UV_MODE] + (size_t)y_mode * 14,
-                             13, DC_PRED);
+                             13, uv_mode);
+        if (uv_mode == UV_CFL_PRED) {
+            /* cfl_alphas(): joint sign, then per-plane alphabet index */
+            int sign_u = alpha_u == 0 ? 0 : (alpha_u < 0 ? 1 : 2);
+            int sign_v = alpha_v == 0 ? 0 : (alpha_v < 0 ? 1 : 2);
+            int joint = sign_u * 3 + sign_v - 1;
+            enc_symbol_adapt(t->enc, t->cdf[CDF_CFL_SIGN], 8, joint);
+            if (sign_u)
+                enc_symbol_adapt(
+                    t->enc,
+                    t->cdf[CDF_CFL_ALPHA] + (size_t)(joint - 2) * 17, 16,
+                    abs(alpha_u) - 1);
+            if (sign_v)
+                enc_symbol_adapt(
+                    t->enc,
+                    t->cdf[CDF_CFL_ALPHA] +
+                        (size_t)(sign_v * 3 + sign_u - 3) * 17,
+                    16, abs(alpha_v) - 1);
+        } else if (MODE_ANGLE[uv_mode] && size >= 8) {
+            enc_symbol_adapt(t->enc,
+                             t->cdf[CDF_ANGLE_DELTA] + (size_t)(uv_mode - 1) * 8,
+                             7, 3);
+        }
     }
 
     /* residual coding + recon */
-    int32_t hi = (1 << t->bitdepth) - 1;
     for (int plane = 0; plane < nplanes; plane++) {
         int32_t *pred = preds + (size_t)plane * tx * tx;
         int32_t *lv = levels + (size_t)plane * tx * tx;

@@ -27,6 +27,7 @@ from .consts import (
     PARTITION_NONE,
     PARTITION_SPLIT,
     SKIP_CONTEXTS_TABLE,
+    UV_CFL_PRED,
     coeff_q_ctx,
 )
 from .entropy.rangecoder import RangeEncoder, update_cdf
@@ -131,6 +132,8 @@ class CdfBank:
         self.coeff_base = _adaptive(t["coeff_base"][qctx])  # (5, 2, 42, 5)
         self.coeff_br = _adaptive(t["coeff_br"][qctx])  # (5, 2, 21, 5)
         self.dc_sign = _adaptive(t["dc_sign"][qctx])  # (2, 3, 3)
+        self.cfl_sign = _adaptive(t["cfl_sign"])  # (9,)
+        self.cfl_alpha = _adaptive(t["cfl_alpha"])  # (6, 17)
 
 
 @dataclass
@@ -348,45 +351,49 @@ class TileEncoder:
             y_mode, _, _, _ = self._choose_y_mode(r, c, size)
         y_levels_planned = None
 
-        # --- plan residuals for all planes (decide skip) ---
-        tx_y = min(size, 64)
-        tx_uv = min(size, 32)
-        plane_txs = [tx_y, tx_uv, tx_uv]
-        # UV stays DC: measured RD over {DC, y_mode, V, H, SMOOTH} is a wash
-        # (the chroma win is CfL, which rides this same signaling path).
-        uv_mode = DC_PRED
-        plane_modes = [y_mode, uv_mode, uv_mode]
-
+        # --- plan residuals: luma first (CfL predicts chroma from the
+        # reconstructed luma of this block), then chroma ---
+        tx = min(size, 64)
         can_code_coeffs = size >= 32  # tx < 32 would need tx-type signaling
-        plane_jobs = []  # (plane, tx, px, py, levels, pred) per txb
-        any_nonzero = False
-        for plane in range(len(self.planes)):
-            tx = plane_txs[plane]
-            mode = plane_modes[plane]
-            for ty in range(y, y + size, tx):
-                for tx_x in range(x, x + size, tx):
-                    have_above = ty > 0
-                    have_left = tx_x > 0
-                    above, left = build_edges(
-                        self.recon[plane], tx_x, ty, tx, tx,
-                        have_above, have_left, self.bitdepth,
-                    )
-                    pred = predict(
-                        mode, above, left, tx, tx, have_above, have_left,
-                        bitdepth=self.bitdepth,
-                    )
-                    if plane == 0 and y_levels_planned is not None:
-                        levels = y_levels_planned.astype(np.int64)
-                    elif can_code_coeffs:
-                        src = self.src[plane][ty : ty + tx, tx_x : tx_x + tx]
-                        levels = self._quantize(src - pred, tx)
-                    else:
-                        levels = np.zeros((tx, tx), dtype=np.int64)
-                    if np.any(levels):
-                        any_nonzero = True
-                    plane_jobs.append((plane, tx, tx_x, ty, levels, pred))
+        lo, hi = 0, (1 << self.bitdepth) - 1
+        have_above, have_left = y > 0, x > 0
 
-        skip = not any_nonzero
+        def plane_pred(plane, mode):
+            above, left = build_edges(
+                self.recon[plane], x, y, tx, tx,
+                have_above, have_left, self.bitdepth,
+            )
+            return predict(
+                mode, above, left, tx, tx, have_above, have_left,
+                bitdepth=self.bitdepth,
+            )
+
+        def plane_levels(plane, pred):
+            if not can_code_coeffs:
+                return np.zeros((tx, tx), dtype=np.int64)
+            src = self.src[plane][y : y + tx, x : x + tx]
+            return self._quantize(src - pred, tx)
+
+        y_pred = plane_pred(0, y_mode)
+        if y_levels_planned is not None:
+            y_levels = y_levels_planned.astype(np.int64)
+        else:
+            y_levels = plane_levels(0, y_pred)
+        if np.any(y_levels):
+            y_recon = np.clip(y_pred + self._dequant_inv(y_levels, tx), lo, hi)
+        else:
+            y_recon = np.clip(y_pred, lo, hi)
+
+        plane_jobs = [(0, tx, x, y, y_levels, y_pred)]
+        uv_mode = DC_PRED
+        cfl_alphas = (0, 0)
+        if len(self.planes) > 1:
+            uv_mode, cfl_alphas, uv_jobs = self._plan_chroma(
+                x, y, size, tx, y_recon, plane_pred, plane_levels
+            )
+            plane_jobs += uv_jobs
+
+        skip = not any(np.any(lv) for _, _, _, _, lv, _ in plane_jobs)
 
         # --- symbols: skip, modes ---
         skip_ctx = int(self.above_skip[c]) + int(self.left_skip[lr])
@@ -402,7 +409,9 @@ class TileEncoder:
             cfl_allowed = size <= 32
             uv_cdfs = self.cdf.uv_mode_cfl if cfl_allowed else self.cdf.uv_mode
             self._sym(uv_cdfs[y_mode], uv_mode)
-            if uv_mode in MODE_TO_ANGLE and size >= 8:
+            if uv_mode == UV_CFL_PRED:
+                self._emit_cfl_alphas(*cfl_alphas)
+            elif uv_mode in MODE_TO_ANGLE and size >= 8:
                 self._sym(self.cdf.angle_delta[uv_mode - 1], 3)  # delta 0
 
         # --- residual coding + recon ---
@@ -424,6 +433,81 @@ class TileEncoder:
         self.left_skip[lr : lr + n_mi] = 1 if skip else 0
         self.above_mode[c : c + n_mi] = y_mode
         self.left_mode[lr : lr + n_mi] = y_mode
+
+    # -- chroma planning (CfL) ---------------------------------------------------
+
+    def _plan_chroma(self, x, y, size, tx, y_recon, plane_pred, plane_levels):
+        """Choose DC vs CfL for the chroma planes (spec 7.11.5).
+
+        CfL predicts chroma as DC + Round2Signed(alpha_q3 * lumaAC, 6) where
+        lumaAC = (reconLuma << 3) - Round2(sum, log2w+log2h). Per-plane alpha
+        is an exhaustive search over the ±16 alphabet by prediction SSD; the
+        DC-vs-CfL decision compares quantized-level rate proxies.
+        Returns (uv_mode, (alpha_u, alpha_v), plane_jobs)."""
+        dc_preds = [plane_pred(p, DC_PRED) for p in (1, 2)]
+
+        if size > 32:  # CfL not allowed
+            jobs = [
+                (p, tx, x, y, plane_levels(p, dc_preds[p - 1]), dc_preds[p - 1])
+                for p in (1, 2)
+            ]
+            return DC_PRED, (0, 0), jobs
+
+        luma = (y_recon.astype(np.int64)) << 3
+        lg = 2 * (size.bit_length() - 1)
+        avg = (int(luma.sum()) + (1 << (lg - 1))) >> lg
+        diff = luma - avg  # (size, size)
+
+        alphas = np.arange(-16, 17)
+        prod = alphas[:, None, None] * diff[None]
+        contrib = np.sign(prod) * ((np.abs(prod) + 32) >> 6)
+        hi = (1 << self.bitdepth) - 1
+
+        best_alpha = []
+        cfl_preds = []
+        for i in (0, 1):
+            preds = np.clip(dc_preds[i][None] + contrib, 0, hi)
+            src = self.src[1 + i][y : y + size, x : x + size]
+            ssd = ((src[None] - preds) ** 2).sum(axis=(1, 2))
+            a = int(alphas[int(np.argmin(ssd))])
+            best_alpha.append(a)
+            cfl_preds.append(preds[a + 16])
+
+        if best_alpha == [0, 0]:
+            jobs = [
+                (p, tx, x, y, plane_levels(p, dc_preds[p - 1]), dc_preds[p - 1])
+                for p in (1, 2)
+            ]
+            return DC_PRED, (0, 0), jobs
+
+        def rate_proxy(lv):
+            nz = lv != 0
+            return int(nz.sum()) + int(np.abs(lv).sum())
+
+        lv_dc = [plane_levels(1 + i, dc_preds[i]) for i in (0, 1)]
+        lv_cfl = [plane_levels(1 + i, cfl_preds[i]) for i in (0, 1)]
+        cost_dc = rate_proxy(lv_dc[0]) + rate_proxy(lv_dc[1])
+        cost_cfl = rate_proxy(lv_cfl[0]) + rate_proxy(lv_cfl[1]) + 4
+
+        if cost_cfl < cost_dc:
+            jobs = [(1 + i, tx, x, y, lv_cfl[i], cfl_preds[i]) for i in (0, 1)]
+            return UV_CFL_PRED, tuple(best_alpha), jobs
+        jobs = [(1 + i, tx, x, y, lv_dc[i], dc_preds[i]) for i in (0, 1)]
+        return DC_PRED, (0, 0), jobs
+
+    def _emit_cfl_alphas(self, alpha_u: int, alpha_v: int) -> None:
+        """cfl_alphas() syntax (spec 5.11.45): joint sign symbol, then the
+        per-plane alphabet index under its sign-derived context."""
+        sign_u = 0 if alpha_u == 0 else (1 if alpha_u < 0 else 2)
+        sign_v = 0 if alpha_v == 0 else (1 if alpha_v < 0 else 2)
+        joint = sign_u * 3 + sign_v - 1
+        self._sym(self.cdf.cfl_sign, joint)
+        if sign_u:
+            ctx_u = joint - 2
+            self._sym(self.cdf.cfl_alpha[ctx_u], abs(alpha_u) - 1)
+        if sign_v:
+            ctx_v = sign_v * 3 + sign_u - 3
+            self._sym(self.cdf.cfl_alpha[ctx_v], abs(alpha_v) - 1)
 
     # -- quant / dequant --------------------------------------------------------
 

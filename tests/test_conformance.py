@@ -229,3 +229,24 @@ def test_native_tile_encoder_odd_sizes_and_10bit():
         te = TileEncoder([p.copy() for p in planes], 60, bd, 9)
         py_payload = te.encode()
         assert native[0] == py_payload, (h, w, bd)
+
+
+@pytest.mark.parametrize("corr", ["pos_neg", "gray_ctx5", "mixed"])
+def test_cfl_roundtrip_matches_decoder(corr):
+    """CfL (chroma-from-luma) bitstreams must decode bit-exactly, covering
+    multiple joint-sign contexts (incl. the ctx-5 (+,+) path whose default
+    CDF was pinned against a corrupt-looking libaom .rodata row)."""
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:128, 0:128].astype(np.float64)
+    L = np.clip(128 + 100 * np.sin(xx / 13) * np.cos(yy / 19)
+                + rng.normal(0, 4, (128, 128)), 0, 255)
+    if corr == "pos_neg":
+        img = np.stack([L * 0.9 + 20, L * 0.8, 255 - L * 0.7], -1)
+    elif corr == "gray_ctx5":
+        img = np.stack([L, L, L], -1)
+    else:
+        img = np.stack([L, 255 - L * 0.5, L * 0.3 + 100], -1)
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    data, recon = _encode(img, q=60)
+    dec = _decode(data)
+    assert np.abs(dec.astype(int) - recon.astype(int)).max() <= 1

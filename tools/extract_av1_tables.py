@@ -201,6 +201,29 @@ def main():
     t, _ = take_table(d, ang_off, (8,), 7)
     out["angle_delta"] = t
 
+    # ---- CfL (chroma-from-luma) ----
+    # joint-sign CDF8 (stored counter-less, packed tight against the alpha
+    # table) immediately followed by alpha CDF16 x 6 contexts
+    cfl_off = find_u16_seq(
+        d, icdf([1418, 2123, 13340, 18405, 26972, 28343, 32294])
+    )
+    sign = d[cfl_off : cfl_off + 8].astype(np.uint16)
+    assert sign[7] == 0 and np.all(sign[:6].astype(np.int64) > sign[1:7])
+    out["cfl_sign"] = np.concatenate([sign[:7], [0]]).astype(np.uint16)
+    t, _ = take_table(d, cfl_off + 8, (5,), 16)
+    # Context 5: the on-disk blob contains a non-monotonic duplication
+    # ("...355, 248, 355, 248, 174...") that cannot be a valid ICDF; the
+    # spec/dav1d value set (monotonic, and equal to the blob minus the
+    # duplicated pair) is used instead. Validated end-to-end by the
+    # ctx-5-forcing CfL conformance test.
+    row5 = np.array(
+        [18030, 11090, 6989, 4867, 3744, 2466, 1788, 925, 624, 355, 248,
+         174, 146, 112, 108, 0],
+        dtype=np.uint16,
+    )
+    out["cfl_alpha"] = np.concatenate([t, row5[None]], axis=0)  # [6][16]
+    assert out["cfl_alpha"][0][0] == 32768 - 7637  # spec anchor
+
     # intra_ext_tx: set1 [TX_SIZES=? used 4][13 modes] CDF7 and
     # set2 [..][13] CDF5 — needed once tx < 32x32 lands. Located by its
     # first unit (spec Default_Intra_Ext_Tx_Cdf[1][0][0]): probe lazily;

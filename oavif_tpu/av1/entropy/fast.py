@@ -64,11 +64,13 @@ def _build() -> Optional[C.CDLL]:
             C.POINTER(_p32),   # src_planes
             C.POINTER(_p32),   # recon_out
             C.c_int, C.c_int, C.c_int, C.c_int, C.c_int,  # nplanes,w,h,bd,speed
+            C.c_int,           # qindex
             C.c_int, C.c_int,  # dq_dc, dq_ac
             C.POINTER(_pu16),  # cdf_ptrs
             C.POINTER(_p32),   # scans
             C.POINTER(_p32),   # sm_weights
-            C.POINTER(C.c_double), C.POINTER(C.c_double),  # fh32, fw32
+            C.POINTER(C.POINTER(C.c_double)),
+            C.POINTER(C.POINTER(C.c_double)),  # fhs, fws (8,16,32,64)
             _p32,              # dr_deriv
             _p32, C.c_int, C.c_int,  # plan, plan_nbx, plan_nby
             C.POINTER(C.POINTER(C.c_uint8)),  # out_payload
@@ -86,6 +88,7 @@ def _build() -> Optional[C.CDLL]:
             C.POINTER(C.c_uint16),
             C.POINTER(C.c_uint16),
             C.POINTER(C.c_uint16),
+            C.POINTER(C.c_uint16), C.c_int, C.c_int,
             C.POINTER(C.c_int32),
         ]
         return lib
@@ -149,6 +152,8 @@ class NativeEncoder:
         base_rows: np.ndarray,  # (42, 5)
         br_rows: np.ndarray,  # (21, 5)
         dc_sign_row: np.ndarray,
+        txtype_row=None,
+        txtype_sym: int = 1,
     ):
         cw = levels.shape[0]
         lv = np.ascontiguousarray(levels, dtype=np.int32)
@@ -164,6 +169,10 @@ class NativeEncoder:
             _u16p(base_rows),
             _u16p(br_rows),
             _u16p(dc_sign_row),
+            _u16p(txtype_row) if txtype_row is not None
+            else C.cast(None, C.POINTER(C.c_uint16)),
+            (len(txtype_row) - 1) if txtype_row is not None else 0,
+            txtype_sym,
             _i32p(out_ctx),
         )
         return eob, int(out_ctx[0]), int(out_ctx[1])
@@ -195,7 +204,7 @@ _CDF_ORDER = (
     "skip", "kf_y", "uv_mode", "uv_mode_cfl", "angle_delta", "txb_skip",
     "eob16", "eob64", "eob256", "eob1024",
     "eob_extra", "coeff_base_eob", "coeff_base", "coeff_br", "dc_sign",
-    "cfl_sign", "cfl_alpha",
+    "cfl_sign", "cfl_alpha", "intra_ext_tx1", "intra_ext_tx2",
 )
 
 
@@ -231,6 +240,8 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None):
         "coeff_base": bank.coeff_base, "coeff_br": bank.coeff_br,
         "dc_sign": bank.dc_sign,
         "cfl_sign": bank.cfl_sign, "cfl_alpha": bank.cfl_alpha,
+        "intra_ext_tx1": bank.intra_ext_tx1,
+        "intra_ext_tx2": bank.intra_ext_tx2,
     }
     cdf_arrs = [np.ascontiguousarray(cdfs[k], dtype=np.uint16) for k in _CDF_ORDER]
     cdf_ptrs = (C.POINTER(C.c_uint16) * len(cdf_arrs))(*[_u16p(a) for a in cdf_arrs])
@@ -252,9 +263,15 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None):
     sm_ptrs = (C.POINTER(C.c_int32) * 5)(*[_i32p(a) for a in sm_arrs])
     dr = np.ascontiguousarray(TABLES["dr_intra_derivative"], dtype=np.int32)
 
-    fh, fw = fwd_matrices(32, 32)
-    fh = np.ascontiguousarray(fh, dtype=np.float64)
-    fw = np.ascontiguousarray(fw, dtype=np.float64)
+    fmats = [
+        tuple(np.ascontiguousarray(m, dtype=np.float64)
+              for m in fwd_matrices(n, n))
+        for n in (8, 16, 32, 64)
+    ]
+    fh_ptrs = (C.POINTER(C.c_double) * 4)(
+        *[m[0].ctypes.data_as(C.POINTER(C.c_double)) for m in fmats])
+    fw_ptrs = (C.POINTER(C.c_double) * 4)(
+        *[m[1].ctypes.data_as(C.POINTER(C.c_double)) for m in fmats])
 
     plan_arr = None
     plan_ptr = C.POINTER(C.c_int32)()
@@ -270,11 +287,10 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None):
     out = C.POINTER(C.c_uint8)()
     n = lib.tile_encode(
         src_ptrs, recon_ptrs,
-        nplanes, w, h, bitdepth, speed,
+        nplanes, w, h, bitdepth, speed, qindex,
         int(dc_q(qindex, bitdepth)), int(ac_q(qindex, bitdepth)),
         cdf_ptrs, scan_ptrs, sm_ptrs,
-        fh.ctypes.data_as(C.POINTER(C.c_double)),
-        fw.ctypes.data_as(C.POINTER(C.c_double)),
+        fh_ptrs, fw_ptrs,
         _i32p(dr),
         plan_ptr, nbx, nby,
         C.byref(out),

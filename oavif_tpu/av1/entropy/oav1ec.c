@@ -187,6 +187,7 @@ int enc_coeffs(
     uint16_t *base_rows,                    /* 42 rows x 5 */
     uint16_t *br_rows,                      /* 21 rows x 5 */
     uint16_t *dc_sign_row,                  /* 1 row (ctx preselected) */
+    uint16_t *txtype_row, int txtype_nsym, int txtype_sym, /* NULL = none */
     int32_t *out_ctx)
 {
     int n_coded = cw * cw;
@@ -203,6 +204,7 @@ int enc_coeffs(
         out_ctx[1] = 0;
         return 0;
     }
+    if (txtype_row) enc_symbol_adapt(e, txtype_row, txtype_nsym, txtype_sym);
 
     int eob_pt;
     if (eob == 1) eob_pt = 1;

@@ -31,6 +31,7 @@ int enc_coeffs(Enc *e, const int32_t *lv, int cw, const int32_t *scan,
                uint16_t *txb_skip_row, uint16_t *eob_pt_row, int eob_pt_nsym,
                uint16_t *eob_extra_rows, uint16_t *base_eob_rows,
                uint16_t *base_rows, uint16_t *br_rows, uint16_t *dc_sign_row,
+               uint16_t *txtype_row, int txtype_nsym, int txtype_sym,
                int32_t *out_ctx);
 void inv_txfm2d_c(int32_t *c, int w, int h, int bitdepth);
 
@@ -51,7 +52,8 @@ enum {
     CDF_SKIP, CDF_KF_Y, CDF_UV_MODE, CDF_UV_MODE_CFL, CDF_ANGLE_DELTA,
     CDF_TXB_SKIP, CDF_EOB_PT16, CDF_EOB_PT64, CDF_EOB_PT256, CDF_EOB_PT1024,
     CDF_EOB_EXTRA, CDF_COEFF_BASE_EOB, CDF_COEFF_BASE, CDF_COEFF_BR,
-    CDF_DC_SIGN, CDF_CFL_SIGN, CDF_CFL_ALPHA, CDF_N
+    CDF_DC_SIGN, CDF_CFL_SIGN, CDF_CFL_ALPHA, CDF_INTRA_EXT_TX1,
+    CDF_INTRA_EXT_TX2, CDF_N
 };
 
 enum { UV_CFL_PRED = 13 };
@@ -64,13 +66,14 @@ typedef struct {
     int pw, ph;             /* padded dims (mi grid * 4) */
     int nplanes;
     int bitdepth, speed;
+    int qindex;
     int dq_dc, dq_ac;
     int32_t *src[3];        /* padded (ph, pw) */
     int32_t *recon[3];      /* padded (ph, pw) */
     uint16_t *cdf[CDF_N];
     const int32_t *scan[6]; /* index by log2(cw)-2: 4,8,16,32 */
     const int32_t *smw[5];  /* sm_weights by log2(n)-2: 4,8,16,32,64 */
-    const double *fh32, *fw32;
+    const double *fh[4], *fw[4]; /* by log2(n)-3: 8,16,32,64 */
     const int32_t *dr_deriv; /* dr_intra_derivative[90] */
     const int32_t *plan;    /* per-32x32-block mode, -1 = search; or NULL */
     int plan_nbx, plan_nby;
@@ -91,10 +94,10 @@ typedef struct {
     int64_t left[129];
 } Edges;
 
-static void build_edges(const Tile *t, int plane, int x, int y, int w, int h,
-                        int have_above, int have_left, Edges *e) {
+static void build_edges_buf(const Tile *t, const int32_t *recon, int x,
+                            int y, int w, int h, int have_above,
+                            int have_left, Edges *e) {
     int base = 1 << (t->bitdepth - 1);
-    const int32_t *recon = t->recon[plane];
     int pw = t->pw;
     int n = w + h;
     if (have_above) {
@@ -127,6 +130,11 @@ static void build_edges(const Tile *t, int plane, int x, int y, int w, int h,
     else corner = base;
     e->above[0] = corner;
     e->left[0] = corner;
+}
+
+static void build_edges(const Tile *t, int plane, int x, int y, int w, int h,
+                        int have_above, int have_left, Edges *e) {
+    build_edges_buf(t, t->recon[plane], x, y, w, h, have_above, have_left, e);
 }
 
 static int log2i(int n) { return 31 - __builtin_clz((unsigned)n); }
@@ -270,17 +278,19 @@ static void predict(const Tile *t, const Edges *e, int mode, int w, int h,
 static const int DQ_SHIFT_BY_TX[65] = {
     [4] = 0, [8] = 0, [16] = 0, [32] = 1, [64] = 2};
 
-/* resid (tx*tx int32) -> levels (int32, natural order) via
- * coeffs = fh @ resid @ fw^T in double, deadzone quant. tx==32 only. */
-static void quantize32(const Tile *t, const int32_t *resid, int32_t *levels) {
-    const int n = 32;
-    double tmp[32 * 32];
-    double rd[32 * 32];
+/* resid (n*n int32) -> levels (int32, natural order) via
+ * coeffs = fh @ resid @ fw^T in double, deadzone quant + tail trim. */
+static void quantize_n(const Tile *t, const int32_t *resid, int n,
+                       int32_t *levels) {
+    const double *fhm = t->fh[log2i(n) - 3];
+    const double *fwm = t->fw[log2i(n) - 3];
+    double tmp[64 * 64];
+    double rd[64 * 64];
     for (int i = 0; i < n * n; i++) rd[i] = (double)resid[i];
     /* tmp = fh @ resid (k-inner moved to j for unit-stride accumulate) */
-    memset(tmp, 0, sizeof(tmp));
+    memset(tmp, 0, sizeof(double) * n * n);
     for (int i = 0; i < n; i++) {
-        const double *fr = t->fh32 + (size_t)i * n;
+        const double *fr = fhm + (size_t)i * n;
         double *to = tmp + (size_t)i * n;
         for (int k = 0; k < n; k++) {
             double cf = fr[k];
@@ -288,13 +298,13 @@ static void quantize32(const Tile *t, const int32_t *resid, int32_t *levels) {
             for (int j = 0; j < n; j++) to[j] += cf * rrow[j];
         }
     }
-    int shift = DQ_SHIFT_BY_TX[32];
+    int shift = DQ_SHIFT_BY_TX[n];
     double scale_ac = (double)(1 << shift) / (double)t->dq_ac;
     double scale_dc = (double)(1 << shift) / (double)t->dq_dc;
     /* levels = quant(tmp @ fw^T) */
     for (int i = 0; i < n; i++)
         for (int j = 0; j < n; j++) {
-            const double *fr = t->fw32 + (size_t)j * n;
+            const double *fr = fwm + (size_t)j * n;
             double s = 0;
             for (int k = 0; k < n; k++) s += tmp[i * n + k] * fr[k];
             double scaled = s * ((i == 0 && j == 0) ? scale_dc : scale_ac);
@@ -304,10 +314,13 @@ static void quantize32(const Tile *t, const int32_t *resid, int32_t *levels) {
 
     /* tail trim (mirrors frame.py _trim_tail): zero trailing +-1 levels in
      * the back half of the scan — each costs an eob extension + base symbol
-     * for near-zero distortion gain. */
-    const int32_t *scan = t->scan[3]; /* 32x32 */
+     * for near-zero distortion gain. cw = min(n, 32) coded region. */
+    int cw = n < 32 ? n : 32;
+    const int32_t *scan = t->scan[log2i(cw) - 2];
     int eob = 0;
-    for (int si = 0; si < n * n; si++)
+    /* scan indexes the cw*cw region in natural order of the cw block; for
+     * n == cw the level array matches directly */
+    for (int si = 0; si < cw * cw; si++)
         if (levels[scan[si]]) eob = si + 1;
     for (int si = eob - 1; si >= eob / 2; si--) {
         int32_t v = levels[scan[si]];
@@ -371,7 +384,8 @@ static void set_lvl_ctx(Tile *t, int plane, int px, int py, int tx, int cul,
 }
 
 static void encode_coeffs_txb(Tile *t, int plane, int tx, int px, int py,
-                              const int32_t *levels, int bsize) {
+                              const int32_t *levels, int bsize,
+                              int y_mode_ctx) {
     static const int TXS_CTX[65] = {[4] = 0, [8] = 1, [16] = 2, [32] = 3, [64] = 4};
     int txs = TXS_CTX[tx];
     int ptype = plane == 0 ? 0 : 1;
@@ -399,10 +413,25 @@ static void encode_coeffs_txb(Tile *t, int plane, int tx, int px, int py,
     uint16_t *br_rows = t->cdf[CDF_COEFF_BR] + ((size_t)txs * 2 + ptype) * 21 * 5;
     uint16_t *dc_sign_row = t->cdf[CDF_DC_SIGN] + ((size_t)ptype * 3 + sctx) * 3;
 
+    /* Y tx <= 16 signals intra_tx_type: DCT_DCT = symbol 1; 16x16 uses
+     * TX_SET_INTRA_2 (5 syms), 4x4/8x8 TX_SET_INTRA_1 (7 syms) — spec
+     * get_tx_set. */
+    uint16_t *txtype_row = NULL;
+    int txtype_nsym = 0;
+    if (plane == 0 && tx == 16) {
+        txtype_row =
+            t->cdf[CDF_INTRA_EXT_TX2] + ((size_t)txs * 13 + y_mode_ctx) * 6;
+        txtype_nsym = 5;
+    } else if (plane == 0 && tx <= 8) {
+        txtype_row =
+            t->cdf[CDF_INTRA_EXT_TX1] + ((size_t)txs * 13 + y_mode_ctx) * 8;
+        txtype_nsym = 7;
+    }
+
     int32_t out_ctx[2];
     enc_coeffs(t->enc, levels, cw, t->scan[log2i(cw) - 2], txb_skip_row,
                eob_pt_row, eob_nsym, eob_extra_rows, base_eob_rows, base_rows,
-               br_rows, dc_sign_row, out_ctx);
+               br_rows, dc_sign_row, txtype_row, txtype_nsym, 1, out_ctx);
     set_lvl_ctx(t, plane, px, py, tx, out_ctx[0], out_ctx[1]);
 }
 
@@ -448,7 +477,7 @@ static int plane_levels_c(Tile *t, int plane, int x, int y, int tx,
         for (int cc = 0; cc < tx; cc++)
             resid[rr * tx + cc] =
                 srcp[(size_t)(y + rr) * t->pw + x + cc] - pred[rr * tx + cc];
-    quantize32(t, resid, lv);
+    quantize_n(t, resid, tx, lv);
     for (int i = 0; i < tx * tx; i++)
         if (lv[i]) return 1;
     return 0;
@@ -482,7 +511,7 @@ static void encode_block(Tile *t, int r, int c, int size) {
         y_mode = choose_y_mode(t, r, c, size, &ey, have_above0, have_left0,
                                pred_scratch);
 
-    int can_code = size >= 32;
+    int can_code = size >= 8; /* tx_type signaled for tx <= 16 */
     int tx = size;
     int npx = tx * tx;
     int hi = (1 << t->bitdepth) - 1;
@@ -674,7 +703,7 @@ static void encode_block(Tile *t, int r, int c, int size) {
                         v < 0 ? 0 : (v > hi ? hi : v);
                 }
         } else {
-            encode_coeffs_txb(t, plane, tx, x, y, lv, size);
+            encode_coeffs_txb(t, plane, tx, x, y, lv, size, y_mode);
             int32_t resid[64 * 64];
             dequant_inv(t, lv, tx, resid);
             for (int rr = 0; rr < tx; rr++)
@@ -695,6 +724,42 @@ static void encode_block(Tile *t, int r, int c, int size) {
         t->above_mode[c + i] = (uint8_t)y_mode;
         t->left_mode[lr + i] = (uint8_t)y_mode;
     }
+}
+
+/* ---- partition RD decision (mirrors frame.py) ---- */
+
+static int64_t src_mode_ssd(const Tile *t, int x, int y, int size) {
+    Edges e;
+    int ha = y > 0, hl = x > 0;
+    build_edges_buf(t, t->src[0], x, y, size, size, ha, hl, &e);
+    int cands[7] = {DC_PRED, V_PRED, H_PRED, SMOOTH_PRED, PAETH_PRED,
+                    SMOOTH_V_PRED, SMOOTH_H_PRED};
+    int ncand = t->speed <= 6 ? 7 : 5;
+    int32_t pred[64 * 64];
+    int64_t best = -1;
+    for (int m = 0; m < ncand; m++) {
+        predict(t, &e, cands[m], size, size, ha, hl, pred);
+        int64_t ssd = 0;
+        for (int rr = 0; rr < size; rr++)
+            for (int cc = 0; cc < size; cc++) {
+                int64_t d = t->src[0][(size_t)(y + rr) * t->pw + x + cc] -
+                            pred[rr * size + cc];
+                ssd += d * d;
+            }
+        if (best < 0 || ssd < best) best = ssd;
+    }
+    return best;
+}
+
+static int choose_partition32(const Tile *t, int r, int c) {
+    int x = c * 4, y = r * 4;
+    int64_t ssd_parent = src_mode_ssd(t, x, y, 32);
+    int64_t ssd_kids = 0;
+    for (int dy = 0; dy <= 16; dy += 16)
+        for (int dx = 0; dx <= 16; dx += 16)
+            ssd_kids += src_mode_ssd(t, x + dx, y + dy, 16);
+    int64_t penalty = (int64_t)t->dq_ac * t->dq_ac;
+    return ssd_kids + penalty < ssd_parent ? PARTITION_SPLIT : PARTITION_NONE;
 }
 
 /* ---- partitions (mirrors frame.py) ---- */
@@ -746,7 +811,12 @@ static void encode_partition(Tile *t, int r, int c, int size) {
 
     int part;
     if (has_rows && has_cols) {
-        part = size > 32 ? PARTITION_SPLIT : PARTITION_NONE;
+        if (size > 32)
+            part = PARTITION_SPLIT;
+        else if (size == 32 && t->speed <= 9 && t->qindex <= 90)
+            part = choose_partition32(t, r, c);
+        else
+            part = PARTITION_NONE;
         int ctx = partition_ctx(t, r, c, size);
         enc_symbol_adapt(t->enc,
                          t->cdf[cdf_idx] + (size_t)ctx * (nsym + 1), nsym, part);
@@ -781,12 +851,12 @@ static void encode_partition(Tile *t, int r, int c, int size) {
 size_t tile_encode(
     const int32_t *const *src_planes, /* per-plane (h, w) int32, row-major */
     int32_t *const *recon_out,        /* per-plane (h, w) int32 out */
-    int nplanes, int w, int h, int bitdepth, int speed,
+    int nplanes, int w, int h, int bitdepth, int speed, int qindex,
     int dq_dc, int dq_ac,
     uint16_t *const *cdf_ptrs,        /* CDF_N pointers */
     const int32_t *const *scans,      /* 4: scan4,8,16,32 */
     const int32_t *const *sm_weights, /* 5: 4,8,16,32,64 */
-    const double *fh32, const double *fw32,
+    const double *const *fhs, const double *const *fws, /* 8,16,32,64 */
     const int32_t *dr_deriv,
     const int32_t *plan, int plan_nbx, int plan_nby,
     uint8_t **out_payload)            /* malloc'd; caller frees */
@@ -797,6 +867,7 @@ size_t tile_encode(
     t.nplanes = nplanes;
     t.bitdepth = bitdepth;
     t.speed = speed;
+    t.qindex = qindex;
     t.dq_dc = dq_dc; t.dq_ac = dq_ac;
     t.mi_cols = 2 * ((w + 7) >> 3);
     t.mi_rows = 2 * ((h + 7) >> 3);
@@ -807,7 +878,7 @@ size_t tile_encode(
     for (int i = 0; i < CDF_N; i++) t.cdf[i] = cdf_ptrs[i];
     for (int i = 0; i < 4; i++) t.scan[i] = scans[i];
     for (int i = 0; i < 5; i++) t.smw[i] = sm_weights[i];
-    t.fh32 = fh32; t.fw32 = fw32;
+    for (int i = 0; i < 4; i++) { t.fh[i] = fhs[i]; t.fw[i] = fws[i]; }
     t.dr_deriv = dr_deriv;
     t.plan = plan;
     t.plan_nbx = plan_nbx;

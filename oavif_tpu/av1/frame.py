@@ -134,6 +134,8 @@ class CdfBank:
         self.dc_sign = _adaptive(t["dc_sign"][qctx])  # (2, 3, 3)
         self.cfl_sign = _adaptive(t["cfl_sign"])  # (9,)
         self.cfl_alpha = _adaptive(t["cfl_alpha"])  # (6, 17)
+        self.intra_ext_tx1 = _adaptive(t["intra_ext_tx_set1"])  # (4, 13, 8)
+        self.intra_ext_tx2 = _adaptive(t["intra_ext_tx_set2"])  # (4, 13, 6)
 
 
 @dataclass
@@ -264,9 +266,18 @@ class TileEncoder:
         has_rows = (r + half_mi) < self.mi_rows
         has_cols = (c + half_mi) < self.mi_cols
 
-        # policy: split to 32x32 inside; split partial nodes; NONE at leaves
+        # policy: split to 32x32 inside, then RD-decide 32 vs 4x16;
+        # split partial nodes; NONE at small leaves
         if has_rows and has_cols:
-            part = PARTITION_SPLIT if size > 32 else PARTITION_NONE
+            if size > 32:
+                part = PARTITION_SPLIT
+            elif size == 32 and self.speed <= 9 and self.qindex <= 90:
+                # splitting pays at high quality (closer prediction edges
+                # beat the extra signaling); at coarse q it only adds
+                # overhead — measured on the rate/score curves
+                part = self._choose_partition32(r, c)
+            else:
+                part = PARTITION_NONE
             ctx = self._partition_ctx(r, c, size)
             cdf = self.cdf.partition[size][ctx]
             self._sym(cdf, part)
@@ -336,6 +347,48 @@ class TileEncoder:
                 best = (ssd, m, pred)
         return best[1], best[2], above, left
 
+    def _src_mode_ssd(self, x: int, y: int, size: int) -> int:
+        """Best-candidate-mode prediction SSD using *source* pixels as
+        edges (children aren't reconstructed yet at decision time — the
+        standard partition-RD approximation)."""
+        from .consts import (
+            H_PRED, PAETH_PRED, SMOOTH_H_PRED, SMOOTH_PRED, SMOOTH_V_PRED,
+            V_PRED,
+        )
+
+        have_above, have_left = y > 0, x > 0
+        above, left = build_edges(
+            self.src[0], x, y, size, size, have_above, have_left, self.bitdepth
+        )
+        srcb = self.src[0][y : y + size, x : x + size]
+        cands = [DC_PRED, V_PRED, H_PRED, SMOOTH_PRED, PAETH_PRED]
+        if self.speed <= 6:
+            cands += [SMOOTH_V_PRED, SMOOTH_H_PRED]
+        best = None
+        for m in cands:
+            pred = predict(m, above, left, size, size, have_above, have_left,
+                           bitdepth=self.bitdepth)
+            ssd = int(((srcb - pred) ** 2).sum())
+            if best is None or ssd < best:
+                best = ssd
+        return best
+
+    def _choose_partition32(self, r: int, c: int) -> int:
+        """NONE vs SPLIT for a full 32x32 node: compare best-mode source
+        SSD of the parent vs its four 16x16 children plus a q-scaled rate
+        penalty for the extra partition/mode/coeff signaling."""
+        x, y = c * 4, r * 4
+        ssd_parent = self._src_mode_ssd(x, y, 32)
+        ssd_kids = 0
+        for dy in (0, 16):
+            for dx in (0, 16):
+                ssd_kids += self._src_mode_ssd(x + dx, y + dy, 16)
+        penalty = self.dq_ac * self.dq_ac
+        return (
+            PARTITION_SPLIT if ssd_kids + penalty < ssd_parent
+            else PARTITION_NONE
+        )
+
     def _encode_block(self, r: int, c: int, size: int) -> None:
         x, y = c * 4, r * 4
         n_mi = size // 4
@@ -354,7 +407,7 @@ class TileEncoder:
         # --- plan residuals: luma first (CfL predicts chroma from the
         # reconstructed luma of this block), then chroma ---
         tx = min(size, 64)
-        can_code_coeffs = size >= 32  # tx < 32 would need tx-type signaling
+        can_code_coeffs = size >= 8  # tx_type signaled for tx <= 16
         lo, hi = 0, (1 << self.bitdepth) - 1
         have_above, have_left = y > 0, x > 0
 
@@ -420,7 +473,7 @@ class TileEncoder:
                 self._set_lvl_ctx(plane, px, py, tx, 0, 0)
                 recon_block = pred
             else:
-                self._encode_coeffs(plane, tx, px, py, levels, size)
+                self._encode_coeffs(plane, tx, px, py, levels, size, y_mode)
                 resid = self._dequant_inv(levels, tx)
                 recon_block = pred + resid
             lo, hi = 0, (1 << self.bitdepth) - 1
@@ -597,7 +650,8 @@ class TileEncoder:
         ps.left_dc[(mi_r & 15) : (mi_r & 15) + n] = dc_cat
 
     def _encode_coeffs(
-        self, plane: int, tx: int, px: int, py: int, levels2d: np.ndarray, bsize: int
+        self, plane: int, tx: int, px: int, py: int, levels2d: np.ndarray,
+        bsize: int, y_mode: int = 0
     ) -> None:
         txs_ctx = _TXS_CTX[tx]
         ptype = 0 if plane == 0 else 1
@@ -605,6 +659,18 @@ class TileEncoder:
         lv = levels2d[:cw, :cw]
         scan32 = self._scan_cache[cw]
         ctx = self._txb_skip_ctx(plane, px, py, tx, bsize)
+
+        # Y-plane tx <= 16 signals intra_tx_type after txb_skip (spec
+        # coeffs()/transform_type; tx 32/64 are DCT-only, nothing coded).
+        # Intra tx sets (spec get_tx_set): 16x16 -> TX_SET_INTRA_2
+        # {IDTX, DCT_DCT, ADST_ADST, ADST_DCT, DCT_ADST}; 4x4/8x8 ->
+        # TX_SET_INTRA_1 {IDTX, DCT_DCT, V_DCT, H_DCT, ADST_ADST, ADST_DCT,
+        # DCT_ADST}. We always choose DCT_DCT: symbol 1 in both orders
+        # (validated by decoder probes in tests/test_conformance.py).
+        txtype_row = None
+        if plane == 0 and tx <= 16:
+            bank = self.cdf.intra_ext_tx2 if tx == 16 else self.cdf.intra_ext_tx1
+            txtype_row = bank[txs_ctx][y_mode]
 
         if self.enc.coeffs is not None:
             sctx = self._dc_sign_ctx(plane, px, py, tx)
@@ -618,6 +684,8 @@ class TileEncoder:
                 self.cdf.coeff_base[txs_ctx][ptype],
                 self.cdf.coeff_br[txs_ctx][ptype],
                 self.cdf.dc_sign[ptype][sctx],
+                txtype_row,
+                1,
             )
             self._set_lvl_ctx(plane, px, py, tx, cul, dc_cat)
             return
@@ -631,6 +699,8 @@ class TileEncoder:
         if eob == 0:
             self._set_lvl_ctx(plane, px, py, tx, 0, 0)
             return
+        if txtype_row is not None:
+            self._sym(txtype_row, 1)  # DCT_DCT
 
         # eob_pt
         n_coded = cw * cw

@@ -250,3 +250,15 @@ def test_cfl_roundtrip_matches_decoder(corr):
     data, recon = _encode(img, q=60)
     dec = _decode(data)
     assert np.abs(dec.astype(int) - recon.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("q,shape", [(85, (96, 96)), (60, (130, 98)), (90, (64, 64))])
+def test_partition_split_roundtrip(q, shape):
+    """16x16 leaves (RD split + intra_tx_type signaling) must decode
+    bit-exactly, including partial-node 8x8/16x16 leaves at odd sizes."""
+    rng = np.random.default_rng(13)
+    h, w = shape
+    img = np.clip(rng.normal(128, 40, (h, w, 3)), 0, 255).astype(np.uint8)
+    data, recon = _encode(img, q=q)
+    dec = _decode(data)
+    assert np.abs(dec.astype(int) - recon.astype(int)).max() <= 1

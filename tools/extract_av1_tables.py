@@ -224,20 +224,15 @@ def main():
     out["cfl_alpha"] = np.concatenate([t, row5[None]], axis=0)  # [6][16]
     assert out["cfl_alpha"][0][0] == 32768 - 7637  # spec anchor
 
-    # intra_ext_tx: set1 [TX_SIZES=? used 4][13 modes] CDF7 and
-    # set2 [..][13] CDF5 — needed once tx < 32x32 lands. Located by its
-    # first unit (spec Default_Intra_Ext_Tx_Cdf[1][0][0]): probe lazily;
-    # not fatal if layout differs (guarded by conformance tests).
-    try:
-        # set1, tx4x4, DC mode anchor
-        ext1_off = find_u16_seq(d, icdf([1535, 8035, 8980]))
-        t, end = take_table(d, ext1_off, (3, 13), 7)
-        out["intra_ext_tx_set1"] = t
-        t, end = take_table(d, end, (3, 13), 5)
-        out["intra_ext_tx_set2"] = t
-    except AssertionError:
-        print("note: intra_ext_tx tables not located (tx<32 signaling "
-              "unavailable until extracted)", file=sys.stderr)
+    # intra_ext_tx: set1 [EXT_TX_SIZES=4][INTRA_MODES=13] CDF7 followed by
+    # set2 [4][13] CDF5, both stored in CDF_SIZE(16)=17-wide rows. Located
+    # by the set1[0][0] leading values (verified structurally: the only
+    # 52-row run of 7-symbol stride-17 units in the blob).
+    ext1_off = find_u16_seq(d, [31233, 24733, 23307, 20017, 9301, 4943, 0])
+    t, _ = take_table(d, ext1_off, (4, 13), 7, stride=17)
+    out["intra_ext_tx_set1"] = t
+    t, _ = take_table(d, ext1_off + 52 * 17, (4, 13), 5, stride=17)
+    out["intra_ext_tx_set2"] = t
 
     # ---- prediction weight tables ----
     # sm_weights (u8): concatenated arrays for bs 4,8,16,32,64; starts

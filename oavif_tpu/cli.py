@@ -101,7 +101,24 @@ def run(argv: List[str]) -> int:
         f"Searching [tgt {o.score_tgt:g}±{o.tolerance:.1f}, "
         f"speed {o.speed}, {out_depth}-bit]"
     )
-    result, data = search_encode(ctx, backend)
+    # Observability (SURVEY.md §5): OAVIF_TRACE=<dir> captures a
+    # jax.profiler trace of the search; per-pass wall timings print with
+    # OAVIF_VERBOSE=1.
+    trace_dir = os.environ.get("OAVIF_TRACE")
+    if trace_dir:
+        import jax
+
+        jax.profiler.start_trace(trace_dir)
+    try:
+        result, data = search_encode(ctx, backend)
+    finally:
+        if trace_dir:
+            import jax
+
+            jax.profiler.stop_trace()
+            _perr(f"Profiler trace written to {trace_dir}")
+    if os.environ.get("OAVIF_VERBOSE") == "1":
+        _perr(f"Pass timings (ms): {search_encode.last_timings}")
     _perr(f"Found q{result.q} (score {result.score:.2f}, {ctx.num_pass} passes)")
 
     with open(parsed.output_file, "wb") as f:

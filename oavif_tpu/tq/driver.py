@@ -12,6 +12,7 @@ wall-clock per round ≈ one encode + one device call.
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import replace
 from typing import Dict, Tuple
 
@@ -31,6 +32,7 @@ def make_probe(ctx: EncCtx, backend, metric):
     reconstruction (== decoder output) instead of round-tripping bytes."""
 
     def probe(q: int) -> float:
+        t0 = time.time()
         ctx.q = q
         if hasattr(backend, "encode_with_recon"):
             data, decoded = backend.encode_with_recon(ctx)
@@ -40,9 +42,12 @@ def make_probe(ctx: EncCtx, backend, metric):
         ctx.num_pass += 1
         ctx.buf = EncBuffer(q=q, data=data, size=len(data))
         probe.cache[q] = data
-        return float(metric(ctx.rgb, decoded))
+        score = float(metric(ctx.rgb, decoded))
+        probe.timings.append(round((time.time() - t0) * 1000, 1))
+        return score
 
     probe.cache = {}
+    probe.timings = []
     return probe
 
 
@@ -55,6 +60,8 @@ def make_probe_batch(ctx: EncCtx, backend, batch_width: int):
     from ..metric.ssimulacra2 import compute_ssimulacra2_batch
 
     def probe_batch(qs):
+        t0 = time.time()
+
         def enc(q):
             return backend.encode_with_recon(replace(ctx, q=q))
 
@@ -73,9 +80,11 @@ def make_probe_batch(ctx: EncCtx, backend, batch_width: int):
             ctx.buf = EncBuffer(q=q, data=data, size=len(data))
             probe_batch.cache[q] = data
         ctx.num_pass += 1  # one round = one sequential encode wave
+        probe_batch.timings.append(round((time.time() - t0) * 1000, 1))
         return [float(s) for s in scores]
 
     probe_batch.cache = {}
+    probe_batch.timings = []
     return probe_batch
 
 
@@ -114,4 +123,6 @@ def search_encode(
     data = cache.get(result.q)
     if data is None:
         data = backend.encode(ctx)
+    probe_obj = probe_b if use_batch else probe
+    search_encode.last_timings = list(probe_obj.timings)
     return result, data

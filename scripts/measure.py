@@ -144,6 +144,9 @@ def main(argv=None):
     ap.add_argument("--shard", default=None,
                     help="K/N static corpus shard (defaults to the "
                          "jax.distributed process index when initialized)")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip images already present as ok rows in the "
+                         "output CSV (corpus-scale checkpoint/resume)")
     ap.add_argument("--merge", nargs="*", default=None,
                     help="merge shard CSVs given as arguments instead of "
                          "encoding (images_dir/oavif_path ignored)")
@@ -190,15 +193,36 @@ def main(argv=None):
         print("no images in shard", file=sys.stderr)
         return 1
 
+    done_rows = []
+    if args.resume and Path(args.output_csv).exists():
+        with open(args.output_csv) as f:
+            done_rows = [r for r in csv.DictReader(f) if r["Status"] == "ok"]
+        done_names = {r["Image"] for r in done_rows}
+        for r in done_rows:
+            for k in ("Original Bytes", "Final Bytes", "Savings Bytes"):
+                r[k] = int(r[k]) if r[k] else ""
+            r["Encoding Time (ms)"] = (
+                float(r["Encoding Time (ms)"]) if r["Encoding Time (ms)"] else ""
+            )
+            r["Passes"] = int(r["Passes"]) if r["Passes"] else ""
+        images = [p for p in images if p.name not in done_names]
+        print(f"resume: {len(done_rows)} done, {len(images)} remaining",
+              file=sys.stderr)
+
     enc_cmd = args.oavif_path.split()
     out_dir = Path(args.output_csv).parent
-    rows = []
+    rows = list(done_rows) if args.resume and Path(args.output_csv).exists() else []
     t0 = time.time()
     for img in images:
         out_path = out_dir / (img.stem + ".avif")
         rows.append(encode_one(enc_cmd, args.tolerance, img, out_path))
         if not args.keep and out_path.exists():
             out_path.unlink()
+        # checkpoint after every image so an interrupted corpus run resumes
+        with open(args.output_csv, "w", newline="") as f:
+            wr = csv.DictWriter(f, fieldnames=FIELDS)
+            wr.writeheader()
+            wr.writerows(rows)
     wall_s = time.time() - t0
 
     with open(args.output_csv, "w", newline="") as f:

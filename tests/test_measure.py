@@ -71,3 +71,24 @@ def test_corpus_sharding(corpus, tmp_path):
     rows = list(csv.DictReader(open(merged)))
     assert len(rows) == 3  # shards disjoint and complete
     assert len({row["Image"] for row in rows}) == 3
+
+
+def test_corpus_resume(corpus, tmp_path):
+    """--resume skips already-encoded images (checkpoint/resume analog of
+    SURVEY.md §5; per-image rows are checkpointed after every encode)."""
+    out_csv = tmp_path / "out.csv"
+    env = {**__import__("os").environ, "JAX_PLATFORMS": "cpu"}
+    r = subprocess.run(
+        [sys.executable, str(SCRIPT), str(corpus),
+         "module:oavif_tpu -q 60", str(out_csv)],
+        capture_output=True, text=True, timeout=300, env=env)
+    assert r.returncode == 0
+    rows1 = list(csv.DictReader(open(out_csv)))
+    r = subprocess.run(
+        [sys.executable, str(SCRIPT), str(corpus),
+         "module:oavif_tpu -q 60", str(out_csv), "--resume"],
+        capture_output=True, text=True, timeout=300, env=env)
+    assert r.returncode == 0
+    assert "3 done, 0 remaining" in r.stderr
+    rows2 = list(csv.DictReader(open(out_csv)))
+    assert rows1 == rows2

@@ -473,10 +473,18 @@ static int plane_levels_c(Tile *t, int plane, int x, int y, int tx,
     }
     int32_t resid[64 * 64];
     const int32_t *srcp = t->src[plane];
+    int64_t sad = 0;
     for (int rr = 0; rr < tx; rr++)
-        for (int cc = 0; cc < tx; cc++)
-            resid[rr * tx + cc] =
-                srcp[(size_t)(y + rr) * t->pw + x + cc] - pred[rr * tx + cc];
+        for (int cc = 0; cc < tx; cc++) {
+            int32_t d = srcp[(size_t)(y + rr) * t->pw + x + cc] -
+                        pred[rr * tx + cc];
+            resid[rr * tx + cc] = d;
+            sad += d < 0 ? -d : d;
+        }
+    if (sad == 0) {
+        memset(lv, 0, (size_t)tx * tx * 4);
+        return 0;
+    }
     quantize_n(t, resid, tx, lv);
     for (int i = 0; i < tx * tx; i++)
         if (lv[i]) return 1;
@@ -560,15 +568,35 @@ static void encode_block(Tile *t, int r, int c, int size) {
             for (int i = 0; i < npx; i++)
                 diff[i] = ((int64_t)y_recon[i] << 3) - avg;
 
+            int64_t var = 0;
+            for (int i2 = 0; i2 < npx; i2++) var += diff[i2] * diff[i2];
             int best_a[2] = {0, 0};
             for (int i = 0; i < 2; i++) {
                 const int32_t *srcp = t->src[1 + i];
+                /* closed-form least-squares alpha (gain = alpha/8), +-1 */
+                int64_t cov = 0;
+                for (int rr = 0; rr < tx; rr++)
+                    for (int cc = 0; cc < tx; cc++)
+                        cov += diff[rr * tx + cc] *
+                               (int64_t)(srcp[(size_t)(y + rr) * t->pw + x + cc] -
+                                         dc_pred[i][rr * tx + cc]);
+                int64_t a_est;
+                if (var == 0 || cov == 0) a_est = 0;
+                else {
+                    a_est = (64 * llabs(cov) + var / 2) / var;
+                    if (a_est > 16) a_est = 16;
+                    if (cov < 0) a_est = -a_est;
+                }
+                if (a_est == 0) { best_a[i] = 0; continue; }
                 int64_t best_ssd = -1;
-                for (int a = -16; a <= 16; a++) {
+                int64_t order[3] = {a_est, a_est - 1, a_est + 1};
+                for (int k = 0; k < 3; k++) {
+                    int64_t a = order[k];
+                    if (a < -16 || a > 16) continue;
                     int64_t ssd = 0;
                     for (int rr = 0; rr < tx; rr++)
                         for (int cc = 0; cc < tx; cc++) {
-                            int64_t prod = (int64_t)a * diff[rr * tx + cc];
+                            int64_t prod = a * diff[rr * tx + cc];
                             int64_t contrib =
                                 prod < 0 ? -((-prod + 32) >> 6)
                                          : ((prod + 32) >> 6);
@@ -581,7 +609,7 @@ static void encode_block(Tile *t, int r, int c, int size) {
                         }
                     if (best_ssd < 0 || ssd < best_ssd) {
                         best_ssd = ssd;
-                        best_a[i] = a;
+                        best_a[i] = (int)a;
                     }
                 }
             }

@@ -511,20 +511,39 @@ class TileEncoder:
         avg = (int(luma.sum()) + (1 << (lg - 1))) >> lg
         diff = luma - avg  # (size, size)
 
-        alphas = np.arange(-16, 17)
-        prod = alphas[:, None, None] * diff[None]
-        contrib = np.sign(prod) * ((np.abs(prod) + 32) >> 6)
         hi = (1 << self.bitdepth) - 1
+        var = int((diff * diff).sum())
 
         best_alpha = []
         cfl_preds = []
         for i in (0, 1):
-            preds = np.clip(dc_preds[i][None] + contrib, 0, hi)
             src = self.src[1 + i][y : y + size, x : x + size]
-            ssd = ((src[None] - preds) ** 2).sum(axis=(1, 2))
-            a = int(alphas[int(np.argmin(ssd))])
-            best_alpha.append(a)
-            cfl_preds.append(preds[a + 16])
+            res = (src - dc_preds[i]).astype(np.int64)
+            # closed-form least-squares alpha (contribution = a*diff/64), +-1
+            cov = int((diff * res).sum())
+            if var == 0 or cov == 0:
+                a_est = 0
+            else:
+                a_est = (64 * abs(cov) + var // 2) // var
+                a_est = min(a_est, 16)
+                if cov < 0:
+                    a_est = -a_est
+            if a_est == 0:
+                best_alpha.append(0)
+                cfl_preds.append(dc_preds[i])
+                continue
+            cands = [a for a in (a_est, a_est - 1, a_est + 1)
+                     if -16 <= a <= 16]
+            best = None
+            for a in cands:
+                prod = a * diff
+                contrib = np.sign(prod) * ((np.abs(prod) + 32) >> 6)
+                pred = np.clip(dc_preds[i] + contrib, 0, hi)
+                ssd = int(((src - pred) ** 2).sum())
+                if best is None or ssd < best[0]:
+                    best = (ssd, a, pred)
+            best_alpha.append(best[1])
+            cfl_preds.append(best[2])
 
         if best_alpha == [0, 0]:
             jobs = [
@@ -565,6 +584,8 @@ class TileEncoder:
     # -- quant / dequant --------------------------------------------------------
 
     def _quantize(self, resid: np.ndarray, tx: int) -> np.ndarray:
+        if not resid.any():
+            return np.zeros((tx, tx), dtype=np.int64)
         coeffs = fwd_txfm2d(resid)
         shift = DQ_SHIFT[tx]
         qmat = np.full_like(coeffs, float(self.dq_ac))

@@ -77,12 +77,16 @@ def main():
     warm.o.max_pass = 1
     search_encode(warm, tpu)  # warm code paths + compile the batch scorer
 
-    ctx = _make_ctx(img)
-    t0 = time.time()
-    res, ours_data = search_encode(ctx, tpu)
-    ours_s = time.time() - t0
+    ours_s = None
+    for _ in range(2):  # best-of-2: single-core host timing is noisy
+        ctx = _make_ctx(img)
+        t0 = time.time()
+        res, ours_data = search_encode(ctx, tpu)
+        dt = time.time() - t0
+        if ours_s is None or dt < ours_s:
+            ours_s = dt
+        res.num_pass = ctx.num_pass
     ours_mps = mp / ours_s
-    res.num_pass = ctx.num_pass
 
     # ---- baseline: reference stack (libavif/libaom encode + decode
     # round-trip + CPU metric) ----
@@ -112,9 +116,14 @@ def main():
         return metric_cpu(img, dec)
 
     _ = metric_cpu(img, img)
-    t0 = time.time()
-    res_b = _tq(probe_base)
-    base_s = time.time() - t0
+    base_s = None
+    for _ in range(2):
+        bctx.num_pass = 0
+        t0 = time.time()
+        res_b = _tq(probe_base)
+        dt = time.time() - t0
+        if base_s is None or dt < base_s:
+            base_s = dt
     base_mps = mp / base_s
 
     print(

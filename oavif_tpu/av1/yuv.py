@@ -16,30 +16,46 @@ KR, KB = 0.299, 0.114
 KG = 1.0 - KR - KB
 
 
+_FWD = np.array(
+    [
+        [KR, KG, KB],
+        [-KR / (2 * (1 - KB)), -KG / (2 * (1 - KB)), 0.5],
+        [0.5, -KG / (2 * (1 - KR)), -KB / (2 * (1 - KR))],
+    ],
+    dtype=np.float32,
+).T
+_INV = np.array(
+    [
+        [1.0, 0.0, 2 * (1 - KR)],
+        [1.0, -2 * (1 - KB) * KB / KG, -2 * (1 - KR) * KR / KG],
+        [1.0, 2 * (1 - KB), 0.0],
+    ],
+    dtype=np.float32,
+).T
+
+
 def rgb_to_yuv444(rgb: np.ndarray, bitdepth: int = 8):
-    """(h, w, 3) uint8/uint16 full-range RGB → [y, u, v] int32 planes."""
+    """(h, w, 3) uint8/uint16 full-range RGB → [y, u, v] int32 planes
+    (one float32 sgemm; SIMD-friendly)."""
     maxv = (1 << bitdepth) - 1
-    r = rgb[..., 0].astype(np.float64)
-    g = rgb[..., 1].astype(np.float64)
-    b = rgb[..., 2].astype(np.float64)
-    y = KR * r + KG * g + KB * b
-    u = (b - y) / (2 * (1 - KB)) + (maxv + 1) / 2
-    v = (r - y) / (2 * (1 - KR)) + (maxv + 1) / 2
-    to = lambda p: np.clip(np.floor(p + 0.5), 0, maxv).astype(np.int32)
-    return [to(y), to(u), to(v)]
+    h, w = rgb.shape[:2]
+    flat = rgb.reshape(-1, 3).astype(np.float32)
+    yuv = flat @ _FWD
+    yuv[:, 1:] += np.float32((maxv + 1) / 2)
+    yuv = np.clip(np.floor(yuv + 0.5), 0, maxv).astype(np.int32)
+    return [np.ascontiguousarray(yuv[:, i].reshape(h, w)) for i in range(3)]
 
 
 def yuv444_to_rgb(planes, bitdepth: int = 8) -> np.ndarray:
     """[y, u, v] planes → (h, w, 3) uint8 full-range RGB (decode mirror)."""
     maxv = (1 << bitdepth) - 1
-    y = planes[0].astype(np.float64)
-    cb = planes[1].astype(np.float64) - (maxv + 1) / 2
-    cr = planes[2].astype(np.float64) - (maxv + 1) / 2
-    r = y + 2 * (1 - KR) * cr
-    b = y + 2 * (1 - KB) * cb
-    g = (y - KR * r - KB * b) / KG
-    out = np.stack([r, g, b], axis=-1)
-    out = np.clip(np.floor(out + 0.5), 0, maxv)
+    h, w = planes[0].shape
+    yuv = np.stack(
+        [p.reshape(-1) for p in planes], axis=1
+    ).astype(np.float32)
+    yuv[:, 1:] -= np.float32((maxv + 1) / 2)
+    out = yuv @ _INV
+    out = np.clip(np.floor(out + 0.5), 0, maxv).reshape(h, w, 3)
     if bitdepth == 8:
         return out.astype(np.uint8)
     return (out.astype(np.uint16) >> (bitdepth - 8)).astype(np.uint8)

@@ -100,10 +100,16 @@ def search_encode(
     loop, OAVIF_TQ_BATCH_WIDTH sets candidates per round (default 4).
     """
     o = ctx.o
-    use_batch = (
-        hasattr(backend, "encode_with_recon")
-        and os.environ.get("OAVIF_TQ_BATCH", "1") != "0"
-    )
+    # Batched speculative probing trades candidate encodes for fewer
+    # sequential rounds — a win when tile encodes run on multiple cores (or
+    # the mode planner batches on device), a loss on a single-core host
+    # where the extra encodes serialize. Default adaptively; env overrides.
+    batch_env = os.environ.get("OAVIF_TQ_BATCH")
+    if batch_env is not None:
+        use_batch = batch_env != "0"
+    else:
+        use_batch = (os.cpu_count() or 1) >= 2
+    use_batch = use_batch and hasattr(backend, "encode_with_recon")
     cache: Dict[int, bytes]
     if use_batch:
         bw = max(1, int(os.environ.get("OAVIF_TQ_BATCH_WIDTH", "4")))

@@ -23,6 +23,7 @@ from .search import (
     SearchResult,
     find_target_quality,
     find_target_quality_batched,
+    predict_q_native,
 )
 
 
@@ -115,14 +116,18 @@ def search_encode(
         bw = max(1, int(os.environ.get("OAVIF_TQ_BATCH_WIDTH", "4")))
         probe_b = make_probe_batch(ctx, backend, bw)
         result = find_target_quality_batched(
-            probe_b, o.score_tgt, o.tolerance, o.max_pass, batch_width=bw
+            probe_b, o.score_tgt, o.tolerance, o.max_pass, batch_width=bw,
+            seed_fn=predict_q_native,
         )
         cache = probe_b.cache
     else:
         if metric is None:
             from ..metric import compute_ssimulacra2 as metric
         probe = make_probe(ctx, backend, metric)
-        result = find_target_quality(probe, o.score_tgt, o.tolerance, o.max_pass)
+        result = find_target_quality(
+            probe, o.score_tgt, o.tolerance, o.max_pass,
+            seed_fn=predict_q_native,
+        )
         cache = probe.cache
 
     ctx.q = result.q

@@ -134,6 +134,7 @@ def find_target_quality(
     score_tgt: float,
     tolerance: float,
     max_pass: int,
+    seed_fn: Optional[Callable[[float], int]] = None,
 ) -> SearchResult:
     """Run the full search loop (tq.zig:124-210).
 
@@ -155,9 +156,10 @@ def find_target_quality(
     num_pass = 0
     q = 0
 
+    seed_fn = seed_fn or predict_q_from_score
     for pss in range(max_pass):
         if pss == 0:
-            q = predict_q_from_score(score_tgt)
+            q = seed_fn(score_tgt)
         else:
             q = interpolate_quantizer(lo_bound, hi_bound, history, score_tgt)
 
@@ -253,6 +255,7 @@ def find_target_quality_batched(
     tolerance: float,
     max_pass: int,
     batch_width: int = 4,
+    seed_fn: Optional[Callable[[float], int]] = None,
 ) -> SearchResult:
     """Batched speculative variant of :func:`find_target_quality`.
 
@@ -271,7 +274,7 @@ def find_target_quality_batched(
             # Seed + a symmetric spread around it: the seed formula's
             # residual error is roughly ±10 q on typical content, so ±6/±12
             # probes usually bracket the target in the very first round.
-            seed = predict_q_from_score(score_tgt)
+            seed = (seed_fn or predict_q_from_score)(score_tgt)
             cands = [seed]
             for off in (6, -6, 12, -12, 18, -18, 24, -24):
                 c = seed + off
@@ -326,3 +329,10 @@ def find_target_quality_batched(
     if best_q is not None:
         return SearchResult(q=best_q, score=best_score, num_pass=rounds, history=history)
     return SearchResult(q=highest_q, score=highest_score, num_pass=rounds, history=history)
+
+
+def predict_q_native(tgt: float) -> int:
+    """Seed calibrated to THIS encoder's quality→score curve (measured:
+    near-identity at the default tune across targets 60..90), replacing the
+    reference's libaom-calibrated exponential for the native backend."""
+    return int(min(max(_round_half_away(tgt), 0.0), 100.0))

@@ -90,7 +90,7 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
         else None
     )
 
-    qindex = max(quality_to_qindex(ctx.q), 1)  # qindex 0 = lossless path TBD
+    qindex = quality_to_qindex(ctx.q)  # 0 => CodedLossless (WHT 4x4)
 
     h, w = rgb.shape[:2]
     if o.auto_tiling and o.tile_cols_log2 == 0 and o.tile_rows_log2 == 0:
@@ -126,7 +126,7 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
 
     alpha_payload = None
     if alpha is not None:
-        aq = max(quality_to_qindex(o.quality_alpha), 1)
+        aq = quality_to_qindex(o.quality_alpha)  # 100 => lossless alpha
         apayloads, _ = encode_frame_planes(
             [alpha.astype(np.int32)],
             aq,

@@ -161,6 +161,7 @@ class TileEncoder:
     ) -> None:
         self.planes = planes
         self.qindex = qindex
+        self.lossless = qindex == 0
         self.bitdepth = bitdepth
         self.speed = speed
         self.plan = plan or {}
@@ -269,7 +270,9 @@ class TileEncoder:
         # policy: split to 32x32 inside, then RD-decide 32 vs 4x16;
         # split partial nodes; NONE at small leaves
         if has_rows and has_cols:
-            if size > 32:
+            if self.lossless:
+                part = PARTITION_SPLIT
+            elif size > 32:
                 part = PARTITION_SPLIT
             elif size == 32 and self.speed <= 9 and self.qindex <= 90:
                 # splitting pays at high quality (closer prediction edges
@@ -306,7 +309,15 @@ class TileEncoder:
             sub = size // 2
             sub_mi = half_mi
             if size == 8:
-                raise AssertionError
+                # lossless splits 8x8 into four 4x4 BLOCKS (no further
+                # partition symbols at size 4 — spec decode_partition)
+                assert self.lossless
+                for dr in (0, 1):
+                    for dc in (0, 1):
+                        if r + dr < self.mi_rows and c + dc < self.mi_cols:
+                            self._encode_block(r + dr, c + dc, 4)
+                            self._update_part_ctx(r + dr, c + dc, 4, 4)
+                return
             self._encode_partition(r, c, sub)
             self._encode_partition(r, c + sub_mi, sub)
             self._encode_partition(r + sub_mi, c, sub)
@@ -390,6 +401,9 @@ class TileEncoder:
         )
 
     def _encode_block(self, r: int, c: int, size: int) -> None:
+        if self.lossless:
+            self._encode_block_lossless(r, c, size)
+            return
         x, y = c * 4, r * 4
         n_mi = size // 4
         lr = r & 15
@@ -486,6 +500,110 @@ class TileEncoder:
         self.left_skip[lr : lr + n_mi] = 1 if skip else 0
         self.above_mode[c : c + n_mi] = y_mode
         self.left_mode[lr : lr + n_mi] = y_mode
+
+    # -- lossless (CodedLossless: WHT 4x4, recon == source) -----------------------
+
+    # libaom skip_contexts[min][max] for luma txbs smaller than the block
+    _SKIP_CTX_TABLE = np.array(
+        [[1, 2, 2, 2, 3],
+         [1, 4, 4, 4, 5],
+         [1, 4, 4, 4, 5],
+         [1, 4, 4, 4, 5],
+         [1, 4, 4, 4, 6]], dtype=np.int32)
+
+    def _txb_skip_ctx_sub(self, plane: int, px: int, py: int, tx: int) -> int:
+        """txb-skip context for a luma txb smaller than its block (spec
+        get_txb_skip_ctx, OR-combine of 4x4 level contexts)."""
+        ps = self.pstate[plane]
+        mi_c, mi_r = px // 4, py // 4
+        n = tx // 4
+        top = 0
+        left = 0
+        for i in range(n):
+            top |= int(ps.above_lvl[mi_c + i])
+            left |= int(ps.left_lvl[(mi_r & 15) + i])
+        top &= 63
+        left &= 63
+        mx = min(top | left, 4)
+        mn = min(min(top, left), 4)
+        return int(self._SKIP_CTX_TABLE[mn][mx])
+
+    def _encode_block_lossless(self, r: int, c: int, size: int) -> None:
+        """4x4 block in a CodedLossless frame (tx == block — the decoder-
+        validated configuration): WHT residual per plane. Reconstruction
+        equals the source exactly, so prediction edges come straight from
+        the source planes."""
+        from .transform import fwd_wht4x4
+
+        assert size == 4
+        x, y = c * 4, r * 4
+        lr = r & 15
+        nplanes = len(self.planes)
+        y_mode, _, _, _ = self._choose_y_mode(r, c, size)
+
+        jobs = []  # (plane, levels, pred)
+        for plane in range(nplanes):
+            mode = y_mode if plane == 0 else DC_PRED
+            above, left = build_edges(
+                self.src[plane], x, y, 4, 4, y > 0, x > 0, self.bitdepth
+            )
+            pred = predict(mode, above, left, 4, 4, y > 0, x > 0,
+                           bitdepth=self.bitdepth)
+            resid = self.src[plane][y : y + 4, x : x + 4] - pred
+            levels = fwd_wht4x4(resid) >> 2  # q = 4 at qindex 0
+            jobs.append((plane, levels, pred))
+        skip = not any(np.any(lv) for _, lv, _ in jobs)
+
+        skip_ctx = int(self.above_skip[c]) + int(self.left_skip[lr])
+        self._sym(self.cdf.skip[skip_ctx], 1 if skip else 0)
+        actx = INTRA_MODE_CONTEXT[int(self.above_mode[c])] if r > 0 else 0
+        lctx = INTRA_MODE_CONTEXT[int(self.left_mode[lr])] if c > 0 else 0
+        self._sym(self.cdf.kf_y[actx][lctx], y_mode)
+        # size 4: no angle_delta (use_angle_delta needs >= 8x8)
+        if nplanes > 1:
+            self._sym(self.cdf.uv_mode_cfl[y_mode], DC_PRED)
+
+        for plane, levels, pred in jobs:
+            if skip:
+                self._set_lvl_ctx(plane, x, y, 4, 0, 0)
+            else:
+                self._encode_coeffs_lossless(plane, x, y, levels, 4)
+            # lossless: recon is exactly the source
+            self.recon[plane][y : y + 4, x : x + 4] = self.src[plane][
+                y : y + 4, x : x + 4
+            ]
+
+        self.above_skip[c] = 1 if skip else 0
+        self.left_skip[lr] = 1 if skip else 0
+        self.above_mode[c] = y_mode
+        self.left_mode[lr] = y_mode
+
+    def _encode_coeffs_lossless(
+        self, plane: int, px: int, py: int, levels: np.ndarray, bsize: int
+    ) -> None:
+        """4x4 txb coefficients in a lossless frame: no tx_type symbol (the
+        WHT is implicit), luma skip context from the sub-block process."""
+        ptype = 0 if plane == 0 else 1
+        if plane == 0:
+            ctx = 0  # tx == block for 4x4 lossless blocks
+        else:
+            ctx = self._txb_skip_ctx(plane, px, py, 4, bsize)
+        scan = self._scan_cache[4]
+        sctx = self._dc_sign_ctx(plane, px, py, 4)
+        if self.enc.coeffs is not None:
+            eob, cul, dc_cat = self.enc.coeffs(
+                levels[:4, :4].astype(np.int32), scan,
+                self.cdf.txb_skip[0][ctx],
+                self.cdf.eob_pt[16][ptype][0],
+                self.cdf.eob_extra[0][ptype],
+                self.cdf.coeff_base_eob[0][ptype],
+                self.cdf.coeff_base[0][ptype],
+                self.cdf.coeff_br[0][ptype],
+                self.cdf.dc_sign[ptype][sctx],
+            )
+            self._set_lvl_ctx(plane, px, py, 4, cul, dc_cat)
+            return
+        raise NotImplementedError("lossless path requires the native coder")
 
     # -- chroma planning (CfL) ---------------------------------------------------
 
@@ -855,9 +973,10 @@ def _encode_one_tile(args):
 
     import os
 
-    if os.environ.get("OAVIF_PY_TILE") != "1":
+    if os.environ.get("OAVIF_PY_TILE") != "1" and qindex > 0:
         # Production path: the whole per-tile serial loop in C
         # (entropy/oav1tile.c), releasing the GIL for tile-thread scaling.
+        # (CodedLossless tiles run the Python WHT path for now.)
         from .entropy.fast import tile_encode_native
 
         res = tile_encode_native(tile_planes, qindex, bitdepth, speed, plan)

@@ -188,16 +188,19 @@ def write_frame_header_bits(cfg: FrameConfig, num_planes: int = 3) -> BitWriter:
     if cfg.base_q_idx > 0:
         w.f(0, 1)
     # delta_lf_params: only if delta_q_present → skipped
-    # loop_filter_params(): CodedLossless is false (base_q_idx > 0 assumed)
-    w.f(0, 6)  # loop_filter_level[0]
-    w.f(0, 6)  # loop_filter_level[1]
-    # levels 2/3 skipped because both are zero
-    w.f(0, 3)  # loop_filter_sharpness
-    w.f(0, 1)  # loop_filter_delta_enabled
+    coded_lossless = cfg.base_q_idx == 0  # all deltas are 0 here
+    if not coded_lossless:
+        # loop_filter_params() — skipped entirely when CodedLossless
+        w.f(0, 6)  # loop_filter_level[0]
+        w.f(0, 6)  # loop_filter_level[1]
+        # levels 2/3 skipped because both are zero
+        w.f(0, 3)  # loop_filter_sharpness
+        w.f(0, 1)  # loop_filter_delta_enabled
     # cdef_params: seq disabled → nothing
     # lr_params: seq disabled → nothing
-    # read_tx_mode: not lossless → tx_mode_select
-    w.f(0, 1)  # tx_mode_select = 0 → TX_MODE_LARGEST
+    # read_tx_mode: CodedLossless → ONLY_4X4 implicit, no bit
+    if not coded_lossless:
+        w.f(0, 1)  # tx_mode_select = 0 → TX_MODE_LARGEST
     # frame_reference_mode: intra → nothing
     # skip_mode_params: nothing
     # reduced_tx_set

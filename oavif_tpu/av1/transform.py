@@ -275,3 +275,64 @@ def fwd_txfm2d(residual: np.ndarray) -> np.ndarray:
     if h == 64:
         c[32:, :] = 0
     return c
+
+
+# ---------------------------------------------------------------------------
+# Lossless 4x4 Walsh-Hadamard pair (spec 7.13.3 inverse WHT; the forward is
+# its exact integer inverse — round-trip verified in tests/test_transform.py).
+# ---------------------------------------------------------------------------
+
+
+def inv_wht4x4(coeffs: np.ndarray) -> np.ndarray:
+    """Normative lossless inverse WHT: input (4,4) int, output residual."""
+    t = coeffs.astype(np.int64).copy()
+    # rows (with the input >>2 on the first pass)
+    for r in range(4):
+        a, c, d, b = t[r, 0] >> 2, t[r, 1] >> 2, t[r, 2] >> 2, t[r, 3] >> 2
+        a += c
+        d -= b
+        e = (a - d) >> 1
+        b = e - b
+        c = e - c
+        a -= b
+        d += c
+        t[r] = [a, b, c, d]
+    for cidx in range(4):
+        a, c, d, b = t[0, cidx], t[1, cidx], t[2, cidx], t[3, cidx]
+        a += c
+        d -= b
+        e = (a - d) >> 1
+        b = e - b
+        c = e - c
+        a -= b
+        d += c
+        t[:, cidx] = [a, b, c, d]
+    return t
+
+
+def fwd_wht4x4(resid: np.ndarray) -> np.ndarray:
+    """Forward WHT (libaom av1_fwht4x4 structure): produces coefficients
+    whose normative inverse reproduces the residual exactly (x4 gain
+    matching the >>2 on the inverse input)."""
+    t = resid.astype(np.int64).copy()
+    for cidx in range(4):
+        a, b, c, d = t[0, cidx], t[1, cidx], t[2, cidx], t[3, cidx]
+        a += b
+        d -= c
+        e = (a - d) >> 1
+        b = e - b
+        c = e - c
+        a -= c
+        d += b
+        t[:, cidx] = [a, c, d, b]
+    for r in range(4):
+        a, b, c, d = t[r, 0], t[r, 1], t[r, 2], t[r, 3]
+        a += b
+        d -= c
+        e = (a - d) >> 1
+        b = e - b
+        c = e - c
+        a -= c
+        d += b
+        t[r] = [a, c, d, b]
+    return t * 4

@@ -418,7 +418,9 @@ static void encode_coeffs_txb(Tile *t, int plane, int tx, int px, int py,
      * get_tx_set. */
     uint16_t *txtype_row = NULL;
     int txtype_nsym = 0;
-    if (plane == 0 && tx == 16) {
+    if (y_mode_ctx < 0) {
+        /* lossless: WHT implicit, no tx_type symbol */
+    } else if (plane == 0 && tx == 16) {
         txtype_row =
             t->cdf[CDF_INTRA_EXT_TX2] + ((size_t)txs * 13 + y_mode_ctx) * 6;
         txtype_nsym = 5;
@@ -462,6 +464,91 @@ static int choose_y_mode(const Tile *t, int r, int c, int size,
         }
     }
     return best_mode;
+}
+
+/* ---- lossless (CodedLossless): WHT 4x4, recon == source ---- */
+
+static void fwd_wht4x4_c(const int32_t *resid, int32_t *lv) {
+    int64_t t[16];
+    for (int i = 0; i < 16; i++) t[i] = resid[i];
+    for (int cidx = 0; cidx < 4; cidx++) {
+        int64_t a = t[cidx], b = t[4 + cidx], c2 = t[8 + cidx], d = t[12 + cidx];
+        a += b; d -= c2;
+        int64_t e = (a - d) >> 1;
+        b = e - b; c2 = e - c2;
+        a -= c2; d += b;
+        t[cidx] = a; t[4 + cidx] = c2; t[8 + cidx] = d; t[12 + cidx] = b;
+    }
+    for (int r = 0; r < 4; r++) {
+        int64_t a = t[r * 4], b = t[r * 4 + 1], c2 = t[r * 4 + 2], d = t[r * 4 + 3];
+        a += b; d -= c2;
+        int64_t e = (a - d) >> 1;
+        b = e - b; c2 = e - c2;
+        a -= c2; d += b;
+        /* x4 gain folded with the q=4 quantizer: levels = wht(resid) */
+        t[r * 4] = a; t[r * 4 + 1] = c2; t[r * 4 + 2] = d; t[r * 4 + 3] = b;
+    }
+    for (int i = 0; i < 16; i++) lv[i] = (int32_t)t[i];
+}
+
+static void encode_coeffs_txb(Tile *t, int plane, int tx, int px, int py,
+                              const int32_t *levels, int bsize, int y_mode_ctx);
+
+static void encode_block_lossless(Tile *t, int r, int c) {
+    int x = c * 4, y = r * 4;
+    int lr = r & 15;
+    int nplanes = t->nplanes;
+    Edges ey;
+    build_edges_buf(t, t->src[0], x, y, 4, 4, r > 0, c > 0, &ey);
+    int32_t pred_scratch[64 * 64];
+    int y_mode = choose_y_mode(t, r, c, 4, &ey, r > 0, c > 0, pred_scratch);
+
+    int32_t levels[3][16], preds[3][16];
+    int any_nonzero = 0;
+    for (int plane = 0; plane < nplanes; plane++) {
+        int mode = plane == 0 ? y_mode : DC_PRED;
+        Edges e;
+        build_edges_buf(t, t->src[plane], x, y, 4, 4, y > 0, x > 0, &e);
+        predict(t, &e, mode, 4, 4, y > 0, x > 0, preds[plane]);
+        int32_t resid[16];
+        for (int rr = 0; rr < 4; rr++)
+            for (int cc = 0; cc < 4; cc++)
+                resid[rr * 4 + cc] =
+                    t->src[plane][(size_t)(y + rr) * t->pw + x + cc] -
+                    preds[plane][rr * 4 + cc];
+        /* Python pair: fwd returns wht*4, quant by q=4 cancels exactly —
+         * here the x4 was never applied, so levels = wht directly. */
+        fwd_wht4x4_c(resid, levels[plane]);
+        for (int i = 0; i < 16; i++)
+            if (levels[plane][i]) any_nonzero = 1;
+    }
+    int skip = !any_nonzero;
+
+    int skip_ctx = t->above_skip[c] + t->left_skip[lr];
+    enc_symbol_adapt(t->enc, t->cdf[CDF_SKIP] + (size_t)skip_ctx * 3, 2, skip);
+    int actx = r > 0 ? INTRA_MODE_CONTEXT[t->above_mode[c]] : 0;
+    int lctx = c > 0 ? INTRA_MODE_CONTEXT[t->left_mode[lr]] : 0;
+    enc_symbol_adapt(t->enc, t->cdf[CDF_KF_Y] + ((size_t)actx * 5 + lctx) * 14,
+                     13, y_mode);
+    /* size 4: no angle_delta */
+    if (nplanes > 1)
+        enc_symbol_adapt(t->enc, t->cdf[CDF_UV_MODE_CFL] + (size_t)y_mode * 15,
+                         14, DC_PRED);
+
+    for (int plane = 0; plane < nplanes; plane++) {
+        if (skip)
+            set_lvl_ctx(t, plane, x, y, 4, 0, 0);
+        else
+            encode_coeffs_txb(t, plane, 4, x, y, levels[plane], 4, -1);
+        for (int rr = 0; rr < 4; rr++)
+            for (int cc = 0; cc < 4; cc++)
+                t->recon[plane][(size_t)(y + rr) * t->pw + x + cc] =
+                    t->src[plane][(size_t)(y + rr) * t->pw + x + cc];
+    }
+    t->above_skip[c] = skip;
+    t->left_skip[lr] = skip;
+    t->above_mode[c] = (uint8_t)y_mode;
+    t->left_mode[lr] = (uint8_t)y_mode;
 }
 
 /* quantized residual of src-plane minus pred; zero when coeffs can't code */
@@ -839,7 +926,9 @@ static void encode_partition(Tile *t, int r, int c, int size) {
 
     int part;
     if (has_rows && has_cols) {
-        if (size > 32)
+        if (t->qindex == 0)
+            part = PARTITION_SPLIT; /* lossless: descend to 4x4 blocks */
+        else if (size > 32)
             part = PARTITION_SPLIT;
         else if (size == 32 && t->speed <= 9 && t->qindex <= 90)
             part = choose_partition32(t, r, c);
@@ -864,6 +953,16 @@ static void encode_partition(Tile *t, int r, int c, int size) {
 
     if (part == PARTITION_SPLIT) {
         int sub = size / 2;
+        if (size == 8) { /* lossless: four 4x4 blocks, no more symbols */
+            for (int dr = 0; dr < 2; dr++)
+                for (int dc = 0; dc < 2; dc++)
+                    if (r + dr < t->mi_rows && c + dc < t->mi_cols) {
+                        encode_block_lossless(t, r + dr, c + dc);
+                        t->above_part[c + dc] = PART_CTX_BYTE[4];
+                        t->left_part[(r + dr) & 15] = PART_CTX_BYTE[4];
+                    }
+            return;
+        }
         encode_partition(t, r, c, sub);
         encode_partition(t, r, c + half_mi, sub);
         encode_partition(t, r + half_mi, c, sub);

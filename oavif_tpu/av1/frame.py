@@ -973,10 +973,9 @@ def _encode_one_tile(args):
 
     import os
 
-    if os.environ.get("OAVIF_PY_TILE") != "1" and qindex > 0:
+    if os.environ.get("OAVIF_PY_TILE") != "1":
         # Production path: the whole per-tile serial loop in C
         # (entropy/oav1tile.c), releasing the GIL for tile-thread scaling.
-        # (CodedLossless tiles run the Python WHT path for now.)
         from .entropy.fast import tile_encode_native
 
         res = tile_encode_native(tile_planes, qindex, bitdepth, speed, plan)

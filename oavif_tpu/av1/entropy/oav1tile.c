@@ -94,15 +94,15 @@ typedef struct {
     int64_t left[129];
 } Edges;
 
-static void build_edges_buf(const Tile *t, const int32_t *recon, int x,
-                            int y, int w, int h, int have_above,
-                            int have_left, Edges *e) {
+static void build_edges_buf_tr(const Tile *t, const int32_t *recon, int x,
+                               int y, int w, int h, int have_above,
+                               int have_left, int ntr, int nbl, Edges *e) {
     int base = 1 << (t->bitdepth - 1);
     int pw = t->pw;
     int n = w + h;
     if (have_above) {
         const int32_t *srcrow = recon + (size_t)(y - 1) * pw + x;
-        int n_avail = w; /* num_top_right = 0 */
+        int n_avail = w + (ntr < h ? ntr : h);
         for (int i = 0; i < n_avail; i++) e->above[1 + i] = srcrow[i];
         for (int i = n_avail; i < n; i++) e->above[1 + i] = srcrow[n_avail - 1];
     } else if (have_left) {
@@ -112,7 +112,7 @@ static void build_edges_buf(const Tile *t, const int32_t *recon, int x,
         for (int i = 0; i < n; i++) e->above[1 + i] = base - 1;
     }
     if (have_left) {
-        int n_avail = h; /* num_bottom_left = 0 */
+        int n_avail = h + (nbl < w ? nbl : w);
         for (int i = 0; i < n_avail; i++)
             e->left[1 + i] = recon[(size_t)(y + i) * pw + x - 1];
         for (int i = n_avail; i < n; i++)
@@ -130,6 +130,56 @@ static void build_edges_buf(const Tile *t, const int32_t *recon, int x,
     else corner = base;
     e->above[0] = corner;
     e->left[0] = corner;
+}
+
+static void build_edges_buf(const Tile *t, const int32_t *recon, int x,
+                            int y, int w, int h, int have_above,
+                            int have_left, Edges *e) {
+    build_edges_buf_tr(t, recon, x, y, w, h, have_above, have_left, 0, 0, e);
+}
+
+/* intra edge availability (square-only z-order; mirrors frame.py) */
+static int has_top_right_c(const Tile *t, int r, int c, int n_mi) {
+    int size = n_mi;
+    while (size < 16) {
+        int parent = size * 2;
+        int top = (r % parent) < size;
+        int left = (c % parent) < size;
+        if (left) return 1;
+        if (!top) return 0;
+        size = parent;
+    }
+    return r > 0 && ((c | 15) + 1) < t->mi_cols;
+}
+
+static int has_bottom_left_c(const Tile *t, int r, int c, int n_mi) {
+    int size = n_mi;
+    while (size < 16) {
+        int parent = size * 2;
+        int top = (r % parent) < size;
+        int left = (c % parent) < size;
+        if (top && left) return c > 0;
+        if (top || !left) return 0;
+        size = parent;
+    }
+    return 0;
+}
+
+static void edge_counts(const Tile *t, int r, int c, int size, int *ntr,
+                        int *nbl) {
+    int n_mi = size / 4;
+    *ntr = 0;
+    *nbl = 0;
+    if (has_top_right_c(t, r, c, n_mi)) {
+        int v = (t->mi_cols - c - n_mi) * 4;
+        if (v > size) v = size;
+        if (v > 0) *ntr = v;
+    }
+    if (has_bottom_left_c(t, r, c, n_mi)) {
+        int v = (t->mi_rows - r - n_mi) * 4;
+        if (v > size) v = size;
+        if (v > 0) *nbl = v;
+    }
 }
 
 static void build_edges(const Tile *t, int plane, int x, int y, int w, int h,
@@ -444,9 +494,11 @@ static int choose_y_mode(const Tile *t, int r, int c, int size,
                          int32_t *pred_scratch) {
     int x = c * 4, y = r * 4;
     const int32_t *src = t->src[0];
-    int cands[7] = {DC_PRED, V_PRED, H_PRED, SMOOTH_PRED, PAETH_PRED,
-                    SMOOTH_V_PRED, SMOOTH_H_PRED};
-    int ncand = t->speed <= 6 ? 7 : 5;
+    int cands[13] = {DC_PRED, V_PRED, H_PRED, SMOOTH_PRED, PAETH_PRED,
+                     SMOOTH_V_PRED, SMOOTH_H_PRED, D45_PRED, D135_PRED,
+                     D67_PRED, D113_PRED, D157_PRED, D203_PRED};
+    int ncand = t->speed <= 6 ? 13
+                : (t->speed <= 8 ? 9 : (t->speed <= 9 ? 7 : 5));
     int best_mode = DC_PRED;
     int64_t best_ssd = -1;
     for (int m = 0; m < ncand; m++) {
@@ -458,6 +510,7 @@ static int choose_y_mode(const Tile *t, int r, int c, int size,
                             pred_scratch[rr * size + cc];
                 ssd += d * d;
             }
+        if (m >= 7) ssd += ssd >> 3; /* rate premium for directional */
         if (best_ssd < 0 || ssd < best_ssd) {
             best_ssd = ssd;
             best_mode = cands[m];
@@ -498,8 +551,11 @@ static void encode_block_lossless(Tile *t, int r, int c) {
     int x = c * 4, y = r * 4;
     int lr = r & 15;
     int nplanes = t->nplanes;
+    int ntr0, nbl0;
+    edge_counts(t, r, c, 4, &ntr0, &nbl0);
     Edges ey;
-    build_edges_buf(t, t->src[0], x, y, 4, 4, r > 0, c > 0, &ey);
+    build_edges_buf_tr(t, t->src[0], x, y, 4, 4, r > 0, c > 0, ntr0, nbl0,
+                       &ey);
     int32_t pred_scratch[64 * 64];
     int y_mode = choose_y_mode(t, r, c, 4, &ey, r > 0, c > 0, pred_scratch);
 
@@ -508,7 +564,8 @@ static void encode_block_lossless(Tile *t, int r, int c) {
     for (int plane = 0; plane < nplanes; plane++) {
         int mode = plane == 0 ? y_mode : DC_PRED;
         Edges e;
-        build_edges_buf(t, t->src[plane], x, y, 4, 4, y > 0, x > 0, &e);
+        build_edges_buf_tr(t, t->src[plane], x, y, 4, 4, y > 0, x > 0,
+                           ntr0, nbl0, &e);
         predict(t, &e, mode, 4, 4, y > 0, x > 0, preds[plane]);
         int32_t resid[16];
         for (int rr = 0; rr < 4; rr++)
@@ -592,8 +649,11 @@ static void encode_block(Tile *t, int r, int c, int size) {
     int nplanes = t->nplanes;
 
     int have_above0 = r > 0, have_left0 = c > 0;
+    int ntr0, nbl0;
+    edge_counts(t, r, c, size, &ntr0, &nbl0);
     Edges ey;
-    build_edges(t, 0, x, y, size, size, have_above0, have_left0, &ey);
+    build_edges_buf_tr(t, t->recon[0], x, y, size, size, have_above0,
+                       have_left0, ntr0, nbl0, &ey);
 
     int y_mode = -1;
     if (t->plan && size == 32 && (r & 7) == 0 && (c & 7) == 0 &&
@@ -615,6 +675,7 @@ static void encode_block(Tile *t, int r, int c, int size) {
 
     /* --- luma first: pred, levels, local recon (CfL reads it) --- */
     predict(t, &ey, y_mode, tx, tx, have_above0, have_left0, preds);
+    (void)0;
     int any_nonzero = plane_levels_c(t, 0, x, y, tx, can_code, preds, levels);
     int32_t y_recon[64 * 64];
     if (any_nonzero) {
@@ -638,7 +699,8 @@ static void encode_block(Tile *t, int r, int c, int size) {
         int32_t *dc_pred[2] = {preds + npx, preds + 2 * (size_t)npx};
         for (int i = 0; i < 2; i++) {
             Edges e;
-            build_edges(t, 1 + i, x, y, tx, tx, y > 0, x > 0, &e);
+            build_edges_buf_tr(t, t->recon[1 + i], x, y, tx, tx, y > 0,
+                               x > 0, ntr0, nbl0, &e);
             predict(t, &e, DC_PRED, tx, tx, y > 0, x > 0, dc_pred[i]);
         }
         int use_cfl = 0;
@@ -847,9 +909,8 @@ static int64_t src_mode_ssd(const Tile *t, int x, int y, int size) {
     Edges e;
     int ha = y > 0, hl = x > 0;
     build_edges_buf(t, t->src[0], x, y, size, size, ha, hl, &e);
-    int cands[7] = {DC_PRED, V_PRED, H_PRED, SMOOTH_PRED, PAETH_PRED,
-                    SMOOTH_V_PRED, SMOOTH_H_PRED};
-    int ncand = t->speed <= 6 ? 7 : 5;
+    int cands[5] = {DC_PRED, V_PRED, H_PRED, SMOOTH_PRED, PAETH_PRED};
+    int ncand = 5;
     int32_t pred[64 * 64];
     int64_t best = -1;
     for (int m = 0; m < ncand; m++) {

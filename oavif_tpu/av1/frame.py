@@ -216,6 +216,50 @@ class TileEncoder:
         self.dq_dc = dc_q(qindex, bitdepth)
         self.dq_ac = ac_q(qindex, bitdepth)
 
+    # -- intra edge availability (square-only z-order, spec BlockDecoded) ----
+
+    def _has_top_right(self, r: int, c: int, n_mi: int) -> bool:
+        """True if the 4x4s above-right of the block are decoded: TL/BL
+        children always (the row above resp. the TR sibling's bottom is
+        done), TR children inherit the parent, BR children never; at the
+        superblock root the above-right SB must exist."""
+        size = n_mi
+        rr, cc = r, c
+        while size < 16:
+            parent = size * 2
+            top = (rr % parent) < size
+            left = (cc % parent) < size
+            if left:
+                return True  # TL or BL child
+            if not top:
+                return False  # BR child
+            size = parent  # TR child: ask the parent
+        return rr > 0 and ((cc | 15) + 1) < self.mi_cols
+
+    def _has_bottom_left(self, r: int, c: int, n_mi: int) -> bool:
+        size = n_mi
+        rr, cc = r, c
+        while size < 16:
+            parent = size * 2
+            top = (rr % parent) < size
+            left = (cc % parent) < size
+            if top and left:
+                return cc > 0  # TL child: left-neighbour subtree is decoded
+            if top or not left:
+                return False  # TR or BR child
+            size = parent  # BL child: ask the parent
+        return False  # below-left SB is in a later SB row
+
+    def _edge_counts(self, r: int, c: int, size: int):
+        """(num_top_right, num_bottom_left) pixel counts for build_edges."""
+        n_mi = size // 4
+        ntr = nbl = 0
+        if self._has_top_right(r, c, n_mi):
+            ntr = max(0, min(size, (self.mi_cols - c - n_mi) * 4))
+        if self._has_bottom_left(r, c, n_mi):
+            nbl = max(0, min(size, (self.mi_rows - r - n_mi) * 4))
+        return ntr, nbl
+
     # -- symbol helpers -------------------------------------------------------
 
     def _sym(self, cdf_row: np.ndarray, s: int) -> None:
@@ -335,10 +379,18 @@ class TileEncoder:
         have_above = r > 0
         have_left = c > 0
         src = self.src[0][y : y + size, x : x + size]
+        ntr, nbl = self._edge_counts(r, c, size)
         above, left = build_edges(
-            self.recon[0], x, y, size, size, have_above, have_left, self.bitdepth
+            self.recon[0], x, y, size, size, have_above, have_left,
+            self.bitdepth, num_top_right=ntr, num_bottom_left=nbl,
         )
         from .consts import (
+            D45_PRED,
+            D67_PRED,
+            D113_PRED,
+            D135_PRED,
+            D157_PRED,
+            D203_PRED,
             H_PRED,
             PAETH_PRED,
             SMOOTH_H_PRED,
@@ -347,13 +399,25 @@ class TileEncoder:
             V_PRED,
         )
 
+        # speed presets control search breadth (SURVEY.md §7): the smooth
+        # variants measure rate-positive at the default; directional modes
+        # only pay off below speed 9 (their residuals want ADST, not DCT)
         candidates = [DC_PRED, V_PRED, H_PRED, SMOOTH_PRED, PAETH_PRED]
-        if self.speed <= 6:
+        if self.speed <= 9:
             candidates += [SMOOTH_V_PRED, SMOOTH_H_PRED]
+        n_base = len(candidates)
+        if self.speed <= 8:
+            candidates += [D45_PRED, D135_PRED]
+        if self.speed <= 6:
+            candidates += [D67_PRED, D113_PRED, D157_PRED, D203_PRED]
         best = None
-        for m in candidates:
+        for i, m in enumerate(candidates):
             pred = predict(m, above, left, size, size, have_above, have_left, bitdepth=self.bitdepth)
             ssd = int(((src - pred) ** 2).sum())
+            if i >= n_base:
+                # extended modes carry a symbol-rate premium (rarer kf_y
+                # symbols + angle_delta): require a clear distortion win
+                ssd += ssd >> 3
             if best is None or ssd < best[0]:
                 best = (ssd, m, pred)
         return best[1], best[2], above, left
@@ -372,9 +436,9 @@ class TileEncoder:
             self.src[0], x, y, size, size, have_above, have_left, self.bitdepth
         )
         srcb = self.src[0][y : y + size, x : x + size]
+        # keep this NARROW (the 5 cheap modes): it only ranks split vs none,
+        # and the full candidate set runs in the per-block search anyway
         cands = [DC_PRED, V_PRED, H_PRED, SMOOTH_PRED, PAETH_PRED]
-        if self.speed <= 6:
-            cands += [SMOOTH_V_PRED, SMOOTH_H_PRED]
         best = None
         for m in cands:
             pred = predict(m, above, left, size, size, have_above, have_left,
@@ -425,10 +489,13 @@ class TileEncoder:
         lo, hi = 0, (1 << self.bitdepth) - 1
         have_above, have_left = y > 0, x > 0
 
+        ntr, nbl = self._edge_counts(r, c, size)
+
         def plane_pred(plane, mode):
             above, left = build_edges(
                 self.recon[plane], x, y, tx, tx,
                 have_above, have_left, self.bitdepth,
+                num_top_right=ntr, num_bottom_left=nbl,
             )
             return predict(
                 mode, above, left, tx, tx, have_above, have_left,
@@ -541,11 +608,13 @@ class TileEncoder:
         nplanes = len(self.planes)
         y_mode, _, _, _ = self._choose_y_mode(r, c, size)
 
+        ntr, nbl = self._edge_counts(r, c, 4)
         jobs = []  # (plane, levels, pred)
         for plane in range(nplanes):
             mode = y_mode if plane == 0 else DC_PRED
             above, left = build_edges(
-                self.src[plane], x, y, 4, 4, y > 0, x > 0, self.bitdepth
+                self.src[plane], x, y, 4, 4, y > 0, x > 0, self.bitdepth,
+                num_top_right=ntr, num_bottom_left=nbl,
             )
             pred = predict(mode, above, left, 4, 4, y > 0, x > 0,
                            bitdepth=self.bitdepth)

@@ -120,9 +120,23 @@ def test_tenbit_roundtrip(test_rgb8):
     img = Image(width=w, height=h, channels=3, hbd=False, data=test_rgb8)
     ctx = EncCtx(o=EncOptions(tenbit=True), src=img, rgb=test_rgb8, w=w, h=h, q=60)
     data, recon = encode_avif_with_recon(ctx)
+    # the strict check: decoder YUV planes are bit-exact with our recon
+    from oavif_tpu.av1.consts import quality_to_qindex
+    from oavif_tpu.av1.encode import _depth_convert
+    from oavif_tpu.av1.frame import encode_frame_planes
+    from oavif_tpu.av1.yuv import rgb_to_yuv444
+    from oavif_tpu.io.avif_ctypes import decode_to_yuv
+
+    planes, depth, _ = decode_to_yuv(data)
+    assert depth == 10
+    pl = rgb_to_yuv444(_depth_convert(test_rgb8, False, 10), bitdepth=10)
+    _, ours = encode_frame_planes(pl, quality_to_qindex(60), 10, 9)
+    for a, b in zip(planes, ours):
+        np.testing.assert_array_equal(a, b)
+    # the 8-bit RGB window (reference main.zig:86): ours and PIL's 10->8
+    # conversions round differently, so allow a small tolerance
     dec = _decode(data)
-    # 10-bit coding scored through the 8-bit window (reference main.zig:86)
-    assert np.abs(dec.astype(int) - recon.astype(int)).max() <= 2
+    assert np.abs(dec.astype(int) - recon.astype(int)).max() <= 3
 
 
 def test_alpha_item_roundtrip(test_rgb8):

@@ -141,6 +141,39 @@ class LosslessTileDecoder:
             self.above_part[c : c + nm] = byte
             self.left_part[(r & 15) : (r & 15) + nm] = byte
 
+    def _edge_counts(self, r, c, size):
+        n_mi = size // 4
+        def has_tr(rr, cc, n):
+            sz = n
+            while sz < 16:
+                parent = sz * 2
+                top = (rr % parent) < sz
+                left = (cc % parent) < sz
+                if left:
+                    return True
+                if not top:
+                    return False
+                sz = parent
+            return rr > 0 and ((cc | 15) + 1) < self.mi_cols
+        def has_bl(rr, cc, n):
+            sz = n
+            while sz < 16:
+                parent = sz * 2
+                top = (rr % parent) < sz
+                left = (cc % parent) < sz
+                if top and left:
+                    return cc > 0
+                if top or not left:
+                    return False
+                sz = parent
+            return False
+        ntr = nbl = 0
+        if has_tr(r, c, n_mi):
+            ntr = max(0, min(size, (self.mi_cols - c - n_mi) * 4))
+        if has_bl(r, c, n_mi):
+            nbl = max(0, min(size, (self.mi_rows - r - n_mi) * 4))
+        return ntr, nbl
+
     # --- block ---
     def _block(self, r, c, size):
         x, y = c * 4, r * 4
@@ -180,6 +213,7 @@ class LosslessTileDecoder:
             self.log.append(("block", r, c, size, skip, y_mode, uv_mode, cfl))
 
         hi = (1 << self.bitdepth) - 1
+        ntr, nbl = self._edge_counts(r, c, size)
         for plane in range(self.nplanes):
             mode = y_mode if plane == 0 else uv_mode
             delta = y_delta if plane == 0 else uv_delta
@@ -187,7 +221,8 @@ class LosslessTileDecoder:
                 for tx in range(x, x + size, 4):
                     above, left = build_edges(
                         self.recon[plane], tx, ty, 4, 4, ty > 0, tx > 0,
-                        self.bitdepth)
+                        self.bitdepth, num_top_right=ntr,
+                        num_bottom_left=nbl)
                     if plane > 0 and uv_mode == UV_CFL_PRED:
                         pred = predict(DC_PRED, above, left, 4, 4, ty > 0,
                                        tx > 0, bitdepth=self.bitdepth)

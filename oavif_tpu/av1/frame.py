@@ -509,16 +509,42 @@ class TileEncoder:
             return self._quantize(src - pred, tx)
 
         y_pred = plane_pred(0, y_mode)
+        y_tx_type = "dct_dct"
         if y_levels_planned is not None:
             y_levels = y_levels_planned.astype(np.int64)
         else:
             y_levels = plane_levels(0, y_pred)
+            if can_code_coeffs and tx in (8, 16) and np.any(y_levels):
+                # two-way transform RD: ADST bases fit intra residuals that
+                # grow away from the prediction edge. Cost = coefficient-
+                # domain distortion + lambda * rate proxy (same transform
+                # normalization, so D is comparable across types).
+                resid = self.src[0][y : y + tx, x : x + tx] - y_pred
+                lv_adst = self._quantize(resid, tx, "adst_adst")
+                shift = DQ_SHIFT[tx]
+                lam = float(self.dq_ac) ** 2 / 512.0
+
+                def rdcost(lv, tt):
+                    qm = np.full((tx, tx), float(self.dq_ac))
+                    qm[0, 0] = float(self.dq_dc)
+                    sc = fwd_txfm2d(resid, tt) * (1 << shift) / qm
+                    d = float((((sc - lv) * qm / (1 << shift)) ** 2).sum())
+                    nz = lv != 0
+                    r = float(2 * nz.sum() + 2 * np.log2(1 + np.abs(lv[nz])).sum())
+                    return d + lam * r
+
+                if rdcost(lv_adst, "adst_adst") < rdcost(y_levels, "dct_dct"):
+                    y_levels = lv_adst
+                    y_tx_type = "adst_adst"
         if np.any(y_levels):
-            y_recon = np.clip(y_pred + self._dequant_inv(y_levels, tx), lo, hi)
+            y_recon = np.clip(
+                y_pred + self._dequant_inv(y_levels, tx, y_tx_type), lo, hi
+            )
         else:
             y_recon = np.clip(y_pred, lo, hi)
 
         plane_jobs = [(0, tx, x, y, y_levels, y_pred)]
+        self._y_tx_type = y_tx_type
         uv_mode = DC_PRED
         cfl_alphas = (0, 0)
         if len(self.planes) > 1:
@@ -550,12 +576,13 @@ class TileEncoder:
 
         # --- residual coding + recon ---
         for plane, tx, px, py, levels, pred in plane_jobs:
+            tt = self._y_tx_type if plane == 0 else "dct_dct"
             if skip:
                 self._set_lvl_ctx(plane, px, py, tx, 0, 0)
                 recon_block = pred
             else:
-                self._encode_coeffs(plane, tx, px, py, levels, size, y_mode)
-                resid = self._dequant_inv(levels, tx)
+                self._encode_coeffs(plane, tx, px, py, levels, size, y_mode, tt)
+                resid = self._dequant_inv(levels, tx, tt)
                 recon_block = pred + resid
             lo, hi = 0, (1 << self.bitdepth) - 1
             self.recon[plane][py : py + tx, px : px + tx] = np.clip(
@@ -770,10 +797,11 @@ class TileEncoder:
 
     # -- quant / dequant --------------------------------------------------------
 
-    def _quantize(self, resid: np.ndarray, tx: int) -> np.ndarray:
+    def _quantize(self, resid: np.ndarray, tx: int,
+                  tx_type: str = "dct_dct") -> np.ndarray:
         if not resid.any():
             return np.zeros((tx, tx), dtype=np.int64)
-        coeffs = fwd_txfm2d(resid)
+        coeffs = fwd_txfm2d(resid, tx_type)
         shift = DQ_SHIFT[tx]
         qmat = np.full_like(coeffs, float(self.dq_ac))
         qmat[0, 0] = float(self.dq_dc)
@@ -806,14 +834,15 @@ class TileEncoder:
         flat[scan] = order
         levels[:cw, :cw] = flat.reshape(cw, cw)
 
-    def _dequant_inv(self, levels: np.ndarray, tx: int) -> np.ndarray:
+    def _dequant_inv(self, levels: np.ndarray, tx: int,
+                     tx_type: str = "dct_dct") -> np.ndarray:
         shift = DQ_SHIFT[tx]
         q = np.full_like(levels, self.dq_ac)
         q[0, 0] = self.dq_dc
         mag = (np.abs(levels) * q) & 0xFFFFFF
         mag >>= shift
         deq = np.sign(levels) * mag
-        return inv_txfm2d(deq, self.bitdepth)
+        return inv_txfm2d(deq, self.bitdepth, tx_type)
 
     # -- coefficient coding -----------------------------------------------------
 
@@ -857,9 +886,17 @@ class TileEncoder:
         ps.above_dc[mi_c : mi_c + n] = dc_cat
         ps.left_dc[(mi_r & 15) : (mi_r & 15) + n] = dc_cat
 
+    # intra tx-set symbol index per type (validated by decoder probes):
+    # set2 (tx16): {IDTX, DCT_DCT, ADST_ADST, ADST_DCT, DCT_ADST}
+    # set1 (tx4/8): {IDTX, DCT_DCT, V_DCT, H_DCT, ADST_ADST, ADST_DCT, DCT_ADST}
+    _TXTYPE_SYM2 = {"idtx": 0, "dct_dct": 1, "adst_adst": 2,
+                    "adst_dct": 3, "dct_adst": 4}
+    _TXTYPE_SYM1 = {"idtx": 0, "dct_dct": 1, "v_dct": 2, "h_dct": 3,
+                    "adst_adst": 4, "adst_dct": 5, "dct_adst": 6}
+
     def _encode_coeffs(
         self, plane: int, tx: int, px: int, py: int, levels2d: np.ndarray,
-        bsize: int, y_mode: int = 0
+        bsize: int, y_mode: int = 0, tx_type: str = "dct_dct"
     ) -> None:
         txs_ctx = _TXS_CTX[tx]
         ptype = 0 if plane == 0 else 1
@@ -876,8 +913,14 @@ class TileEncoder:
         # DCT_ADST}. We always choose DCT_DCT: symbol 1 in both orders
         # (validated by decoder probes in tests/test_conformance.py).
         txtype_row = None
+        txtype_sym = 1
         if plane == 0 and tx <= 16:
-            bank = self.cdf.intra_ext_tx2 if tx == 16 else self.cdf.intra_ext_tx1
+            if tx == 16:
+                bank = self.cdf.intra_ext_tx2
+                txtype_sym = self._TXTYPE_SYM2[tx_type]
+            else:
+                bank = self.cdf.intra_ext_tx1
+                txtype_sym = self._TXTYPE_SYM1[tx_type]
             txtype_row = bank[txs_ctx][y_mode]
 
         if self.enc.coeffs is not None:
@@ -893,7 +936,7 @@ class TileEncoder:
                 self.cdf.coeff_br[txs_ctx][ptype],
                 self.cdf.dc_sign[ptype][sctx],
                 txtype_row,
-                1,
+                txtype_sym,
             )
             self._set_lvl_ctx(plane, px, py, tx, cul, dc_cat)
             return
@@ -908,7 +951,7 @@ class TileEncoder:
             self._set_lvl_ctx(plane, px, py, tx, 0, 0)
             return
         if txtype_row is not None:
-            self._sym(txtype_row, 1)  # DCT_DCT
+            self._sym(txtype_row, txtype_sym)
 
         # eob_pt
         n_coded = cw * cw

@@ -180,6 +180,7 @@ def inv_txfm2d(coeffs: np.ndarray, bitdepth: int = 8, tx_type: str = "dct_dct") 
         out = inv_txfm2d_native(coeffs, bitdepth)
         if out is not None:
             return out
+    assert tx_type == "dct_dct" or (h <= 16 and w <= 16), tx_type
     log2w, log2h = w.bit_length() - 1, h.bit_length() - 1
     t = coeffs.astype(np.int64)
 
@@ -213,10 +214,22 @@ def inv_txfm2d(coeffs: np.ndarray, bitdepth: int = 8, tx_type: str = "dct_dct") 
     return t
 
 
+_IADST = {}
+
+
 def _apply_1d(elems, N, tx_type, horizontal):
-    if tx_type == "dct_dct":
+    # tx_type "X_Y": X = vertical (column) 1D transform, Y = horizontal (row)
+    if "_" in tx_type:
+        col_kind, row_kind = tx_type.split("_")
+    else:
+        col_kind = row_kind = tx_type
+    kind = row_kind if horizontal else col_kind
+    if kind == "dct":
         return idct_1d(elems, N)
-    if tx_type == "idtx":
+    if kind == "adst":
+        fn = {4: iadst4_1d, 8: iadst8_1d, 16: iadst16_1d}[N]
+        return fn(elems)
+    if kind == "idtx":
         return iidentity_1d(elems, N)
     raise NotImplementedError(tx_type)
 
@@ -227,8 +240,12 @@ def _apply_1d(elems, N, tx_type, horizontal):
 
 
 @functools.lru_cache(maxsize=None)
-def _inv_matrix_1d(N: int) -> np.ndarray:
-    """Linearization of the integer inverse DCT (N×N float matrix)."""
+def _inv_matrix_1d(N: int, kind: str = "dct") -> np.ndarray:
+    """Linearization of the integer inverse transform (N×N float)."""
+    if kind == "dct":
+        fn = lambda x: idct_1d(x, N)
+    else:
+        fn = {4: iadst4_1d, 8: iadst8_1d, 16: iadst16_1d}[N]
     cols = []
     scale = 512  # probe amplitude well inside range, averages rounding
     for k in range(N):
@@ -238,19 +255,23 @@ def _inv_matrix_1d(N: int) -> np.ndarray:
             np.full(1, -scale, np.int64) if i == k else np.zeros(1, np.int64)
             for i in range(N)
         ]
-        up = np.array([v[0] for v in idct_1d(x, N)], dtype=np.float64)
-        dn = np.array([v[0] for v in idct_1d(xm, N)], dtype=np.float64)
+        up = np.array([v[0] for v in fn(x)], dtype=np.float64)
+        dn = np.array([v[0] for v in fn(xm)], dtype=np.float64)
         cols.append((up - dn) / (2 * scale))
     return np.stack(cols, axis=1)  # out = M @ coeffs
 
 
 @functools.lru_cache(maxsize=None)
-def fwd_matrices(w: int, h: int):
-    """Forward 2D DCT matrices (Fh, Fw) such that
+def fwd_matrices(w: int, h: int, tx_type: str = "dct_dct"):
+    """Forward 2D transform matrices (Fh, Fw) such that
     coeffs ≈ Fh @ residual @ Fw.T lands where the normative inverse
     reproduces the residual: residual ≈ inv(coeffs)."""
-    mw = _inv_matrix_1d(w)
-    mh = _inv_matrix_1d(h)
+    if "_" in tx_type:
+        col_kind, row_kind = tx_type.split("_")
+    else:
+        col_kind = row_kind = tx_type
+    mw = _inv_matrix_1d(w, row_kind)
+    mh = _inv_matrix_1d(h, col_kind)
     log2w, log2h = w.bit_length() - 1, h.bit_length() - 1
     row_shift = INV_ROW_SHIFT[max(w, h)]
     # inverse: res = round2(Mh @ (round2(Mw @ C^T, row_shift))^T, 4)
@@ -264,11 +285,11 @@ def fwd_matrices(w: int, h: int):
     return fh / np.sqrt(total), fw / np.sqrt(total)
 
 
-def fwd_txfm2d(residual: np.ndarray) -> np.ndarray:
+def fwd_txfm2d(residual: np.ndarray, tx_type: str = "dct_dct") -> np.ndarray:
     """Float forward transform matched to the normative inverse. The 64-pt
     high-frequency region is zeroed like the bitstream requires."""
     h, w = residual.shape
-    fh, fw = fwd_matrices(w, h)
+    fh, fw = fwd_matrices(w, h, tx_type)
     c = fh @ residual.astype(np.float64) @ fw.T
     if w == 64:
         c[:, 32:] = 0
@@ -336,3 +357,153 @@ def fwd_wht4x4(resid: np.ndarray) -> np.ndarray:
         d += b
         t[r] = [a, c, d, b]
     return t * 4
+
+
+# ---------------------------------------------------------------------------
+# Inverse ADST (spec 7.13.2.6 / libaom av1_iadst*_c structure). Validated
+# end-to-end against the independent decoder (tests/test_conformance.py):
+# recon through these must equal dav1d's output bit-exactly.
+# ---------------------------------------------------------------------------
+
+
+def iadst4_1d(x):
+    sinpi = [0, 1321, 2482, 3344, 3803]
+    x0, x1, x2, x3 = x
+    s0 = sinpi[1] * x0
+    s1 = sinpi[2] * x0
+    s2 = sinpi[3] * x1
+    s3 = sinpi[4] * x2
+    s4 = sinpi[1] * x2
+    s5 = sinpi[2] * x3
+    s6 = sinpi[4] * x3
+    a7 = x0 - x2
+    b7 = a7 + x3
+    s0 = s0 + s3
+    s1 = s1 - s4
+    s3 = s2
+    s2 = sinpi[3] * b7
+    s0 = s0 + s5
+    s1 = s1 - s6
+    o0 = s0 + s3
+    o1 = s1 + s3
+    o2 = s2
+    o3 = s0 + s1 - s3
+    return [_round2(v, 12) for v in (o0, o1, o2, o3)]
+
+
+def iadst8_1d(xin):
+    c = cospi_table()
+
+    # stage 1: reorder
+    x = [xin[7], xin[0], xin[5], xin[2], xin[3], xin[4], xin[1], xin[6]]
+    # stage 2
+    s = [
+        _hb(c[4], x[0], c[60], x[1]),
+        _hb(c[60], x[0], -c[4], x[1]),
+        _hb(c[20], x[2], c[44], x[3]),
+        _hb(c[44], x[2], -c[20], x[3]),
+        _hb(c[36], x[4], c[28], x[5]),
+        _hb(c[28], x[4], -c[36], x[5]),
+        _hb(c[52], x[6], c[12], x[7]),
+        _hb(c[12], x[6], -c[52], x[7]),
+    ]
+    # stage 3
+    x = [s[0] + s[4], s[1] + s[5], s[2] + s[6], s[3] + s[7],
+         s[0] - s[4], s[1] - s[5], s[2] - s[6], s[3] - s[7]]
+    # stage 4
+    s = [x[0], x[1], x[2], x[3],
+         _hb(c[16], x[4], c[48], x[5]),
+         _hb(c[48], x[4], -c[16], x[5]),
+         _hb(-c[48], x[6], c[16], x[7]),
+         _hb(c[16], x[6], c[48], x[7])]
+    # stage 5
+    x = [s[0] + s[2], s[1] + s[3], s[0] - s[2], s[1] - s[3],
+         s[4] + s[6], s[5] + s[7], s[4] - s[6], s[5] - s[7]]
+    # stage 6
+    s = [x[0], x[1],
+         _hb(c[32], x[2], c[32], x[3]),
+         _hb(c[32], x[2], -c[32], x[3]),
+         x[4], x[5],
+         _hb(c[32], x[6], c[32], x[7]),
+         _hb(c[32], x[6], -c[32], x[7])]
+    # stage 7: alternate negation
+    return [s[0], -s[4], s[6], -s[2], s[3], -s[7], s[5], -s[1]]
+
+
+def iadst16_1d(xin):
+    c = cospi_table()
+
+    # stage 1: reorder
+    x = [xin[15], xin[0], xin[13], xin[2], xin[11], xin[4], xin[9], xin[6],
+         xin[7], xin[8], xin[5], xin[10], xin[3], xin[12], xin[1], xin[14]]
+    # stage 2
+    s = [
+        _hb(c[2], x[0], c[62], x[1]),
+        _hb(c[62], x[0], -c[2], x[1]),
+        _hb(c[10], x[2], c[54], x[3]),
+        _hb(c[54], x[2], -c[10], x[3]),
+        _hb(c[18], x[4], c[46], x[5]),
+        _hb(c[46], x[4], -c[18], x[5]),
+        _hb(c[26], x[6], c[38], x[7]),
+        _hb(c[38], x[6], -c[26], x[7]),
+        _hb(c[34], x[8], c[30], x[9]),
+        _hb(c[30], x[8], -c[34], x[9]),
+        _hb(c[42], x[10], c[22], x[11]),
+        _hb(c[22], x[10], -c[42], x[11]),
+        _hb(c[50], x[12], c[14], x[13]),
+        _hb(c[14], x[12], -c[50], x[13]),
+        _hb(c[58], x[14], c[6], x[15]),
+        _hb(c[6], x[14], -c[58], x[15]),
+    ]
+    # stage 3
+    x = [s[i] + s[i + 8] for i in range(8)] + \
+        [s[i] - s[i + 8] for i in range(8)]
+    # stage 4
+    s = x[:8] + [
+        _hb(c[8], x[8], c[56], x[9]),
+        _hb(c[56], x[8], -c[8], x[9]),
+        _hb(c[40], x[10], c[24], x[11]),
+        _hb(c[24], x[10], -c[40], x[11]),
+        _hb(-c[56], x[12], c[8], x[13]),
+        _hb(c[8], x[12], c[56], x[13]),
+        _hb(-c[24], x[14], c[40], x[15]),
+        _hb(c[40], x[14], c[24], x[15]),
+    ]
+    # stage 5
+    x = [s[i] + s[i + 4] for i in range(4)] + \
+        [s[i] - s[i + 4] for i in range(4)] + \
+        [s[i] + s[i + 4] for i in range(8, 12)] + \
+        [s[i] - s[i + 4] for i in range(8, 12)]
+    # stage 6
+    s = x[:4] + [
+        _hb(c[16], x[4], c[48], x[5]),
+        _hb(c[48], x[4], -c[16], x[5]),
+        _hb(-c[48], x[6], c[16], x[7]),
+        _hb(c[16], x[6], c[48], x[7]),
+    ] + x[8:12] + [
+        _hb(c[16], x[12], c[48], x[13]),
+        _hb(c[48], x[12], -c[16], x[13]),
+        _hb(-c[48], x[14], c[16], x[15]),
+        _hb(c[16], x[14], c[48], x[15]),
+    ]
+    # stage 7
+    x = [s[0] + s[2], s[1] + s[3], s[0] - s[2], s[1] - s[3],
+         s[4] + s[6], s[5] + s[7], s[4] - s[6], s[5] - s[7],
+         s[8] + s[10], s[9] + s[11], s[8] - s[10], s[9] - s[11],
+         s[12] + s[14], s[13] + s[15], s[12] - s[14], s[13] - s[15]]
+    # stage 8
+    s = [x[0], x[1],
+         _hb(c[32], x[2], c[32], x[3]),
+         _hb(c[32], x[2], -c[32], x[3]),
+         x[4], x[5],
+         _hb(c[32], x[6], c[32], x[7]),
+         _hb(c[32], x[6], -c[32], x[7]),
+         x[8], x[9],
+         _hb(c[32], x[10], c[32], x[11]),
+         _hb(c[32], x[10], -c[32], x[11]),
+         x[12], x[13],
+         _hb(c[32], x[14], c[32], x[15]),
+         _hb(c[32], x[14], -c[32], x[15])]
+    # stage 9: alternate negation
+    return [s[0], -s[8], s[12], -s[4], s[6], -s[14], s[10], -s[2],
+            s[3], -s[11], s[15], -s[7], s[5], -s[13], s[9], -s[1]]

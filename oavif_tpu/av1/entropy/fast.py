@@ -265,12 +265,13 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None):
 
     fmats = [
         tuple(np.ascontiguousarray(m, dtype=np.float64)
-              for m in fwd_matrices(n, n))
-        for n in (8, 16, 32, 64)
+              for m in fwd_matrices(n, n, tt))
+        for n, tt in ((8, "dct_dct"), (16, "dct_dct"), (32, "dct_dct"),
+                      (64, "dct_dct"), (8, "adst_adst"), (16, "adst_adst"))
     ]
-    fh_ptrs = (C.POINTER(C.c_double) * 4)(
+    fh_ptrs = (C.POINTER(C.c_double) * 6)(
         *[m[0].ctypes.data_as(C.POINTER(C.c_double)) for m in fmats])
-    fw_ptrs = (C.POINTER(C.c_double) * 4)(
+    fw_ptrs = (C.POINTER(C.c_double) * 6)(
         *[m[1].ctypes.data_as(C.POINTER(C.c_double)) for m in fmats])
 
     plan_arr = None

@@ -437,3 +437,8 @@ void inv_txfm2d_c(int32_t *c, int w, int h, int bitdepth) {
     for (int r = 0; r < h; r++)
         for (int cc = 0; cc < w; cc++) c[r * w + cc] = (int32_t)buf[r * w + cc];
 }
+
+/* public 1D inverse DCT (used by the tile encoder's typed 2D inverse) */
+void idct_1d_pub(const int64_t *x, int64_t *out, int N) {
+    idct_1d_c(x, out, N);
+}

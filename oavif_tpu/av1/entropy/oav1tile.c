@@ -34,6 +34,8 @@ int enc_coeffs(Enc *e, const int32_t *lv, int cw, const int32_t *scan,
                uint16_t *txtype_row, int txtype_nsym, int txtype_sym,
                int32_t *out_ctx);
 void inv_txfm2d_c(int32_t *c, int w, int h, int bitdepth);
+void inv_txfm2d_tt(int32_t *cf, int n, int bitdepth, int col_kind,
+                   int row_kind);
 
 /* ---- modes (oavif_tpu/av1/consts.py) ---- */
 enum {
@@ -73,7 +75,7 @@ typedef struct {
     uint16_t *cdf[CDF_N];
     const int32_t *scan[6]; /* index by log2(cw)-2: 4,8,16,32 */
     const int32_t *smw[5];  /* sm_weights by log2(n)-2: 4,8,16,32,64 */
-    const double *fh[4], *fw[4]; /* by log2(n)-3: 8,16,32,64 */
+    const double *fh[6], *fw[6]; /* dct 8,16,32,64; adst 8,16 */
     const int32_t *dr_deriv; /* dr_intra_derivative[90] */
     const int32_t *plan;    /* per-32x32-block mode, -1 = search; or NULL */
     int plan_nbx, plan_nby;
@@ -330,10 +332,19 @@ static const int DQ_SHIFT_BY_TX[65] = {
 
 /* resid (n*n int32) -> levels (int32, natural order) via
  * coeffs = fh @ resid @ fw^T in double, deadzone quant + tail trim. */
+static void quantize_mat(const Tile *t, const int32_t *resid, int n,
+                         const double *fhm, const double *fwm,
+                         int32_t *levels);
+
 static void quantize_n(const Tile *t, const int32_t *resid, int n,
                        int32_t *levels) {
-    const double *fhm = t->fh[log2i(n) - 3];
-    const double *fwm = t->fw[log2i(n) - 3];
+    quantize_mat(t, resid, n, t->fh[log2i(n) - 3], t->fw[log2i(n) - 3],
+                 levels);
+}
+
+static void quantize_mat(const Tile *t, const int32_t *resid, int n,
+                         const double *fhm, const double *fwm,
+                         int32_t *levels) {
     double tmp[64 * 64];
     double rd[64 * 64];
     for (int i = 0; i < n * n; i++) rd[i] = (double)resid[i];
@@ -380,8 +391,8 @@ static void quantize_n(const Tile *t, const int32_t *resid, int n,
 }
 
 /* dequant + normative inverse transform (frame.py _dequant_inv) */
-static void dequant_inv(const Tile *t, const int32_t *levels, int tx,
-                        int32_t *resid_out) {
+static void dequant_inv_tt(const Tile *t, const int32_t *levels, int tx,
+                           int txtype, int32_t *resid_out) {
     int shift = DQ_SHIFT_BY_TX[tx];
     for (int i = 0; i < tx * tx; i++) {
         int64_t lv = levels[i];
@@ -390,7 +401,15 @@ static void dequant_inv(const Tile *t, const int32_t *levels, int tx,
         mag >>= shift;
         resid_out[i] = (int32_t)(lv < 0 ? -mag : mag);
     }
-    inv_txfm2d_c(resid_out, tx, tx, t->bitdepth);
+    if (txtype == 0)
+        inv_txfm2d_c(resid_out, tx, tx, t->bitdepth);
+    else
+        inv_txfm2d_tt(resid_out, tx, t->bitdepth, 1, 1);
+}
+
+static void dequant_inv(const Tile *t, const int32_t *levels, int tx,
+                        int32_t *resid_out) {
+    dequant_inv_tt(t, levels, tx, 0, resid_out);
 }
 
 /* ---- coefficient-coding context (mirrors frame.py) ---- */
@@ -463,27 +482,34 @@ static void encode_coeffs_txb(Tile *t, int plane, int tx, int px, int py,
     uint16_t *br_rows = t->cdf[CDF_COEFF_BR] + ((size_t)txs * 2 + ptype) * 21 * 5;
     uint16_t *dc_sign_row = t->cdf[CDF_DC_SIGN] + ((size_t)ptype * 3 + sctx) * 3;
 
-    /* Y tx <= 16 signals intra_tx_type: DCT_DCT = symbol 1; 16x16 uses
-     * TX_SET_INTRA_2 (5 syms), 4x4/8x8 TX_SET_INTRA_1 (7 syms) — spec
-     * get_tx_set. */
+    /* Y tx <= 16 signals intra_tx_type: 16x16 uses TX_SET_INTRA_2
+     * {IDTX, DCT, ADST_ADST, ADST_DCT, DCT_ADST}, 4x4/8x8 TX_SET_INTRA_1
+     * {IDTX, DCT, V_DCT, H_DCT, ADST_ADST, ADST_DCT, DCT_ADST}. The chosen
+     * type arrives in y_mode_ctx bits 8+ (0 DCT, 1 ADST_ADST). */
+    int y_txtype = y_mode_ctx >= 0 ? (y_mode_ctx >> 8) : 0;
+    int y_mode_only = y_mode_ctx >= 0 ? (y_mode_ctx & 0xFF) : y_mode_ctx;
     uint16_t *txtype_row = NULL;
     int txtype_nsym = 0;
+    int txtype_sym = 1;
     if (y_mode_ctx < 0) {
         /* lossless: WHT implicit, no tx_type symbol */
     } else if (plane == 0 && tx == 16) {
         txtype_row =
-            t->cdf[CDF_INTRA_EXT_TX2] + ((size_t)txs * 13 + y_mode_ctx) * 6;
+            t->cdf[CDF_INTRA_EXT_TX2] + ((size_t)txs * 13 + y_mode_only) * 6;
         txtype_nsym = 5;
+        txtype_sym = y_txtype ? 2 : 1;
     } else if (plane == 0 && tx <= 8) {
         txtype_row =
-            t->cdf[CDF_INTRA_EXT_TX1] + ((size_t)txs * 13 + y_mode_ctx) * 8;
+            t->cdf[CDF_INTRA_EXT_TX1] + ((size_t)txs * 13 + y_mode_only) * 8;
         txtype_nsym = 7;
+        txtype_sym = y_txtype ? 4 : 1;
     }
 
     int32_t out_ctx[2];
     enc_coeffs(t->enc, levels, cw, t->scan[log2i(cw) - 2], txb_skip_row,
                eob_pt_row, eob_nsym, eob_extra_rows, base_eob_rows, base_rows,
-               br_rows, dc_sign_row, txtype_row, txtype_nsym, 1, out_ctx);
+               br_rows, dc_sign_row, txtype_row, txtype_nsym, txtype_sym,
+               out_ctx);
     set_lvl_ctx(t, plane, px, py, tx, out_ctx[0], out_ctx[1]);
 }
 
@@ -517,6 +543,150 @@ static int choose_y_mode(const Tile *t, int r, int c, int size,
         }
     }
     return best_mode;
+}
+
+/* ---- inverse ADST (mirrors transform.py; conformance-validated) ---- */
+
+static const int32_t COSPI_T[65] = {
+    4096, 4095, 4091, 4085, 4076, 4065, 4052, 4036, 4017, 3996, 3973,
+    3948, 3920, 3889, 3857, 3822, 3784, 3745, 3703, 3659, 3612, 3564,
+    3513, 3461, 3406, 3349, 3290, 3229, 3166, 3102, 3035, 2967, 2896,
+    2824, 2751, 2675, 2598, 2520, 2440, 2359, 2276, 2191, 2106, 2019,
+    1931, 1842, 1751, 1660, 1567, 1474, 1380, 1285, 1189, 1092, 995,
+    897, 799, 700, 601, 501, 401, 301, 201, 101, 0,
+};
+
+static inline int64_t rnd2_t(int64_t x, int n) {
+    return (x + ((int64_t)1 << (n - 1))) >> n;
+}
+static inline int64_t hb_t(int64_t w0, int64_t x0, int64_t w1, int64_t x1) {
+    return rnd2_t(w0 * x0 + w1 * x1, 12);
+}
+
+static void iadst4_c(const int64_t *x, int64_t *o) {
+    static const int64_t sp[5] = {0, 1321, 2482, 3344, 3803};
+    int64_t s0 = sp[1] * x[0], s1 = sp[2] * x[0], s2 = sp[3] * x[1];
+    int64_t s3 = sp[4] * x[2], s4 = sp[1] * x[2], s5 = sp[2] * x[3];
+    int64_t s6 = sp[4] * x[3];
+    int64_t b7 = (x[0] - x[2]) + x[3];
+    s0 += s3;
+    s1 -= s4;
+    s3 = s2;
+    s2 = sp[3] * b7;
+    s0 += s5;
+    s1 -= s6;
+    o[0] = rnd2_t(s0 + s3, 12);
+    o[1] = rnd2_t(s1 + s3, 12);
+    o[2] = rnd2_t(s2, 12);
+    o[3] = rnd2_t(s0 + s1 - s3, 12);
+}
+
+static void iadst8_c(const int64_t *xin, int64_t *out) {
+    const int32_t *c = COSPI_T;
+    int64_t x[8], s[8];
+    x[0]=xin[7]; x[1]=xin[0]; x[2]=xin[5]; x[3]=xin[2];
+    x[4]=xin[3]; x[5]=xin[4]; x[6]=xin[1]; x[7]=xin[6];
+    s[0]=hb_t(c[4],x[0],c[60],x[1]);  s[1]=hb_t(c[60],x[0],-c[4],x[1]);
+    s[2]=hb_t(c[20],x[2],c[44],x[3]); s[3]=hb_t(c[44],x[2],-c[20],x[3]);
+    s[4]=hb_t(c[36],x[4],c[28],x[5]); s[5]=hb_t(c[28],x[4],-c[36],x[5]);
+    s[6]=hb_t(c[52],x[6],c[12],x[7]); s[7]=hb_t(c[12],x[6],-c[52],x[7]);
+    x[0]=s[0]+s[4]; x[1]=s[1]+s[5]; x[2]=s[2]+s[6]; x[3]=s[3]+s[7];
+    x[4]=s[0]-s[4]; x[5]=s[1]-s[5]; x[6]=s[2]-s[6]; x[7]=s[3]-s[7];
+    s[0]=x[0]; s[1]=x[1]; s[2]=x[2]; s[3]=x[3];
+    s[4]=hb_t(c[16],x[4],c[48],x[5]);  s[5]=hb_t(c[48],x[4],-c[16],x[5]);
+    s[6]=hb_t(-c[48],x[6],c[16],x[7]); s[7]=hb_t(c[16],x[6],c[48],x[7]);
+    x[0]=s[0]+s[2]; x[1]=s[1]+s[3]; x[2]=s[0]-s[2]; x[3]=s[1]-s[3];
+    x[4]=s[4]+s[6]; x[5]=s[5]+s[7]; x[6]=s[4]-s[6]; x[7]=s[5]-s[7];
+    s[0]=x[0]; s[1]=x[1];
+    s[2]=hb_t(c[32],x[2],c[32],x[3]); s[3]=hb_t(c[32],x[2],-c[32],x[3]);
+    s[4]=x[4]; s[5]=x[5];
+    s[6]=hb_t(c[32],x[6],c[32],x[7]); s[7]=hb_t(c[32],x[6],-c[32],x[7]);
+    out[0]=s[0]; out[1]=-s[4]; out[2]=s[6]; out[3]=-s[2];
+    out[4]=s[3]; out[5]=-s[7]; out[6]=s[5]; out[7]=-s[1];
+}
+
+static void iadst16_c(const int64_t *xin, int64_t *out) {
+    const int32_t *c = COSPI_T;
+    int64_t x[16], s[16];
+    static const int reord[16] = {15,0,13,2,11,4,9,6,7,8,5,10,3,12,1,14};
+    for (int i = 0; i < 16; i++) x[i] = xin[reord[i]];
+    static const int a2[8] = {2,10,18,26,34,42,50,58};
+    for (int i = 0; i < 8; i++) {
+        int th = a2[i];
+        s[2*i]   = hb_t(c[th], x[2*i], c[64-th], x[2*i+1]);
+        s[2*i+1] = hb_t(c[64-th], x[2*i], -c[th], x[2*i+1]);
+    }
+    for (int i = 0; i < 8; i++) { x[i] = s[i] + s[i+8]; x[i+8] = s[i] - s[i+8]; }
+    for (int i = 0; i < 8; i++) s[i] = x[i];
+    s[8]  = hb_t(c[8],  x[8],  c[56], x[9]);
+    s[9]  = hb_t(c[56], x[8],  -c[8], x[9]);
+    s[10] = hb_t(c[40], x[10], c[24], x[11]);
+    s[11] = hb_t(c[24], x[10], -c[40], x[11]);
+    s[12] = hb_t(-c[56], x[12], c[8],  x[13]);
+    s[13] = hb_t(c[8],   x[12], c[56], x[13]);
+    s[14] = hb_t(-c[24], x[14], c[40], x[15]);
+    s[15] = hb_t(c[40],  x[14], c[24], x[15]);
+    for (int i = 0; i < 4; i++) { x[i] = s[i] + s[i+4]; x[i+4] = s[i] - s[i+4]; }
+    for (int i = 8; i < 12; i++) { x[i] = s[i] + s[i+4]; x[i+4] = s[i] - s[i+4]; }
+    for (int i = 0; i < 4; i++) s[i] = x[i];
+    s[4] = hb_t(c[16], x[4], c[48], x[5]);
+    s[5] = hb_t(c[48], x[4], -c[16], x[5]);
+    s[6] = hb_t(-c[48], x[6], c[16], x[7]);
+    s[7] = hb_t(c[16], x[6], c[48], x[7]);
+    for (int i = 8; i < 12; i++) s[i] = x[i];
+    s[12] = hb_t(c[16], x[12], c[48], x[13]);
+    s[13] = hb_t(c[48], x[12], -c[16], x[13]);
+    s[14] = hb_t(-c[48], x[14], c[16], x[15]);
+    s[15] = hb_t(c[16], x[14], c[48], x[15]);
+    for (int g = 0; g < 16; g += 4) {
+        x[g]   = s[g]   + s[g+2];
+        x[g+1] = s[g+1] + s[g+3];
+        x[g+2] = s[g]   - s[g+2];
+        x[g+3] = s[g+1] - s[g+3];
+    }
+    for (int g = 0; g < 16; g += 4) {
+        s[g] = x[g]; s[g+1] = x[g+1];
+        s[g+2] = hb_t(c[32], x[g+2], c[32], x[g+3]);
+        s[g+3] = hb_t(c[32], x[g+2], -c[32], x[g+3]);
+    }
+    out[0]=s[0];  out[1]=-s[8];  out[2]=s[12];  out[3]=-s[4];
+    out[4]=s[6];  out[5]=-s[14]; out[6]=s[10];  out[7]=-s[2];
+    out[8]=s[3];  out[9]=-s[11]; out[10]=s[15]; out[11]=-s[7];
+    out[12]=s[5]; out[13]=-s[13]; out[14]=s[9]; out[15]=-s[1];
+}
+
+/* 2D inverse with per-axis kind (0=dct, 1=adst); square n<=16 for adst */
+void idct_1d_pub(const int64_t *x, int64_t *out, int N);
+
+static void apply_1d_kind(const int64_t *in, int64_t *out, int n, int kind) {
+    if (kind == 0) { idct_1d_pub(in, out, n); return; }
+    if (n == 4) iadst4_c(in, out);
+    else if (n == 8) iadst8_c(in, out);
+    else iadst16_c(in, out);
+}
+
+void inv_txfm2d_tt(int32_t *cf, int n, int bitdepth, int col_kind,
+                   int row_kind) {
+    int64_t buf[16 * 16], vec[16], ov[16];
+    int row_shift = n >= 16 ? 2 : (n >= 8 ? 1 : 0);
+    int64_t clamp = ((int64_t)1 << (bitdepth + 7)) - 1;
+    for (int i = 0; i < n * n; i++) buf[i] = cf[i];
+    for (int r = 0; r < n; r++) {
+        for (int i = 0; i < n; i++) vec[i] = buf[r * n + i];
+        apply_1d_kind(vec, ov, n, row_kind);
+        for (int i = 0; i < n; i++) {
+            int64_t v = row_shift ? rnd2_t(ov[i], row_shift) : ov[i];
+            if (v < -clamp - 1) v = -clamp - 1;
+            if (v > clamp) v = clamp;
+            buf[r * n + i] = v;
+        }
+    }
+    for (int ccx = 0; ccx < n; ccx++) {
+        for (int i = 0; i < n; i++) vec[i] = buf[i * n + ccx];
+        apply_1d_kind(vec, ov, n, col_kind);
+        for (int i = 0; i < n; i++) buf[i * n + ccx] = rnd2_t(ov[i], 4);
+    }
+    for (int i = 0; i < n * n; i++) cf[i] = (int32_t)buf[i];
 }
 
 /* ---- lossless (CodedLossless): WHT 4x4, recon == source ---- */
@@ -675,20 +845,60 @@ static void encode_block(Tile *t, int r, int c, int size) {
 
     /* --- luma first: pred, levels, local recon (CfL reads it) --- */
     predict(t, &ey, y_mode, tx, tx, have_above0, have_left0, preds);
-    (void)0;
     int any_nonzero = plane_levels_c(t, 0, x, y, tx, can_code, preds, levels);
-    int32_t y_recon[64 * 64];
-    if (any_nonzero) {
-        int32_t resid[64 * 64];
-        dequant_inv(t, levels, tx, resid);
-        for (int i = 0; i < npx; i++) {
-            int32_t v = preds[i] + resid[i];
-            y_recon[i] = v < 0 ? 0 : (v > hi ? hi : v);
+    int y_txtype = 0; /* 0 = DCT_DCT, 1 = ADST_ADST */
+    if (any_nonzero && can_code && (tx == 8 || tx == 16)) {
+        /* two-way transform RD (mirrors frame.py: integer pixel-domain D +
+         * integer rate proxy, lambda = dq_ac^2/512) */
+        int32_t resid[64 * 64], lv_adst[64 * 64], rec[64 * 64];
+        const int32_t *srcp = t->src[0];
+        for (int rr = 0; rr < tx; rr++)
+            for (int cc = 0; cc < tx; cc++)
+                resid[rr * tx + cc] =
+                    srcp[(size_t)(y + rr) * t->pw + x + cc] -
+                    preds[rr * tx + cc];
+        int ai = tx == 8 ? 4 : 5;
+        quantize_mat(t, resid, tx, t->fh[ai], t->fw[ai], lv_adst);
+        int64_t lam = ((int64_t)t->dq_ac * t->dq_ac) / 512;
+        int64_t cost[2];
+        const int32_t *lvs[2] = {levels, lv_adst};
+        for (int k = 0; k < 2; k++) {
+            dequant_inv_tt(t, lvs[k], tx, k, rec);
+            int64_t d = 0, r = 0;
+            for (int i = 0; i < npx; i++) {
+                int64_t e = (int64_t)resid[i] - rec[i];
+                d += e * e;
+                int64_t v = llabs((int64_t)lvs[k][i]);
+                if (v) r += 2 + 2 * (64 - __builtin_clzll((uint64_t)v));
+            }
+            cost[k] = d + lam * r;
         }
-    } else {
-        for (int i = 0; i < npx; i++) {
-            int32_t v = preds[i];
-            y_recon[i] = v < 0 ? 0 : (v > hi ? hi : v);
+        if (cost[1] < cost[0]) {
+            y_txtype = 1;
+            memcpy(levels, lv_adst, (size_t)npx * 4);
+            int nz = 0;
+            for (int i = 0; i < npx; i++)
+                if (levels[i]) { nz = 1; break; }
+            any_nonzero = nz;
+        }
+    }
+    int32_t y_recon[64 * 64];
+    {
+        int lnz = 0;
+        for (int i = 0; i < npx; i++)
+            if (levels[i]) { lnz = 1; break; }
+        if (lnz) {
+            int32_t resid[64 * 64];
+            dequant_inv_tt(t, levels, tx, y_txtype, resid);
+            for (int i = 0; i < npx; i++) {
+                int32_t v = preds[i] + resid[i];
+                y_recon[i] = v < 0 ? 0 : (v > hi ? hi : v);
+            }
+        } else {
+            for (int i = 0; i < npx; i++) {
+                int32_t v = preds[i];
+                y_recon[i] = v < 0 ? 0 : (v > hi ? hi : v);
+            }
         }
     }
 
@@ -880,9 +1090,11 @@ static void encode_block(Tile *t, int r, int c, int size) {
                         v < 0 ? 0 : (v > hi ? hi : v);
                 }
         } else {
-            encode_coeffs_txb(t, plane, tx, x, y, lv, size, y_mode);
+            encode_coeffs_txb(t, plane, tx, x, y, lv, size,
+                              plane == 0 ? (y_mode | (y_txtype << 8))
+                                         : y_mode);
             int32_t resid[64 * 64];
-            dequant_inv(t, lv, tx, resid);
+            dequant_inv_tt(t, lv, tx, plane == 0 ? y_txtype : 0, resid);
             for (int rr = 0; rr < tx; rr++)
                 for (int cc = 0; cc < tx; cc++) {
                     int32_t v = pred[rr * tx + cc] + resid[rr * tx + cc];
@@ -1066,7 +1278,7 @@ size_t tile_encode(
     for (int i = 0; i < CDF_N; i++) t.cdf[i] = cdf_ptrs[i];
     for (int i = 0; i < 4; i++) t.scan[i] = scans[i];
     for (int i = 0; i < 5; i++) t.smw[i] = sm_weights[i];
-    for (int i = 0; i < 4; i++) { t.fh[i] = fhs[i]; t.fw[i] = fws[i]; }
+    for (int i = 0; i < 6; i++) { t.fh[i] = fhs[i]; t.fw[i] = fws[i]; }
     t.dr_deriv = dr_deriv;
     t.plan = plan;
     t.plan_nbx = plan_nbx;

@@ -521,16 +521,16 @@ class TileEncoder:
                 # normalization, so D is comparable across types).
                 resid = self.src[0][y : y + tx, x : x + tx] - y_pred
                 lv_adst = self._quantize(resid, tx, "adst_adst")
-                shift = DQ_SHIFT[tx]
-                lam = float(self.dq_ac) ** 2 / 512.0
+                lam = (self.dq_ac * self.dq_ac) // 512
 
                 def rdcost(lv, tt):
-                    qm = np.full((tx, tx), float(self.dq_ac))
-                    qm[0, 0] = float(self.dq_dc)
-                    sc = fwd_txfm2d(resid, tt) * (1 << shift) / qm
-                    d = float((((sc - lv) * qm / (1 << shift)) ** 2).sum())
-                    nz = lv != 0
-                    r = float(2 * nz.sum() + 2 * np.log2(1 + np.abs(lv[nz])).sum())
+                    # integer pixel-domain D + integer rate proxy: exactly
+                    # reproducible in the C runtime (no float summation)
+                    rec = self._dequant_inv(lv, tx, tt)
+                    d = int(((resid - rec) ** 2).sum())
+                    r = 0
+                    for v in np.abs(lv[lv != 0]):
+                        r += 2 + 2 * int(v).bit_length()
                     return d + lam * r
 
                 if rdcost(lv_adst, "adst_adst") < rdcost(y_levels, "dct_dct"):

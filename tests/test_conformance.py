@@ -276,3 +276,19 @@ def test_partition_split_roundtrip(q, shape):
     data, recon = _encode(img, q=q)
     dec = _decode(data)
     assert np.abs(dec.astype(int) - recon.astype(int)).max() <= 1
+
+
+def test_adst_selected_streams_roundtrip(test_rgb8):
+    """Streams where the RD search picks ADST for some luma txbs must
+    decode bit-exactly (intra_tx_type symbol + inverse ADST conformance)."""
+    rng = np.random.default_rng(21)
+    yy, xx = np.mgrid[0:128, 0:128].astype(np.float64)
+    img = np.clip(
+        np.stack([128 + 110 * np.sin((xx + yy) / 9),
+                  120 + 80 * np.sin((xx + yy) / 13),
+                  100 + 90 * np.sin((xx - yy) / 17)], -1)
+        + rng.normal(0, 4, (128, 128, 3)), 0, 255).astype(np.uint8)
+    for q in (60, 85):
+        data, recon = _encode(img, q=q)
+        dec = _decode(data)
+        assert np.abs(dec.astype(int) - recon.astype(int)).max() <= 1

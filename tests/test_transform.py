@@ -57,3 +57,15 @@ def test_forward_inverse_roundtrip(n, rng):
     back = T.inv_txfm2d(coeffs)
     err = np.abs(back - resid).max()
     assert err <= 2, err
+
+
+def test_adst_roundtrip_all_sizes(rng):
+    from oavif_tpu.av1.transform import fwd_txfm2d, inv_txfm2d
+    import numpy as np
+
+    for n in (4, 8, 16):
+        for tt in ("adst_adst", "adst_dct", "dct_adst"):
+            x = rng.integers(-255, 256, (n, n))
+            c = np.round(fwd_txfm2d(x, tt)).astype(np.int64)
+            y = inv_txfm2d(c, 8, tt)
+            assert np.abs(y - x).max() <= 1, (n, tt)

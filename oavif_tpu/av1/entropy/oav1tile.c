@@ -847,7 +847,10 @@ static void encode_block(Tile *t, int r, int c, int size) {
     predict(t, &ey, y_mode, tx, tx, have_above0, have_left0, preds);
     int any_nonzero = plane_levels_c(t, 0, x, y, tx, can_code, preds, levels);
     int y_txtype = 0; /* 0 = DCT_DCT, 1 = ADST_ADST */
-    if (any_nonzero && can_code && (tx == 8 || tx == 16)) {
+    int y_nnz = 0;
+    for (int i = 0; i < npx; i++)
+        if (levels[i]) y_nnz++;
+    if (y_nnz >= 6 && can_code && (tx == 8 || tx == 16)) {
         /* two-way transform RD (mirrors frame.py: integer pixel-domain D +
          * integer rate proxy, lambda = dq_ac^2/512) */
         int32_t resid[64 * 64], lv_adst[64 * 64], rec[64 * 64];

@@ -514,7 +514,8 @@ class TileEncoder:
             y_levels = y_levels_planned.astype(np.int64)
         else:
             y_levels = plane_levels(0, y_pred)
-            if can_code_coeffs and tx in (8, 16) and np.any(y_levels):
+            if (can_code_coeffs and tx in (8, 16)
+                    and int((y_levels != 0).sum()) >= 6):
                 # two-way transform RD: ADST bases fit intra residuals that
                 # grow away from the prediction edge. Cost = coefficient-
                 # domain distortion + lambda * rate proxy (same transform

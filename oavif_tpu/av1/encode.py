@@ -23,9 +23,23 @@ import numpy as np
 from ..backend import EncCtx
 from .consts import quality_to_qindex
 from .frame import encode_frame_planes
+from .loopfilter import loop_filter_frame
 from .mux import mux_avif
 from .obu import FrameConfig, SequenceConfig, assemble_av1_stream, clamp_tile_log2s
 from .yuv import rgb_to_yuv444, yuv444_to_rgb
+
+
+def _filter_level(qindex: int) -> int:
+    """Deblocking strength from the quantizer (libaom's default guess:
+    level ~ Round2(ac_q * 20723 + 1015158, 18), clamped to 6 bits). Encoder
+    freedom — conformance only requires the header level to match what the
+    recon applies."""
+    from .tables import ac_q
+
+    if qindex == 0:
+        return 0
+    q = ac_q(qindex, 8)
+    return max(0, min(63, (q * 20723 + 1015158 + (1 << 17)) >> 18))
 
 
 def _auto_tile_log2s(w: int, h: int, max_threads: int):
@@ -100,7 +114,7 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
     tcl, trl = clamp_tile_log2s(w, h, tcl, trl)
 
     planes = rgb_to_yuv444(rgb, bitdepth=out_depth)
-    payloads, recon_planes = encode_frame_planes(
+    payloads, recon_planes, blocks = encode_frame_planes(
         planes,
         qindex,
         bitdepth=out_depth,
@@ -109,6 +123,11 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
         tile_rows_log2=trl,
         max_threads=o.max_threads,
     )
+    flv = _filter_level(qindex)
+    filter_levels = (flv, flv, flv, flv)
+    if flv:
+        loop_filter_frame(recon_planes, blocks, filter_levels,
+                          bitdepth=out_depth)
 
     seq = SequenceConfig(
         width=w,
@@ -121,13 +140,14 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
     frame = FrameConfig(
         width=w, height=h, base_q_idx=qindex,
         tile_cols_log2=tcl, tile_rows_log2=trl,
+        filter_levels=filter_levels,
     )
     av1 = assemble_av1_stream(seq, frame, payloads)
 
     alpha_payload = None
     if alpha is not None:
         aq = quality_to_qindex(o.quality_alpha)  # 100 => lossless alpha
-        apayloads, _ = encode_frame_planes(
+        apayloads, arecon, ablocks = encode_frame_planes(
             [alpha.astype(np.int32)],
             aq,
             bitdepth=out_depth,
@@ -146,9 +166,14 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
             transfer_characteristics=o.transfer_characteristics,
             matrix_coefficients=o.matrix_coefficients,
         )
+        aflv = _filter_level(aq)
+        if aflv:
+            loop_filter_frame(arecon, ablocks, (aflv, aflv, 0, 0),
+                              bitdepth=out_depth)
         aframe = FrameConfig(
             width=w, height=h, base_q_idx=aq,
             tile_cols_log2=tcl, tile_rows_log2=trl,
+            filter_levels=(aflv, aflv, 0, 0),
         )
         alpha_payload = assemble_av1_stream(aseq, aframe, apayloads)
 

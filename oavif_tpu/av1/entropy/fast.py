@@ -73,6 +73,7 @@ def _build() -> Optional[C.CDLL]:
             C.POINTER(C.POINTER(C.c_double)),  # fhs, fws (8,16,32,64)
             _p32,              # dr_deriv
             _p32, C.c_int, C.c_int,  # plan, plan_nbx, plan_nby
+            _p32, _p32,        # blocks_out, n_blocks_out
             C.POINTER(C.POINTER(C.c_uint8)),  # out_payload
         ]
         lib.tile_payload_free.argtypes = [C.POINTER(C.c_uint8)]
@@ -285,6 +286,9 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None):
                 plan_arr[mi_r // 8, mi_c // 8] = int(v[0])
             plan_ptr = _i32p(plan_arr)
 
+    mi_rows, mi_cols = 2 * ((h + 7) >> 3), 2 * ((w + 7) >> 3)
+    blocks_buf = np.zeros((mi_rows * mi_cols, 3), dtype=np.int32)
+    n_blocks = np.zeros(1, dtype=np.int32)
     out = C.POINTER(C.c_uint8)()
     n = lib.tile_encode(
         src_ptrs, recon_ptrs,
@@ -294,8 +298,10 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None):
         fh_ptrs, fw_ptrs,
         _i32p(dr),
         plan_ptr, nbx, nby,
+        _i32p(blocks_buf), _i32p(n_blocks),
         C.byref(out),
     )
     payload = bytes(bytearray(C.cast(out, C.POINTER(C.c_uint8 * n))[0]))
     lib.tile_payload_free(out)
-    return payload, recon_arrs
+    blocks = [tuple(map(int, row)) for row in blocks_buf[: int(n_blocks[0])]]
+    return payload, recon_arrs, blocks

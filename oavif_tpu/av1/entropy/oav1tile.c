@@ -79,6 +79,8 @@ typedef struct {
     const int32_t *dr_deriv; /* dr_intra_derivative[90] */
     const int32_t *plan;    /* per-32x32-block mode, -1 = search; or NULL */
     int plan_nbx, plan_nby;
+    int32_t *blocks_out;  /* (r, c, size) triplets for the loop filter */
+    int n_blocks;
     /* context lines */
     uint8_t *above_part, *above_skip, *above_mode;
     uint8_t left_part[16], left_skip[16], left_mode[16];
@@ -818,6 +820,13 @@ static void encode_block(Tile *t, int r, int c, int size) {
     int lr = r & 15;
     int nplanes = t->nplanes;
 
+    if (t->blocks_out) {
+        t->blocks_out[t->n_blocks * 3] = r;
+        t->blocks_out[t->n_blocks * 3 + 1] = c;
+        t->blocks_out[t->n_blocks * 3 + 2] = size;
+        t->n_blocks++;
+    }
+
     int have_above0 = r > 0, have_left0 = c > 0;
     int ntr0, nbl0;
     edge_counts(t, r, c, size, &ntr0, &nbl0);
@@ -1262,6 +1271,7 @@ size_t tile_encode(
     const double *const *fhs, const double *const *fws, /* 8,16,32,64 */
     const int32_t *dr_deriv,
     const int32_t *plan, int plan_nbx, int plan_nby,
+    int32_t *blocks_out, int32_t *n_blocks_out, /* optional geometry export */
     uint8_t **out_payload)            /* malloc'd; caller frees */
 {
     Tile t;
@@ -1286,6 +1296,8 @@ size_t tile_encode(
     t.plan = plan;
     t.plan_nbx = plan_nbx;
     t.plan_nby = plan_nby;
+    t.blocks_out = blocks_out;
+    t.n_blocks = 0;
 
     /* padded src (edge-replicated) + zeroed recon */
     for (int p = 0; p < nplanes; p++) {
@@ -1339,6 +1351,7 @@ size_t tile_encode(
     free(t.above_part);
     free(t.above_skip);
     free(t.above_mode);
+    if (n_blocks_out) *n_blocks_out = t.n_blocks;
     return n;
 }
 

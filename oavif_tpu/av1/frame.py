@@ -215,6 +215,7 @@ class TileEncoder:
 
         self.dq_dc = dc_q(qindex, bitdepth)
         self.dq_ac = ac_q(qindex, bitdepth)
+        self.blocks = []  # (mi_r, mi_c, size_px) for the loop filter
 
     # -- intra edge availability (square-only z-order, spec BlockDecoded) ----
 
@@ -468,6 +469,7 @@ class TileEncoder:
         if self.lossless:
             self._encode_block_lossless(r, c, size)
             return
+        self.blocks.append((r, c, size))
         x, y = c * 4, r * 4
         n_mi = size // 4
         lr = r & 15
@@ -1098,7 +1100,7 @@ def _encode_one_tile(args):
     te = TileEncoder(tile_planes, qindex, bitdepth, speed, plan=plan)
     payload = te.encode()
     th, tw = tile_planes[0].shape
-    return payload, [r[:th, :tw] for r in te.recon]
+    return payload, [r[:th, :tw] for r in te.recon], te.blocks
 
 
 def encode_frame_planes(
@@ -1154,8 +1156,13 @@ def encode_frame_planes(
 
     recon = [np.zeros((h, w), dtype=np.int32) for _ in planes]
     payloads = []
-    for (payload, tile_recon), (y0, y1, x0, x1) in zip(results, bounds):
+    blocks = []
+    for (payload, tile_recon, tile_blocks), (y0, y1, x0, x1) in zip(
+        results, bounds
+    ):
         payloads.append(payload)
         for pi in range(len(planes)):
             recon[pi][y0:y1, x0:x1] = tile_recon[pi]
-    return payloads, recon
+        mi_r0, mi_c0 = y0 // 4, x0 // 4
+        blocks += [(mi_r0 + r, mi_c0 + c, sz) for r, c, sz in tile_blocks]
+    return payloads, recon, blocks

@@ -152,6 +152,8 @@ class FrameConfig:
     qm: bool = False
     u_ac_delta_q: int = 0
     v_ac_delta_q: int = 0
+    filter_levels: tuple = (0, 0, 0, 0)  # y_vert, y_horz, u, v
+    filter_sharpness: int = 0
 
 
 def write_frame_header_bits(cfg: FrameConfig, num_planes: int = 3) -> BitWriter:
@@ -191,10 +193,13 @@ def write_frame_header_bits(cfg: FrameConfig, num_planes: int = 3) -> BitWriter:
     coded_lossless = cfg.base_q_idx == 0  # all deltas are 0 here
     if not coded_lossless:
         # loop_filter_params() — skipped entirely when CodedLossless
-        w.f(0, 6)  # loop_filter_level[0]
-        w.f(0, 6)  # loop_filter_level[1]
-        # levels 2/3 skipped because both are zero
-        w.f(0, 3)  # loop_filter_sharpness
+        lv = cfg.filter_levels
+        w.f(lv[0], 6)  # loop_filter_level[0] (y vertical)
+        w.f(lv[1], 6)  # loop_filter_level[1] (y horizontal)
+        if num_planes > 1 and (lv[0] or lv[1]):
+            w.f(lv[2], 6)  # loop_filter_level[2] (u)
+            w.f(lv[3], 6)  # loop_filter_level[3] (v)
+        w.f(cfg.filter_sharpness, 3)
         w.f(0, 1)  # loop_filter_delta_enabled
     # cdef_params: seq disabled → nothing
     # lr_params: seq disabled → nothing

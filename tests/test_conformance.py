@@ -129,8 +129,15 @@ def test_tenbit_roundtrip(test_rgb8):
 
     planes, depth, _ = decode_to_yuv(data)
     assert depth == 10
+    from oavif_tpu.av1.encode import _filter_level
+    from oavif_tpu.av1.loopfilter import loop_filter_frame
+
+    qi = quality_to_qindex(60)
     pl = rgb_to_yuv444(_depth_convert(test_rgb8, False, 10), bitdepth=10)
-    _, ours = encode_frame_planes(pl, quality_to_qindex(60), 10, 9)
+    _, ours, blocks = encode_frame_planes(pl, qi, 10, 9)
+    flv = _filter_level(qi)
+    if flv:
+        loop_filter_frame(ours, blocks, (flv,) * 4, bitdepth=10)
     for a, b in zip(planes, ours):
         np.testing.assert_array_equal(a, b)
     # the 8-bit RGB window (reference main.zig:86): ours and PIL's 10->8

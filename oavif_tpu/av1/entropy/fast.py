@@ -77,6 +77,10 @@ def _build() -> Optional[C.CDLL]:
             C.POINTER(C.POINTER(C.c_uint8)),  # out_payload
         ]
         lib.tile_payload_free.argtypes = [C.POINTER(C.c_uint8)]
+        lib.loop_filter_frame_c.argtypes = [
+            C.POINTER(_p32), C.c_int, C.c_int, C.c_int,
+            _p32, C.c_int, _p32, C.c_int, C.c_int,
+        ]
         lib.enc_coeffs.restype = C.c_int
         lib.enc_coeffs.argtypes = [
             C.c_void_p,
@@ -305,3 +309,26 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None):
     lib.tile_payload_free(out)
     blocks = [tuple(map(int, row)) for row in blocks_buf[: int(n_blocks[0])]]
     return payload, recon_arrs, blocks
+
+
+def loop_filter_native(planes, blocks, levels, sharpness, bitdepth) -> bool:
+    """In-place native deblocking; False if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    h, w = planes[0].shape
+    arrs = []
+    for i, p in enumerate(planes):
+        a = np.ascontiguousarray(p, dtype=np.int32)
+        arrs.append(a)
+    ptrs = (C.POINTER(C.c_int32) * len(arrs))(*[_i32p(a) for a in arrs])
+    blk = np.ascontiguousarray(
+        np.array(blocks, dtype=np.int32).reshape(-1, 3)
+    ) if blocks else np.zeros((0, 3), np.int32)
+    lv = np.array(levels, dtype=np.int32)
+    lib.loop_filter_frame_c(ptrs, len(arrs), w, h, _i32p(blk), len(blk),
+                            _i32p(lv), sharpness, bitdepth)
+    for p, a in zip(planes, arrs):
+        if a is not p:
+            p[:] = a
+    return True

@@ -1356,3 +1356,206 @@ size_t tile_encode(
 }
 
 void tile_payload_free(uint8_t *p) { free(p); }
+
+/* ------------------------------------------------------------------ */
+/* Deblocking loop filter (mirrors oavif_tpu/av1/loopfilter.py; taps   */
+/* identified bit-exactly against dav1d). Frame-level, in place.       */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    int64_t limit, blimit, thresh, f1;
+    int bd;
+} LfParams;
+
+static inline int64_t iabs64(int64_t v) { return v < 0 ? -v : v; }
+
+/* px: 14 pixels across the edge (p6..p0, q0..q6); width: 4/6/8/16 */
+static void lf_segment(int64_t *px, int width, const LfParams *lp) {
+    int64_t p6=px[0],p5=px[1],p4=px[2],p3=px[3],p2=px[4],p1=px[5],p0=px[6];
+    int64_t q0=px[7],q1=px[8],q2=px[9],q3=px[10],q4=px[11],q5=px[12],q6=px[13];
+    int64_t limit=lp->limit, blimit=lp->blimit, thresh=lp->thresh, f1=lp->f1;
+
+    int fm = iabs64(p1-p0) <= limit && iabs64(q1-q0) <= limit &&
+             iabs64(p0-q0)*2 + iabs64(p1-q1)/2 <= blimit;
+    if (width >= 8)
+        fm = fm && iabs64(p2-p1) <= limit && iabs64(q2-q1) <= limit &&
+             iabs64(p3-p2) <= limit && iabs64(q3-q2) <= limit;
+    else if (width >= 6)
+        fm = fm && iabs64(p2-p1) <= limit && iabs64(q2-q1) <= limit;
+    if (!fm) return;
+
+    int hev = iabs64(p1-p0) > thresh || iabs64(q1-q0) > thresh;
+    int flat = iabs64(p1-p0) <= f1 && iabs64(q1-q0) <= f1 &&
+               iabs64(p2-p0) <= f1 && iabs64(q2-q0) <= f1 &&
+               iabs64(p3-p0) <= f1 && iabs64(q3-q0) <= f1;
+    int flat6 = iabs64(p1-p0) <= f1 && iabs64(q1-q0) <= f1 &&
+                iabs64(p2-p0) <= f1 && iabs64(q2-q0) <= f1;
+    int flat2 = iabs64(p6-p0) <= f1 && iabs64(q6-q0) <= f1 &&
+                iabs64(p5-p0) <= f1 && iabs64(q5-q0) <= f1 &&
+                iabs64(p4-p0) <= f1 && iabs64(q4-q0) <= f1;
+
+    if (width >= 16 && flat && flat2) {
+        px[1] = (p6*7 + p5*2 + p4*2 + p3 + p2 + p1 + p0 + q0 + 8) >> 4;
+        px[2] = (p6*5 + p5*2 + p4*2 + p3*2 + p2 + p1 + p0 + q0 + q1 + 8) >> 4;
+        px[3] = (p6*4 + p5 + p4*2 + p3*2 + p2*2 + p1 + p0 + q0 + q1 + q2 + 8) >> 4;
+        px[4] = (p6*3 + p5 + p4 + p3*2 + p2*2 + p1*2 + p0 + q0 + q1 + q2 + q3 + 8) >> 4;
+        px[5] = (p6*2 + p5 + p4 + p3 + p2*2 + p1*2 + p0*2 + q0 + q1 + q2 + q3 + q4 + 8) >> 4;
+        px[6] = (p6 + p5 + p4 + p3 + p2 + p1*2 + p0*2 + q0*2 + q1 + q2 + q3 + q4 + q5 + 8) >> 4;
+        px[7] = (p5 + p4 + p3 + p2 + p1 + p0*2 + q0*2 + q1*2 + q2 + q3 + q4 + q5 + q6 + 8) >> 4;
+        px[8] = (p4 + p3 + p2 + p1 + p0 + q0*2 + q1*2 + q2*2 + q3 + q4 + q5 + q6*2 + 8) >> 4;
+        px[9] = (p3 + p2 + p1 + p0 + q0 + q1*2 + q2*2 + q3*2 + q4 + q5 + q6*3 + 8) >> 4;
+        px[10] = (p2 + p1 + p0 + q0 + q1 + q2*2 + q3*2 + q4*2 + q5 + q6*4 + 8) >> 4;
+        px[11] = (p1 + p0 + q0 + q1 + q2 + q3*2 + q4*2 + q5*2 + q6*5 + 8) >> 4;
+        px[12] = (p0 + q0 + q1 + q2 + q3 + q4*2 + q5*2 + q6*7 + 8) >> 4;
+        return;
+    }
+    if (width >= 8 && flat) {
+        px[4] = (p3*3 + p2*2 + p1 + p0 + q0 + 4) >> 3;
+        px[5] = (p3*2 + p2 + p1*2 + p0 + q0 + q1 + 4) >> 3;
+        px[6] = (p3 + p2 + p1 + p0*2 + q0 + q1 + q2 + 4) >> 3;
+        px[7] = (p2 + p1 + p0 + q0*2 + q1 + q2 + q3 + 4) >> 3;
+        px[8] = (p1 + p0 + q0 + q1*2 + q2 + q3*2 + 4) >> 3;
+        px[9] = (p0 + q0 + q1 + q2*2 + q3*3 + 4) >> 3;
+        return;
+    }
+    if (width == 6 && flat6) {
+        px[5] = (p2*3 + p1*2 + p0*2 + q0 + 4) >> 3;
+        px[6] = (p2 + p1*2 + p0*2 + q0*2 + q1 + 4) >> 3;
+        px[7] = (p1 + p0*2 + q0*2 + q1*2 + q2 + 4) >> 3;
+        px[8] = (p0 + q0*2 + q1*2 + q2*3 + 4) >> 3;
+        return;
+    }
+    /* filter4 on clamped signed values */
+    {
+        int bd = lp->bd;
+        int64_t half = (int64_t)1 << (bd - 1);
+        int64_t smin = -half, smax = half - 1;
+#define SCLAMP(v) ((v) < smin ? smin : ((v) > smax ? smax : (v)))
+        int64_t ps1 = p1 - half, ps0 = p0 - half;
+        int64_t qs0 = q0 - half, qs1 = q1 - half;
+        int64_t f = hev ? SCLAMP(ps1 - qs1) : 0;
+        int64_t a = SCLAMP(f + 3 * (qs0 - ps0));
+        int64_t f1v = SCLAMP(a + 4) >> 3;
+        int64_t f2v = SCLAMP(a + 3) >> 3;
+        px[7] = SCLAMP(qs0 - f1v) + half;
+        px[6] = SCLAMP(ps0 + f2v) + half;
+        if (!hev) {
+            int64_t f3 = (f1v + 1) >> 1;
+            px[8] = SCLAMP(qs1 - f3) + half;
+            px[5] = SCLAMP(ps1 + f3) + half;
+        }
+#undef SCLAMP
+    }
+}
+
+/* planes: nplanes pointers to (h, w) int32; blocks: n*3 int32 (r, c, size);
+ * levels: 4 ints (y_v, y_h, u, v). In-place. */
+void loop_filter_frame_c(int32_t *const *planes, int nplanes, int w, int h,
+                         const int32_t *blocks, int n_blocks,
+                         const int32_t *levels, int sharpness, int bitdepth) {
+    int mi_rows = 2 * ((h + 7) >> 3), mi_cols = 2 * ((w + 7) >> 3);
+    int32_t *size_map = (int32_t *)calloc((size_t)mi_rows * mi_cols, 4);
+    uint8_t *start_v = (uint8_t *)calloc((size_t)mi_rows * mi_cols, 1);
+    uint8_t *start_h = (uint8_t *)calloc((size_t)mi_rows * mi_cols, 1);
+    for (int b = 0; b < n_blocks; b++) {
+        int r = blocks[b*3], c = blocks[b*3+1], n = blocks[b*3+2] / 4;
+        for (int i = 0; i < n; i++) {
+            for (int j = 0; j < n; j++)
+                size_map[(size_t)(r+i) * mi_cols + c + j] = blocks[b*3+2];
+            start_v[(size_t)(r+i) * mi_cols + c] = 1;
+            start_h[(size_t)r * mi_cols + c + i] = 1;
+        }
+    }
+
+    for (int pi = 0; pi < nplanes; pi++) {
+        int32_t *pl = planes[pi];
+        int lvl_v = pi == 0 ? levels[0] : levels[1 + pi];
+        int lvl_h = pi == 0 ? levels[1] : levels[1 + pi];
+        int max_w = pi == 0 ? 16 : 8;
+        int64_t px[14];
+
+        for (int pass = 0; pass < 2; pass++) {
+            int lvl = pass == 0 ? lvl_v : lvl_h;
+            if (lvl <= 0) continue;
+            LfParams lp;
+            int sh = bitdepth - 8;
+            int64_t limit;
+            if (sharpness > 0) {
+                int shift2 = sharpness > 4 ? 2 : 1;
+                limit = lvl >> shift2;
+                if (limit < 1) limit = 1;
+                if (limit > 9 - sharpness) limit = 9 - sharpness;
+            } else {
+                limit = lvl > 1 ? lvl : 1;
+            }
+            lp.limit = limit << sh;
+            lp.blimit = (int64_t)(2 * (lvl + 2) + limit) << sh;
+            lp.thresh = (int64_t)(lvl >> 4) << sh;
+            lp.f1 = (int64_t)1 << sh;
+            lp.bd = bitdepth;
+
+            if (pass == 0) { /* vertical edges */
+                for (int c = 1; c < mi_cols; c++) {
+                    int x = c * 4;
+                    if (x >= w) break;
+                    for (int r = 0; r < mi_rows; r++) {
+                        if (!start_v[(size_t)r * mi_cols + c]) continue;
+                        if (r * 4 >= h) continue;
+                        int sz_r = size_map[(size_t)r * mi_cols + c];
+                        int sz_l = size_map[(size_t)r * mi_cols + c - 1];
+                        int wd = sz_r < sz_l ? sz_r : sz_l;
+                        if (wd > max_w) wd = max_w;
+                        if (pi != 0 && wd >= 8) wd = 6;
+                        int ymax = r * 4 + 4 < h ? r * 4 + 4 : h;
+                        for (int y = r * 4; y < ymax; y++) {
+                            for (int k = 0; k < 14; k++) {
+                                int xx = x - 7 + k;
+                                if (xx < 0) xx = 0;
+                                if (xx > w - 1) xx = w - 1;
+                                px[k] = pl[(size_t)y * w + xx];
+                            }
+                            lf_segment(px, wd, &lp);
+                            int lo = x - 6 > 0 ? x - 6 : 0;
+                            int hi2 = x + 6 < w ? x + 6 : w;
+                            for (int xx = lo; xx < hi2; xx++)
+                                pl[(size_t)y * w + xx] =
+                                    (int32_t)px[xx - x + 7];
+                        }
+                    }
+                }
+            } else { /* horizontal edges */
+                for (int r = 1; r < mi_rows; r++) {
+                    int y = r * 4;
+                    if (y >= h) break;
+                    for (int c = 0; c < mi_cols; c++) {
+                        if (!start_h[(size_t)r * mi_cols + c]) continue;
+                        if (c * 4 >= w) continue;
+                        int sz_b = size_map[(size_t)r * mi_cols + c];
+                        int sz_t = size_map[(size_t)(r - 1) * mi_cols + c];
+                        int wd = sz_b < sz_t ? sz_b : sz_t;
+                        if (wd > max_w) wd = max_w;
+                        if (pi != 0 && wd >= 8) wd = 6;
+                        int xmax = c * 4 + 4 < w ? c * 4 + 4 : w;
+                        for (int x = c * 4; x < xmax; x++) {
+                            for (int k = 0; k < 14; k++) {
+                                int yy = y - 7 + k;
+                                if (yy < 0) yy = 0;
+                                if (yy > h - 1) yy = h - 1;
+                                px[k] = pl[(size_t)yy * w + x];
+                            }
+                            lf_segment(px, wd, &lp);
+                            int lo = y - 6 > 0 ? y - 6 : 0;
+                            int hi2 = y + 6 < h ? y + 6 : h;
+                            for (int yy = lo; yy < hi2; yy++)
+                                pl[(size_t)yy * w + x] =
+                                    (int32_t)px[yy - y + 7];
+                        }
+                    }
+                }
+            }
+        }
+    }
+    free(size_map);
+    free(start_v);
+    free(start_h);
+}

@@ -113,8 +113,9 @@ def _filter_segment(p: np.ndarray, width: np.ndarray, level: int,
     oq2_8 = (p0 + q0 + q1 + q2 * 2 + q3 * 3 + 4) >> 3
 
     # ---- filter14 — taps identified exactly against dav1d output
-    # (probe battery + real-image segments: 1253 unique samples, 0
-    # violations; guarded by tests/test_loopfilter.py conformance)
+    # (probe battery + real-image segments, 4853 samples verified,
+    # mirror-symmetric canonical form); guarded by
+    # tests/test_loopfilter.py conformance
     op5 = (p6 * 7 + p5 * 2 + p4 * 2 + p3 + p2 + p1 + p0 + q0 + 8) >> 4
     op4 = (p6 * 5 + p5 * 2 + p4 * 2 + p3 * 2 + p2 + p1 + p0 + q0 + q1 + 8) >> 4
     op3 = (p6 * 4 + p5 + p4 * 2 + p3 * 2 + p2 * 2 + p1 + p0 + q0 + q1 + q2 + 8) >> 4
@@ -171,6 +172,12 @@ def loop_filter_frame(
     streams, so every block's left/top boundary is a filtered edge.
     """
     h, w = planes[0].shape
+
+    from .entropy.fast import loop_filter_native
+
+    if loop_filter_native(planes, blocks, levels, sharpness, bitdepth):
+        return planes
+
     # per-4x4 block size map
     mi_rows, mi_cols = 2 * ((h + 7) >> 3), 2 * ((w + 7) >> 3)
     size_map = np.zeros((mi_rows, mi_cols), np.int32)

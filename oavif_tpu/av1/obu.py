@@ -6,11 +6,12 @@ load-bearing for the rest of the encoder:
 
   - enable_filter_intra = 0, enable_intra_edge_filter = 0 → predictors
     need no edge filtering / upsampling and no filter_intra symbols.
-  - enable_cdef = 0, enable_restoration = 0, loop filter levels 0 →
-    reconstruction equals the pre-filter pixels (encoder recon == decoder
-    output bit-exactly, which the TQ loop's on-device scoring relies on).
+  - enable_cdef = 0, enable_restoration = 0 → no post-filters beyond the
+    deblocking loop filter, which the encoder replicates bit-exactly
+    (oavif_tpu.av1.loopfilter) so recon == decoder output still holds.
   - allow_screen_content_tools = 0 → no palette/intrabc symbols.
-  - tx_mode = LARGEST → no tx-size symbols.
+  - tx_mode = LARGEST → no tx-size symbols (tx_type is signaled for
+    luma tx <= 16).
   - disable_cdf_update = 0 (CDFs adapt within the tile as usual).
 """
 

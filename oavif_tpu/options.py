@@ -150,7 +150,10 @@ def parse_args(argv: List[str]) -> ParsedArgs:
             o.score_tgt = _float_arg(argv, i, 30.0, 100.0, "--score-tgt")
             i += 1
         elif arg == "--quality-alpha":
-            o.quality_alpha = _int_arg(argv, i, 0, 99, "--quality-alpha")
+            # reference validates 0..99 but documents 100 = lossless
+            # (parse_args.zig:88 vs the usage text); accept the documented
+            # intent — 100 engages the CodedLossless alpha path
+            o.quality_alpha = _int_arg(argv, i, 0, 100, "--quality-alpha")
             i += 1
         elif arg == "--max-threads":
             o.max_threads = _int_arg(argv, i, 1, 255, "--max-threads")

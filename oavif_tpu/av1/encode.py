@@ -128,6 +128,7 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
     if flv:
         loop_filter_frame(recon_planes, blocks, filter_levels,
                           bitdepth=out_depth)
+    recon_planes = [p[:h, :w] for p in recon_planes]
 
     seq = SequenceConfig(
         width=w,
@@ -170,6 +171,7 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
         if aflv:
             loop_filter_frame(arecon, ablocks, (aflv, aflv, 0, 0),
                               bitdepth=out_depth)
+        arecon = [p[:h, :w] for p in arecon]
         aframe = FrameConfig(
             width=w, height=h, base_q_idx=aq,
             tile_cols_log2=tcl, tile_rows_log2=trl,

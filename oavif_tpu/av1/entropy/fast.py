@@ -252,7 +252,9 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None):
     cdf_ptrs = (C.POINTER(C.c_uint16) * len(cdf_arrs))(*[_u16p(a) for a in cdf_arrs])
 
     src_arrs = [np.ascontiguousarray(p, dtype=np.int32) for p in planes]
-    recon_arrs = [np.zeros((h, w), dtype=np.int32) for _ in planes]
+    mi_rows_, mi_cols_ = 2 * ((h + 7) >> 3), 2 * ((w + 7) >> 3)
+    recon_arrs = [np.zeros((mi_rows_ * 4, mi_cols_ * 4), dtype=np.int32)
+                  for _ in planes]
     src_ptrs = (C.POINTER(C.c_int32) * nplanes)(*[_i32p(a) for a in src_arrs])
     recon_ptrs = (C.POINTER(C.c_int32) * nplanes)(*[_i32p(a) for a in recon_arrs])
 
@@ -290,8 +292,7 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None):
                 plan_arr[mi_r // 8, mi_c // 8] = int(v[0])
             plan_ptr = _i32p(plan_arr)
 
-    mi_rows, mi_cols = 2 * ((h + 7) >> 3), 2 * ((w + 7) >> 3)
-    blocks_buf = np.zeros((mi_rows * mi_cols, 3), dtype=np.int32)
+    blocks_buf = np.zeros((mi_rows_ * mi_cols_, 3), dtype=np.int32)
     n_blocks = np.zeros(1, dtype=np.int32)
     out = C.POINTER(C.c_uint8)()
     n = lib.tile_encode(

@@ -1339,10 +1339,10 @@ size_t tile_encode(
     memcpy(*out_payload, payload, n);
     enc_free(t.enc);
 
+    /* export the FULL padded mi-grid recon: the loop filter operates on
+     * the padded plane (edges in the padding write into visible pixels) */
     for (int p = 0; p < nplanes; p++) {
-        for (int r = 0; r < h; r++)
-            memcpy(recon_out[p] + (size_t)r * w, t.recon[p] + (size_t)r * t.pw,
-                   (size_t)w * 4);
+        memcpy(recon_out[p], t.recon[p], (size_t)t.ph * t.pw * 4);
         free(t.src[p]);
         free(t.recon[p]);
         free(t.above_lvl[p]);

@@ -1099,8 +1099,7 @@ def _encode_one_tile(args):
 
     te = TileEncoder(tile_planes, qindex, bitdepth, speed, plan=plan)
     payload = te.encode()
-    th, tw = tile_planes[0].shape
-    return payload, [r[:th, :tw] for r in te.recon], te.blocks
+    return payload, [r.copy() for r in te.recon], te.blocks
 
 
 def encode_frame_planes(
@@ -1154,15 +1153,21 @@ def encode_frame_planes(
     else:
         results = [_encode_one_tile(j) for j in jobs]
 
-    recon = [np.zeros((h, w), dtype=np.int32) for _ in planes]
+    # assemble the PADDED mi-grid reconstruction: the loop filter operates
+    # on the padded plane (the decoder filters the whole mi grid; edges in
+    # the padding write into visible pixels). Callers crop to (h, w).
+    mi_rows, mi_cols = 2 * ((h + 7) >> 3), 2 * ((w + 7) >> 3)
+    recon = [np.zeros((mi_rows * 4, mi_cols * 4), dtype=np.int32)
+             for _ in planes]
     payloads = []
     blocks = []
     for (payload, tile_recon, tile_blocks), (y0, y1, x0, x1) in zip(
         results, bounds
     ):
         payloads.append(payload)
+        th, tw = tile_recon[0].shape
         for pi in range(len(planes)):
-            recon[pi][y0:y1, x0:x1] = tile_recon[pi]
+            recon[pi][y0 : y0 + th, x0 : x0 + tw] = tile_recon[pi]
         mi_r0, mi_c0 = y0 // 4, x0 // 4
         blocks += [(mi_r0 + r, mi_c0 + c, sz) for r, c, sz in tile_blocks]
     return payloads, recon, blocks

@@ -138,8 +138,9 @@ def test_tenbit_roundtrip(test_rgb8):
     flv = _filter_level(qi)
     if flv:
         loop_filter_frame(ours, blocks, (flv,) * 4, bitdepth=10)
+    hh, ww = test_rgb8.shape[:2]
     for a, b in zip(planes, ours):
-        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(a, b[:hh, :ww])
     # the 8-bit RGB window (reference main.zig:86): ours and PIL's 10->8
     # conversions round differently, so allow a small tolerance
     dec = _decode(data)

@@ -47,4 +47,5 @@ def test_loop_filtered_recon_matches_decoder(q):
         assert flv > 0
         loop_filter_frame(ours, blocks, (flv,) * 4, bitdepth=8)
         for i in range(3):
-            np.testing.assert_array_equal(planes[i], ours[i], err_msg=f"{name} plane {i}")
+            np.testing.assert_array_equal(
+                planes[i], ours[i][:h, :w], err_msg=f"{name} plane {i}")

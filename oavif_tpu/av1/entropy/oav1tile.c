@@ -348,32 +348,45 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
                          const double *fhm, const double *fwm,
                          int32_t *levels) {
     double tmp[64 * 64];
+    double out[64 * 64];
+    double fwt[64 * 64];
     double rd[64 * 64];
     for (int i = 0; i < n * n; i++) rd[i] = (double)resid[i];
-    /* tmp = fh @ resid (k-inner moved to j for unit-stride accumulate) */
+    /* fw transposed once so BOTH gemm stages run in i,k,j accumulate form:
+     * the j loop is a unit-stride FMA stream the compiler vectorizes (a
+     * k-inner dot product is an FP reduction gcc won't reassociate). */
+    for (int i = 0; i < n; i++)
+        for (int j = 0; j < n; j++) fwt[(size_t)i * n + j] = fwm[(size_t)j * n + i];
+    /* tmp = fh @ resid */
     memset(tmp, 0, sizeof(double) * n * n);
     for (int i = 0; i < n; i++) {
         const double *fr = fhm + (size_t)i * n;
-        double *to = tmp + (size_t)i * n;
+        double *restrict to = tmp + (size_t)i * n;
         for (int k = 0; k < n; k++) {
             double cf = fr[k];
             const double *rrow = rd + (size_t)k * n;
             for (int j = 0; j < n; j++) to[j] += cf * rrow[j];
         }
     }
+    /* out = tmp @ fw^T  (fwt pre-transposed: rows of fwt = cols of fw^T) */
+    memset(out, 0, sizeof(double) * n * n);
+    for (int i = 0; i < n; i++) {
+        const double *tr = tmp + (size_t)i * n;
+        double *restrict to = out + (size_t)i * n;
+        for (int k = 0; k < n; k++) {
+            double cf = tr[k];
+            const double *frow = fwt + (size_t)k * n;
+            for (int j = 0; j < n; j++) to[j] += cf * frow[j];
+        }
+    }
     int shift = DQ_SHIFT_BY_TX[n];
     double scale_ac = (double)(1 << shift) / (double)t->dq_ac;
     double scale_dc = (double)(1 << shift) / (double)t->dq_dc;
-    /* levels = quant(tmp @ fw^T) */
-    for (int i = 0; i < n; i++)
-        for (int j = 0; j < n; j++) {
-            const double *fr = fwm + (size_t)j * n;
-            double s = 0;
-            for (int k = 0; k < n; k++) s += tmp[i * n + k] * fr[k];
-            double scaled = s * ((i == 0 && j == 0) ? scale_dc : scale_ac);
-            double mag = floor(fabs(scaled) + 0.35);
-            levels[i * n + j] = (int32_t)(scaled < 0 ? -mag : mag);
-        }
+    for (int i = 0; i < n * n; i++) {
+        double scaled = out[i] * (i == 0 ? scale_dc : scale_ac);
+        double mag = floor(fabs(scaled) + 0.35);
+        levels[i] = (int32_t)(scaled < 0 ? -mag : mag);
+    }
 
     /* tail trim (mirrors frame.py _trim_tail): zero trailing +-1 levels in
      * the back half of the scan — each costs an eob extension + base symbol
@@ -859,10 +872,12 @@ static void encode_block(Tile *t, int r, int c, int size) {
     int y_nnz = 0;
     for (int i = 0; i < npx; i++)
         if (levels[i]) y_nnz++;
+    int rd_rec_valid = 0; /* rd_rec holds dequant_inv_tt(levels, y_txtype) */
+    static _Thread_local int32_t rd_rec[2][64 * 64];
     if (y_nnz >= 6 && can_code && (tx == 8 || tx == 16)) {
         /* two-way transform RD (mirrors frame.py: integer pixel-domain D +
          * integer rate proxy, lambda = dq_ac^2/512) */
-        int32_t resid[64 * 64], lv_adst[64 * 64], rec[64 * 64];
+        int32_t resid[64 * 64], lv_adst[64 * 64];
         const int32_t *srcp = t->src[0];
         for (int rr = 0; rr < tx; rr++)
             for (int cc = 0; cc < tx; cc++)
@@ -875,10 +890,10 @@ static void encode_block(Tile *t, int r, int c, int size) {
         int64_t cost[2];
         const int32_t *lvs[2] = {levels, lv_adst};
         for (int k = 0; k < 2; k++) {
-            dequant_inv_tt(t, lvs[k], tx, k, rec);
+            dequant_inv_tt(t, lvs[k], tx, k, rd_rec[k]);
             int64_t d = 0, r = 0;
             for (int i = 0; i < npx; i++) {
-                int64_t e = (int64_t)resid[i] - rec[i];
+                int64_t e = (int64_t)resid[i] - rd_rec[k][i];
                 d += e * e;
                 int64_t v = llabs((int64_t)lvs[k][i]);
                 if (v) r += 2 + 2 * (64 - __builtin_clzll((uint64_t)v));
@@ -893,6 +908,7 @@ static void encode_block(Tile *t, int r, int c, int size) {
                 if (levels[i]) { nz = 1; break; }
             any_nonzero = nz;
         }
+        rd_rec_valid = 1;
     }
     int32_t y_recon[64 * 64];
     {
@@ -901,9 +917,15 @@ static void encode_block(Tile *t, int r, int c, int size) {
             if (levels[i]) { lnz = 1; break; }
         if (lnz) {
             int32_t resid[64 * 64];
-            dequant_inv_tt(t, levels, tx, y_txtype, resid);
+            const int32_t *inv;
+            if (rd_rec_valid) {
+                inv = rd_rec[y_txtype]; /* RD trial already inverted it */
+            } else {
+                dequant_inv_tt(t, levels, tx, y_txtype, resid);
+                inv = resid;
+            }
             for (int i = 0; i < npx; i++) {
-                int32_t v = preds[i] + resid[i];
+                int32_t v = preds[i] + inv[i];
                 y_recon[i] = v < 0 ? 0 : (v > hi ? hi : v);
             }
         } else {

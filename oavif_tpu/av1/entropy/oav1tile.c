@@ -344,6 +344,26 @@ static void quantize_n(const Tile *t, const int32_t *resid, int n,
                  levels);
 }
 
+/* C = A @ B, all n*n row-major. i,k,j accumulate form: the j loop is a
+ * unit-stride FMA stream the compiler vectorizes with AVX-512 (a k-inner
+ * dot product is an FP reduction gcc won't reassociate). Each C[i][j]
+ * accumulates k = 0..n-1 in order — the order that keeps C<->numpy
+ * (float64 BLAS) parity empirically safe. A register-blocked 4x8 tile
+ * variant measured SLOWER here (72 vs 53 ms/frame); the plain form wins
+ * on this core. */
+static void gemm_nn(const double *A, const double *B, double *Cm, int n) {
+    memset(Cm, 0, sizeof(double) * (size_t)n * n);
+    for (int i = 0; i < n; i++) {
+        const double *ar = A + (size_t)i * n;
+        double *restrict to = Cm + (size_t)i * n;
+        for (int k = 0; k < n; k++) {
+            double cf = ar[k];
+            const double *brow = B + (size_t)k * n;
+            for (int j = 0; j < n; j++) to[j] += cf * brow[j];
+        }
+    }
+}
+
 static void quantize_mat(const Tile *t, const int32_t *resid, int n,
                          const double *fhm, const double *fwm,
                          int32_t *levels) {
@@ -357,28 +377,9 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
      * k-inner dot product is an FP reduction gcc won't reassociate). */
     for (int i = 0; i < n; i++)
         for (int j = 0; j < n; j++) fwt[(size_t)i * n + j] = fwm[(size_t)j * n + i];
-    /* tmp = fh @ resid */
-    memset(tmp, 0, sizeof(double) * n * n);
-    for (int i = 0; i < n; i++) {
-        const double *fr = fhm + (size_t)i * n;
-        double *restrict to = tmp + (size_t)i * n;
-        for (int k = 0; k < n; k++) {
-            double cf = fr[k];
-            const double *rrow = rd + (size_t)k * n;
-            for (int j = 0; j < n; j++) to[j] += cf * rrow[j];
-        }
-    }
-    /* out = tmp @ fw^T  (fwt pre-transposed: rows of fwt = cols of fw^T) */
-    memset(out, 0, sizeof(double) * n * n);
-    for (int i = 0; i < n; i++) {
-        const double *tr = tmp + (size_t)i * n;
-        double *restrict to = out + (size_t)i * n;
-        for (int k = 0; k < n; k++) {
-            double cf = tr[k];
-            const double *frow = fwt + (size_t)k * n;
-            for (int j = 0; j < n; j++) to[j] += cf * frow[j];
-        }
-    }
+    /* tmp = fh @ resid ; out = tmp @ fw^T (fwt pre-transposed) */
+    gemm_nn(fhm, rd, tmp, n);
+    gemm_nn(tmp, fwt, out, n);
     int shift = DQ_SHIFT_BY_TX[n];
     double scale_ac = (double)(1 << shift) / (double)t->dq_ac;
     double scale_dc = (double)(1 << shift) / (double)t->dq_dc;

@@ -81,6 +81,14 @@ def _build() -> Optional[C.CDLL]:
             C.POINTER(_p32), C.c_int, C.c_int, C.c_int,
             _p32, C.c_int, _p32, C.c_int, C.c_int,
         ]
+        lib.yuv444_to_rgb8_c.argtypes = [
+            C.POINTER(_p32), C.c_int, C.c_int,
+            C.POINTER(C.c_float), C.POINTER(C.c_uint8),
+        ]
+        lib.rgb_to_yuv444_c.argtypes = [
+            C.POINTER(C.c_uint8), C.POINTER(C.c_uint16), C.c_int, C.c_int,
+            C.POINTER(C.c_float), C.POINTER(_p32),
+        ]
         lib.enc_coeffs.restype = C.c_int
         lib.enc_coeffs.argtypes = [
             C.c_void_p,
@@ -333,3 +341,44 @@ def loop_filter_native(planes, blocks, levels, sharpness, bitdepth) -> bool:
         if a is not p:
             p[:] = a
     return True
+
+
+def yuv444_to_rgb8_native(planes, bitdepth, inv_mat) -> "Optional[np.ndarray]":
+    """One-pass native [y,u,v] int32 planes -> (h, w, 3) uint8 RGB.
+    None when the library is unavailable (caller falls back to numpy)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h, w = planes[0].shape
+    arrs = [np.ascontiguousarray(p, dtype=np.int32) for p in planes]
+    ptrs = (C.POINTER(C.c_int32) * 3)(*[_i32p(a) for a in arrs])
+    inv = np.ascontiguousarray(inv_mat, dtype=np.float32)
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    lib.yuv444_to_rgb8_c(ptrs, h * w, bitdepth,
+                         inv.ctypes.data_as(C.POINTER(C.c_float)),
+                         out.ctypes.data_as(C.POINTER(C.c_uint8)))
+    return out
+
+
+def rgb_to_yuv444_native(rgb, bitdepth, fwd_mat):
+    """One-pass native (h, w, 3) uint8/uint16 RGB -> [y,u,v] int32 planes.
+    None when the library is unavailable (caller falls back to numpy)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h, w = rgb.shape[:2]
+    fwd = np.ascontiguousarray(fwd_mat, dtype=np.float32)
+    outs = [np.empty((h, w), dtype=np.int32) for _ in range(3)]
+    ptrs = (C.POINTER(C.c_int32) * 3)(*[_i32p(a) for a in outs])
+    fp = fwd.ctypes.data_as(C.POINTER(C.c_float))
+    if rgb.dtype == np.uint8:
+        a = np.ascontiguousarray(rgb)
+        lib.rgb_to_yuv444_c(a.ctypes.data_as(C.POINTER(C.c_uint8)),
+                            C.cast(None, C.POINTER(C.c_uint16)),
+                            h * w, bitdepth, fp, ptrs)
+    else:
+        a = np.ascontiguousarray(rgb, dtype=np.uint16)
+        lib.rgb_to_yuv444_c(C.cast(None, C.POINTER(C.c_uint8)),
+                            a.ctypes.data_as(C.POINTER(C.c_uint16)),
+                            h * w, bitdepth, fp, ptrs)
+    return outs

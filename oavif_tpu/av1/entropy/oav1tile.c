@@ -1381,6 +1381,63 @@ size_t tile_encode(
 void tile_payload_free(uint8_t *p) { free(p); }
 
 /* ------------------------------------------------------------------ */
+/* One-pass YUV444 <-> RGB conversions (BT.601 full-range, float32 —  */
+/* mirrors yuv.py's formulas; feeds the metric, not the bitstream).    */
+/* ------------------------------------------------------------------ */
+
+void yuv444_to_rgb8_c(const int32_t *const *planes, int npx, int bitdepth,
+                      const float *inv /* 3x3 row-major: rgb = yuv @ inv */,
+                      uint8_t *rgb_out) {
+    float maxv = (float)((1 << bitdepth) - 1);
+    float off = (float)(1 << (bitdepth - 1));
+    int shift = bitdepth - 8;
+    const int32_t *yp = planes[0], *up = planes[1], *vp = planes[2];
+    for (int i = 0; i < npx; i++) {
+        float y = (float)yp[i];
+        float u = (float)up[i] - off;
+        float v = (float)vp[i] - off;
+        for (int c = 0; c < 3; c++) {
+            float s = y * inv[c] + u * inv[3 + c] + v * inv[6 + c];
+            s = floorf(s + 0.5f);
+            if (s < 0) s = 0;
+            if (s > maxv) s = maxv;
+            int32_t q = (int32_t)s >> shift;
+            rgb_out[(size_t)i * 3 + c] = (uint8_t)q;
+        }
+    }
+}
+
+void rgb_to_yuv444_c(const uint8_t *rgb8, const uint16_t *rgb16, int npx,
+                     int bitdepth,
+                     const float *fwd /* 3x3 row-major: yuv = rgb @ fwd */,
+                     int32_t *const *planes_out) {
+    float maxv = (float)((1 << bitdepth) - 1);
+    float off = (float)(1 << (bitdepth - 1));
+    int32_t *yp = planes_out[0], *up = planes_out[1], *vp = planes_out[2];
+    for (int i = 0; i < npx; i++) {
+        float r, g, b;
+        if (rgb8) {
+            r = (float)rgb8[(size_t)i * 3];
+            g = (float)rgb8[(size_t)i * 3 + 1];
+            b = (float)rgb8[(size_t)i * 3 + 2];
+        } else {
+            r = (float)rgb16[(size_t)i * 3];
+            g = (float)rgb16[(size_t)i * 3 + 1];
+            b = (float)rgb16[(size_t)i * 3 + 2];
+        }
+        float vy = r * fwd[0] + g * fwd[3] + b * fwd[6];
+        float vu = r * fwd[1] + g * fwd[4] + b * fwd[7] + off;
+        float vv = r * fwd[2] + g * fwd[5] + b * fwd[8] + off;
+        vy = floorf(vy + 0.5f);
+        vu = floorf(vu + 0.5f);
+        vv = floorf(vv + 0.5f);
+        yp[i] = (int32_t)(vy < 0 ? 0 : (vy > maxv ? maxv : vy));
+        up[i] = (int32_t)(vu < 0 ? 0 : (vu > maxv ? maxv : vu));
+        vp[i] = (int32_t)(vv < 0 ? 0 : (vv > maxv ? maxv : vv));
+    }
+}
+
+/* ------------------------------------------------------------------ */
 /* Deblocking loop filter (mirrors oavif_tpu/av1/loopfilter.py; taps   */
 /* identified bit-exactly against dav1d). Frame-level, in place.       */
 /* ------------------------------------------------------------------ */

@@ -35,8 +35,14 @@ _INV = np.array(
 
 
 def rgb_to_yuv444(rgb: np.ndarray, bitdepth: int = 8):
-    """(h, w, 3) uint8/uint16 full-range RGB → [y, u, v] int32 planes
-    (one float32 sgemm; SIMD-friendly)."""
+    """(h, w, 3) uint8/uint16 full-range RGB → [y, u, v] int32 planes.
+    Single fused pass in the C runtime when available; numpy fallback."""
+    if rgb.dtype in (np.uint8, np.uint16):
+        from .entropy.fast import rgb_to_yuv444_native
+
+        out = rgb_to_yuv444_native(rgb, bitdepth, _FWD)
+        if out is not None:
+            return out
     maxv = (1 << bitdepth) - 1
     h, w = rgb.shape[:2]
     flat = rgb.reshape(-1, 3).astype(np.float32)
@@ -47,7 +53,14 @@ def rgb_to_yuv444(rgb: np.ndarray, bitdepth: int = 8):
 
 
 def yuv444_to_rgb(planes, bitdepth: int = 8) -> np.ndarray:
-    """[y, u, v] planes → (h, w, 3) uint8 full-range RGB (decode mirror)."""
+    """[y, u, v] planes → (h, w, 3) uint8 full-range RGB (decode mirror).
+    Single fused pass in the C runtime when available; numpy fallback."""
+    if len(planes) == 3:
+        from .entropy.fast import yuv444_to_rgb8_native
+
+        out = yuv444_to_rgb8_native(planes, bitdepth, _INV)
+        if out is not None:
+            return out
     maxv = (1 << bitdepth) - 1
     h, w = planes[0].shape
     yuv = np.stack(

@@ -79,7 +79,7 @@ def _build() -> Optional[C.CDLL]:
         lib.tile_payload_free.argtypes = [C.POINTER(C.c_uint8)]
         lib.loop_filter_frame_c.argtypes = [
             C.POINTER(_p32), C.c_int, C.c_int, C.c_int,
-            _p32, C.c_int, _p32, C.c_int, C.c_int,
+            _p32, C.c_int, _p32, C.c_int, C.c_int, C.c_int, C.c_int,
         ]
         lib.yuv444_to_rgb8_c.argtypes = [
             C.POINTER(_p32), C.c_int, C.c_int,
@@ -300,7 +300,7 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None):
                 plan_arr[mi_r // 8, mi_c // 8] = int(v[0])
             plan_ptr = _i32p(plan_arr)
 
-    blocks_buf = np.zeros((mi_rows_ * mi_cols_, 3), dtype=np.int32)
+    blocks_buf = np.zeros((mi_rows_ * mi_cols_, 4), dtype=np.int32)
     n_blocks = np.zeros(1, dtype=np.int32)
     out = C.POINTER(C.c_uint8)()
     n = lib.tile_encode(
@@ -320,7 +320,8 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None):
     return payload, recon_arrs, blocks
 
 
-def loop_filter_native(planes, blocks, levels, sharpness, bitdepth) -> bool:
+def loop_filter_native(planes, blocks, levels, sharpness, bitdepth,
+                       vis_h=0, vis_w=0) -> bool:
     """In-place native deblocking; False if the library is unavailable."""
     lib = get_lib()
     if lib is None:
@@ -332,11 +333,11 @@ def loop_filter_native(planes, blocks, levels, sharpness, bitdepth) -> bool:
         arrs.append(a)
     ptrs = (C.POINTER(C.c_int32) * len(arrs))(*[_i32p(a) for a in arrs])
     blk = np.ascontiguousarray(
-        np.array(blocks, dtype=np.int32).reshape(-1, 3)
-    ) if blocks else np.zeros((0, 3), np.int32)
+        np.array(blocks, dtype=np.int32).reshape(-1, 4)
+    ) if blocks else np.zeros((0, 4), np.int32)
     lv = np.array(levels, dtype=np.int32)
     lib.loop_filter_frame_c(ptrs, len(arrs), w, h, _i32p(blk), len(blk),
-                            _i32p(lv), sharpness, bitdepth)
+                            _i32p(lv), sharpness, bitdepth, vis_h, vis_w)
     for p, a in zip(planes, arrs):
         if a is not p:
             p[:] = a

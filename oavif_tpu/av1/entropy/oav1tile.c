@@ -79,7 +79,7 @@ typedef struct {
     const int32_t *dr_deriv; /* dr_intra_derivative[90] */
     const int32_t *plan;    /* per-32x32-block mode, -1 = search; or NULL */
     int plan_nbx, plan_nby;
-    int32_t *blocks_out;  /* (r, c, size) triplets for the loop filter */
+    int32_t *blocks_out;  /* (r, c, size, skip) quads for the post-filters */
     int n_blocks;
     /* context lines */
     uint8_t *above_part, *above_skip, *above_mode;
@@ -834,11 +834,13 @@ static void encode_block(Tile *t, int r, int c, int size) {
     int lr = r & 15;
     int nplanes = t->nplanes;
 
+    int block_idx = -1;
     if (t->blocks_out) {
-        t->blocks_out[t->n_blocks * 3] = r;
-        t->blocks_out[t->n_blocks * 3 + 1] = c;
-        t->blocks_out[t->n_blocks * 3 + 2] = size;
-        t->n_blocks++;
+        block_idx = t->n_blocks++;
+        t->blocks_out[block_idx * 4] = r;
+        t->blocks_out[block_idx * 4 + 1] = c;
+        t->blocks_out[block_idx * 4 + 2] = size;
+        t->blocks_out[block_idx * 4 + 3] = 0; /* skip backfilled below */
     }
 
     int have_above0 = r > 0, have_left0 = c > 0;
@@ -1064,6 +1066,7 @@ static void encode_block(Tile *t, int r, int c, int size) {
         }
     }
     int skip = !any_nonzero;
+    if (block_idx >= 0) t->blocks_out[block_idx * 4 + 3] = skip;
 
     /* symbols: skip, modes */
     int skip_ctx = t->above_skip[c] + t->left_skip[lr];
@@ -1237,6 +1240,12 @@ static void encode_partition(Tile *t, int r, int c, int size) {
         if (t->qindex == 0)
             part = PARTITION_SPLIT; /* lossless: descend to 4x4 blocks */
         else if (size > 32)
+            part = PARTITION_SPLIT;
+        else if (size == 32 &&
+                 (r + 8 > t->mi_rows || c + 8 > t->mi_cols))
+            /* hasRows/hasCols allow a NONE block hanging past the mi grid
+             * (spec 5.11.4); we always split instead so recon stays inside
+             * the mi-grid buffers (encoder choice, still conformant) */
             part = PARTITION_SPLIT;
         else if (size == 32 && t->speed <= 9 && t->qindex <= 90)
             part = choose_partition32(t, r, c);
@@ -1528,20 +1537,30 @@ static void lf_segment(int64_t *px, int width, const LfParams *lp) {
     }
 }
 
-/* planes: nplanes pointers to (h, w) int32; blocks: n*3 int32 (r, c, size);
- * levels: 4 ints (y_v, y_h, u, v). In-place. */
+/* planes: nplanes pointers to (h, w) int32 (padded mi grid); blocks: n*4
+ * int32 (r, c, size, skip); levels: 4 ints (y_v, y_h, u, v); vis_h/vis_w:
+ * visible frame dims (<=0 means same as h/w). In-place. */
 void loop_filter_frame_c(int32_t *const *planes, int nplanes, int w, int h,
                          const int32_t *blocks, int n_blocks,
-                         const int32_t *levels, int sharpness, int bitdepth) {
+                         const int32_t *levels, int sharpness, int bitdepth,
+                         int vis_h, int vis_w) {
+    /* Edge POSITIONS and the along-edge SPAN are bounded by the visible
+     * frame in 4px units (an edge at x == FrameWidth is not filtered,
+     * and a y-edge does not run through x >= FrameWidth columns, even
+     * though the mi grid extends past it — pinned against dav1d).
+     * Reads and writes of an eligible segment still reach into the
+     * padding. */
+    if (vis_h <= 0 || vis_h > h) vis_h = h;
+    if (vis_w <= 0 || vis_w > w) vis_w = w;
     int mi_rows = 2 * ((h + 7) >> 3), mi_cols = 2 * ((w + 7) >> 3);
     int32_t *size_map = (int32_t *)calloc((size_t)mi_rows * mi_cols, 4);
     uint8_t *start_v = (uint8_t *)calloc((size_t)mi_rows * mi_cols, 1);
     uint8_t *start_h = (uint8_t *)calloc((size_t)mi_rows * mi_cols, 1);
     for (int b = 0; b < n_blocks; b++) {
-        int r = blocks[b*3], c = blocks[b*3+1], n = blocks[b*3+2] / 4;
+        int r = blocks[b*4], c = blocks[b*4+1], n = blocks[b*4+2] / 4;
         for (int i = 0; i < n; i++) {
             for (int j = 0; j < n; j++)
-                size_map[(size_t)(r+i) * mi_cols + c + j] = blocks[b*3+2];
+                size_map[(size_t)(r+i) * mi_cols + c + j] = blocks[b*4+2];
             start_v[(size_t)(r+i) * mi_cols + c] = 1;
             start_h[(size_t)r * mi_cols + c + i] = 1;
         }
@@ -1577,10 +1596,10 @@ void loop_filter_frame_c(int32_t *const *planes, int nplanes, int w, int h,
             if (pass == 0) { /* vertical edges */
                 for (int c = 1; c < mi_cols; c++) {
                     int x = c * 4;
-                    if (x >= w) break;
+                    if (x >= vis_w) break;
                     for (int r = 0; r < mi_rows; r++) {
                         if (!start_v[(size_t)r * mi_cols + c]) continue;
-                        if (r * 4 >= h) continue;
+                        if (r * 4 >= vis_h) continue;
                         int sz_r = size_map[(size_t)r * mi_cols + c];
                         int sz_l = size_map[(size_t)r * mi_cols + c - 1];
                         int wd = sz_r < sz_l ? sz_r : sz_l;
@@ -1606,10 +1625,10 @@ void loop_filter_frame_c(int32_t *const *planes, int nplanes, int w, int h,
             } else { /* horizontal edges */
                 for (int r = 1; r < mi_rows; r++) {
                     int y = r * 4;
-                    if (y >= h) break;
+                    if (y >= vis_h) break;
                     for (int c = 0; c < mi_cols; c++) {
                         if (!start_h[(size_t)r * mi_cols + c]) continue;
-                        if (c * 4 >= w) continue;
+                        if (c * 4 >= vis_w) continue;
                         int sz_b = size_map[(size_t)r * mi_cols + c];
                         int sz_t = size_map[(size_t)(r - 1) * mi_cols + c];
                         int wd = sz_b < sz_t ? sz_b : sz_t;

@@ -215,7 +215,7 @@ class TileEncoder:
 
         self.dq_dc = dc_q(qindex, bitdepth)
         self.dq_ac = ac_q(qindex, bitdepth)
-        self.blocks = []  # (mi_r, mi_c, size_px) for the loop filter
+        self.blocks = []  # (mi_r, mi_c, size_px, skip) for the post-filters
 
     # -- intra edge availability (square-only z-order, spec BlockDecoded) ----
 
@@ -318,6 +318,13 @@ class TileEncoder:
             if self.lossless:
                 part = PARTITION_SPLIT
             elif size > 32:
+                part = PARTITION_SPLIT
+            elif size == 32 and (
+                r + 8 > self.mi_rows or c + 8 > self.mi_cols
+            ):
+                # hasRows/hasCols allow a NONE block hanging past the mi
+                # grid (spec 5.11.4); always split instead so recon stays
+                # inside the mi-grid buffers (encoder choice, conformant)
                 part = PARTITION_SPLIT
             elif size == 32 and self.speed <= 9 and self.qindex <= 90:
                 # splitting pays at high quality (closer prediction edges
@@ -469,7 +476,6 @@ class TileEncoder:
         if self.lossless:
             self._encode_block_lossless(r, c, size)
             return
-        self.blocks.append((r, c, size))
         x, y = c * 4, r * 4
         n_mi = size // 4
         lr = r & 15
@@ -557,6 +563,7 @@ class TileEncoder:
             plane_jobs += uv_jobs
 
         skip = not any(np.any(lv) for _, _, _, _, lv, _ in plane_jobs)
+        self.blocks.append((r, c, size, 1 if skip else 0))
 
         # --- symbols: skip, modes ---
         skip_ctx = int(self.above_skip[c]) + int(self.left_skip[lr])
@@ -1169,5 +1176,6 @@ def encode_frame_planes(
         for pi in range(len(planes)):
             recon[pi][y0 : y0 + th, x0 : x0 + tw] = tile_recon[pi]
         mi_r0, mi_c0 = y0 // 4, x0 // 4
-        blocks += [(mi_r0 + r, mi_c0 + c, sz) for r, c, sz in tile_blocks]
+        blocks += [(mi_r0 + b[0], mi_c0 + b[1]) + tuple(b[2:])
+                   for b in tile_blocks]
     return payloads, recon, blocks

@@ -160,10 +160,11 @@ def _filter_segment(p: np.ndarray, width: np.ndarray, level: int,
 
 def loop_filter_frame(
     planes: List[np.ndarray],
-    blocks: Sequence[Tuple[int, int, int]],  # (mi_r, mi_c, size_px)
+    blocks: Sequence[Tuple[int, ...]],  # (mi_r, mi_c, size_px[, skip])
     levels: Tuple[int, int, int, int],  # y_vert, y_horz, u, v
     sharpness: int = 0,
     bitdepth: int = 8,
+    visible: Tuple[int, int] = None,  # (h, w) visible frame bounds
 ) -> List[np.ndarray]:
     """Filter the reconstruction in place (returns the same plane list).
 
@@ -172,10 +173,13 @@ def loop_filter_frame(
     streams, so every block's left/top boundary is a filtered edge.
     """
     h, w = planes[0].shape
+    vis_h, vis_w = visible if visible is not None else (h, w)
 
     from .entropy.fast import loop_filter_native
 
-    if loop_filter_native(planes, blocks, levels, sharpness, bitdepth):
+    if loop_filter_native(
+        planes, blocks, levels, sharpness, bitdepth, vis_h, vis_w
+    ):
         return planes
 
     # per-4x4 block size map
@@ -183,7 +187,7 @@ def loop_filter_frame(
     size_map = np.zeros((mi_rows, mi_cols), np.int32)
     start_v = np.zeros((mi_rows, mi_cols), bool)  # left edge of a block
     start_h = np.zeros((mi_rows, mi_cols), bool)  # top edge of a block
-    for r, c, size in blocks:
+    for r, c, size in ((b[0], b[1], b[2]) for b in blocks):
         n = size // 4
         size_map[r : r + n, c : c + n] = size
         start_v[r : r + n, c] = True
@@ -197,10 +201,10 @@ def loop_filter_frame(
         if level_v > 0:
             for c in range(1, mi_cols):
                 x = c * 4
-                if x >= w:
+                if x >= vis_w:
                     break
                 rows = np.nonzero(start_v[:, c])[0]
-                rows = rows[rows * 4 < h]
+                rows = rows[rows * 4 < vis_h]
                 if len(rows) == 0:
                     continue
                 segs = []
@@ -231,10 +235,10 @@ def loop_filter_frame(
         if level_h > 0:
             for r in range(1, mi_rows):
                 y = r * 4
-                if y >= h:
+                if y >= vis_h:
                     break
                 cs = np.nonzero(start_h[r, :])[0]
-                cs = cs[cs * 4 < w]
+                cs = cs[cs * 4 < vis_w]
                 if len(cs) == 0:
                     continue
                 segs = []

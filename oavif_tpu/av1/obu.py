@@ -86,6 +86,7 @@ class SequenceConfig:
     transfer_characteristics: int = 2
     matrix_coefficients: int = 2
     color_range: int = 1  # full range (oracle backend uses full too)
+    enable_cdef: bool = False
 
 
 def _choose_level(width: int, height: int) -> int:
@@ -120,7 +121,7 @@ def write_sequence_header(cfg: SequenceConfig) -> bytes:
     w.f(0, 1)  # enable_filter_intra
     w.f(0, 1)  # enable_intra_edge_filter
     w.f(0, 1)  # enable_superres
-    w.f(0, 1)  # enable_cdef
+    w.f(1 if cfg.enable_cdef else 0, 1)  # enable_cdef
     w.f(0, 1)  # enable_restoration
     # color_config()
     w.f(1 if cfg.bit_depth == 10 else 0, 1)  # high_bitdepth
@@ -155,6 +156,10 @@ class FrameConfig:
     v_ac_delta_q: int = 0
     filter_levels: tuple = (0, 0, 0, 0)  # y_vert, y_horz, u, v
     filter_sharpness: int = 0
+    enable_cdef: bool = False  # must mirror the sequence header's bit
+    cdef_damping: int = 3  # 3..6
+    # one strength set per 1<<cdef_bits; cdef_bits = 0 -> no per-SB signaling
+    cdef_strengths: tuple = ((0, 0, 0, 0),)  # (y_pri, y_sec, uv_pri, uv_sec)
 
 
 def write_frame_header_bits(cfg: FrameConfig, num_planes: int = 3) -> BitWriter:
@@ -202,7 +207,21 @@ def write_frame_header_bits(cfg: FrameConfig, num_planes: int = 3) -> BitWriter:
             w.f(lv[3], 6)  # loop_filter_level[3] (v)
         w.f(cfg.filter_sharpness, 3)
         w.f(0, 1)  # loop_filter_delta_enabled
-    # cdef_params: seq disabled → nothing
+    # cdef_params() — written iff the sequence enables CDEF and the frame
+    # is not CodedLossless (spec 5.9.19; sec strength 3 is coded as 3,
+    # decoder maps it to 4)
+    if cfg.enable_cdef and not coded_lossless:
+        nsets = len(cfg.cdef_strengths)
+        cdef_bits = max(0, nsets.bit_length() - 1)
+        assert nsets == 1 << cdef_bits
+        w.f(cfg.cdef_damping - 3, 2)
+        w.f(cdef_bits, 2)
+        for (y_pri, y_sec, uv_pri, uv_sec) in cfg.cdef_strengths:
+            w.f(y_pri, 4)
+            w.f(3 if y_sec == 4 else y_sec, 2)
+            if num_planes > 1:
+                w.f(uv_pri, 4)
+                w.f(3 if uv_sec == 4 else uv_sec, 2)
     # lr_params: seq disabled → nothing
     # read_tx_mode: CodedLossless → ONLY_4X4 implicit, no bit
     if not coded_lossless:

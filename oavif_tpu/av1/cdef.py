@@ -174,6 +174,10 @@ def cdef_frame(
     y_pri, y_sec, uv_pri, uv_sec = strengths
     if not (y_pri or y_sec or uv_pri or uv_sec):
         return
+    from .entropy.fast import cdef_frame_native
+
+    if cdef_frame_native(planes, blocks, strengths, damping, bitdepth):
+        return
     h, w = planes[0].shape
     mi_rows, mi_cols = h // 4, w // 4
     # taps read the full padded mi-grid plane (decoded padding blocks are
@@ -200,8 +204,8 @@ def cdef_frame(
             unit = skip_map[ur : ur + 16, uc : uc + 16]
             if unit.all():
                 continue  # all-skip unit: cdef_idx stays -1, no filtering
-            for r in range(ur, min(ur + 16, mi_rows), 2):
-                for c in range(uc, min(uc + 16, mi_cols), 2):
+            for r in range(ur, min(ur + 16, mi_rows - 1), 2):
+                for c in range(uc, min(uc + 16, mi_cols - 1), 2):
                     if skip_map[r : r + 2, c : c + 2].all():
                         continue
                     y0, x0 = r * 4, c * 4

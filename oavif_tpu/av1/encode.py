@@ -23,6 +23,7 @@ import numpy as np
 from ..backend import EncCtx
 from .consts import quality_to_qindex
 from .frame import encode_frame_planes
+from .cdef import cdef_frame
 from .loopfilter import loop_filter_frame
 from .mux import mux_avif
 from .obu import FrameConfig, SequenceConfig, assemble_av1_stream, clamp_tile_log2s
@@ -69,6 +70,40 @@ def _depth_convert(src_data: np.ndarray, src_hbd: bool, out_depth: int) -> np.nd
     if src_hbd and out_depth == 8:
         return (src_data >> 8).astype(np.uint8)  # io.zig:602
     return src_data
+
+
+# CDEF strength candidates for the encoder-side search (one frame-wide
+# set, cdef_bits = 0). Candidate 0 = off; the search returns the SSE-best
+# on a 1/16 subsample of non-skip 8x8 blocks (libaom av1_cdef_search's
+# fast analogue — SURVEY.md §2b N1).
+_CDEF_CANDS = (
+    (0, 0, 0, 0),
+    (1, 0, 1, 0),
+    (2, 1, 2, 1),
+    (4, 2, 4, 2),
+    (6, 2, 6, 2),
+    (8, 2, 8, 2),
+    (12, 4, 12, 2),
+)
+
+
+def _pick_cdef(planes, recon_planes, blocks, qindex, bitdepth, visible):
+    """Choose CDEF strengths by sampled SSE against the source."""
+    from .entropy.fast import cdef_search_native
+
+    damping = min(6, 3 + (qindex >> 6))
+    ph, pw = recon_planes[0].shape
+    padded_src = []
+    for p in planes:
+        buf = np.zeros((ph, pw), dtype=np.int32)
+        hh, ww = p.shape
+        buf[:hh, :ww] = p
+        buf[:hh, ww:] = buf[:hh, ww - 1 : ww]
+        buf[hh:, :] = buf[hh - 1 : hh, :]
+        padded_src.append(buf)
+    idx = cdef_search_native(padded_src, recon_planes, blocks, _CDEF_CANDS,
+                             damping, bitdepth, visible[0], visible[1])
+    return _CDEF_CANDS[idx], damping
 
 
 def encode_avif(ctx: EncCtx) -> bytes:
@@ -127,7 +162,16 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
     filter_levels = (flv, flv, flv, flv)
     if flv:
         loop_filter_frame(recon_planes, blocks, filter_levels,
-                          bitdepth=out_depth)
+                          bitdepth=out_depth, visible=(h, w))
+    cdef_on = qindex > 0 and len(planes) == 3
+    cdef_strengths = (0, 0, 0, 0)
+    cdef_damping = min(6, 3 + (qindex >> 6))
+    if cdef_on:
+        cdef_strengths, cdef_damping = _pick_cdef(
+            planes, recon_planes, blocks, qindex, out_depth, (h, w))
+        if any(cdef_strengths):
+            cdef_frame(recon_planes, blocks, cdef_strengths, cdef_damping,
+                       out_depth)
     recon_planes = [p[:h, :w] for p in recon_planes]
 
     seq = SequenceConfig(
@@ -137,11 +181,15 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
         color_primaries=o.color_primaries,
         transfer_characteristics=o.transfer_characteristics,
         matrix_coefficients=o.matrix_coefficients,
+        enable_cdef=cdef_on,
     )
     frame = FrameConfig(
         width=w, height=h, base_q_idx=qindex,
         tile_cols_log2=tcl, tile_rows_log2=trl,
         filter_levels=filter_levels,
+        enable_cdef=cdef_on,
+        cdef_damping=cdef_damping,
+        cdef_strengths=(cdef_strengths,),
     )
     av1 = assemble_av1_stream(seq, frame, payloads)
 
@@ -170,7 +218,7 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
         aflv = _filter_level(aq)
         if aflv:
             loop_filter_frame(arecon, ablocks, (aflv, aflv, 0, 0),
-                              bitdepth=out_depth)
+                              bitdepth=out_depth, visible=(h, w))
         arecon = [p[:h, :w] for p in arecon]
         aframe = FrameConfig(
             width=w, height=h, base_q_idx=aq,

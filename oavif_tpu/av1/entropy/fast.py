@@ -36,6 +36,7 @@ def _build() -> Optional[C.CDLL]:
                 tmp = Path(td) / "_oav1ec.so"
                 subprocess.run(
                     ["gcc", "-O3", "-march=native", "-shared", "-fPIC",
+                     "--param", "vect-max-version-for-alias-checks=40",
                      "-o", str(tmp)] + [str(s) for s in srcs] + ["-lm"],
                     check=True,
                     capture_output=True,
@@ -80,6 +81,16 @@ def _build() -> Optional[C.CDLL]:
         lib.loop_filter_frame_c.argtypes = [
             C.POINTER(_p32), C.c_int, C.c_int, C.c_int,
             _p32, C.c_int, _p32, C.c_int, C.c_int, C.c_int, C.c_int,
+        ]
+        lib.cdef_search_c.restype = C.c_int
+        lib.cdef_search_c.argtypes = [
+            C.POINTER(_p32), C.POINTER(_p32), C.c_int, C.c_int, C.c_int,
+            C.c_int, C.c_int, _p32, C.c_int, _p32, C.c_int, C.c_int,
+            C.c_int, C.c_int,
+        ]
+        lib.cdef_frame_c.argtypes = [
+            C.POINTER(_p32), C.c_int, C.c_int, C.c_int,
+            _p32, C.c_int, _p32, C.c_int, C.c_int,
         ]
         lib.yuv444_to_rgb8_c.argtypes = [
             C.POINTER(_p32), C.c_int, C.c_int,
@@ -383,3 +394,45 @@ def rgb_to_yuv444_native(rgb, bitdepth, fwd_mat):
                             a.ctypes.data_as(C.POINTER(C.c_uint16)),
                             h * w, bitdepth, fp, ptrs)
     return outs
+
+
+def cdef_frame_native(planes, blocks, strengths, damping, bitdepth) -> bool:
+    """In-place native CDEF on padded planes; False if lib unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    h, w = planes[0].shape
+    arrs = [np.ascontiguousarray(p, dtype=np.int32) for p in planes]
+    ptrs = (C.POINTER(C.c_int32) * len(arrs))(*[_i32p(a) for a in arrs])
+    blk = np.ascontiguousarray(
+        np.array(blocks, dtype=np.int32).reshape(-1, 4)
+    ) if blocks else np.zeros((0, 4), np.int32)
+    st = np.array(strengths, dtype=np.int32)
+    lib.cdef_frame_c(ptrs, len(arrs), w, h, _i32p(blk), len(blk),
+                     _i32p(st), damping, bitdepth)
+    for p, a in zip(planes, arrs):
+        if a is not p:
+            p[:] = a
+    return True
+
+
+def cdef_search_native(src_planes, recon_planes, blocks, cands, damping,
+                       bitdepth, vis_h, vis_w, sample_log2=2):
+    """Pick the SSE-best CDEF strength set; returns an index into cands
+    (or 0 = off when the library is unavailable)."""
+    lib = get_lib()
+    if lib is None:
+        return 0
+    h, w = recon_planes[0].shape
+    sarrs = [np.ascontiguousarray(p, dtype=np.int32) for p in src_planes]
+    rarrs = [np.ascontiguousarray(p, dtype=np.int32) for p in recon_planes]
+    sptrs = (C.POINTER(C.c_int32) * len(sarrs))(*[_i32p(a) for a in sarrs])
+    rptrs = (C.POINTER(C.c_int32) * len(rarrs))(*[_i32p(a) for a in rarrs])
+    blk = np.ascontiguousarray(
+        np.array(blocks, dtype=np.int32).reshape(-1, 4)
+    ) if blocks else np.zeros((0, 4), np.int32)
+    cd = np.ascontiguousarray(np.array(cands, dtype=np.int32).reshape(-1, 4))
+    return int(lib.cdef_search_c(
+        sptrs, rptrs, len(rarrs), w, h, vis_w, vis_h,
+        _i32p(blk), len(blk), _i32p(cd), len(cd),
+        damping, bitdepth, sample_log2))

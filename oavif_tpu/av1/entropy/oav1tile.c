@@ -1658,3 +1658,377 @@ void loop_filter_frame_c(int32_t *const *planes, int nplanes, int w, int h,
     free(start_v);
     free(start_h);
 }
+
+/* ------------------------------------------------------------------ */
+/* Normative CDEF (mirrors cdef.py; conformance-pinned against dav1d) */
+/* ------------------------------------------------------------------ */
+
+static const int CDEF_DIRS[8][2][2] = {
+    {{-1, 1}, {-2, 2}}, {{0, 1}, {-1, 2}}, {{0, 1}, {0, 2}},
+    {{0, 1}, {1, 2}},   {{1, 1}, {2, 2}},  {{1, 0}, {2, 1}},
+    {{1, 0}, {2, 0}},   {{1, 0}, {2, -1}},
+};
+static const int CDEF_PRI_TAPS_C[2][2] = {{4, 2}, {3, 3}};
+static const int CDEF_SEC_TAPS_C[2] = {2, 1};
+static const int CDEF_DIV[7] = {840, 420, 280, 210, 168, 140, 120};
+
+static void cdef_find_dir_c(const int32_t *p, int stride, int bitdepth,
+                            int *out_dir, int *out_var) {
+    int64_t pd[2][15] = {{0}}, pa[4][11] = {{0}}, ph[2][8] = {{0}};
+    int sh = bitdepth - 8;
+    for (int y = 0; y < 8; y++)
+        for (int x = 0; x < 8; x++) {
+            int64_t v = (p[(size_t)y * stride + x] >> sh) - 128;
+            pd[0][y + x] += v;
+            pa[0][y + (x >> 1)] += v;
+            ph[0][y] += v;
+            pa[1][3 + y - (x >> 1)] += v;
+            pd[1][7 + y - x] += v;
+            pa[2][3 - (y >> 1) + x] += v;
+            ph[1][x] += v;
+            pa[3][(y >> 1) + x] += v;
+        }
+    int64_t cost[8] = {0};
+    for (int n = 0; n < 8; n++) {
+        cost[2] += ph[0][n] * ph[0][n];
+        cost[6] += ph[1][n] * ph[1][n];
+    }
+    cost[2] *= 105;
+    cost[6] *= 105;
+    for (int n = 0; n < 7; n++) {
+        cost[0] += (pd[0][n] * pd[0][n] + pd[0][14 - n] * pd[0][14 - n]) *
+                   CDEF_DIV[n];
+        cost[4] += (pd[1][n] * pd[1][n] + pd[1][14 - n] * pd[1][14 - n]) *
+                   CDEF_DIV[n];
+    }
+    cost[0] += pd[0][7] * pd[0][7] * 105;
+    cost[4] += pd[1][7] * pd[1][7] * 105;
+    for (int i = 0; i < 4; i++) {
+        int64_t c2 = 0;
+        for (int m = 0; m < 5; m++) c2 += pa[i][3 + m] * pa[i][3 + m];
+        c2 *= 105;
+        for (int m = 0; m < 3; m++)
+            c2 += (pa[i][m] * pa[i][m] + pa[i][10 - m] * pa[i][10 - m]) *
+                  CDEF_DIV[2 * m + 1];
+        cost[2 * i + 1] = c2;
+    }
+    int best = 0;
+    for (int d = 1; d < 8; d++)
+        if (cost[d] > cost[best]) best = d;
+    *out_dir = best;
+    *out_var = (int)((cost[best] - cost[best ^ 4]) >> 10);
+}
+
+static inline int cdef_constrain(int diff, int threshold, int damping) {
+    if (!threshold) return 0;
+    int shift = damping - (31 - __builtin_clz((unsigned)threshold));
+    if (shift < 0) shift = 0;
+    int mag = diff < 0 ? -diff : diff;
+    int t = threshold - (mag >> shift);
+    if (t < 0) t = 0;
+    int v = mag < t ? mag : t;
+    return diff < 0 ? -v : v;
+}
+
+static void cdef_filter_block_c(const int32_t *restrict src,
+                                int32_t *restrict dst, int h,
+                                int w, int y0, int x0, int pri, int sec,
+                                int damping, int dir, int coeff_shift) {
+    const int *pt = CDEF_PRI_TAPS_C[(pri >> coeff_shift) & 1];
+    if (damping < 1) damping = 1;
+    if (y0 >= 2 && x0 >= 2 && y0 + 10 <= h && x0 + 10 <= w) {
+        /* interior fast path: all 12 tap offsets in-bounds; fully
+         * unrolled with the constrain shift hoisted (it depends only on
+         * the strength, not the tap) */
+        int po0 = CDEF_DIRS[dir][0][0] * w + CDEF_DIRS[dir][0][1];
+        int po1 = CDEF_DIRS[dir][1][0] * w + CDEF_DIRS[dir][1][1];
+        int d2 = (dir + 2) & 7, d6 = (dir + 6) & 7;
+        int so0 = CDEF_DIRS[d2][0][0] * w + CDEF_DIRS[d2][0][1];
+        int so1 = CDEF_DIRS[d2][1][0] * w + CDEF_DIRS[d2][1][1];
+        int so2 = CDEF_DIRS[d6][0][0] * w + CDEF_DIRS[d6][0][1];
+        int so3 = CDEF_DIRS[d6][1][0] * w + CDEF_DIRS[d6][1][1];
+        int psh = 0, ssh = 0;
+        if (pri) {
+            psh = damping - (31 - __builtin_clz((unsigned)pri));
+            if (psh < 0) psh = 0;
+        }
+        if (sec) {
+            ssh = damping - (31 - __builtin_clz((unsigned)sec));
+            if (ssh < 0) ssh = 0;
+        }
+        int pt0 = pri ? pt[0] : 0, pt1 = pri ? pt[1] : 0;
+        /* hand-vectorized row form (GNU vector extensions): one 8-wide
+         * int32 vector per row, ~14 vector ops per tap; the auto
+         * vectorizer refuses this shape (alias-check explosion on the
+         * 12 runtime tap offsets) */
+        typedef int32_t v8si __attribute__((vector_size(32), aligned(4)));
+#define VLOAD(ptr) (*(const v8si *)(const void *)(ptr))
+#define TAPROW(off, tapw, thr, sh)                                         \
+        do {                                                               \
+            v8si p_ = VLOAD(sp + (off));                                   \
+            v8si d_ = p_ - pxv;                                            \
+            v8si msk_ = d_ >> 31;                                          \
+            v8si m_ = (d_ ^ msk_) - msk_;                                  \
+            v8si t_ = thrv_##thr - (m_ >> (sh));                           \
+            t_ &= ~(t_ >> 31);                                             \
+            v8si sel_ = m_ < t_;                                           \
+            t_ = (m_ & sel_) | (t_ & ~sel_);                               \
+            sv += (tapw) * ((t_ ^ msk_) - msk_);                           \
+            sel_ = p_ > mxv;                                               \
+            mxv = (p_ & sel_) | (mxv & ~sel_);                             \
+            sel_ = p_ < mnv;                                               \
+            mnv = (p_ & sel_) | (mnv & ~sel_);                             \
+        } while (0)
+        v8si thrv_pri = {pri, pri, pri, pri, pri, pri, pri, pri};
+        v8si thrv_sec = {sec, sec, sec, sec, sec, sec, sec, sec};
+        for (int yy = 0; yy < 8; yy++) {
+            const int32_t *sp = src + (size_t)(y0 + yy) * w + x0;
+            int32_t *dp = dst + (size_t)(y0 + yy) * w + x0;
+            v8si pxv = VLOAD(sp);
+            v8si sv = {0, 0, 0, 0, 0, 0, 0, 0};
+            v8si mxv = pxv, mnv = pxv;
+            if (pri) {
+                TAPROW(po0, pt0, pri, psh);
+                TAPROW(-po0, pt0, pri, psh);
+                TAPROW(po1, pt1, pri, psh);
+                TAPROW(-po1, pt1, pri, psh);
+            }
+            if (sec) {
+                TAPROW(so0, 2, sec, ssh);
+                TAPROW(-so0, 2, sec, ssh);
+                TAPROW(so2, 2, sec, ssh);
+                TAPROW(-so2, 2, sec, ssh);
+                TAPROW(so1, 1, sec, ssh);
+                TAPROW(-so1, 1, sec, ssh);
+                TAPROW(so3, 1, sec, ssh);
+                TAPROW(-so3, 1, sec, ssh);
+            }
+            v8si neg = sv >> 31;
+            v8si v = pxv + ((sv + 8 + neg) >> 4);
+            v8si sel = v < mnv;
+            v = (mnv & sel) | (v & ~sel);
+            sel = v > mxv;
+            v = (mxv & sel) | (v & ~sel);
+            for (int xx = 0; xx < 8; xx++) dp[xx] = v[xx];
+        }
+#undef TAPROW
+#undef VLOAD
+        return;
+    }
+    for (int yy = 0; yy < 8; yy++)
+        for (int xx = 0; xx < 8; xx++) {
+            int y = y0 + yy, x = x0 + xx;
+            int px = src[(size_t)y * w + x];
+            int s = 0, mx = px, mn = px;
+            for (int k = 0; k < 2; k++) {
+                if (pri) {
+                    int dy = CDEF_DIRS[dir][k][0], dx = CDEF_DIRS[dir][k][1];
+                    for (int sgn = 0; sgn < 2; sgn++) {
+                        int py = sgn ? y - dy : y + dy;
+                        int pxx = sgn ? x - dx : x + dx;
+                        if (py >= 0 && py < h && pxx >= 0 && pxx < w) {
+                            int p = src[(size_t)py * w + pxx];
+                            s += pt[k] * cdef_constrain(p - px, pri, damping);
+                            if (p > mx) mx = p;
+                            if (p < mn) mn = p;
+                        }
+                    }
+                }
+                if (sec) {
+                    for (int di = 0; di < 2; di++) {
+                        int dd = di ? (dir + 6) & 7 : (dir + 2) & 7;
+                        int dy = CDEF_DIRS[dd][k][0], dx = CDEF_DIRS[dd][k][1];
+                        for (int sgn = 0; sgn < 2; sgn++) {
+                            int py = sgn ? y - dy : y + dy;
+                            int pxx = sgn ? x - dx : x + dx;
+                            if (py >= 0 && py < h && pxx >= 0 && pxx < w) {
+                                int p = src[(size_t)py * w + pxx];
+                                s += CDEF_SEC_TAPS_C[k] *
+                                     cdef_constrain(p - px, sec, damping);
+                                if (p > mx) mx = p;
+                                if (p < mn) mn = p;
+                            }
+                        }
+                    }
+                }
+            }
+            int v = px + ((8 + s - (s < 0)) >> 4);
+            if (v < mn) v = mn;
+            if (v > mx) v = mx;
+            dst[(size_t)y * w + x] = v;
+        }
+}
+
+/* planes: padded mi-grid (h, w) int32; blocks n*4 (r, c, size, skip);
+ * strengths: y_pri, y_sec, uv_pri, uv_sec (coded values, sec 4 allowed);
+ * in-place. */
+void cdef_frame_c(int32_t *const *planes, int nplanes, int w, int h,
+                  const int32_t *blocks, int n_blocks,
+                  const int32_t *strengths, int damping, int bitdepth) {
+    int y_pri = strengths[0], y_sec = strengths[1];
+    int uv_pri = strengths[2], uv_sec = strengths[3];
+    if (!(y_pri | y_sec | uv_pri | uv_sec)) return;
+    int mi_rows = h / 4, mi_cols = w / 4;
+    uint8_t *skip_map = (uint8_t *)malloc((size_t)mi_rows * mi_cols);
+    memset(skip_map, 1, (size_t)mi_rows * mi_cols);
+    for (int b = 0; b < n_blocks; b++) {
+        int r = blocks[b * 4], c = blocks[b * 4 + 1];
+        int n = blocks[b * 4 + 2] / 4, sk = blocks[b * 4 + 3];
+        for (int i = 0; i < n && r + i < mi_rows; i++)
+            memset(skip_map + (size_t)(r + i) * mi_cols + c, sk,
+                   (size_t)(c + n <= mi_cols ? n : mi_cols - c));
+    }
+    int cs = bitdepth - 8;
+    int yp = y_pri << cs, ys = y_sec << cs;
+    int up = uv_pri << cs, us = uv_sec << cs;
+    int y_damp = damping + cs, uv_damp = y_damp - 1;
+    int32_t *srcs[3];
+    for (int p = 0; p < nplanes; p++) {
+        srcs[p] = (int32_t *)malloc((size_t)h * w * 4);
+        memcpy(srcs[p], planes[p], (size_t)h * w * 4);
+    }
+    for (int ur = 0; ur < mi_rows; ur += 16)
+        for (int uc = 0; uc < mi_cols; uc += 16) {
+            int any = 0;
+            int re = ur + 16 < mi_rows ? ur + 16 : mi_rows;
+            int ce = uc + 16 < mi_cols ? uc + 16 : mi_cols;
+            for (int r = ur; r < re && !any; r++)
+                for (int c = uc; c < ce; c++)
+                    if (!skip_map[(size_t)r * mi_cols + c]) { any = 1; break; }
+            if (!any) continue; /* all-skip unit: no cdef_idx, no filter */
+            for (int r = ur; r + 2 <= re; r += 2)
+                for (int c = uc; c + 2 <= ce; c += 2) {
+                    int allskip = 1;
+                    for (int i = 0; i < 2 && allskip; i++)
+                        for (int j = 0; j < 2; j++)
+                            if (r + i < mi_rows && c + j < mi_cols &&
+                                !skip_map[(size_t)(r + i) * mi_cols + c + j]) {
+                                allskip = 0;
+                                break;
+                            }
+                    if (allskip) continue;
+                    int y0 = r * 4, x0 = c * 4;
+                    int dir = 0, var = 0;
+                    if (yp || up)
+                        cdef_find_dir_c(srcs[0] + (size_t)y0 * w + x0, w,
+                                        bitdepth, &dir, &var);
+                    int dir_y = yp ? dir : 0, dir_uv = up ? dir : 0;
+                    int pri_y = 0;
+                    if (yp) {
+                        if (var) {
+                            int v6 = var >> 6;
+                            int i2 = v6 ? (31 - __builtin_clz((unsigned)v6))
+                                        : 0;
+                            if (i2 > 12) i2 = 12;
+                            pri_y = (yp * (4 + i2) + 8) >> 4;
+                        }
+                    }
+                    if (pri_y || ys)
+                        cdef_filter_block_c(srcs[0], planes[0], h, w, y0, x0,
+                                            pri_y, ys, y_damp, dir_y, cs);
+                    if (nplanes > 1 && (up || us))
+                        for (int p = 1; p < 3; p++)
+                            cdef_filter_block_c(srcs[p], planes[p], h, w, y0,
+                                                x0, up, us, uv_damp, dir_uv,
+                                                cs);
+                }
+        }
+    for (int p = 0; p < nplanes; p++) free(srcs[p]);
+    free(skip_map);
+}
+
+/* Encoder-side CDEF strength search (our analogue of libaom's
+ * av1_cdef_search, SURVEY.md §2b N1): evaluate candidate strength sets on
+ * a subsample of non-skip 8x8 blocks, scoring SSE of the filtered recon
+ * against the SOURCE over visible pixels. The direction search per block
+ * is shared across candidates; filtering runs through the vectorized
+ * block filter. Returns the argmin candidate index (candidate 0 must be
+ * all-zero = "CDEF off"); a win must beat "off" by >= sse/256. */
+int cdef_search_c(int32_t *const *src_planes, int32_t *const *recon_planes,
+                  int nplanes, int w, int h, int vis_w, int vis_h,
+                  const int32_t *blocks, int n_blocks,
+                  const int32_t *cands, int n_cands, /* n*4 strength sets */
+                  int damping, int bitdepth, int sample_log2) {
+    int mi_rows = h / 4, mi_cols = w / 4;
+    uint8_t *skip_map = (uint8_t *)malloc((size_t)mi_rows * mi_cols);
+    memset(skip_map, 1, (size_t)mi_rows * mi_cols);
+    for (int b = 0; b < n_blocks; b++) {
+        int r = blocks[b * 4], c = blocks[b * 4 + 1];
+        int n = blocks[b * 4 + 2] / 4, sk = blocks[b * 4 + 3];
+        for (int i = 0; i < n && r + i < mi_rows; i++)
+            memset(skip_map + (size_t)(r + i) * mi_cols + c, sk,
+                   (size_t)(c + n <= mi_cols ? n : mi_cols - c));
+    }
+    int cs = bitdepth - 8;
+    int step = 2 << sample_log2; /* mi step between sampled 8x8 blocks */
+    int64_t *sse = (int64_t *)calloc((size_t)n_cands, 8);
+    int32_t *scratch = (int32_t *)malloc((size_t)h * w * 4);
+    for (int r = 0; r + 2 <= mi_rows; r += step)
+        for (int c = 0; c + 2 <= mi_cols; c += step) {
+            if (skip_map[(size_t)r * mi_cols + c] &&
+                skip_map[(size_t)r * mi_cols + c + 1] &&
+                skip_map[(size_t)(r + 1) * mi_cols + c] &&
+                skip_map[(size_t)(r + 1) * mi_cols + c + 1])
+                continue;
+            int y0 = r * 4, x0 = c * 4;
+            int ylim = vis_h - y0 < 8 ? vis_h - y0 : 8;
+            int xlim = vis_w - x0 < 8 ? vis_w - x0 : 8;
+            if (ylim <= 0 || xlim <= 0) continue;
+            int dir = 0, var = 0;
+            cdef_find_dir_c(recon_planes[0] + (size_t)y0 * w + x0, w,
+                            bitdepth, &dir, &var);
+            for (int ci = 0; ci < n_cands; ci++) {
+                int yp = cands[ci * 4] << cs, ys = cands[ci * 4 + 1] << cs;
+                int up = cands[ci * 4 + 2] << cs, us = cands[ci * 4 + 3] << cs;
+                for (int p = 0; p < nplanes; p++) {
+                    int pri, sec, damp, d2;
+                    if (p == 0) {
+                        pri = 0;
+                        if (yp && var) {
+                            int v6 = var >> 6;
+                            int i2 = v6 ? (31 - __builtin_clz((unsigned)v6))
+                                        : 0;
+                            if (i2 > 12) i2 = 12;
+                            pri = (yp * (4 + i2) + 8) >> 4;
+                        }
+                        sec = ys;
+                        damp = damping + cs;
+                        d2 = yp ? dir : 0;
+                    } else {
+                        pri = up;
+                        sec = us;
+                        damp = damping + cs - 1;
+                        d2 = up ? dir : 0;
+                    }
+                    const int32_t *rp = recon_planes[p];
+                    const int32_t *sp = src_planes[p];
+                    const int32_t *outp = rp;
+                    if (pri || sec) {
+                        cdef_filter_block_c(rp, scratch, h, w, y0, x0, pri,
+                                            sec, damp, d2, cs);
+                        outp = scratch;
+                    }
+                    int64_t acc = 0;
+                    for (int yy = 0; yy < ylim; yy++)
+                        for (int xx = 0; xx < xlim; xx++) {
+                            int64_t e =
+                                (int64_t)outp[(size_t)(y0 + yy) * w + x0 +
+                                              xx] -
+                                sp[(size_t)(y0 + yy) * w + x0 + xx];
+                            acc += e * e;
+                        }
+                    sse[ci] += acc;
+                }
+            }
+        }
+    int best = 0;
+    for (int ci = 1; ci < n_cands; ci++)
+        if (sse[ci] < sse[best]) best = ci;
+    /* require a material SSE win over "off" (>= ~0.4%): marginal picks
+     * cost a full-frame filter pass for perceptually invisible change */
+    if (best != 0 && sse[best] + (sse[0] >> 8) >= sse[0]) best = 0;
+    free(scratch);
+    free(sse);
+    free(skip_map);
+    return best;
+}

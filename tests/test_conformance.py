@@ -136,9 +136,16 @@ def test_tenbit_roundtrip(test_rgb8):
     pl = rgb_to_yuv444(_depth_convert(test_rgb8, False, 10), bitdepth=10)
     _, ours, blocks = encode_frame_planes(pl, qi, 10, 9)
     flv = _filter_level(qi)
-    if flv:
-        loop_filter_frame(ours, blocks, (flv,) * 4, bitdepth=10)
     hh, ww = test_rgb8.shape[:2]
+    if flv:
+        loop_filter_frame(ours, blocks, (flv,) * 4, bitdepth=10,
+                          visible=(hh, ww))
+    from oavif_tpu.av1.cdef import cdef_frame
+    from oavif_tpu.av1.encode import _pick_cdef
+
+    st, damp = _pick_cdef(pl, ours, blocks, qi, 10, (hh, ww))
+    if any(st):
+        cdef_frame(ours, blocks, st, damp, 10)
     for a, b in zip(planes, ours):
         np.testing.assert_array_equal(a, b[:hh, :ww])
     # the 8-bit RGB window (reference main.zig:86): ours and PIL's 10->8

@@ -45,7 +45,14 @@ def test_loop_filtered_recon_matches_decoder(q):
         _, ours, blocks = encode_frame_planes(pl, qi, 8, 9)
         flv = _filter_level(qi)
         assert flv > 0
-        loop_filter_frame(ours, blocks, (flv,) * 4, bitdepth=8)
+        loop_filter_frame(ours, blocks, (flv,) * 4, bitdepth=8,
+                          visible=(h, w))
+        from oavif_tpu.av1.cdef import cdef_frame
+        from oavif_tpu.av1.encode import _pick_cdef
+
+        st, damp = _pick_cdef(pl, ours, blocks, qi, 8, (h, w))
+        if any(st):
+            cdef_frame(ours, blocks, st, damp, 8)
         for i in range(3):
             np.testing.assert_array_equal(
                 planes[i], ours[i][:h, :w], err_msg=f"{name} plane {i}")

@@ -74,6 +74,7 @@ typedef struct {
     int32_t *recon[3];      /* padded (ph, pw) */
     uint16_t *cdf[CDF_N];
     const int32_t *scan[6]; /* index by log2(cw)-2: 4,8,16,32 */
+    uint8_t dz_low[4][32 * 32]; /* per tx size: scan-leading 1/8 mask */
     const int32_t *smw[5];  /* sm_weights by log2(n)-2: 4,8,16,32,64 */
     const double *fh[6], *fw[6]; /* dct 8,16,32,64; adst 8,16 */
     const int32_t *dr_deriv; /* dr_intra_derivative[90] */
@@ -383,9 +384,15 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
     int shift = DQ_SHIFT_BY_TX[n];
     double scale_ac = (double)(1 << shift) / (double)t->dq_ac;
     double scale_dc = (double)(1 << shift) / (double)t->dq_dc;
+    /* frequency-shaped deadzone (mirrors frame.py _deadzone): 0.5 for the
+     * first 1/8 of the scan, 0.15 for the tail */
+    const uint8_t *lowf = t->dz_low[log2i(n < 32 ? n : 32) - 2];
+    int cwq = n < 32 ? n : 32;
     for (int i = 0; i < n * n; i++) {
+        int r = i / n, c2 = i % n;
+        double dz = (r < cwq && c2 < cwq && lowf[r * cwq + c2]) ? 0.5 : 0.15;
         double scaled = out[i] * (i == 0 ? scale_dc : scale_ac);
-        double mag = floor(fabs(scaled) + 0.35);
+        double mag = floor(fabs(scaled) + dz);
         levels[i] = (int32_t)(scaled < 0 ? -mag : mag);
     }
 
@@ -1322,6 +1329,12 @@ size_t tile_encode(
     t.ph = t.mi_rows * 4;
     for (int i = 0; i < CDF_N; i++) t.cdf[i] = cdf_ptrs[i];
     for (int i = 0; i < 4; i++) t.scan[i] = scans[i];
+    for (int i = 0; i < 4; i++) {
+        int cw = 4 << i;
+        memset(t.dz_low[i], 0, (size_t)cw * cw);
+        for (int si = 0; si < (cw * cw) >> 3; si++)
+            t.dz_low[i][scans[i][si]] = 1;
+    }
     for (int i = 0; i < 5; i++) t.smw[i] = sm_weights[i];
     for (int i = 0; i < 6; i++) { t.fh[i] = fhs[i]; t.fw[i] = fws[i]; }
     t.dr_deriv = dr_deriv;

@@ -332,7 +332,9 @@ def find_target_quality_batched(
 
 
 def predict_q_native(tgt: float) -> int:
-    """Seed calibrated to THIS encoder's quality→score curve (measured:
-    near-identity at the default tune across targets 60..90), replacing the
-    reference's libaom-calibrated exponential for the native backend."""
-    return int(min(max(_round_half_away(tgt), 0.0), 100.0))
+    """Seed calibrated to THIS encoder's quality→score curve (measured on
+    texture/photo/gradient probes after the shaped-deadzone quantizer:
+    roughly q = tgt + 0.22*(tgt-60) above 60, identity below), replacing
+    the reference's libaom-calibrated exponential for the native backend."""
+    q = tgt + 0.15 * (tgt - 60.0) if tgt > 60.0 else tgt
+    return int(min(max(_round_half_away(q), 0.0), 100.0))

@@ -8,7 +8,8 @@ Pipeline (reference behavior: io.zig:544-636 encodeAvifToBuffer):
 
 Returns standard AVIF bytes decodable by any conformant decoder. The frame
 encoder also returns the reconstruction, which equals the decoder's output
-bit-exactly (coding tools configured for no post-filters) — the TQ loop
+bit-exactly — including the deblocking loop filter and CDEF, both
+replicated normatively — so the TQ loop
 scores that recon directly instead of round-tripping bytes. The metric
 window stays 8-bit even for 10-bit encodes (reference main.zig:86 +
 io.zig:639 force 8-bit RGB scoring).

@@ -6,9 +6,10 @@ load-bearing for the rest of the encoder:
 
   - enable_filter_intra = 0, enable_intra_edge_filter = 0 → predictors
     need no edge filtering / upsampling and no filter_intra symbols.
-  - enable_cdef = 0, enable_restoration = 0 → no post-filters beyond the
-    deblocking loop filter, which the encoder replicates bit-exactly
-    (oavif_tpu.av1.loopfilter) so recon == decoder output still holds.
+  - enable_restoration = 0; the deblocking loop filter and CDEF are
+    enabled and replicated bit-exactly in the encoder
+    (oavif_tpu.av1.loopfilter, oavif_tpu.av1.cdef) so recon == decoder
+    output still holds.
   - allow_screen_content_tools = 0 → no palette/intrabc symbols.
   - tx_mode = LARGEST → no tx-size symbols (tx_type is signaled for
     luma tx <= 16).

@@ -138,3 +138,41 @@ def test_cdef_search_prefers_off_on_noise_and_on_for_gradients():
                               visible=(h, w))
         st, _ = _pick_cdef(planes, recon, blocks, qindex, 8, (h, w))
         assert any(st) == expect_on, (kind, st)
+
+
+def test_product_path_cdef_on_recon_matches_decoder():
+    """Full encode_avif_with_recon on gradient content (where the search
+    enables CDEF): the returned recon must equal the independent decoder's
+    output (the in-loop scoring contract)."""
+    from oavif_tpu.av1.encode import encode_avif_with_recon
+    from oavif_tpu.backend import EncCtx
+    from oavif_tpu.io.avif_ctypes import decode_to_yuv
+    from oavif_tpu.io.image import Image
+    from oavif_tpu.options import EncOptions
+
+    h = w = 192
+    img = _img("grad", h, w, 9)
+    src = Image(width=w, height=h, channels=3, hbd=False, data=img)
+    ctx = EncCtx(o=EncOptions(tenbit=False), src=src, rgb=img,
+                 w=w, h=h, q=55)
+    data, recon_rgb = encode_avif_with_recon(ctx)
+    # confirm the stream really signals CDEF with nonzero strengths
+    from oavif_tpu.av1.frame import encode_frame_planes
+    from oavif_tpu.av1.loopfilter import loop_filter_frame
+    from oavif_tpu.av1.encode import _filter_level, _pick_cdef
+    from oavif_tpu.av1.consts import quality_to_qindex
+    from oavif_tpu.av1.yuv import rgb_to_yuv444, yuv444_to_rgb
+
+    qi = quality_to_qindex(55)
+    pl = rgb_to_yuv444(img)
+    _, rec, blocks = encode_frame_planes(pl, qi, 8, 9)
+    flv = _filter_level(qi)
+    if flv:
+        loop_filter_frame(rec, blocks, (flv,) * 4, bitdepth=8,
+                          visible=(h, w))
+    st, _ = _pick_cdef(pl, rec, blocks, qi, 8, (h, w))
+    assert any(st), "expected the search to enable CDEF on gradients"
+    yuv, depth, _ = decode_to_yuv(data)
+    dec_rgb = yuv444_to_rgb([np.asarray(p, np.int32) for p in yuv],
+                            bitdepth=depth)
+    np.testing.assert_array_equal(dec_rgb, recon_rgb)

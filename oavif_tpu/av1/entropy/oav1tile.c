@@ -352,7 +352,34 @@ static void quantize_n(const Tile *t, const int32_t *resid, int n,
  * (float64 BLAS) parity empirically safe. A register-blocked 4x8 tile
  * variant measured SLOWER here (72 vs 53 ms/frame); the plain form wins
  * on this core. */
+#define GEMM_N(NAME, N)                                                    \
+static void NAME(const double *restrict A, const double *restrict B,       \
+                 double *restrict Cm) {                                     \
+    for (int i = 0; i < N; i++) {                                           \
+        const double *ar = A + (size_t)i * N;                               \
+        double acc[N];                                                      \
+        for (int j = 0; j < N; j++) acc[j] = 0.0;                           \
+        for (int k = 0; k < N; k++) {                                       \
+            double cf = ar[k];                                              \
+            const double *brow = B + (size_t)k * N;                         \
+            for (int j = 0; j < N; j++) acc[j] += cf * brow[j];             \
+        }                                                                   \
+        double *to = Cm + (size_t)i * N;                                    \
+        for (int j = 0; j < N; j++) to[j] = acc[j];                         \
+    }                                                                       \
+}
+GEMM_N(gemm_8, 8)
+GEMM_N(gemm_16, 16)
+GEMM_N(gemm_32, 32)
+#undef GEMM_N
+
 static void gemm_nn(const double *A, const double *B, double *Cm, int n) {
+    /* size-specialised: the output row accumulates in registers across
+     * the whole k loop (the generic form round-trips it through memory
+     * every k). Per-element k order unchanged — bit-identical. */
+    if (n == 32) { gemm_32(A, B, Cm); return; }
+    if (n == 16) { gemm_16(A, B, Cm); return; }
+    if (n == 8) { gemm_8(A, B, Cm); return; }
     memset(Cm, 0, sizeof(double) * (size_t)n * n);
     for (int i = 0; i < n; i++) {
         const double *ar = A + (size_t)i * n;

@@ -137,3 +137,40 @@ def test_avif_roundtrip_via_oracle(tmp_path, test_rgb8):
     assert rgb.shape == test_rgb8.shape
     # lossy but close
     assert np.mean(np.abs(rgb.astype(int) - test_rgb8.astype(int))) < 12
+
+
+def test_native_yuv_conversions_match_numpy():
+    """The C one-pass YUV<->RGB fast paths agree with the numpy reference
+    (exactly on the inverse; within 1 LSB on the forward — float rounding
+    order, encoder input freedom)."""
+    import numpy as np
+
+    import oavif_tpu.av1.entropy.fast as fast
+    from oavif_tpu.av1 import yuv as yuv_mod
+
+    if fast.get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    for bd, dt in ((8, np.uint8), (10, np.uint16)):
+        maxv = (1 << bd) - 1
+        rgb = rng.integers(0, maxv + 1, (96, 130, 3)).astype(dt)
+        nat = yuv_mod.rgb_to_yuv444(rgb, bd)
+        flat = rgb.reshape(-1, 3).astype(np.float32)
+        ref = flat @ yuv_mod._FWD
+        ref[:, 1:] += np.float32((maxv + 1) / 2)
+        ref = np.clip(np.floor(ref + 0.5), 0, maxv).astype(np.int64)
+        for i in range(3):
+            d = np.abs(np.asarray(nat[i], np.int64).reshape(-1) - ref[:, i])
+            assert d.max() <= 1
+        planes = [rng.integers(0, maxv + 1, (96, 130)).astype(np.int32)
+                  for _ in range(3)]
+        nat2 = yuv_mod.yuv444_to_rgb(planes, bd)
+        y2 = np.stack([p.reshape(-1) for p in planes], 1).astype(np.float32)
+        y2[:, 1:] -= np.float32((maxv + 1) / 2)
+        out = np.clip(np.floor(y2 @ yuv_mod._INV + 0.5), 0, maxv)
+        ref2 = (out.astype(np.uint16) >> (bd - 8)).astype(np.uint8) \
+            if bd == 10 else out.astype(np.uint8)
+        np.testing.assert_array_equal(
+            nat2.reshape(-1, 3), ref2.reshape(-1, 3))

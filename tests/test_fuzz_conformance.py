@@ -77,3 +77,51 @@ def test_noise_odd_size_regression(seed):
     im.load()
     dec = np.asarray(im.convert("RGB"))
     assert np.abs(dec.astype(int) - recon.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("seed", [5001, 5002, 5004, 5007, 5013, 5017])
+def test_product_path_random_roundtrip_exact(seed):
+    """Full encode_avif_with_recon (LF + CDEF search + mux, random size /
+    quality / depth / alpha) must return a recon equal to the decoder's
+    output — the in-loop scoring contract end to end."""
+    import numpy as np
+
+    from oavif_tpu.av1.encode import encode_avif_with_recon
+    from oavif_tpu.av1.yuv import yuv444_to_rgb
+    from oavif_tpu.backend import EncCtx
+    from oavif_tpu.io.avif_ctypes import decode_to_yuv
+    from oavif_tpu.io.image import Image
+    from oavif_tpu.options import EncOptions
+
+    rng = np.random.default_rng(seed)
+    w = int(rng.integers(20, 260))
+    h = int(rng.integers(20, 260))
+    q = int(rng.integers(5, 101))
+    tenbit = bool(seed % 4 == 1)
+    alpha = seed % 5 == 2
+    kind = seed % 3
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    if kind == 0:
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    elif kind == 1:
+        img = np.clip(np.stack([xx * 255 / max(w, 1), yy * 255 / max(h, 1),
+                                (xx + yy) * 127 / (w + h)], -1),
+                      0, 255).astype(np.uint8)
+    else:
+        img = np.clip(np.stack([128 + 90 * np.sin(xx / 9),
+                                120 + 70 * np.cos(yy / 7),
+                                110 + 80 * np.sin((xx + yy) / 11)], -1)
+                      + rng.normal(0, 8, (h, w, 3)), 0, 255).astype(np.uint8)
+    if alpha:
+        a = rng.integers(0, 256, (h, w, 1)).astype(np.uint8)
+        src = Image(width=w, height=h, channels=4, hbd=False,
+                    data=np.concatenate([img, a], axis=2))
+    else:
+        src = Image(width=w, height=h, channels=3, hbd=False, data=img)
+    ctx = EncCtx(o=EncOptions(tenbit=tenbit, quality_alpha=80), src=src,
+                 rgb=img, w=w, h=h, q=q)
+    data, recon_rgb = encode_avif_with_recon(ctx)
+    yuv, depth, _ = decode_to_yuv(data)
+    dec_rgb = yuv444_to_rgb([np.asarray(p, np.int32) for p in yuv],
+                            bitdepth=depth)
+    np.testing.assert_array_equal(dec_rgb, recon_rgb)

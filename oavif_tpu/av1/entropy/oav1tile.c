@@ -417,7 +417,11 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
     int cwq = n < 32 ? n : 32;
     for (int i = 0; i < n * n; i++) {
         int r = i / n, c2 = i % n;
-        double dz = (r < cwq && c2 < cwq && lowf[r * cwq + c2]) ? 0.5 : 0.15;
+        if (r >= cwq || c2 >= cwq) { /* tx64: only 32x32 coded */
+            levels[i] = 0;
+            continue;
+        }
+        double dz = lowf[r * cwq + c2] ? 0.5 : 0.15;
         double scaled = out[i] * (i == 0 ? scale_dc : scale_ac);
         double mag = floor(fabs(scaled) + dz);
         levels[i] = (int32_t)(scaled < 0 ? -mag : mag);
@@ -429,15 +433,18 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
     int cw = n < 32 ? n : 32;
     const int32_t *scan = t->scan[log2i(cw) - 2];
     int eob = 0;
-    /* scan indexes the cw*cw region in natural order of the cw block; for
-     * n == cw the level array matches directly */
+    /* scan indexes the cw*cw coded region in its own natural order; for
+     * n > cw (tx64) map (r, c) back into the n-wide array */
+#define NATIDX(si) (n == cw ? scan[si] \
+                            : (scan[si] / cw) * n + (scan[si] % cw))
     for (int si = 0; si < cw * cw; si++)
-        if (levels[scan[si]]) eob = si + 1;
+        if (levels[NATIDX(si)]) eob = si + 1;
     for (int si = eob - 1; si >= eob / 2; si--) {
-        int32_t v = levels[scan[si]];
-        if (v == 1 || v == -1) levels[scan[si]] = 0;
+        int32_t v = levels[NATIDX(si)];
+        if (v == 1 || v == -1) levels[NATIDX(si)] = 0;
         else if (v != 0) break;
     }
+#undef NATIDX
 }
 
 /* dequant + normative inverse transform (frame.py _dequant_inv) */
@@ -529,7 +536,10 @@ static void encode_coeffs_txb(Tile *t, int plane, int tx, int px, int py,
         t->cdf[CDF_COEFF_BASE_EOB] + ((size_t)txs * 2 + ptype) * 4 * 4;
     uint16_t *base_rows =
         t->cdf[CDF_COEFF_BASE] + ((size_t)txs * 2 + ptype) * 42 * 5;
-    uint16_t *br_rows = t->cdf[CDF_COEFF_BR] + ((size_t)txs * 2 + ptype) * 21 * 5;
+    /* br CDFs clamp at TX_32X32 (tx64 reuses the 32 rows — pinned by
+     * decoder probes in tests/test_conformance.py) */
+    uint16_t *br_rows =
+        t->cdf[CDF_COEFF_BR] + ((size_t)imin(txs, 3) * 2 + ptype) * 21 * 5;
     uint16_t *dc_sign_row = t->cdf[CDF_DC_SIGN] + ((size_t)ptype * 3 + sctx) * 3;
 
     /* Y tx <= 16 signals intra_tx_type: 16x16 uses TX_SET_INTRA_2
@@ -556,7 +566,15 @@ static void encode_coeffs_txb(Tile *t, int plane, int tx, int px, int py,
     }
 
     int32_t out_ctx[2];
-    enc_coeffs(t->enc, levels, cw, t->scan[log2i(cw) - 2], txb_skip_row,
+    const int32_t *lv = levels;
+    int32_t packed[32 * 32];
+    if (tx > cw) { /* tx64: compact the coded 32x32 region */
+        for (int r = 0; r < cw; r++)
+            for (int c2 = 0; c2 < cw; c2++)
+                packed[r * cw + c2] = levels[(size_t)r * tx + c2];
+        lv = packed;
+    }
+    enc_coeffs(t->enc, lv, cw, t->scan[log2i(cw) - 2], txb_skip_row,
                eob_pt_row, eob_nsym, eob_extra_rows, base_eob_rows, base_rows,
                br_rows, dc_sign_row, txtype_row, txtype_nsym, txtype_sym,
                out_ctx);
@@ -976,7 +994,44 @@ static void encode_block(Tile *t, int r, int c, int size) {
     /* --- chroma: DC vs CfL (mirrors frame.py _plan_chroma) --- */
     int uv_mode = DC_PRED;
     int alpha_u = 0, alpha_v = 0;
-    if (nplanes > 1) {
+    static _Thread_local int32_t uv64_lv[2][4][32 * 32];
+    static _Thread_local int32_t uv64_pred[2][4][32 * 32];
+    if (nplanes > 1 && size > 32) {
+        /* 64x64 block: chroma transforms cap at 32x32 (spec adjusted tx
+         * size) — four DC-predicted 32x32 txbs per plane in raster order,
+         * each predicting from the previous txb's reconstruction
+         * (mirrors frame.py _plan_chroma size > 32) */
+        for (int p = 0; p < 2; p++) {
+            int pi = 1 + p;
+            int ti = 0;
+            for (int sy = 0; sy < 64; sy += 32)
+                for (int sx = 0; sx < 64; sx += 32, ti++) {
+                    int px_ = x + sx, py_ = y + sy;
+                    Edges e;
+                    build_edges_buf(t, t->recon[pi], px_, py_, 32, 32,
+                                    py_ > 0, px_ > 0, &e);
+                    predict(t, &e, DC_PRED, 32, 32, py_ > 0, px_ > 0,
+                            uv64_pred[p][ti]);
+                    if (plane_levels_c(t, pi, px_, py_, 32, can_code,
+                                       uv64_pred[p][ti], uv64_lv[p][ti]))
+                        any_nonzero = 1;
+                    int lnz = 0;
+                    for (int i = 0; i < 32 * 32; i++)
+                        if (uv64_lv[p][ti][i]) { lnz = 1; break; }
+                    int32_t residb[32 * 32];
+                    if (lnz)
+                        dequant_inv_tt(t, uv64_lv[p][ti], 32, 0, residb);
+                    int32_t *rec = t->recon[pi];
+                    for (int rr = 0; rr < 32; rr++)
+                        for (int cc = 0; cc < 32; cc++) {
+                            int32_t v = uv64_pred[p][ti][rr * 32 + cc] +
+                                        (lnz ? residb[rr * 32 + cc] : 0);
+                            rec[(size_t)(py_ + rr) * t->pw + px_ + cc] =
+                                v < 0 ? 0 : (v > hi ? hi : v);
+                        }
+                }
+        }
+    } else if (nplanes > 1) {
         int32_t *dc_pred[2] = {preds + npx, preds + 2 * (size_t)npx};
         for (int i = 0; i < 2; i++) {
             Edges e;
@@ -1150,6 +1205,21 @@ static void encode_block(Tile *t, int r, int c, int size) {
 
     /* residual coding + recon */
     for (int plane = 0; plane < nplanes; plane++) {
+        if (size > 32 && plane > 0) {
+            /* chroma of a 64 block: four 32x32 txbs (recon already
+             * written during planning) */
+            int p = plane - 1, ti = 0;
+            for (int sy = 0; sy < 64; sy += 32)
+                for (int sx = 0; sx < 64; sx += 32, ti++) {
+                    int px_ = x + sx, py_ = y + sy;
+                    if (skip)
+                        set_lvl_ctx(t, plane, px_, py_, 32, 0, 0);
+                    else
+                        encode_coeffs_txb(t, plane, 32, px_, py_,
+                                          uv64_lv[p][ti], size, y_mode);
+                }
+            continue;
+        }
         int32_t *pred = preds + (size_t)plane * tx * tx;
         int32_t *lv = levels + (size_t)plane * tx * tx;
         int32_t *rec = t->recon[plane];
@@ -1209,6 +1279,49 @@ static int64_t src_mode_ssd(const Tile *t, int x, int y, int size) {
         if (best < 0 || ssd < best) best = ssd;
     }
     return best;
+}
+
+static int64_t src_dc_ssd(const Tile *t, int plane, int x, int y,
+                          int size) {
+    Edges e;
+    int ha = y > 0, hl = x > 0;
+    build_edges_buf(t, t->src[plane], x, y, size, size, ha, hl, &e);
+    int32_t pred[64 * 64];
+    predict(t, &e, DC_PRED, size, size, ha, hl, pred);
+    int64_t ssd = 0;
+    for (int rr = 0; rr < size; rr++)
+        for (int cc = 0; cc < size; cc++) {
+            int64_t d = t->src[plane][(size_t)(y + rr) * t->pw + x + cc] -
+                        pred[rr * size + cc];
+            ssd += d * d;
+        }
+    return ssd;
+}
+
+static int choose_partition64(const Tile *t, int r, int c) {
+    /* NONE at 64 saves three partition symbols + three mode/skip sets on
+     * smooth superblocks; prefer it when one 64-wide prediction is nearly
+     * as good as four 32s (integer RD, mirrors frame.py) */
+    int x = c * 4, y = r * 4;
+    int64_t ssd_parent = src_mode_ssd(t, x, y, 64);
+    int64_t ssd_kids = 0;
+    for (int dy = 0; dy < 64; dy += 32)
+        for (int dx = 0; dx < 64; dx += 32)
+            ssd_kids += src_mode_ssd(t, x + dx, y + dy, 32);
+    int64_t penalty = 4 * (int64_t)t->dq_ac * t->dq_ac;
+    /* also require a near-flat SB (residual quantizes to ~zero): larger
+     * blocks forgo CfL, which costs more than the saved signaling on
+     * content with luma-correlated chroma (measured on gradients) */
+    int64_t flat_gate = (int64_t)64 * 64 * t->dq_ac * t->dq_ac / 64;
+    if (ssd_parent > ssd_kids + penalty || ssd_parent > flat_gate)
+        return PARTITION_SPLIT;
+    /* chroma must be near-flat too: 64 blocks can't use CfL, and DC-only
+     * chroma costs more than the saved signaling unless it quantizes away
+     * (measured on gradients with luma-correlated chroma) */
+    for (int p = 1; p < t->nplanes; p++)
+        if (src_dc_ssd(t, p, c * 4, r * 4, 64) > flat_gate)
+            return PARTITION_SPLIT;
+    return PARTITION_NONE;
 }
 
 static int choose_partition32(const Tile *t, int r, int c) {
@@ -1273,6 +1386,9 @@ static void encode_partition(Tile *t, int r, int c, int size) {
     if (has_rows && has_cols) {
         if (t->qindex == 0)
             part = PARTITION_SPLIT; /* lossless: descend to 4x4 blocks */
+        else if (size == 64 && r + 16 <= t->mi_rows &&
+                 c + 16 <= t->mi_cols)
+            part = choose_partition64(t, r, c);
         else if (size > 32)
             part = PARTITION_SPLIT;
         else if (size == 32 &&
@@ -1596,6 +1712,10 @@ void loop_filter_frame_c(int32_t *const *planes, int nplanes, int w, int h,
     int32_t *size_map = (int32_t *)calloc((size_t)mi_rows * mi_cols, 4);
     uint8_t *start_v = (uint8_t *)calloc((size_t)mi_rows * mi_cols, 1);
     uint8_t *start_h = (uint8_t *)calloc((size_t)mi_rows * mi_cols, 1);
+    /* chroma edge maps: chroma tx caps at 32, so a 64 block adds internal
+     * 32px transform edges on the chroma planes (not on luma: tx64) */
+    uint8_t *start_v_uv = (uint8_t *)calloc((size_t)mi_rows * mi_cols, 1);
+    uint8_t *start_h_uv = (uint8_t *)calloc((size_t)mi_rows * mi_cols, 1);
     for (int b = 0; b < n_blocks; b++) {
         int r = blocks[b*4], c = blocks[b*4+1], n = blocks[b*4+2] / 4;
         for (int i = 0; i < n; i++) {
@@ -1603,6 +1723,12 @@ void loop_filter_frame_c(int32_t *const *planes, int nplanes, int w, int h,
                 size_map[(size_t)(r+i) * mi_cols + c + j] = blocks[b*4+2];
             start_v[(size_t)(r+i) * mi_cols + c] = 1;
             start_h[(size_t)r * mi_cols + c + i] = 1;
+            start_v_uv[(size_t)(r+i) * mi_cols + c] = 1;
+            start_h_uv[(size_t)r * mi_cols + c + i] = 1;
+            if (blocks[b*4+2] == 64) {
+                start_v_uv[(size_t)(r+i) * mi_cols + c + 8] = 1;
+                start_h_uv[(size_t)(r+8) * mi_cols + c + i] = 1;
+            }
         }
     }
 
@@ -1633,12 +1759,14 @@ void loop_filter_frame_c(int32_t *const *planes, int nplanes, int w, int h,
             lp.f1 = (int64_t)1 << sh;
             lp.bd = bitdepth;
 
+            const uint8_t *edge_v = pi == 0 ? start_v : start_v_uv;
+            const uint8_t *edge_h = pi == 0 ? start_h : start_h_uv;
             if (pass == 0) { /* vertical edges */
                 for (int c = 1; c < mi_cols; c++) {
                     int x = c * 4;
                     if (x >= vis_w) break;
                     for (int r = 0; r < mi_rows; r++) {
-                        if (!start_v[(size_t)r * mi_cols + c]) continue;
+                        if (!edge_v[(size_t)r * mi_cols + c]) continue;
                         if (r * 4 >= vis_h) continue;
                         int sz_r = size_map[(size_t)r * mi_cols + c];
                         int sz_l = size_map[(size_t)r * mi_cols + c - 1];
@@ -1667,7 +1795,7 @@ void loop_filter_frame_c(int32_t *const *planes, int nplanes, int w, int h,
                     int y = r * 4;
                     if (y >= vis_h) break;
                     for (int c = 0; c < mi_cols; c++) {
-                        if (!start_h[(size_t)r * mi_cols + c]) continue;
+                        if (!edge_h[(size_t)r * mi_cols + c]) continue;
                         if (c * 4 >= vis_w) continue;
                         int sz_b = size_map[(size_t)r * mi_cols + c];
                         int sz_t = size_map[(size_t)(r - 1) * mi_cols + c];
@@ -1697,6 +1825,8 @@ void loop_filter_frame_c(int32_t *const *planes, int nplanes, int w, int h,
     free(size_map);
     free(start_v);
     free(start_h);
+    free(start_v_uv);
+    free(start_h_uv);
 }
 
 /* ------------------------------------------------------------------ */

@@ -319,6 +319,9 @@ class TileEncoder:
         if has_rows and has_cols:
             if self.lossless:
                 part = PARTITION_SPLIT
+            elif (size == 64 and r + 16 <= self.mi_rows
+                  and c + 16 <= self.mi_cols):
+                part = self._choose_partition64(r, c)
             elif size > 32:
                 part = PARTITION_SPLIT
             elif size == 32 and (
@@ -457,6 +460,41 @@ class TileEncoder:
             if best is None or ssd < best:
                 best = ssd
         return best
+
+    def _choose_partition64(self, r: int, c: int) -> int:
+        """NONE at 64 saves three partition symbols + three mode/skip sets
+        on smooth superblocks; prefer it when one 64-wide prediction is
+        nearly as good as four 32s (integer RD, mirrored in C)."""
+        x, y = c * 4, r * 4
+        ssd_parent = self._src_mode_ssd(x, y, 64)
+        ssd_kids = 0
+        for dy in (0, 32):
+            for dx in (0, 32):
+                ssd_kids += self._src_mode_ssd(x + dx, y + dy, 32)
+        penalty = 4 * self.dq_ac * self.dq_ac
+        # also require a near-flat SB (residual quantizes to ~zero): larger
+        # blocks forgo CfL, which costs more than the saved signaling on
+        # content with luma-correlated chroma (measured on gradients)
+        flat_gate = 64 * 64 * self.dq_ac * self.dq_ac // 64
+        if ssd_parent > ssd_kids + penalty or ssd_parent > flat_gate:
+            return PARTITION_SPLIT
+        # chroma must be near-flat too: 64 blocks can't use CfL, and
+        # DC-only chroma costs more than the saved signaling unless it
+        # quantizes away (measured on gradients)
+        for p in range(1, len(self.planes)):
+            if self._src_dc_ssd(p, x, y, 64) > flat_gate:
+                return PARTITION_SPLIT
+        return PARTITION_NONE
+
+    def _src_dc_ssd(self, plane: int, x: int, y: int, size: int) -> int:
+        above, left = build_edges(
+            self.src[plane], x, y, size, size, y > 0, x > 0, self.bitdepth,
+        )
+        pred = predict(DC_PRED, above, left, size, size, y > 0, x > 0,
+                       bitdepth=self.bitdepth)
+        d = (self.src[plane][y : y + size, x : x + size] - pred).astype(
+            np.int64)
+        return int((d * d).sum())
 
     def _choose_partition32(self, r: int, c: int) -> int:
         """NONE vs SPLIT for a full 32x32 node: compare best-mode source
@@ -723,14 +761,39 @@ class TileEncoder:
         is an exhaustive search over the ±16 alphabet by prediction SSD; the
         DC-vs-CfL decision compares quantized-level rate proxies.
         Returns (uv_mode, (alpha_u, alpha_v), plane_jobs)."""
-        dc_preds = [plane_pred(p, DC_PRED) for p in (1, 2)]
-
-        if size > 32:  # CfL not allowed
-            jobs = [
-                (p, tx, x, y, plane_levels(p, dc_preds[p - 1]), dc_preds[p - 1])
-                for p in (1, 2)
-            ]
+        if size > 32:
+            # 64x64 block: chroma transforms cap at 32x32 (spec adjusted
+            # tx size), so each plane codes four 32x32 txbs in raster
+            # order, each DC-predicted from its own (already
+            # reconstructed) edges. CfL is not allowed above 32.
+            lo, hi = 0, (1 << self.bitdepth) - 1
+            jobs = []
+            for p in (1, 2):
+                for sy in (0, 32):
+                    for sx in (0, 32):
+                        px_, py_ = x + sx, y + sy
+                        ha, hl = py_ > 0, px_ > 0
+                        above, left = build_edges(
+                            self.recon[p], px_, py_, 32, 32, ha, hl,
+                            self.bitdepth,
+                        )
+                        pred = predict(DC_PRED, above, left, 32, 32, ha, hl,
+                                       bitdepth=self.bitdepth)
+                        src = self.src[p][py_ : py_ + 32, px_ : px_ + 32]
+                        lv = self._quantize(src - pred, 32)
+                        if np.any(lv):
+                            rec = np.clip(
+                                pred + self._dequant_inv(lv, 32, "dct_dct"),
+                                lo, hi)
+                        else:
+                            rec = np.clip(pred, lo, hi)
+                        # write recon now: the next txb predicts from it
+                        # (the coding loop later rewrites the same values)
+                        self.recon[p][py_ : py_ + 32, px_ : px_ + 32] = rec
+                        jobs.append((p, 32, px_, py_, lv, pred))
             return DC_PRED, (0, 0), jobs
+
+        dc_preds = [plane_pred(p, DC_PRED) for p in (1, 2)]
 
         luma = (y_recon.astype(np.int64)) << 3
         lg = 2 * (size.bit_length() - 1)
@@ -959,7 +1022,9 @@ class TileEncoder:
                 self.cdf.eob_extra[txs_ctx][ptype],
                 self.cdf.coeff_base_eob[txs_ctx][ptype],
                 self.cdf.coeff_base[txs_ctx][ptype],
-                self.cdf.coeff_br[txs_ctx][ptype],
+                # br CDFs clamp at TX_32X32 (spec coeff_br; tx64 reuses
+                # the 32 rows — pinned by decoder probes)
+                self.cdf.coeff_br[min(txs_ctx, 3)][ptype],
                 self.cdf.dc_sign[ptype][sctx],
                 txtype_row,
                 txtype_sym,
@@ -1060,7 +1125,8 @@ class TileEncoder:
                 remaining = level - 3
                 for _ in range(4):
                     k = min(remaining, 3)
-                    self._sym(self.cdf.coeff_br[txs_ctx][ptype][br_ctx], k)
+                    self._sym(
+                        self.cdf.coeff_br[min(txs_ctx, 3)][ptype][br_ctx], k)
                     remaining -= k
                     if k < 3:
                         break

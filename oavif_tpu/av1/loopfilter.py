@@ -187,23 +187,33 @@ def loop_filter_frame(
     size_map = np.zeros((mi_rows, mi_cols), np.int32)
     start_v = np.zeros((mi_rows, mi_cols), bool)  # left edge of a block
     start_h = np.zeros((mi_rows, mi_cols), bool)  # top edge of a block
+    # chroma tx caps at 32: 64 blocks add internal 32px chroma tx edges
+    start_v_uv = np.zeros((mi_rows, mi_cols), bool)
+    start_h_uv = np.zeros((mi_rows, mi_cols), bool)
     for r, c, size in ((b[0], b[1], b[2]) for b in blocks):
         n = size // 4
         size_map[r : r + n, c : c + n] = size
         start_v[r : r + n, c] = True
         start_h[r, c : c + n] = True
+        start_v_uv[r : r + n, c] = True
+        start_h_uv[r, c : c + n] = True
+        if size == 64:
+            start_v_uv[r : r + n, c + 8] = True
+            start_h_uv[r + 8, c : c + n] = True
 
     for pi, plane in enumerate(planes):
         level_v = levels[0] if pi == 0 else levels[1 + pi]
         level_h = levels[1] if pi == 0 else levels[1 + pi]
         max_w = 16 if pi == 0 else 8
 
+        sv = start_v if pi == 0 else start_v_uv
+        sh = start_h if pi == 0 else start_h_uv
         if level_v > 0:
             for c in range(1, mi_cols):
                 x = c * 4
                 if x >= vis_w:
                     break
-                rows = np.nonzero(start_v[:, c])[0]
+                rows = np.nonzero(sv[:, c])[0]
                 rows = rows[rows * 4 < vis_h]
                 if len(rows) == 0:
                     continue
@@ -237,7 +247,7 @@ def loop_filter_frame(
                 y = r * 4
                 if y >= vis_h:
                     break
-                cs = np.nonzero(start_h[r, :])[0]
+                cs = np.nonzero(sh[r, :])[0]
                 cs = cs[cs * 4 < vis_w]
                 if len(cs) == 0:
                     continue

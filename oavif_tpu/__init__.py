@@ -22,15 +22,4 @@ Layering (TPU-first, not a port):
   - ``oavif_tpu.parallel`` — device mesh setup, tile sharding via shard_map.
 """
 
-__version__ = "0.1.0"
-
-# Persistent XLA compilation cache: the SSIMULACRA2 metric compiles one
-# executable per image shape (~5-40s cold); caching makes corpus runs and
-# repeated CLI invocations pay that once per shape per machine. Users can
-# override or disable via the environment.
-import os as _os
-
-_os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    _os.path.join(_os.path.expanduser("~"), ".cache", "oavif_tpu_xla"),
-)
+__version__ = "0.2.0"

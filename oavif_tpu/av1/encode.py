@@ -220,7 +220,6 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
         if aflv:
             loop_filter_frame(arecon, ablocks, (aflv, aflv, 0, 0),
                               bitdepth=out_depth, visible=(h, w))
-        arecon = [p[:h, :w] for p in arecon]
         aframe = FrameConfig(
             width=w, height=h, base_q_idx=aq,
             tile_cols_log2=tcl, tile_rows_log2=trl,

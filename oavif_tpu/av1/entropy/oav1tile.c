@@ -409,8 +409,11 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
     gemm_nn(fhm, rd, tmp, n);
     gemm_nn(tmp, fwt, out, n);
     int shift = DQ_SHIFT_BY_TX[n];
-    double scale_ac = (double)(1 << shift) / (double)t->dq_ac;
-    double scale_dc = (double)(1 << shift) / (double)t->dq_dc;
+    /* per-element (v * (1<<shift)) / dq in that op order — one rounding,
+     * matching NumPy's _quantize exactly (a precomputed reciprocal scale
+     * adds a second rounding that can flip floor() at integer boundaries) */
+    double up = (double)(1 << shift);
+    double dq_ac = (double)t->dq_ac, dq_dc = (double)t->dq_dc;
     /* frequency-shaped deadzone (mirrors frame.py _deadzone): 0.5 for the
      * first 1/8 of the scan, 0.15 for the tail */
     const uint8_t *lowf = t->dz_low[log2i(n < 32 ? n : 32) - 2];
@@ -422,7 +425,7 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
             continue;
         }
         double dz = lowf[r * cwq + c2] ? 0.5 : 0.15;
-        double scaled = out[i] * (i == 0 ? scale_dc : scale_ac);
+        double scaled = out[i] * up / (i == 0 ? dq_dc : dq_ac);
         double mag = floor(fabs(scaled) + dz);
         levels[i] = (int32_t)(scaled < 0 ? -mag : mag);
     }

@@ -41,6 +41,15 @@ def _print_version() -> None:
 
 
 def run(argv: List[str]) -> int:
+    # Persistent XLA compilation cache: the SSIMULACRA2 metric compiles one
+    # executable per image shape (~5-40s cold); caching makes corpus runs and
+    # repeated CLI invocations pay that once per shape per machine. Opt-in at
+    # the CLI entry point only — importing the library never mutates the
+    # process environment.
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "oavif_tpu_xla"),
+    )
     _perr(f"\x1b[31moavif-tpu\x1b[0m | {__version__}")
 
     # argv pre-scan for -h/-v (main.zig:51-62)

@@ -334,7 +334,7 @@ def find_target_quality_batched(
 def predict_q_native(tgt: float) -> int:
     """Seed calibrated to THIS encoder's quality→score curve (measured on
     texture/photo/gradient probes after the shaped-deadzone quantizer:
-    roughly q = tgt + 0.22*(tgt-60) above 60, identity below), replacing
-    the reference's libaom-calibrated exponential for the native backend."""
+    q = tgt + 0.15*(tgt-60) above 60, identity below), replacing the
+    reference's libaom-calibrated exponential for the native backend."""
     q = tgt + 0.15 * (tgt - 60.0) if tgt > 60.0 else tgt
     return int(min(max(_round_half_away(q), 0.0), 100.0))

@@ -5,17 +5,23 @@ The reference scores every search pass with fssimu2's computeSsimu2
 (Jon Sneyers, libjxl tools). This is a from-scratch JAX implementation of
 the published SSIMULACRA 2.1 algorithm:
 
-  1. sRGB(8-bit) → linear RGB → XYB (JPEG XL opsin absorbance), then the
-     positive-shift X' = 14X + 0.42, Y' = Y + 0.01, B' = (B - Y) + 0.55.
-  2. 6 scales; each scale ≥ 2 box-downsamples the previous by 2×2 with
-     edge-replicated odd borders; stops when either side < 8 px.
+  1. sRGB(8-bit) → linear RGB. The multi-scale pyramid lives in LINEAR
+     RGB: each scale ≥ 1 box-downsamples the previous linear image by 2×2
+     with edge-replicated odd borders (scale s is computed whenever the
+     scale s−1 image is ≥ 8 px on both sides, up to 6 scales).
+  2. Per scale, the (downsampled) linear RGB is converted to XYB (JPEG XL
+     opsin absorbance, cbrt response) and positive-shifted:
+     X' = 14X + 0.42, Y' = Y + 0.01, B' = (B − Y) + 0.55.
   3. Per scale/channel: Gaussian (σ=1.5) local statistics → a modified SSIM
      map (1 - (μ1-μ2)²)·(2cov + C2)/(var1 + var2 + C2) clamped error map,
      plus a ratio-of-local-edge-energy map split into "artifact" (edge
      appeared) and "detail lost" (edge vanished) halves.
   4. 1-norm and 4-norm of each of the three maps → 6 values per
-     scale/channel → 108 features, dotted with the fitted weight vector and
-     mapped through score = 100 − 10·dot^0.6276336467831387.
+     scale/channel → 108 features, dotted with the fitted weight vector;
+     the dot d is mapped through the published nonlinearity
+       d ← 0.9562382616834844·d
+       d ← 2.326765642916932·d − 0.020884521182843837·d² + 6.248496625763138e−5·d³
+       score = 100 − 10·d^0.6276336467831387   (100 if d ≤ 0).
 
 Everything is static-shaped, fused elementwise + small separable
 convolutions — XLA maps it entirely onto the VPU/MXU with no host
@@ -24,13 +30,19 @@ candidate quantizers while the reference-side statistics are computed once
 (`ssimulacra2_precompute_ref`), which is what makes the TQ search's batched
 speculative probing (BASELINE.json config 2) cheap.
 
-NOTE ON CONSTANTS: the 108 weights are best-effort reproductions of the
-published SSIMULACRA 2.1 fit. Entries not confidently recalled are zero
-(the true vector is sparse; ~60 of 108 entries are exactly 0.0). The
-algorithm structure, norms, and final mapping follow the published v2.1.
-Scores are exact at 100 for identical inputs and track the reference scale
-closely on typical encode distortions; refinement of the tail of the weight
-vector is tracked as calibration work.
+NOTE ON CONSTANTS: the 108-entry weight vector and the final-nonlinearity
+coefficients are reconstructions of the published SSIMULACRA 2.1 fit
+(libjxl tools/ssimulacra2.cc; the same constants are replicated in the
+public Rust/Zig ports, including the fssimu2 port the reference links).
+The X and Y channel blocks (indices 0–71) were recovered twice
+independently with identical values (high confidence); the B channel block
+(72–107) and the cubic nonlinearity were recovered once (medium-high
+confidence). No SSIMULACRA2 implementation exists on this host to diff
+against (verified by scanning every binary for the distinctive
+0.6276336467831387 pow constant), so tests/test_metric.py pins this
+implementation's absolute scores on synthetic fixtures as self-goldens and
+PARITY.md documents the expected deviation sources (FIR vs the upstream
+recursive-IIR Gaussian; any residual weight-recall error).
 """
 
 from __future__ import annotations
@@ -141,27 +153,27 @@ WEIGHTS = np.array(
         0.0,
         0.0,
         0.0,
+        0.0004179171803251336,
+        0.0017290828234722833,
+        0.0,
+        0.0020827005846636437,
+        0.0,
+        0.0,
+        8.826982764996862,
+        23.19243343998926,
+        0.0,
+        95.1080498811086,
+        0.9863978034400682,
+        0.9834382792465353,
+        0.0012286405048278493,
+        171.2667255897307,
+        0.9807858872435379,
         0.0,
         0.0,
         0.0,
+        0.0005130064588990679,
         0.0,
-        0.0,
-        0.0,
-        0.0,
-        0.0,
-        0.0,
-        0.0,
-        0.0,
-        0.0,
-        0.0,
-        0.0,
-        0.0,
-        0.0,
-        0.0,
-        0.0,
-        0.0,
-        0.0,
-        0.0,
+        0.00010854057858411537,
         0.0,
         0.0,
         0.0,
@@ -171,6 +183,17 @@ WEIGHTS = np.array(
 assert WEIGHTS.shape == (108,)
 
 _FINAL_POW = 0.6276336467831387
+_FINAL_SCALE = 0.9562382616834844
+_CUBIC = (2.326765642916932, -0.020884521182843837, 6.248496625763138e-05)
+
+
+def _finalize_score(dot: jnp.ndarray) -> jnp.ndarray:
+    """Published v2.1 Score() tail: scale, cubic, then 100 − 10·d^p."""
+    d = dot * _FINAL_SCALE
+    d = _CUBIC[0] * d + _CUBIC[1] * d * d + _CUBIC[2] * d * d * d
+    return jnp.where(
+        d > 0.0, 100.0 - 10.0 * jnp.power(jnp.maximum(d, 0.0), _FINAL_POW), 100.0
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -197,9 +220,9 @@ _OPSIN_M = np.array(
 
 
 def linear_rgb_to_xyb_positive(rgb: jnp.ndarray) -> jnp.ndarray:
-    """Linear RGB (H, W, 3) → positive-shifted XYB (3, H, W)."""
+    """Planar linear RGB (3, H, W) → positive-shifted XYB (3, H, W)."""
     mixed = jnp.einsum(
-        "hwc,mc->mhw", rgb, jnp.asarray(_OPSIN_M), precision=jax.lax.Precision.HIGHEST
+        "chw,mc->mhw", rgb, jnp.asarray(_OPSIN_M), precision=jax.lax.Precision.HIGHEST
     )
     gam = jnp.cbrt(jnp.maximum(mixed + _OPSIN_BIAS, 0.0)) - _CBRT_OPSIN_BIAS
     l, m, s = gam[0], gam[1], gam[2]
@@ -210,10 +233,14 @@ def linear_rgb_to_xyb_positive(rgb: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([x * 14.0 + 0.42, y + 0.01, (b - y) + 0.55])
 
 
-def rgb8_to_xyb(rgb8: jnp.ndarray) -> jnp.ndarray:
-    """uint8 (H, W, 3) sRGB → positive XYB (3, H, W) float32."""
+def rgb8_to_linear(rgb8: jnp.ndarray) -> jnp.ndarray:
+    """uint8 (H, W, 3) sRGB → planar linear RGB (3, H, W) float32.
+
+    The multi-scale pyramid is built in THIS space (the upstream tool
+    downsamples linear RGB and converts each scale to XYB afterwards —
+    the opsin cbrt is nonlinear, so the order matters)."""
     x = rgb8.astype(jnp.float32) * (1.0 / 255.0)
-    return linear_rgb_to_xyb_positive(srgb_to_linear(x))
+    return jnp.transpose(srgb_to_linear(x), (2, 0, 1))
 
 
 # ---------------------------------------------------------------------------
@@ -306,11 +333,16 @@ def _edge_diff_norms(
 
 
 def _num_scales(h: int, w: int) -> int:
+    """Scales actually computed: the upstream loop checks the PRE-downsample
+    size each iteration, so scale s (s ≥ 1) runs whenever the scale s−1
+    image is ≥ 8 px on both sides (an 8×8 input gets 2 scales)."""
     n = 0
-    while n < NUM_SCALES and h >= 8 and w >= 8:
+    for s in range(NUM_SCALES):
+        if h < 8 or w < 8:
+            break
+        if s:
+            h, w = (h + 1) // 2, (w + 1) // 2
         n += 1
-        h = (h + 1) // 2
-        w = (w + 1) // 2
     return n
 
 
@@ -321,11 +353,12 @@ def ssimulacra2_precompute_ref(ref_rgb8: jnp.ndarray):
     so batched candidate scoring never recomputes reference statistics.
     """
     h, w = ref_rgb8.shape[:2]
-    img1 = rgb8_to_xyb(ref_rgb8)
+    lin1 = rgb8_to_linear(ref_rgb8)
     out = []
     for s in range(_num_scales(h, w)):
         if s:
-            img1 = downsample2(img1)
+            lin1 = downsample2(lin1)
+        img1 = linear_rgb_to_xyb_positive(lin1)
         mu1 = blur(img1)
         s11 = blur(img1 * img1)
         out.append((img1, mu1, s11))
@@ -334,11 +367,12 @@ def ssimulacra2_precompute_ref(ref_rgb8: jnp.ndarray):
 
 def ssimulacra2_from_precomputed(ref_pyr, dist_rgb8: jnp.ndarray) -> jnp.ndarray:
     """Score a distorted image against a precomputed reference pyramid."""
-    img2 = rgb8_to_xyb(dist_rgb8)
+    lin2 = rgb8_to_linear(dist_rgb8)
     feats: List[jnp.ndarray] = []  # per scale: (3, 6) channel-major features
     for s, (img1, mu1, s11) in enumerate(ref_pyr):
         if s:
-            img2 = downsample2(img2)
+            lin2 = downsample2(lin2)
+        img2 = linear_rgb_to_xyb_positive(lin2)
         mu2 = blur(img2)
         s22 = blur(img2 * img2)
         s12 = blur(img1 * img2)
@@ -353,8 +387,7 @@ def ssimulacra2_from_precomputed(ref_pyr, dist_rgb8: jnp.ndarray) -> jnp.ndarray
         WEIGHTS.reshape(3, NUM_SCALES, 6)[:, :nsc, :].reshape(-1), dtype=jnp.float32
     )
     dot = jnp.sum(f * wmat)
-    score = 100.0 - 10.0 * jnp.power(jnp.maximum(dot, 0.0), _FINAL_POW)
-    return score
+    return _finalize_score(dot)
 
 
 @functools.partial(jax.jit, static_argnames=())

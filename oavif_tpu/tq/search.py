@@ -333,8 +333,8 @@ def find_target_quality_batched(
 
 def predict_q_native(tgt: float) -> int:
     """Seed calibrated to THIS encoder's quality→score curve (measured on
-    texture/photo/gradient probes after the shaped-deadzone quantizer:
-    q = tgt + 0.15*(tgt-60) above 60, identity below), replacing the
+    photo/gradient/noise probes against the v2.1-reconstructed metric:
+    q ≈ 0.55·tgt + 41 across tgt 60–95, extrapolated below), replacing the
     reference's libaom-calibrated exponential for the native backend."""
-    q = tgt + 0.15 * (tgt - 60.0) if tgt > 60.0 else tgt
+    q = 0.55 * tgt + 41.0
     return int(min(max(_round_half_away(q), 0.0), 100.0))

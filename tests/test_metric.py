@@ -1,9 +1,13 @@
 """SSIMULACRA2 metric behavior tests (SURVEY.md §4b).
 
-Without a trusted native fssimu2 in this environment, these anchor the
-invariants the TQ loop depends on: exact 100 at identity, monotone decrease
-under growing distortion, batch/single consistency, and sane magnitudes for
-codec-like distortions.
+No SSIMULACRA2 implementation exists on this host to diff against (every
+binary was scanned for the distinctive final-pow constant), so alongside the
+invariants the TQ loop depends on (exact 100 at identity, monotone decrease
+under growing distortion, batch/single consistency) this file pins ABSOLUTE
+self-golden scores for fixed distortion fixtures: any change to the weight
+vector, nonlinearity, pyramid, or color pipeline shows up as a golden diff.
+PARITY.md documents the calibration provenance and expected deviation
+sources vs the upstream scale.
 """
 
 import numpy as np
@@ -13,6 +17,7 @@ from oavif_tpu.metric import (
     compute_ssimulacra2,
     compute_ssimulacra2_batch,
 )
+from oavif_tpu.metric.ssimulacra2 import WEIGHTS, _num_scales
 
 
 def test_identity_scores_100(test_rgb8):
@@ -68,6 +73,68 @@ def test_batch_matches_single(test_rgb8, rng):
     batch = compute_ssimulacra2_batch(test_rgb8, np.stack(dists))
     singles = [compute_ssimulacra2(test_rgb8, d) for d in dists]
     np.testing.assert_allclose(batch, singles, rtol=0, atol=1e-3)
+
+
+def test_absolute_self_goldens(test_rgb8):
+    """Pin absolute scores on deterministic fixtures (CPU path).
+
+    Golden values computed with the v2.1 reconstruction (full 108-weight
+    vector incl. the B-channel block, cubic+pow nonlinearity, linear-RGB
+    pyramid). Tolerance covers cross-machine float32 conv reassociation.
+    """
+    from scipy.ndimage import gaussian_filter
+
+    img = test_rgb8
+    d_rng = np.random.default_rng(99)
+    fixtures = {
+        "shift8": (np.clip(img.astype(np.int16) + 8, 0, 255).astype(np.uint8), 79.663),
+        "noise3": (
+            np.clip(
+                img.astype(np.float64) + d_rng.normal(0, 3, img.shape), 0, 255
+            ).astype(np.uint8),
+            74.265,
+        ),
+        "blur1": (
+            np.clip(gaussian_filter(img.astype(np.float64), (1.0, 1.0, 0)), 0, 255)
+            .astype(np.uint8),
+            61.817,
+        ),
+        "quant32": (((img.astype(np.int16) // 32) * 32 + 16).astype(np.uint8), -5.804),
+        # heavy chroma distortion must tank the score (exercises the
+        # B-channel weight block — all-zero B weights would barely notice)
+        "chroma_swap": (img[:, :, [0, 2, 1]], -239.329),
+    }
+    for name, (dist, golden) in fixtures.items():
+        s = compute_ssimulacra2(img, dist)
+        assert abs(s - golden) < 0.5, (name, s, golden)
+
+
+def test_weight_vector_structure():
+    w = WEIGHTS.reshape(3, 6, 6)  # (channel X/Y/B, scale, feature)
+    assert WEIGHTS.shape == (108,)
+    # every channel contributes (round-1 regression: B was all zero)
+    for c in range(3):
+        assert np.abs(w[c]).sum() > 0, f"channel {c} all zero"
+    # the largest fitted weights are the known big entries
+    assert WEIGHTS.max() > 200.0 and np.count_nonzero(WEIGHTS) > 45
+
+
+def test_scale_count_rule():
+    # upstream checks the PRE-downsample size: 8x8 -> 2 scales, 32x32 -> 4
+    assert _num_scales(8, 8) == 2
+    assert _num_scales(32, 32) == 4
+    assert _num_scales(512, 512) == 6
+    assert _num_scales(7, 512) == 0
+
+
+def test_8x8_images_score():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    assert abs(compute_ssimulacra2(img, img) - 100.0) < 1e-3
+    noisy = np.clip(
+        img.astype(np.float64) + rng.normal(0, 10, img.shape), 0, 255
+    ).astype(np.uint8)
+    assert compute_ssimulacra2(img, noisy) < 99.0
 
 
 def test_small_image_rejected():

@@ -74,7 +74,13 @@ typedef struct {
     int32_t *recon[3];      /* padded (ph, pw) */
     uint16_t *cdf[CDF_N];
     const int32_t *scan[6]; /* index by log2(cw)-2: 4,8,16,32 */
-    uint8_t dz_low[4][32 * 32]; /* per tx size: scan-leading 1/8 mask */
+    /* RDOQ bit-cost tables (1/128-bit units), computed from the INITIAL
+     * CDFs at tile start (mirrors frame.py _icdf_cost_rows) */
+    int32_t rc_base[5][2][42][4];
+    int32_t rc_base_eob[5][2][4][3];
+    int32_t rc_br[4][2][21][4];
+    int32_t rc_eob_extra[5][2][9][2];
+    int32_t rc_eob_pt[4][2][11]; /* by log2(cw)-2: nsym 5,7,9,11 */
     const int32_t *smw[5];  /* sm_weights by log2(n)-2: 4,8,16,32,64 */
     const double *fh[6], *fw[6]; /* dct 8,16,32,64; adst 8,16 */
     const int32_t *dr_deriv; /* dr_intra_derivative[90] */
@@ -336,13 +342,13 @@ static const int DQ_SHIFT_BY_TX[65] = {
 /* resid (n*n int32) -> levels (int32, natural order) via
  * coeffs = fh @ resid @ fw^T in double, deadzone quant + tail trim. */
 static void quantize_mat(const Tile *t, const int32_t *resid, int n,
-                         const double *fhm, const double *fwm,
+                         int ptype, const double *fhm, const double *fwm,
                          int32_t *levels);
 
-static void quantize_n(const Tile *t, const int32_t *resid, int n,
+static void quantize_n(const Tile *t, const int32_t *resid, int n, int ptype,
                        int32_t *levels) {
-    quantize_mat(t, resid, n, t->fh[log2i(n) - 3], t->fw[log2i(n) - 3],
-                 levels);
+    quantize_mat(t, resid, n, ptype, t->fh[log2i(n) - 3],
+                 t->fw[log2i(n) - 3], levels);
 }
 
 /* C = A @ B, all n*n row-major. i,k,j accumulate form: the j loop is a
@@ -392,8 +398,184 @@ static void gemm_nn(const double *A, const double *B, double *Cm, int n) {
     }
 }
 
+/* RDOQ rate model: bit costs in 1/128-bit units at 1/256 probability
+ * resolution. This table is generated from frame.py's _PROB_COST
+ * expression — the two must stay identical for byte parity. */
+static const int32_t PROB_COST[256] = {
+    1024,  896,  821,  768,  727,  693,  665,  640,  618,  599,  581,  565,
+     550,  537,  524,  512,  501,  490,  480,  471,  462,  453,  445,  437,
+     430,  422,  415,  409,  402,  396,  390,  384,  378,  373,  367,  362,
+     357,  352,  347,  343,  338,  334,  329,  325,  321,  317,  313,  309,
+     305,  302,  298,  294,  291,  287,  284,  281,  277,  274,  271,  268,
+     265,  262,  259,  256,  253,  250,  248,  245,  242,  239,  237,  234,
+     232,  229,  227,  224,  222,  219,  217,  215,  212,  210,  208,  206,
+     204,  201,  199,  197,  195,  193,  191,  189,  187,  185,  183,  181,
+     179,  177,  175,  174,  172,  170,  168,  166,  165,  163,  161,  159,
+     158,  156,  154,  153,  151,  149,  148,  146,  145,  143,  141,  140,
+     138,  137,  135,  134,  132,  131,  129,  128,  127,  125,  124,  122,
+     121,  120,  118,  117,  115,  114,  113,  111,  110,  109,  108,  106,
+     105,  104,  102,  101,  100,   99,   97,   96,   95,   94,   93,   91,
+      90,   89,   88,   87,   86,   84,   83,   82,   81,   80,   79,   78,
+      77,   76,   75,   73,   72,   71,   70,   69,   68,   67,   66,   65,
+      64,   63,   62,   61,   60,   59,   58,   57,   56,   55,   54,   53,
+      52,   51,   50,   49,   48,   47,   47,   46,   45,   44,   43,   42,
+      41,   40,   39,   38,   37,   37,   36,   35,   34,   33,   32,   31,
+      31,   30,   29,   28,   27,   26,   25,   25,   24,   23,   22,   21,
+      21,   20,   19,   18,   17,   17,   16,   15,   14,   13,   13,   12,
+      11,   10,   10,    9,    8,    7,    7,    6,    5,    4,    4,    3,
+       2,    1,    1,    0};
+
+/* λ = (dq_ac² >> 2·shift) · KNUM / (KDEN · 128) — frame.py RDOQ_K */
+#define RDOQ_KNUM 1
+#define RDOQ_KDEN 8
+
+static int32_t icdf_sym_cost(const uint16_t *row, int s) {
+    int prev = s == 0 ? 32768 : row[s - 1];
+    int p = prev - row[s];
+    if (p < 1) p = 1;
+    int idx = (p - 1) >> 7;
+    if (idx > 255) idx = 255;
+    return PROB_COST[idx];
+}
+
+static void build_rdoq_costs(Tile *t) {
+    for (int txs = 0; txs < 5; txs++)
+        for (int pt = 0; pt < 2; pt++) {
+            for (int c = 0; c < 42; c++) {
+                const uint16_t *row = t->cdf[CDF_COEFF_BASE] +
+                                      ((size_t)(txs * 2 + pt) * 42 + c) * 5;
+                for (int s = 0; s < 4; s++)
+                    t->rc_base[txs][pt][c][s] = icdf_sym_cost(row, s);
+            }
+            for (int c = 0; c < 4; c++) {
+                const uint16_t *row = t->cdf[CDF_COEFF_BASE_EOB] +
+                                      ((size_t)(txs * 2 + pt) * 4 + c) * 4;
+                for (int s = 0; s < 3; s++)
+                    t->rc_base_eob[txs][pt][c][s] = icdf_sym_cost(row, s);
+            }
+            for (int c = 0; c < 9; c++) {
+                const uint16_t *row = t->cdf[CDF_EOB_EXTRA] +
+                                      ((size_t)(txs * 2 + pt) * 9 + c) * 3;
+                for (int s = 0; s < 2; s++)
+                    t->rc_eob_extra[txs][pt][c][s] = icdf_sym_cost(row, s);
+            }
+        }
+    for (int txs = 0; txs < 4; txs++)
+        for (int pt = 0; pt < 2; pt++)
+            for (int c = 0; c < 21; c++) {
+                const uint16_t *row = t->cdf[CDF_COEFF_BR] +
+                                      ((size_t)(txs * 2 + pt) * 21 + c) * 5;
+                for (int s = 0; s < 4; s++)
+                    t->rc_br[txs][pt][c][s] = icdf_sym_cost(row, s);
+            }
+    static const int eob_cdf_idx[4] = {CDF_EOB_PT16, CDF_EOB_PT64,
+                                       CDF_EOB_PT256, CDF_EOB_PT1024};
+    static const int eob_nsym_by[4] = {5, 7, 9, 11};
+    for (int k = 0; k < 4; k++)
+        for (int pt = 0; pt < 2; pt++) {
+            int nsym = eob_nsym_by[k];
+            const uint16_t *row =
+                t->cdf[eob_cdf_idx[k]] + (size_t)pt * 2 * (nsym + 1);
+            for (int s = 0; s < nsym; s++)
+                t->rc_eob_pt[k][pt][s] = icdf_sym_cost(row, s);
+        }
+}
+
+/* ---- RDOQ (mirrors frame.py _rdoq exactly, incl. float op order) ---- */
+
+typedef struct {
+    const int32_t (*base)[4];
+    const int32_t (*base_eob)[3];
+    const int32_t (*br)[4];
+    const int32_t (*eob_extra)[2];
+    const int32_t *eob_pt;
+    int n_coded, cw;
+    int pad[34 * 34];
+    int pos_r[1024], pos_c[1024];
+} Rdoq;
+
+static int rdoq_hi_cost(const Rdoq *q, int brctx, int64_t lvl) {
+    int r = 0;
+    int64_t rem = lvl - 3;
+    for (int i = 0; i < 4; i++) {
+        int k = rem < 3 ? (int)rem : 3;
+        r += q->br[brctx][k];
+        rem -= k;
+        if (k < 3) break;
+    }
+    if (lvl > 14) {
+        int bl = 64 - __builtin_clzll((unsigned long long)(lvl - 14));
+        r += 128 * (2 * bl - 1);
+    }
+    return r;
+}
+
+static int rdoq_base_ctx(const Rdoq *q, int si) {
+    int rr = q->pos_r[si], cc = q->pos_c[si];
+    const int *pad = q->pad;
+    int W = q->cw + 2;
+    int mag = imin(pad[rr * W + cc + 1], 3) + imin(pad[(rr + 1) * W + cc], 3) +
+              imin(pad[(rr + 1) * W + cc + 1], 3) +
+              imin(pad[rr * W + cc + 2], 3) + imin(pad[(rr + 2) * W + cc], 3);
+    mag = imin((mag + 1) >> 1, 4);
+    if (rr == 0 && cc == 0) return 0;
+    if (rr + cc < 2) return mag + 1;
+    if (rr + cc < 4) return mag + 6;
+    return mag + 21;
+}
+
+static int rdoq_br_ctx(const Rdoq *q, int si) {
+    int rr = q->pos_r[si], cc = q->pos_c[si];
+    const int *pad = q->pad;
+    int W = q->cw + 2;
+    int mag = imin(pad[rr * W + cc + 1], 15) +
+              imin(pad[(rr + 1) * W + cc], 15) +
+              imin(pad[(rr + 1) * W + cc + 1], 15);
+    mag = imin((mag + 1) >> 1, 6);
+    if (rr == 0 && cc == 0) return mag;
+    if (rr < 2 && cc < 2) return mag + 7;
+    return mag + 14;
+}
+
+static int rdoq_eob_ctx(const Rdoq *q, int si) {
+    if (si == 0) return 0;
+    if (si <= q->n_coded / 8) return 1;
+    if (si <= q->n_coded / 4) return 2;
+    return 3;
+}
+
+static int rdoq_int_cost(const Rdoq *q, int64_t lvl, int bctx, int si) {
+    int r = q->base[bctx][lvl < 3 ? (int)lvl : 3];
+    if (lvl) {
+        r += 128; /* sign */
+        if (lvl > 3) r += rdoq_hi_cost(q, rdoq_br_ctx(q, si), lvl);
+    }
+    return r;
+}
+
+static int rdoq_eob_coeff_cost(const Rdoq *q, int64_t lvl, int si) {
+    int r = q->base_eob[rdoq_eob_ctx(q, si)][(lvl < 3 ? (int)lvl : 3) - 1] + 128;
+    if (lvl > 3) r += rdoq_hi_cost(q, rdoq_br_ctx(q, si), lvl);
+    return r;
+}
+
+static int rdoq_eobpt_cost(const Rdoq *q, int e) {
+    int pt;
+    if (e == 1) pt = 1;
+    else if (e == 2) pt = 2;
+    else pt = (32 - __builtin_clz((unsigned)(e - 1))) + 1;
+    int r = q->eob_pt[pt - 1];
+    if (pt >= 3) {
+        int nbits = pt - 2;
+        int rest = e - (1 << (pt - 2)) - 1;
+        int msb = (rest >> (nbits - 1)) & 1;
+        r += q->eob_extra[pt - 3][msb] + 128 * (nbits - 1);
+    }
+    return r;
+}
+
 static void quantize_mat(const Tile *t, const int32_t *resid, int n,
-                         const double *fhm, const double *fwm,
+                         int ptype, const double *fhm, const double *fwm,
                          int32_t *levels) {
     double tmp[64 * 64];
     double out[64 * 64];
@@ -414,40 +596,136 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
      * adds a second rounding that can flip floor() at integer boundaries) */
     double up = (double)(1 << shift);
     double dq_ac = (double)t->dq_ac, dq_dc = (double)t->dq_dc;
-    /* frequency-shaped deadzone (mirrors frame.py _deadzone): 0.5 for the
-     * first 1/8 of the scan, 0.15 for the tail */
-    const uint8_t *lowf = t->dz_low[log2i(n < 32 ? n : 32) - 2];
-    int cwq = n < 32 ? n : 32;
-    for (int i = 0; i < n * n; i++) {
-        int r = i / n, c2 = i % n;
-        if (r >= cwq || c2 >= cwq) { /* tx64: only 32x32 coded */
-            levels[i] = 0;
-            continue;
+
+    int cw = n < 32 ? n : 32;
+    int n_coded = cw * cw;
+    const int32_t *scan = t->scan[log2i(cw) - 2];
+    int txs = log2i(n) - 2;
+
+    memset(levels, 0, (size_t)n * n * 4);
+
+    /* coded-region magnitudes + signs, natural (cw-wide) order */
+    double a_nat[32 * 32];
+    int sg_nat[32 * 32];
+    for (int r = 0; r < cw; r++)
+        for (int c = 0; c < cw; c++) {
+            double v = out[(size_t)r * n + c];
+            a_nat[r * cw + c] = fabs(v);
+            sg_nat[r * cw + c] = v < 0.0 ? -1 : 1;
         }
-        double dz = lowf[r * cwq + c2] ? 0.5 : 0.15;
-        double scaled = out[i] * up / (i == 0 ? dq_dc : dq_ac);
-        double mag = floor(fabs(scaled) + dz);
-        levels[i] = (int32_t)(scaled < 0 ? -mag : mag);
+
+    /* initial round-half levels, scan order */
+    int64_t ord[1024];
+    int eob = 0;
+    for (int si = 0; si < n_coded; si++) {
+        int pos = scan[si];
+        double dq = pos == 0 ? dq_dc : dq_ac;
+        ord[si] = (int64_t)floor(a_nat[pos] * up / dq + 0.5);
+        if (ord[si]) eob = si + 1;
+    }
+    if (eob == 0) return;
+
+    Rdoq q;
+    q.base = t->rc_base[txs][ptype];
+    q.base_eob = t->rc_base_eob[txs][ptype];
+    q.br = t->rc_br[txs < 3 ? txs : 3][ptype];
+    q.eob_extra = t->rc_eob_extra[txs][ptype];
+    q.eob_pt = t->rc_eob_pt[log2i(cw) - 2][ptype];
+    q.n_coded = n_coded;
+    q.cw = cw;
+    int W = cw + 2;
+    memset(q.pad, 0, sizeof(int) * (size_t)W * W);
+    for (int si = 0; si < eob; si++) {
+        int pos = scan[si];
+        q.pos_r[si] = pos >> (log2i(cw));
+        q.pos_c[si] = pos & (cw - 1);
+        if (ord[si])
+            q.pad[q.pos_r[si] * W + q.pos_c[si]] =
+                ord[si] < 127 ? (int)ord[si] : 127;
     }
 
-    /* tail trim (mirrors frame.py _trim_tail): zero trailing +-1 levels in
-     * the back half of the scan — each costs an eob extension + base symbol
-     * for near-zero distortion gain. cw = min(n, 32) coded region. */
-    int cw = n < 32 ? n : 32;
-    const int32_t *scan = t->scan[log2i(cw) - 2];
-    int eob = 0;
-    /* scan indexes the cw*cw coded region in its own natural order; for
-     * n > cw (tx64) map (r, c) back into the n-wide array */
-#define NATIDX(si) (n == cw ? scan[si] \
-                            : (scan[si] / cw) * n + (scan[si] % cw))
-    for (int si = 0; si < cw * cw; si++)
-        if (levels[NATIDX(si)]) eob = si + 1;
-    for (int si = eob - 1; si >= eob / 2; si--) {
-        int32_t v = levels[NATIDX(si)];
-        if (v == 1 || v == -1) levels[NATIDX(si)] = 0;
-        else if (v != 0) break;
+    double lam = (double)((((int64_t)t->dq_ac * t->dq_ac) >> (2 * shift)) *
+                          RDOQ_KNUM) /
+                 (RDOQ_KDEN * 128.0);
+
+#define ERR2(si, lvl)                                                        \
+    ({                                                                       \
+        double _a = a_nat[scan[si]];                                         \
+        double _e = _a - (double)(((int64_t)(lvl) *                          \
+                                   (scan[si] == 0 ? t->dq_dc : t->dq_ac)) >> \
+                                  shift);                                    \
+        _e * _e;                                                             \
+    })
+
+    /* --- phase 1: eob shrinking --- */
+    while (eob > 0) {
+        int si = eob - 1;
+        int64_t lvl = ord[si];
+        double keep = ERR2(si, lvl) +
+                      lam * (double)(rdoq_eobpt_cost(&q, eob) +
+                                     rdoq_eob_coeff_cost(&q, lvl, si));
+        int pe = si - 1;
+        while (pe >= 0 && ord[pe] == 0) pe--;
+        q.pad[q.pos_r[si] * W + q.pos_c[si]] = 0;
+        if (pe < 0) {
+            if (ERR2(si, 0) < keep) {
+                ord[si] = 0;
+                eob = 0;
+            } else {
+                q.pad[q.pos_r[si] * W + q.pos_c[si]] =
+                    lvl < 127 ? (int)lvl : 127;
+            }
+            break;
+        }
+        int64_t lp = ord[pe];
+        double drop = ERR2(si, 0) +
+                      lam * (double)(rdoq_eobpt_cost(&q, pe + 1) +
+                                     rdoq_eob_coeff_cost(&q, lp, pe));
+        keep += lam * (double)rdoq_int_cost(&q, lp, rdoq_base_ctx(&q, pe), pe);
+        if (drop < keep) {
+            ord[si] = 0;
+            eob = pe + 1;
+        } else {
+            q.pad[q.pos_r[si] * W + q.pos_c[si]] = lvl < 127 ? (int)lvl : 127;
+            break;
+        }
     }
-#undef NATIDX
+
+    if (eob > 0) {
+        /* --- phase 2: eob coefficient level decrement (floor 1) --- */
+        int si = eob - 1;
+        int64_t lvl = ord[si];
+        if (lvl >= 2) {
+            if (ERR2(si, lvl - 1) +
+                    lam * (double)rdoq_eob_coeff_cost(&q, lvl - 1, si) <
+                ERR2(si, lvl) +
+                    lam * (double)rdoq_eob_coeff_cost(&q, lvl, si)) {
+                ord[si] = lvl - 1;
+                q.pad[q.pos_r[si] * W + q.pos_c[si]] =
+                    (lvl - 1) < 127 ? (int)(lvl - 1) : 127;
+            }
+        }
+        /* --- phase 3: interior level decrements (reverse scan) --- */
+        for (si = eob - 2; si >= 0; si--) {
+            lvl = ord[si];
+            if (lvl == 0) continue;
+            int bctx = rdoq_base_ctx(&q, si);
+            if (ERR2(si, lvl - 1) +
+                    lam * (double)rdoq_int_cost(&q, lvl - 1, bctx, si) <
+                ERR2(si, lvl) + lam * (double)rdoq_int_cost(&q, lvl, bctx, si)) {
+                ord[si] = lvl - 1;
+                q.pad[q.pos_r[si] * W + q.pos_c[si]] =
+                    (lvl - 1) < 127 ? (int)(lvl - 1) : 127;
+            }
+        }
+    }
+
+    for (int si = 0; si < eob; si++) {
+        if (!ord[si]) continue;
+        int pos = scan[si];
+        int rr = pos / cw, cc = pos % cw;
+        levels[(size_t)rr * n + cc] = (int32_t)(ord[si] * sg_nat[pos]);
+    }
 }
 
 /* dequant + normative inverse transform (frame.py _dequant_inv) */
@@ -870,7 +1148,7 @@ static int plane_levels_c(Tile *t, int plane, int x, int y, int tx,
         memset(lv, 0, (size_t)tx * tx * 4);
         return 0;
     }
-    quantize_n(t, resid, tx, lv);
+    quantize_n(t, resid, tx, plane == 0 ? 0 : 1, lv);
     for (int i = 0; i < tx * tx; i++)
         if (lv[i]) return 1;
     return 0;
@@ -943,7 +1221,7 @@ static void encode_block(Tile *t, int r, int c, int size) {
                     srcp[(size_t)(y + rr) * t->pw + x + cc] -
                     preds[rr * tx + cc];
         int ai = tx == 8 ? 4 : 5;
-        quantize_mat(t, resid, tx, t->fh[ai], t->fw[ai], lv_adst);
+        quantize_mat(t, resid, tx, 0, t->fh[ai], t->fw[ai], lv_adst);
         int64_t lam = ((int64_t)t->dq_ac * t->dq_ac) / 512;
         int64_t cost[2];
         const int32_t *lvs[2] = {levels, lv_adst};
@@ -1475,12 +1753,7 @@ size_t tile_encode(
     t.ph = t.mi_rows * 4;
     for (int i = 0; i < CDF_N; i++) t.cdf[i] = cdf_ptrs[i];
     for (int i = 0; i < 4; i++) t.scan[i] = scans[i];
-    for (int i = 0; i < 4; i++) {
-        int cw = 4 << i;
-        memset(t.dz_low[i], 0, (size_t)cw * cw);
-        for (int si = 0; si < (cw * cw) >> 3; si++)
-            t.dz_low[i][scans[i][si]] = 1;
-    }
+    build_rdoq_costs(&t); /* from the INITIAL CDFs, before any coding */
     for (int i = 0; i < 5; i++) t.smw[i] = sm_weights[i];
     for (int i = 0; i < 6; i++) { t.fh[i] = fhs[i]; t.fw[i] = fws[i]; }
     t.dr_deriv = dr_deriv;

@@ -90,11 +90,37 @@ _PART_CTX_BYTE = {4: 31, 8: 30, 16: 28, 32: 24, 64: 16, 128: 0}
 
 _TXS_CTX = {4: 0, 8: 1, 16: 2, 32: 3, 64: 4}
 
+_EOB_PT_NSYM = {16: 5, 32: 6, 64: 7, 128: 8, 256: 9, 512: 10, 1024: 11}
 _EOB_PT_KEY = {16: "eob_pt_16", 32: "eob_pt_32", 64: "eob_pt_64",
                128: "eob_pt_128", 256: "eob_pt_256", 512: "eob_pt_512",
                1024: "eob_pt_1024"}
 
 NUM_BASE_LEVELS_ = 2
+
+# --- RDOQ rate model ----------------------------------------------------
+# Bit costs in 1/128-bit units from symbol probabilities at 1/256
+# resolution (the same resolution libaom's av1_prob_cost tables use).
+# The C runtime embeds this exact table (generated from this expression)
+# so RDOQ decisions are bit-identical between the two paths.
+_PROB_COST = np.round(
+    -np.log2((np.arange(256, dtype=np.float64) + 1.0) / 256.0) * 128.0
+).astype(np.int32)
+
+# λ = RDOQ_K · (dq_ac² >> 2·DQ_SHIFT) / 128, with RDOQ_K = KNUM/KDEN.
+# Calibrated on iso-SSIMULACRA2 bytes (photo/gradient/noise probes).
+RDOQ_KNUM = 1
+RDOQ_KDEN = 8
+
+
+def _icdf_cost_rows(rows: np.ndarray, nsym: int) -> np.ndarray:
+    """Per-symbol bit costs (1/128-bit units) from adaptive icdf rows
+    (must be called on INITIAL rows, before any adaptation)."""
+    a = rows.astype(np.int64)[..., :nsym]
+    prev = np.concatenate(
+        [np.full(a.shape[:-1] + (1,), 32768, np.int64), a[..., : nsym - 1]], -1
+    )
+    p = np.clip(prev - a, 1, 32768)
+    return _PROB_COST[np.minimum((p - 1) >> 7, 255)].astype(np.int32)
 
 
 def _adaptive(arr: np.ndarray) -> np.ndarray:
@@ -184,7 +210,17 @@ class TileEncoder:
             n: np.ascontiguousarray(TABLES[f"scan_{n}x{n}"], dtype=np.int32)
             for n in (4, 8, 16, 32)
         }
-        self._dz_cache = {}
+        # RDOQ bit-cost tables from the INITIAL (pre-adaptation) CDFs —
+        # computed here, before any symbol is coded.
+        self._cost_base = _icdf_cost_rows(self.cdf.coeff_base, 4)
+        self._cost_base_eob = _icdf_cost_rows(self.cdf.coeff_base_eob, 3)
+        self._cost_br = _icdf_cost_rows(self.cdf.coeff_br, 4)
+        self._cost_eob_extra = _icdf_cost_rows(self.cdf.eob_extra, 2)
+        self._cost_eob_pt = {
+            n: _icdf_cost_rows(self.cdf.eob_pt[n], _EOB_PT_NSYM[n])
+            for n in self.cdf.eob_pt
+        }
+        self._cost_cache = {}
 
         # reconstruction buffers (padded to mi grid)
         pw, ph = self.mi_cols * 4, self.mi_rows * 4
@@ -554,7 +590,7 @@ class TileEncoder:
             if not can_code_coeffs:
                 return np.zeros((tx, tx), dtype=np.int64)
             src = self.src[plane][y : y + tx, x : x + tx]
-            return self._quantize(src - pred, tx)
+            return self._quantize(src - pred, tx, ptype=0 if plane == 0 else 1)
 
         y_pred = plane_pred(0, y_mode)
         y_tx_type = "dct_dct"
@@ -780,7 +816,7 @@ class TileEncoder:
                         pred = predict(DC_PRED, above, left, 32, 32, ha, hl,
                                        bitdepth=self.bitdepth)
                         src = self.src[p][py_ : py_ + 32, px_ : px_ + 32]
-                        lv = self._quantize(src - pred, 32)
+                        lv = self._quantize(src - pred, 32, ptype=1)
                         if np.any(lv):
                             rec = np.clip(
                                 pred + self._dequant_inv(lv, 32, "dct_dct"),
@@ -873,55 +909,227 @@ class TileEncoder:
     # -- quant / dequant --------------------------------------------------------
 
     def _quantize(self, resid: np.ndarray, tx: int,
-                  tx_type: str = "dct_dct") -> np.ndarray:
+                  tx_type: str = "dct_dct", ptype: int = 0) -> np.ndarray:
+        """Rate-distortion optimized quantization (trellis-lite RDOQ).
+
+        Round-half initial levels, then a greedy reverse-scan optimization
+        against the real CDF bit costs: eob shrinking (each trailing coeff
+        pays an eob move + base_eob/base cost delta) and per-coefficient
+        level decrements (L vs L−1), both judged by coefficient-domain
+        D + λR with λ ∝ dq². Replaces the round-1 shaped deadzone + tail
+        trim (libaom's edge at iso-score traced to exactly this machinery,
+        see PARITY.md)."""
         if not resid.any():
             return np.zeros((tx, tx), dtype=np.int64)
         coeffs = fwd_txfm2d(resid, tx_type)
+        return self._rdoq(coeffs, tx, ptype)
+
+    def _cost_tables(self, txs_ctx: int, ptype: int):
+        key = (txs_ctx, ptype)
+        ct = self._cost_cache.get(key)
+        if ct is None:
+            ct = {
+                "base": self._cost_base[txs_ctx][ptype].tolist(),
+                "base_eob": self._cost_base_eob[txs_ctx][ptype].tolist(),
+                "br": self._cost_br[min(txs_ctx, 3)][ptype].tolist(),
+                "eob_extra": self._cost_eob_extra[txs_ctx][ptype].tolist(),
+            }
+            self._cost_cache[key] = ct
+        return ct
+
+    def _rdoq(self, coeffs: np.ndarray, tx: int, ptype: int) -> np.ndarray:
         shift = DQ_SHIFT[tx]
-        qmat = np.full_like(coeffs, float(self.dq_ac))
-        qmat[0, 0] = float(self.dq_dc)
-        scaled = coeffs * (1 << shift) / qmat
-        # frequency-shaped deadzone: near-half rounding for the first 1/8
-        # of the scan (DC + low AC), a strong zero bias for the tail.
-        # Measured ~6-20% bytes at iso-SSIMULACRA2 over a flat deadzone
-        # (the cheap end of libaom's RDOQ behavior).
-        levels = (np.sign(scaled) * np.floor(
-            np.abs(scaled) + self._deadzone(tx))).astype(np.int64)
-        self._trim_tail(levels, tx)
-        return levels
-
-    def _deadzone(self, tx: int) -> np.ndarray:
-        dz = self._dz_cache.get(tx)
-        if dz is None:
-            cw = min(tx, 32)
-            scan = self._scan_cache[cw]
-            flat = np.full(cw * cw, 0.15)
-            flat[scan[: (cw * cw) >> 3]] = 0.5
-            dz = np.full((tx, tx), 0.15)
-            dz[:cw, :cw] = flat.reshape(cw, cw)
-            self._dz_cache[tx] = dz
-        return dz
-
-    def _trim_tail(self, levels: np.ndarray, tx: int) -> None:
-        """Zero trailing ±1 coefficients in the back half of the scan: each
-        costs an eob extension + base symbol but saves almost no distortion
-        (measured ~40% bytes for ~1.5 SSIMULACRA2 points at mid quality —
-        the cheap end of libaom's coefficient-RDO behavior)."""
         cw = min(tx, 32)
+        n_coded = cw * cw
         scan = self._scan_cache[cw]
-        flat = levels[:cw, :cw].reshape(-1)
-        order = flat[scan]
+        txs_ctx = _TXS_CTX[tx]
+        ct = self._cost_tables(txs_ctx, ptype)
+        cost_base = ct["base"]
+        cost_base_eob = ct["base_eob"]
+        cost_br = ct["br"]
+        cost_eob_extra = ct["eob_extra"]
+        cost_eob_pt = self._cost_eob_pt[n_coded][ptype][0].tolist()
+
+        dqd, dqa = self.dq_dc, self.dq_ac
+        lam = float(((dqa * dqa) >> (2 * shift)) * RDOQ_KNUM) / (
+            RDOQ_KDEN * 128.0
+        )
+        bwl = cw.bit_length() - 1
+
+        flat = coeffs[:cw, :cw].reshape(-1)
+        a_nat = np.abs(flat)  # float64 magnitudes, natural order
+        sg_nat = np.where(flat < 0.0, -1, 1)
+
+        # initial round-half levels
+        up = float(1 << shift)
+        dq_nat = np.full(n_coded, float(dqa))
+        dq_nat[0] = float(dqd)
+        l0 = np.floor(a_nat * up / dq_nat + 0.5).astype(np.int64)
+        order = l0[scan]
         nz = np.nonzero(order)[0]
+        out = np.zeros((tx, tx), dtype=np.int64)
         if len(nz) == 0:
-            return
+            return out
         eob = int(nz[-1]) + 1
-        for si in range(eob - 1, eob // 2 - 1, -1):
-            if abs(order[si]) == 1:
-                order[si] = 0
-            elif order[si] != 0:
+
+        a_scan = a_nat[scan]
+        dq_scan = [dqd if int(scan[si]) == 0 else dqa for si in range(eob)]
+        pos_r = [int(scan[si]) >> bwl for si in range(eob)]
+        pos_c = [int(scan[si]) & (cw - 1) for si in range(eob)]
+
+        pad = np.zeros((cw + 2, cw + 2), dtype=np.int64)
+        ofl = order.tolist()
+        for si in range(eob):
+            if ofl[si]:
+                pad[pos_r[si], pos_c[si]] = min(ofl[si], 127)
+
+        def err2(si: int, lvl: int) -> float:
+            e = float(a_scan[si]) - float((lvl * dq_scan[si]) >> shift)
+            return e * e
+
+        def hi_cost(lvl: int, brctx: int) -> int:
+            r = 0
+            rem = lvl - 3
+            row = cost_br[brctx]
+            for _ in range(4):
+                k = rem if rem < 3 else 3
+                r += row[k]
+                rem -= k
+                if k < 3:
+                    break
+            if lvl > 14:
+                r += 128 * (2 * (lvl - 14).bit_length() - 1)
+            return r
+
+        def base_ctx(si: int) -> int:
+            rr, cc = pos_r[si], pos_c[si]
+            mag = (
+                min(int(pad[rr, cc + 1]), 3)
+                + min(int(pad[rr + 1, cc]), 3)
+                + min(int(pad[rr + 1, cc + 1]), 3)
+                + min(int(pad[rr, cc + 2]), 3)
+                + min(int(pad[rr + 2, cc]), 3)
+            )
+            mag = min((mag + 1) >> 1, 4)
+            if rr == 0 and cc == 0:
+                return 0
+            if rr + cc < 2:
+                return mag + 1
+            if rr + cc < 4:
+                return mag + 6
+            return mag + 21
+
+        def br_ctx(si: int) -> int:
+            rr, cc = pos_r[si], pos_c[si]
+            mag = (
+                min(int(pad[rr, cc + 1]), 15)
+                + min(int(pad[rr + 1, cc]), 15)
+                + min(int(pad[rr + 1, cc + 1]), 15)
+            )
+            mag = min((mag + 1) >> 1, 6)
+            if pos_r[si] == 0 and pos_c[si] == 0:
+                return mag
+            if rr < 2 and cc < 2:
+                return mag + 7
+            return mag + 14
+
+        def eob_ctx(si: int) -> int:
+            if si == 0:
+                return 0
+            if si <= n_coded // 8:
+                return 1
+            if si <= n_coded // 4:
+                return 2
+            return 3
+
+        def int_cost(lvl: int, bctx: int, si: int) -> int:
+            r = cost_base[bctx][lvl if lvl < 3 else 3]
+            if lvl:
+                r += 128  # sign
+                if lvl > 3:
+                    r += hi_cost(lvl, br_ctx(si))
+            return r
+
+        def eob_coeff_cost(lvl: int, si: int) -> int:
+            r = cost_base_eob[eob_ctx(si)][(lvl if lvl < 3 else 3) - 1] + 128
+            if lvl > 3:
+                r += hi_cost(lvl, br_ctx(si))
+            return r
+
+        def eobpt_cost(e: int) -> int:
+            if e == 1:
+                pt = 1
+            elif e == 2:
+                pt = 2
+            else:
+                pt = (e - 1).bit_length() + 1
+            r = cost_eob_pt[pt - 1]
+            if pt >= 3:
+                nbits = pt - 2
+                rest = e - (1 << (pt - 2)) - 1
+                msb = (rest >> (nbits - 1)) & 1
+                r += cost_eob_extra[pt - 3][msb] + 128 * (nbits - 1)
+            return r
+
+        # --- phase 1: eob shrinking ---
+        while eob > 0:
+            si = eob - 1
+            lvl = ofl[si]
+            keep = err2(si, lvl) + lam * (
+                eobpt_cost(eob) + eob_coeff_cost(lvl, si)
+            )
+            pe = si - 1
+            while pe >= 0 and ofl[pe] == 0:
+                pe -= 1
+            pad[pos_r[si], pos_c[si]] = 0
+            if pe < 0:
+                if err2(si, 0) < keep:
+                    ofl[si] = 0
+                    eob = 0
+                else:
+                    pad[pos_r[si], pos_c[si]] = min(lvl, 127)
                 break
-        flat[scan] = order
-        levels[:cw, :cw] = flat.reshape(cw, cw)
+            lp = ofl[pe]
+            drop = err2(si, 0) + lam * (
+                eobpt_cost(pe + 1) + eob_coeff_cost(lp, pe)
+            )
+            keep += lam * int_cost(lp, base_ctx(pe), pe)
+            if drop < keep:
+                ofl[si] = 0
+                eob = pe + 1
+            else:
+                pad[pos_r[si], pos_c[si]] = min(lvl, 127)
+                break
+
+        if eob > 0:
+            # --- phase 2: eob coefficient level decrement (floor 1) ---
+            si = eob - 1
+            lvl = ofl[si]
+            if lvl >= 2:
+                if err2(si, lvl - 1) + lam * eob_coeff_cost(
+                    lvl - 1, si
+                ) < err2(si, lvl) + lam * eob_coeff_cost(lvl, si):
+                    ofl[si] = lvl - 1
+                    pad[pos_r[si], pos_c[si]] = min(lvl - 1, 127)
+            # --- phase 3: interior level decrements (reverse scan) ---
+            for si in range(eob - 2, -1, -1):
+                lvl = ofl[si]
+                if lvl == 0:
+                    continue
+                bctx = base_ctx(si)
+                if err2(si, lvl - 1) + lam * int_cost(
+                    lvl - 1, bctx, si
+                ) < err2(si, lvl) + lam * int_cost(lvl, bctx, si):
+                    ofl[si] = lvl - 1
+                    pad[pos_r[si], pos_c[si]] = min(lvl - 1, 127)
+
+        lv_nat = np.zeros(n_coded, dtype=np.int64)
+        for si in range(eob):
+            if ofl[si]:
+                p = int(scan[si])
+                lv_nat[p] = ofl[si] * int(sg_nat[p])
+        out[:cw, :cw] = lv_nat.reshape(cw, cw)
+        return out
 
     def _dequant_inv(self, levels: np.ndarray, tx: int,
                      tx_type: str = "dct_dct") -> np.ndarray:

@@ -72,7 +72,7 @@ def test_single_coefficient_probes_bit_exact():
     orig = frame_mod.TileEncoder._quantize
 
     def probe(lv):
-        def q(self, resid, tx):
+        def q(self, resid, tx, tx_type="dct_dct", ptype=0):
             q.calls += 1
             return lv.copy() if q.calls == 1 else np.zeros((tx, tx), np.int64)
 

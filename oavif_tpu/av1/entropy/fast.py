@@ -228,7 +228,7 @@ _CDF_ORDER = (
     "skip", "kf_y", "uv_mode", "uv_mode_cfl", "angle_delta", "txb_skip",
     "eob16", "eob64", "eob256", "eob1024",
     "eob_extra", "coeff_base_eob", "coeff_base", "coeff_br", "dc_sign",
-    "cfl_sign", "cfl_alpha", "intra_ext_tx1", "intra_ext_tx2",
+    "cfl_sign", "cfl_alpha", "intra_ext_tx1", "intra_ext_tx2", "tx_size",
 )
 
 
@@ -266,6 +266,7 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None):
         "cfl_sign": bank.cfl_sign, "cfl_alpha": bank.cfl_alpha,
         "intra_ext_tx1": bank.intra_ext_tx1,
         "intra_ext_tx2": bank.intra_ext_tx2,
+        "tx_size": bank.tx_size,
     }
     cdf_arrs = [np.ascontiguousarray(cdfs[k], dtype=np.uint16) for k in _CDF_ORDER]
     cdf_ptrs = (C.POINTER(C.c_uint16) * len(cdf_arrs))(*[_u16p(a) for a in cdf_arrs])
@@ -293,11 +294,12 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None):
         tuple(np.ascontiguousarray(m, dtype=np.float64)
               for m in fwd_matrices(n, n, tt))
         for n, tt in ((8, "dct_dct"), (16, "dct_dct"), (32, "dct_dct"),
-                      (64, "dct_dct"), (8, "adst_adst"), (16, "adst_adst"))
+                      (64, "dct_dct"), (8, "adst_adst"), (16, "adst_adst"),
+                      (4, "dct_dct"))
     ]
-    fh_ptrs = (C.POINTER(C.c_double) * 6)(
+    fh_ptrs = (C.POINTER(C.c_double) * 7)(
         *[m[0].ctypes.data_as(C.POINTER(C.c_double)) for m in fmats])
-    fw_ptrs = (C.POINTER(C.c_double) * 6)(
+    fw_ptrs = (C.POINTER(C.c_double) * 7)(
         *[m[1].ctypes.data_as(C.POINTER(C.c_double)) for m in fmats])
 
     plan_arr = None
@@ -311,7 +313,7 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None):
                 plan_arr[mi_r // 8, mi_c // 8] = int(v[0])
             plan_ptr = _i32p(plan_arr)
 
-    blocks_buf = np.zeros((mi_rows_ * mi_cols_, 4), dtype=np.int32)
+    blocks_buf = np.zeros((mi_rows_ * mi_cols_, 5), dtype=np.int32)
     n_blocks = np.zeros(1, dtype=np.int32)
     out = C.POINTER(C.c_uint8)()
     n = lib.tile_encode(
@@ -331,6 +333,18 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None):
     return payload, recon_arrs, blocks
 
 
+
+def _blocks_arr(blocks):
+    """Normalize block records to the 5-int (r, c, size, skip, y_tx)
+    layout the C post-filters read (legacy 4-tuples get y_tx = tx ==
+    block, i.e. min(size, 64))."""
+    if not blocks:
+        return np.zeros((0, 5), np.int32)
+    arr = np.array(blocks, dtype=np.int32).reshape(len(blocks), -1)
+    if arr.shape[1] == 4:
+        arr = np.column_stack([arr, np.minimum(arr[:, 2], 64)])
+    return np.ascontiguousarray(arr)
+
 def loop_filter_native(planes, blocks, levels, sharpness, bitdepth,
                        vis_h=0, vis_w=0) -> bool:
     """In-place native deblocking; False if the library is unavailable."""
@@ -343,9 +357,7 @@ def loop_filter_native(planes, blocks, levels, sharpness, bitdepth,
         a = np.ascontiguousarray(p, dtype=np.int32)
         arrs.append(a)
     ptrs = (C.POINTER(C.c_int32) * len(arrs))(*[_i32p(a) for a in arrs])
-    blk = np.ascontiguousarray(
-        np.array(blocks, dtype=np.int32).reshape(-1, 4)
-    ) if blocks else np.zeros((0, 4), np.int32)
+    blk = _blocks_arr(blocks)
     lv = np.array(levels, dtype=np.int32)
     lib.loop_filter_frame_c(ptrs, len(arrs), w, h, _i32p(blk), len(blk),
                             _i32p(lv), sharpness, bitdepth, vis_h, vis_w)
@@ -404,9 +416,7 @@ def cdef_frame_native(planes, blocks, strengths, damping, bitdepth) -> bool:
     h, w = planes[0].shape
     arrs = [np.ascontiguousarray(p, dtype=np.int32) for p in planes]
     ptrs = (C.POINTER(C.c_int32) * len(arrs))(*[_i32p(a) for a in arrs])
-    blk = np.ascontiguousarray(
-        np.array(blocks, dtype=np.int32).reshape(-1, 4)
-    ) if blocks else np.zeros((0, 4), np.int32)
+    blk = _blocks_arr(blocks)
     st = np.array(strengths, dtype=np.int32)
     lib.cdef_frame_c(ptrs, len(arrs), w, h, _i32p(blk), len(blk),
                      _i32p(st), damping, bitdepth)
@@ -428,9 +438,7 @@ def cdef_search_native(src_planes, recon_planes, blocks, cands, damping,
     rarrs = [np.ascontiguousarray(p, dtype=np.int32) for p in recon_planes]
     sptrs = (C.POINTER(C.c_int32) * len(sarrs))(*[_i32p(a) for a in sarrs])
     rptrs = (C.POINTER(C.c_int32) * len(rarrs))(*[_i32p(a) for a in rarrs])
-    blk = np.ascontiguousarray(
-        np.array(blocks, dtype=np.int32).reshape(-1, 4)
-    ) if blocks else np.zeros((0, 4), np.int32)
+    blk = _blocks_arr(blocks)
     cd = np.ascontiguousarray(np.array(cands, dtype=np.int32).reshape(-1, 4))
     return int(lib.cdef_search_c(
         sptrs, rptrs, len(rarrs), w, h, vis_w, vis_h,

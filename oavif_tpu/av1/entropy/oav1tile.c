@@ -15,6 +15,7 @@
  */
 
 #include <stdint.h>
+#include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
 #include <math.h>
@@ -55,7 +56,7 @@ enum {
     CDF_TXB_SKIP, CDF_EOB_PT16, CDF_EOB_PT64, CDF_EOB_PT256, CDF_EOB_PT1024,
     CDF_EOB_EXTRA, CDF_COEFF_BASE_EOB, CDF_COEFF_BASE, CDF_COEFF_BR,
     CDF_DC_SIGN, CDF_CFL_SIGN, CDF_CFL_ALPHA, CDF_INTRA_EXT_TX1,
-    CDF_INTRA_EXT_TX2, CDF_N
+    CDF_INTRA_EXT_TX2, CDF_TX_SIZE, CDF_N
 };
 
 enum { UV_CFL_PRED = 13 };
@@ -81,8 +82,9 @@ typedef struct {
     int32_t rc_br[4][2][21][4];
     int32_t rc_eob_extra[5][2][9][2];
     int32_t rc_eob_pt[4][2][11]; /* by log2(cw)-2: nsym 5,7,9,11 */
+    int32_t rc_txsz[4][3][3];    /* tx_size depth costs [cat][ctx][depth] */
     const int32_t *smw[5];  /* sm_weights by log2(n)-2: 4,8,16,32,64 */
-    const double *fh[6], *fw[6]; /* dct 8,16,32,64; adst 8,16 */
+    const double *fh[7], *fw[7]; /* dct 8,16,32,64; adst 8,16; dct 4 */
     const int32_t *dr_deriv; /* dr_intra_derivative[90] */
     const int32_t *plan;    /* per-32x32-block mode, -1 = search; or NULL */
     int plan_nbx, plan_nby;
@@ -91,6 +93,8 @@ typedef struct {
     /* context lines */
     uint8_t *above_part, *above_skip, *above_mode;
     uint8_t left_part[16], left_skip[16], left_mode[16];
+    int32_t *above_txw; /* chosen luma tx width px, per mi col */
+    int32_t left_txh[16];
     int32_t *above_lvl[3], *above_dc[3];
     int32_t left_lvl[3][16], left_dc[3][16];
 } Tile;
@@ -347,8 +351,8 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
 
 static void quantize_n(const Tile *t, const int32_t *resid, int n, int ptype,
                        int32_t *levels) {
-    quantize_mat(t, resid, n, ptype, t->fh[log2i(n) - 3],
-                 t->fw[log2i(n) - 3], levels);
+    int fi = n == 4 ? 6 : log2i(n) - 3;
+    quantize_mat(t, resid, n, ptype, t->fh[fi], t->fw[fi], levels);
 }
 
 /* C = A @ B, all n*n row-major. i,k,j accumulate form: the j loop is a
@@ -478,6 +482,13 @@ static void build_rdoq_costs(Tile *t) {
                 t->cdf[eob_cdf_idx[k]] + (size_t)pt * 2 * (nsym + 1);
             for (int s = 0; s < nsym; s++)
                 t->rc_eob_pt[k][pt][s] = icdf_sym_cost(row, s);
+        }
+    for (int cat = 0; cat < 4; cat++)
+        for (int ctx = 0; ctx < 3; ctx++) {
+            const uint16_t *row =
+                t->cdf[CDF_TX_SIZE] + ((size_t)cat * 3 + ctx) * 4;
+            for (int s = 0; s < 3; s++)
+                t->rc_txsz[cat][ctx][s] = icdf_sym_cost(row, s);
         }
 }
 
@@ -752,9 +763,37 @@ static void dequant_inv(const Tile *t, const int32_t *levels, int tx,
 
 /* ---- coefficient-coding context (mirrors frame.py) ---- */
 
+/* libaom skip_contexts[min][max] for luma txbs smaller than the block
+ * (mirrors frame.py _SKIP_CTX_TABLE) */
+static const int SKIP_CTX_TABLE[5][5] = {
+    {1, 2, 2, 2, 3},
+    {1, 4, 4, 4, 5},
+    {1, 4, 4, 4, 5},
+    {1, 4, 4, 4, 5},
+    {1, 4, 4, 4, 6},
+};
+
 static int txb_skip_ctx(const Tile *t, int plane, int px, int py, int tx,
                         int bsize) {
-    if (plane == 0) return 0; /* tx == block for Y under LARGEST */
+    if (plane == 0) {
+        if (tx == (bsize < 64 ? bsize : 64)) return 0;
+        /* luma txb smaller than its block: OR-combine the 4x4 level
+         * contexts over the txb extent (mirrors frame.py
+         * _txb_skip_ctx_sub) */
+        int mi_c0 = px / 4, mi_r0 = py / 4;
+        int nn = tx / 4;
+        int top = 0, left = 0;
+        for (int i = 0; i < nn; i++) {
+            top |= t->above_lvl[0][mi_c0 + i];
+            left |= t->left_lvl[0][(mi_r0 & 15) + i];
+        }
+        top &= 63;
+        left &= 63;
+        int mx = (top | left) < 4 ? (top | left) : 4;
+        int mn = top < left ? top : left;
+        if (mn > 4) mn = 4;
+        return SKIP_CTX_TABLE[mn][mx];
+    }
     int mi_c = px / 4, mi_r = py / 4;
     int n = tx / 4;
     int above_nz = 0, left_nz = 0;
@@ -1161,6 +1200,254 @@ static int64_t rate_proxy(const int32_t *lv, int n) {
     return s;
 }
 
+/* ---- luma tx-depth RD (mirrors frame.py _try_luma_depth family) ---- */
+
+static void txb_edge_counts(int size, int tx, int ti, int tj, int ntr_blk,
+                            int nbl_blk, int *ntr, int *nbl) {
+    int ntxb = size / tx;
+    int right_in_blk = (ntxb - 1 - tj) * tx;
+    int below_in_blk = (ntxb - 1 - ti) * tx;
+    int a = right_in_blk + (ti == 0 ? ntr_blk : 0);
+    int b = tj == 0 ? below_in_blk + nbl_blk : 0;
+    *ntr = a < tx ? a : tx;
+    *nbl = b < tx ? b : tx;
+}
+
+/* approximate coded bits (1/128 units) of one txb from the RDOQ cost
+ * tables (mirrors frame.py _rate_estimate_txb exactly) */
+static int64_t rate_estimate_txb(const Tile *t, const int32_t *levels,
+                                 int tx, int ptype) {
+    int cw = tx < 32 ? tx : 32;
+    int n_coded = cw * cw;
+    const int32_t *scan = t->scan[log2i(cw) - 2];
+    int txs = log2i(tx) - 2;
+    const int32_t(*cost_base)[4] = t->rc_base[txs][ptype];
+    const int32_t(*cost_base_eob)[3] = t->rc_base_eob[txs][ptype];
+    const int32_t(*cost_br)[4] = t->rc_br[txs < 3 ? txs : 3][ptype];
+    const int32_t(*cost_eob_extra)[2] = t->rc_eob_extra[txs][ptype];
+    const int32_t *cost_eob_pt = t->rc_eob_pt[log2i(cw) - 2][ptype];
+    int bwl = log2i(cw);
+
+    int64_t ofl[1024];
+    int eob = 0;
+    for (int si = 0; si < n_coded; si++) {
+        int pos = scan[si];
+        int rr = pos >> bwl, cc = pos & (cw - 1);
+        int32_t v = levels[(size_t)rr * tx + cc];
+        ofl[si] = v < 0 ? -(int64_t)v : v;
+        if (ofl[si]) eob = si + 1;
+    }
+    if (eob == 0) return 256; /* txb_skip=1, ~2 bits */
+
+    int W = cw + 2;
+    int pad[34 * 34];
+    memset(pad, 0, sizeof(int) * (size_t)W * W);
+    for (int si = 0; si < eob; si++) {
+        if (ofl[si]) {
+            int pos = scan[si];
+            pad[(pos >> bwl) * W + (pos & (cw - 1))] =
+                ofl[si] < 127 ? (int)ofl[si] : 127;
+        }
+    }
+
+    int pt;
+    if (eob == 1) pt = 1;
+    else if (eob == 2) pt = 2;
+    else pt = (32 - __builtin_clz((unsigned)(eob - 1))) + 1;
+    int64_t rr_ = 128 + cost_eob_pt[pt - 1];
+    if (pt >= 3) {
+        int nbits = pt - 2;
+        int rest = eob - (1 << (pt - 2)) - 1;
+        int msb = (rest >> (nbits - 1)) & 1;
+        rr_ += cost_eob_extra[pt - 3][msb] + 128 * (nbits - 1);
+    }
+
+    for (int si = eob - 1; si >= 0; si--) {
+        int64_t lvl = ofl[si];
+        int pos = scan[si];
+        int rr = pos >> bwl, cc = pos & (cw - 1);
+        if (si == eob - 1) {
+            int ectx;
+            if (si == 0) ectx = 0;
+            else if (si <= n_coded / 8) ectx = 1;
+            else if (si <= n_coded / 4) ectx = 2;
+            else ectx = 3;
+            rr_ += cost_base_eob[ectx][(lvl < 3 ? (int)lvl : 3) - 1];
+        } else {
+            int mag = imin(pad[rr * W + cc + 1], 3) +
+                      imin(pad[(rr + 1) * W + cc], 3) +
+                      imin(pad[(rr + 1) * W + cc + 1], 3) +
+                      imin(pad[rr * W + cc + 2], 3) +
+                      imin(pad[(rr + 2) * W + cc], 3);
+            mag = imin((mag + 1) >> 1, 4);
+            int bctx;
+            if (pos == 0) bctx = 0;
+            else if (rr + cc < 2) bctx = mag + 1;
+            else if (rr + cc < 4) bctx = mag + 6;
+            else bctx = mag + 21;
+            rr_ += cost_base[bctx][lvl < 3 ? (int)lvl : 3];
+        }
+        if (lvl) rr_ += 128; /* sign */
+        if (lvl > 3) {
+            int mag = imin(pad[rr * W + cc + 1], 15) +
+                      imin(pad[(rr + 1) * W + cc], 15) +
+                      imin(pad[(rr + 1) * W + cc + 1], 15);
+            mag = imin((mag + 1) >> 1, 6);
+            int brctx;
+            if (pos == 0) brctx = mag;
+            else if (rr < 2 && cc < 2) brctx = mag + 7;
+            else brctx = mag + 14;
+            int64_t rem = lvl - 3;
+            for (int i = 0; i < 4; i++) {
+                int k = rem < 3 ? (int)rem : 3;
+                rr_ += cost_br[brctx][k];
+                rem -= k;
+                if (k < 3) break;
+            }
+            if (lvl > 14) {
+                int bl = 64 - __builtin_clzll((unsigned long long)(lvl - 14));
+                rr_ += 128 * (2 * bl - 1);
+            }
+        }
+    }
+    return rr_;
+}
+
+/* predict + quantize one luma txb from the current recon; two-way ADST RD
+ * for tx 8/16 (mirrors frame.py _encode_luma_txb). Returns tx_type. */
+static int encode_luma_txb_c(Tile *t, int px_, int py_, int tx, int y_mode,
+                             int ntr, int nbl, int can_code, int32_t *lv,
+                             int32_t *pred) {
+    Edges e;
+    build_edges_buf_tr(t, t->recon[0], px_, py_, tx, tx, py_ > 0, px_ > 0,
+                       ntr, nbl, &e);
+    predict(t, &e, y_mode, tx, tx, py_ > 0, px_ > 0, pred);
+    int npx = tx * tx;
+    if (!can_code) {
+        memset(lv, 0, (size_t)npx * 4);
+        return 0;
+    }
+    int32_t resid[64 * 64];
+    for (int rr = 0; rr < tx; rr++)
+        for (int cc = 0; cc < tx; cc++)
+            resid[rr * tx + cc] =
+                t->src[0][(size_t)(py_ + rr) * t->pw + px_ + cc] -
+                pred[rr * tx + cc];
+    quantize_n(t, resid, tx, 0, lv);
+    int nnz = 0;
+    for (int i = 0; i < npx; i++)
+        if (lv[i]) nnz++;
+    int txtype = 0;
+    if ((tx == 8 || tx == 16) && nnz >= 6) {
+        int32_t lv_adst[64 * 64];
+        int ai = tx == 8 ? 4 : 5;
+        quantize_mat(t, resid, tx, 0, t->fh[ai], t->fw[ai], lv_adst);
+        int64_t lam = ((int64_t)t->dq_ac * t->dq_ac) / 512;
+        int64_t cost[2];
+        const int32_t *lvs[2] = {lv, lv_adst};
+        int32_t rd_rec[64 * 64];
+        for (int k = 0; k < 2; k++) {
+            dequant_inv_tt(t, lvs[k], tx, k, rd_rec);
+            int64_t d = 0, rrr = 0;
+            for (int i = 0; i < npx; i++) {
+                int64_t er = (int64_t)resid[i] - rd_rec[i];
+                d += er * er;
+                int64_t v = llabs((int64_t)lvs[k][i]);
+                if (v) rrr += 2 + 2 * (64 - __builtin_clzll((uint64_t)v));
+            }
+            cost[k] = d + lam * rrr;
+        }
+        if (cost[1] < cost[0]) {
+            txtype = 1;
+            memcpy(lv, lv_adst, (size_t)npx * 4);
+        }
+    }
+    return txtype;
+}
+
+/* trial-encode the block's luma at one tx depth into t->recon[0]
+ * (restored before return). Returns 0 for a rejected all-zero split. */
+static int try_luma_depth_c(Tile *t, int x, int y, int size, int depth,
+                            int y_mode, int ntr_blk, int nbl_blk,
+                            int can_code, int32_t *lv_out /* txb-major */,
+                            int32_t *pred_out, int *txtypes,
+                            int32_t *recon_out /* (size,size) */,
+                            int64_t *dist_out, int64_t *rate_out) {
+    int btx = size < 64 ? size : 64;
+    int tx = btx >> depth;
+    int n = size / tx;
+    int hi = (1 << t->bitdepth) - 1;
+    static _Thread_local int32_t saved[64 * 64];
+    int32_t *rec = t->recon[0];
+    for (int rr = 0; rr < size; rr++)
+        memcpy(saved + (size_t)rr * size, rec + (size_t)(y + rr) * t->pw + x,
+               (size_t)size * 4);
+    int64_t rate = 0;
+    int any_nz = 0;
+    int idx = 0;
+    for (int ti = 0; ti < n; ti++)
+        for (int tj = 0; tj < n; tj++, idx++) {
+            int px_ = x + tj * tx, py_ = y + ti * tx;
+            int ntr, nbl;
+            if (depth == 0) {
+                ntr = ntr_blk;
+                nbl = nbl_blk;
+            } else {
+                txb_edge_counts(size, tx, ti, tj, ntr_blk, nbl_blk, &ntr,
+                                &nbl);
+            }
+            int32_t *lv = lv_out + (size_t)idx * tx * tx;
+            int32_t *pred = pred_out + (size_t)idx * tx * tx;
+            txtypes[idx] =
+                encode_luma_txb_c(t, px_, py_, tx, y_mode, ntr, nbl,
+                                  can_code, lv, pred);
+            int lnz = 0;
+            for (int i = 0; i < tx * tx; i++)
+                if (lv[i]) { lnz = 1; break; }
+            int32_t residb[64 * 64];
+            if (lnz) {
+                any_nz = 1;
+                dequant_inv_tt(t, lv, tx, txtypes[idx], residb);
+            }
+            for (int rr = 0; rr < tx; rr++)
+                for (int cc = 0; cc < tx; cc++) {
+                    int32_t v = pred[rr * tx + cc] +
+                                (lnz ? residb[rr * tx + cc] : 0);
+                    rec[(size_t)(py_ + rr) * t->pw + px_ + cc] =
+                        v < 0 ? 0 : (v > hi ? hi : v);
+                }
+            rate += rate_estimate_txb(t, lv, tx, 0);
+            if (tx <= 16) rate += 256; /* tx_type symbol, ~2 bits */
+        }
+    if (depth > 0 && !any_nz) {
+        for (int rr = 0; rr < size; rr++)
+            memcpy(rec + (size_t)(y + rr) * t->pw + x,
+                   saved + (size_t)rr * size, (size_t)size * 4);
+        return 0;
+    }
+    int64_t dist = 0;
+    for (int rr = 0; rr < size; rr++)
+        for (int cc = 0; cc < size; cc++) {
+            int64_t d = t->src[0][(size_t)(y + rr) * t->pw + x + cc] -
+                        rec[(size_t)(y + rr) * t->pw + x + cc];
+            dist += d * d;
+            recon_out[(size_t)rr * size + cc] =
+                rec[(size_t)(y + rr) * t->pw + x + cc];
+        }
+    for (int rr = 0; rr < size; rr++)
+        memcpy(rec + (size_t)(y + rr) * t->pw + x, saved + (size_t)rr * size,
+               (size_t)size * 4);
+    *dist_out = dist;
+    *rate_out = rate;
+    return 1;
+}
+
+static int tx_ctx_c(const Tile *t, int r, int c, int btx) {
+    int above = r > 0 ? t->above_txw[c] : 0;
+    int left = c > 0 ? t->left_txh[r & 15] : 0;
+    return (above >= btx ? 1 : 0) + (left >= btx ? 1 : 0);
+}
+
 static void encode_block(Tile *t, int r, int c, int size) {
     int x = c * 4, y = r * 4;
     int n_mi = size / 4;
@@ -1170,10 +1457,11 @@ static void encode_block(Tile *t, int r, int c, int size) {
     int block_idx = -1;
     if (t->blocks_out) {
         block_idx = t->n_blocks++;
-        t->blocks_out[block_idx * 4] = r;
-        t->blocks_out[block_idx * 4 + 1] = c;
-        t->blocks_out[block_idx * 4 + 2] = size;
-        t->blocks_out[block_idx * 4 + 3] = 0; /* skip backfilled below */
+        t->blocks_out[block_idx * 5] = r;
+        t->blocks_out[block_idx * 5 + 1] = c;
+        t->blocks_out[block_idx * 5 + 2] = size;
+        t->blocks_out[block_idx * 5 + 3] = 0; /* skip backfilled below */
+        t->blocks_out[block_idx * 5 + 4] = size < 64 ? size : 64;
     }
 
     int have_above0 = r > 0, have_left0 = c > 0;
@@ -1201,76 +1489,52 @@ static void encode_block(Tile *t, int r, int c, int size) {
     int32_t *preds = (int32_t *)malloc((size_t)nplanes * npx * 4);
     int32_t *levels = (int32_t *)malloc((size_t)nplanes * npx * 4);
 
-    /* --- luma first: pred, levels, local recon (CfL reads it) --- */
-    predict(t, &ey, y_mode, tx, tx, have_above0, have_left0, preds);
-    int any_nonzero = plane_levels_c(t, 0, x, y, tx, can_code, preds, levels);
-    int y_txtype = 0; /* 0 = DCT_DCT, 1 = ADST_ADST */
-    int y_nnz = 0;
-    for (int i = 0; i < npx; i++)
-        if (levels[i]) y_nnz++;
-    int rd_rec_valid = 0; /* rd_rec holds dequant_inv_tt(levels, y_txtype) */
-    static _Thread_local int32_t rd_rec[2][64 * 64];
-    if (y_nnz >= 6 && can_code && (tx == 8 || tx == 16)) {
-        /* two-way transform RD (mirrors frame.py: integer pixel-domain D +
-         * integer rate proxy, lambda = dq_ac^2/512) */
-        int32_t resid[64 * 64], lv_adst[64 * 64];
-        const int32_t *srcp = t->src[0];
-        for (int rr = 0; rr < tx; rr++)
-            for (int cc = 0; cc < tx; cc++)
-                resid[rr * tx + cc] =
-                    srcp[(size_t)(y + rr) * t->pw + x + cc] -
-                    preds[rr * tx + cc];
-        int ai = tx == 8 ? 4 : 5;
-        quantize_mat(t, resid, tx, 0, t->fh[ai], t->fw[ai], lv_adst);
-        int64_t lam = ((int64_t)t->dq_ac * t->dq_ac) / 512;
-        int64_t cost[2];
-        const int32_t *lvs[2] = {levels, lv_adst};
-        for (int k = 0; k < 2; k++) {
-            dequant_inv_tt(t, lvs[k], tx, k, rd_rec[k]);
-            int64_t d = 0, r = 0;
-            for (int i = 0; i < npx; i++) {
-                int64_t e = (int64_t)resid[i] - rd_rec[k][i];
-                d += e * e;
-                int64_t v = llabs((int64_t)lvs[k][i]);
-                if (v) r += 2 + 2 * (64 - __builtin_clzll((uint64_t)v));
-            }
-            cost[k] = d + lam * r;
-        }
-        if (cost[1] < cost[0]) {
-            y_txtype = 1;
-            memcpy(levels, lv_adst, (size_t)npx * 4);
-            int nz = 0;
-            for (int i = 0; i < npx; i++)
-                if (levels[i]) { nz = 1; break; }
-            any_nonzero = nz;
-        }
-        rd_rec_valid = 1;
-    }
-    int32_t y_recon[64 * 64];
+    /* --- luma tx-depth RD: tx == block vs 4-way split (mirrors
+     * frame.py). Each candidate runs the real per-txb encode; judged by
+     * pixel SSE + λ·(CDF rate estimate + tx_depth symbol cost). --- */
+    int btx = size < 64 ? size : 64;
+    int y_depth = 0;
+    int y_txtypes[4] = {0, 0, 0, 0};
+    static _Thread_local int32_t y_recon[64 * 64];
     {
-        int lnz = 0;
-        for (int i = 0; i < npx; i++)
-            if (levels[i]) { lnz = 1; break; }
-        if (lnz) {
-            int32_t resid[64 * 64];
-            const int32_t *inv;
-            if (rd_rec_valid) {
-                inv = rd_rec[y_txtype]; /* RD trial already inverted it */
-            } else {
-                dequant_inv_tt(t, levels, tx, y_txtype, resid);
-                inv = resid;
-            }
-            for (int i = 0; i < npx; i++) {
-                int32_t v = preds[i] + inv[i];
-                y_recon[i] = v < 0 ? 0 : (v > hi ? hi : v);
-            }
-        } else {
-            for (int i = 0; i < npx; i++) {
-                int32_t v = preds[i];
-                y_recon[i] = v < 0 ? 0 : (v > hi ? hi : v);
+        static _Thread_local int32_t lv_a[64 * 64], pr_a[64 * 64];
+        static _Thread_local int32_t lv_b[64 * 64], pr_b[64 * 64];
+        static _Thread_local int32_t rec_b[64 * 64];
+        int tt_a[4] = {0, 0, 0, 0}, tt_b[4] = {0, 0, 0, 0};
+        int64_t d0 = 0, r0 = 0;
+        try_luma_depth_c(t, x, y, size, 0, y_mode, ntr0, nbl0, can_code,
+                         lv_a, pr_a, tt_a, y_recon, &d0, &r0);
+        int cat = log2i(size) - 3;
+        int tctx = size > 4 ? tx_ctx_c(t, r, c, btx) : 0;
+        double lam_pix =
+            (double)(((int64_t)t->dq_ac * t->dq_ac >> 6) * RDOQ_KNUM) /
+            (RDOQ_KDEN * 128.0);
+        if (can_code && btx >= 8 && t->speed <= 9) {
+            int64_t d1, r1;
+            if (try_luma_depth_c(t, x, y, size, 1, y_mode, ntr0, nbl0,
+                                 can_code, lv_b, pr_b, tt_b, rec_b, &d1,
+                                 &r1)) {
+                double rd0 = (double)(d0) +
+                             lam_pix * (double)(r0 + t->rc_txsz[cat][tctx][0]);
+                double rd1 = (double)(d1) +
+                             lam_pix * (double)(r1 + t->rc_txsz[cat][tctx][1]);
+                if (rd1 < rd0) {
+                    y_depth = 1;
+                    memcpy(lv_a, lv_b, (size_t)npx * 4);
+                    memcpy(pr_a, pr_b, (size_t)npx * 4);
+                    memcpy(y_recon, rec_b, (size_t)npx * 4);
+                    memcpy(y_txtypes, tt_b, sizeof(tt_b));
+                }
             }
         }
+        if (!y_depth) memcpy(y_txtypes, tt_a, sizeof(tt_a));
+        memcpy(levels, lv_a, (size_t)npx * 4);
+        memcpy(preds, pr_a, (size_t)npx * 4);
     }
+    int y_tx = btx >> y_depth;
+    int any_nonzero = 0;
+    for (int i = 0; i < npx; i++)
+        if (levels[i]) { any_nonzero = 1; break; }
 
     /* --- chroma: DC vs CfL (mirrors frame.py _plan_chroma) --- */
     int uv_mode = DC_PRED;
@@ -1436,7 +1700,12 @@ static void encode_block(Tile *t, int r, int c, int size) {
         }
     }
     int skip = !any_nonzero;
-    if (block_idx >= 0) t->blocks_out[block_idx * 4 + 3] = skip;
+    if (skip) { y_depth = 0; y_tx = btx; } /* all-zero splits are rejected
+                                              upstream, so skip ⇒ depth 0 */
+    if (block_idx >= 0) {
+        t->blocks_out[block_idx * 5 + 3] = skip;
+        t->blocks_out[block_idx * 5 + 4] = y_tx;
+    }
 
     /* symbols: skip, modes */
     int skip_ctx = t->above_skip[c] + t->left_skip[lr];
@@ -1484,8 +1753,41 @@ static void encode_block(Tile *t, int r, int c, int size) {
         }
     }
 
+    /* read_block_tx_size: intra blocks code tx_depth after mode info
+     * (allowSelect is true even for skip intra blocks) */
+    if (size > 4) {
+        int cat = log2i(size) - 3;
+        int tctx = tx_ctx_c(t, r, c, btx);
+        enc_symbol_adapt(t->enc,
+                         t->cdf[CDF_TX_SIZE] + ((size_t)cat * 3 + tctx) * 4,
+                         cat == 0 ? 2 : 3, y_depth);
+    }
+
     /* residual coding + recon */
     for (int plane = 0; plane < nplanes; plane++) {
+        if (plane == 0) {
+            /* luma: per-txb coeffs in raster order; recon = trial recon */
+            int ytx = y_tx;
+            int nt = size / ytx;
+            int idx = 0;
+            for (int ti = 0; ti < nt; ti++)
+                for (int tj = 0; tj < nt; tj++, idx++) {
+                    int px_ = x + tj * ytx, py_ = y + ti * ytx;
+                    if (skip) {
+                        set_lvl_ctx(t, 0, px_, py_, ytx, 0, 0);
+                    } else {
+                        encode_coeffs_txb(
+                            t, 0, ytx, px_, py_,
+                            levels + (size_t)idx * ytx * ytx, size,
+                            y_mode | (y_txtypes[idx] << 8));
+                    }
+                }
+            int32_t *rec = t->recon[0];
+            for (int rr = 0; rr < size; rr++)
+                memcpy(rec + (size_t)(y + rr) * t->pw + x,
+                       y_recon + (size_t)rr * size, (size_t)size * 4);
+            continue;
+        }
         if (size > 32 && plane > 0) {
             /* chroma of a 64 block: four 32x32 txbs (recon already
              * written during planning) */
@@ -1513,11 +1815,9 @@ static void encode_block(Tile *t, int r, int c, int size) {
                         v < 0 ? 0 : (v > hi ? hi : v);
                 }
         } else {
-            encode_coeffs_txb(t, plane, tx, x, y, lv, size,
-                              plane == 0 ? (y_mode | (y_txtype << 8))
-                                         : y_mode);
+            encode_coeffs_txb(t, plane, tx, x, y, lv, size, y_mode);
             int32_t resid[64 * 64];
-            dequant_inv_tt(t, lv, tx, plane == 0 ? y_txtype : 0, resid);
+            dequant_inv_tt(t, lv, tx, 0, resid);
             for (int rr = 0; rr < tx; rr++)
                 for (int cc = 0; cc < tx; cc++) {
                     int32_t v = pred[rr * tx + cc] + resid[rr * tx + cc];
@@ -1535,6 +1835,8 @@ static void encode_block(Tile *t, int r, int c, int size) {
         t->left_skip[lr + i] = skip;
         t->above_mode[c + i] = (uint8_t)y_mode;
         t->left_mode[lr + i] = (uint8_t)y_mode;
+        t->above_txw[c + i] = y_tx;
+        t->left_txh[lr + i] = y_tx;
     }
 }
 
@@ -1755,7 +2057,7 @@ size_t tile_encode(
     for (int i = 0; i < 4; i++) t.scan[i] = scans[i];
     build_rdoq_costs(&t); /* from the INITIAL CDFs, before any coding */
     for (int i = 0; i < 5; i++) t.smw[i] = sm_weights[i];
-    for (int i = 0; i < 6; i++) { t.fh[i] = fhs[i]; t.fw[i] = fws[i]; }
+    for (int i = 0; i < 7; i++) { t.fh[i] = fhs[i]; t.fw[i] = fws[i]; }
     t.dr_deriv = dr_deriv;
     t.plan = plan;
     t.plan_nbx = plan_nbx;
@@ -1779,6 +2081,7 @@ size_t tile_encode(
     t.above_skip = (uint8_t *)calloc(t.mi_cols, 1);
     t.above_mode = (uint8_t *)malloc(t.mi_cols);
     memset(t.above_mode, DC_PRED, t.mi_cols);
+    t.above_txw = (int32_t *)calloc(t.mi_cols, 4);
     for (int p = 0; p < nplanes; p++) {
         t.above_lvl[p] = (int32_t *)calloc(t.mi_cols, 4);
         t.above_dc[p] = (int32_t *)calloc(t.mi_cols, 4);
@@ -1789,6 +2092,7 @@ size_t tile_encode(
         memset(t.left_part, 0, 16);
         memset(t.left_skip, 0, 16);
         memset(t.left_mode, DC_PRED, 16);
+        memset(t.left_txh, 0, sizeof(t.left_txh));
         for (int p = 0; p < nplanes; p++) {
             memset(t.left_lvl[p], 0, sizeof(t.left_lvl[p]));
             memset(t.left_dc[p], 0, sizeof(t.left_dc[p]));
@@ -1815,6 +2119,7 @@ size_t tile_encode(
     free(t.above_part);
     free(t.above_skip);
     free(t.above_mode);
+    free(t.above_txw);
     if (n_blocks_out) *n_blocks_out = t.n_blocks;
     return n;
 }
@@ -1984,28 +2289,45 @@ void loop_filter_frame_c(int32_t *const *planes, int nplanes, int w, int h,
      * padding. */
     if (vis_h <= 0 || vis_h > h) vis_h = h;
     if (vis_w <= 0 || vis_w > w) vis_w = w;
+    /* per-4x4 TX size maps per plane (filter width = min of the tx sizes
+     * across the edge). Edges: block left/top boundaries plus internal
+     * transform edges (luma: the coded y_tx grid; chroma: the 32px cap
+     * inside 64 blocks). All-intra frames filter every tx edge
+     * regardless of skip (spec applyFilter's IsInter==0 terms; pinned
+     * against dav1d). Mirrors loopfilter.py. */
     int mi_rows = 2 * ((h + 7) >> 3), mi_cols = 2 * ((w + 7) >> 3);
     int32_t *size_map = (int32_t *)calloc((size_t)mi_rows * mi_cols, 4);
+    int32_t *size_map_uv = (int32_t *)calloc((size_t)mi_rows * mi_cols, 4);
     uint8_t *start_v = (uint8_t *)calloc((size_t)mi_rows * mi_cols, 1);
     uint8_t *start_h = (uint8_t *)calloc((size_t)mi_rows * mi_cols, 1);
-    /* chroma edge maps: chroma tx caps at 32, so a 64 block adds internal
-     * 32px transform edges on the chroma planes (not on luma: tx64) */
     uint8_t *start_v_uv = (uint8_t *)calloc((size_t)mi_rows * mi_cols, 1);
     uint8_t *start_h_uv = (uint8_t *)calloc((size_t)mi_rows * mi_cols, 1);
     for (int b = 0; b < n_blocks; b++) {
-        int r = blocks[b*4], c = blocks[b*4+1], n = blocks[b*4+2] / 4;
+        int r = blocks[b*5], c = blocks[b*5+1], n = blocks[b*5+2] / 4;
+        int size = blocks[b*5+2];
+        int y_tx = blocks[b*5+4];
+        int uv_tx = size < 32 ? size : 32;
         for (int i = 0; i < n; i++) {
-            for (int j = 0; j < n; j++)
-                size_map[(size_t)(r+i) * mi_cols + c + j] = blocks[b*4+2];
+            for (int j = 0; j < n; j++) {
+                size_map[(size_t)(r+i) * mi_cols + c + j] = y_tx;
+                size_map_uv[(size_t)(r+i) * mi_cols + c + j] = uv_tx;
+            }
             start_v[(size_t)(r+i) * mi_cols + c] = 1;
             start_h[(size_t)r * mi_cols + c + i] = 1;
             start_v_uv[(size_t)(r+i) * mi_cols + c] = 1;
             start_h_uv[(size_t)r * mi_cols + c + i] = 1;
-            if (blocks[b*4+2] == 64) {
+        }
+        int nt = y_tx / 4;
+        for (int k = nt; k < n; k += nt)
+            for (int i = 0; i < n; i++) {
+                start_v[(size_t)(r+i) * mi_cols + c + k] = 1;
+                start_h[(size_t)(r+k) * mi_cols + c + i] = 1;
+            }
+        if (size == 64)
+            for (int i = 0; i < n; i++) {
                 start_v_uv[(size_t)(r+i) * mi_cols + c + 8] = 1;
                 start_h_uv[(size_t)(r+8) * mi_cols + c + i] = 1;
             }
-        }
     }
 
     for (int pi = 0; pi < nplanes; pi++) {
@@ -2037,6 +2359,7 @@ void loop_filter_frame_c(int32_t *const *planes, int nplanes, int w, int h,
 
             const uint8_t *edge_v = pi == 0 ? start_v : start_v_uv;
             const uint8_t *edge_h = pi == 0 ? start_h : start_h_uv;
+            const int32_t *smap = pi == 0 ? size_map : size_map_uv;
             if (pass == 0) { /* vertical edges */
                 for (int c = 1; c < mi_cols; c++) {
                     int x = c * 4;
@@ -2044,8 +2367,8 @@ void loop_filter_frame_c(int32_t *const *planes, int nplanes, int w, int h,
                     for (int r = 0; r < mi_rows; r++) {
                         if (!edge_v[(size_t)r * mi_cols + c]) continue;
                         if (r * 4 >= vis_h) continue;
-                        int sz_r = size_map[(size_t)r * mi_cols + c];
-                        int sz_l = size_map[(size_t)r * mi_cols + c - 1];
+                        int sz_r = smap[(size_t)r * mi_cols + c];
+                        int sz_l = smap[(size_t)r * mi_cols + c - 1];
                         int wd = sz_r < sz_l ? sz_r : sz_l;
                         if (wd > max_w) wd = max_w;
                         if (pi != 0 && wd >= 8) wd = 6;
@@ -2073,8 +2396,8 @@ void loop_filter_frame_c(int32_t *const *planes, int nplanes, int w, int h,
                     for (int c = 0; c < mi_cols; c++) {
                         if (!edge_h[(size_t)r * mi_cols + c]) continue;
                         if (c * 4 >= vis_w) continue;
-                        int sz_b = size_map[(size_t)r * mi_cols + c];
-                        int sz_t = size_map[(size_t)(r - 1) * mi_cols + c];
+                        int sz_b = smap[(size_t)r * mi_cols + c];
+                        int sz_t = smap[(size_t)(r - 1) * mi_cols + c];
                         int wd = sz_b < sz_t ? sz_b : sz_t;
                         if (wd > max_w) wd = max_w;
                         if (pi != 0 && wd >= 8) wd = 6;
@@ -2099,6 +2422,7 @@ void loop_filter_frame_c(int32_t *const *planes, int nplanes, int w, int h,
         }
     }
     free(size_map);
+    free(size_map_uv);
     free(start_v);
     free(start_h);
     free(start_v_uv);
@@ -2318,8 +2642,8 @@ void cdef_frame_c(int32_t *const *planes, int nplanes, int w, int h,
     uint8_t *skip_map = (uint8_t *)malloc((size_t)mi_rows * mi_cols);
     memset(skip_map, 1, (size_t)mi_rows * mi_cols);
     for (int b = 0; b < n_blocks; b++) {
-        int r = blocks[b * 4], c = blocks[b * 4 + 1];
-        int n = blocks[b * 4 + 2] / 4, sk = blocks[b * 4 + 3];
+        int r = blocks[b * 5], c = blocks[b * 5 + 1];
+        int n = blocks[b * 5 + 2] / 4, sk = blocks[b * 5 + 3];
         for (int i = 0; i < n && r + i < mi_rows; i++)
             memset(skip_map + (size_t)(r + i) * mi_cols + c, sk,
                    (size_t)(c + n <= mi_cols ? n : mi_cols - c));
@@ -2399,8 +2723,8 @@ int cdef_search_c(int32_t *const *src_planes, int32_t *const *recon_planes,
     uint8_t *skip_map = (uint8_t *)malloc((size_t)mi_rows * mi_cols);
     memset(skip_map, 1, (size_t)mi_rows * mi_cols);
     for (int b = 0; b < n_blocks; b++) {
-        int r = blocks[b * 4], c = blocks[b * 4 + 1];
-        int n = blocks[b * 4 + 2] / 4, sk = blocks[b * 4 + 3];
+        int r = blocks[b * 5], c = blocks[b * 5 + 1];
+        int n = blocks[b * 5 + 2] / 4, sk = blocks[b * 5 + 3];
         for (int i = 0; i < n && r + i < mi_rows; i++)
             memset(skip_map + (size_t)(r + i) * mi_cols + c, sk,
                    (size_t)(c + n <= mi_cols ? n : mi_cols - c));

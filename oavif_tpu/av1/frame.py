@@ -163,6 +163,11 @@ class CdfBank:
         self.cfl_alpha = _adaptive(t["cfl_alpha"])  # (6, 17)
         self.intra_ext_tx1 = _adaptive(t["intra_ext_tx_set1"])  # (4, 13, 8)
         self.intra_ext_tx2 = _adaptive(t["intra_ext_tx_set2"])  # (4, 13, 6)
+        # tx_size depth cdfs: (4 cats, 3 ctxs, 4) — cat 0 rows code 2
+        # symbols (counter lives at index 2), cats 1-3 code 3 (counter at
+        # index 3); one uniform array so the native pack stride is fixed.
+        self.tx_size = np.zeros((4, 3, 4), dtype=np.uint16)
+        self.tx_size[..., :3] = t["tx_size"]
 
 
 @dataclass
@@ -220,6 +225,7 @@ class TileEncoder:
             n: _icdf_cost_rows(self.cdf.eob_pt[n], _EOB_PT_NSYM[n])
             for n in self.cdf.eob_pt
         }
+        self._cost_txsz = _icdf_cost_rows(self.cdf.tx_size, 3)
         self._cost_cache = {}
 
         # reconstruction buffers (padded to mi grid)
@@ -241,6 +247,8 @@ class TileEncoder:
         self.left_skip = np.zeros(16, dtype=np.uint8)
         self.above_mode = np.full(self.mi_cols, DC_PRED, dtype=np.uint8)
         self.left_mode = np.full(16, DC_PRED, dtype=np.uint8)
+        self.above_txw = np.zeros(self.mi_cols, dtype=np.int32)
+        self.left_txh = np.zeros(16, dtype=np.int32)
         self.pstate = [
             PlaneState(
                 above_lvl=np.zeros(self.mi_cols, dtype=np.int32),
@@ -311,6 +319,7 @@ class TileEncoder:
             self.left_part[:] = 0
             self.left_skip[:] = 0
             self.left_mode[:] = DC_PRED
+            self.left_txh[:] = 0
             for ps in self.pstate:
                 ps.left_lvl[:] = 0
                 ps.left_dc[:] = 0
@@ -592,54 +601,63 @@ class TileEncoder:
             src = self.src[plane][y : y + tx, x : x + tx]
             return self._quantize(src - pred, tx, ptype=0 if plane == 0 else 1)
 
-        y_pred = plane_pred(0, y_mode)
-        y_tx_type = "dct_dct"
+        # --- luma tx-depth RD: tx == block vs 4-way split (TX_MODE_SELECT).
+        # Each candidate runs the real per-txb encode (prediction from the
+        # in-progress recon, RDOQ, recon) and is judged by pixel SSE +
+        # λ·(CDF rate estimate). depth 1 is tried when the block is coded
+        # and the speed preset allows it.
         if y_levels_planned is not None:
+            # device plan supplies 32x32 levels at depth 0
+            y_pred = plane_pred(0, y_mode)
             y_levels = y_levels_planned.astype(np.int64)
+            y_depth = 0
+            y_jobs = [(y_levels, y_pred, "dct_dct", x, y)]
+            if np.any(y_levels):
+                y_recon = np.clip(
+                    y_pred + self._dequant_inv(y_levels, tx, "dct_dct"), lo, hi
+                )
+            else:
+                y_recon = np.clip(y_pred, lo, hi)
         else:
-            y_levels = plane_levels(0, y_pred)
-            if (can_code_coeffs and tx in (8, 16)
-                    and int((y_levels != 0).sum()) >= 6):
-                # two-way transform RD: ADST bases fit intra residuals that
-                # grow away from the prediction edge. Cost = coefficient-
-                # domain distortion + lambda * rate proxy (same transform
-                # normalization, so D is comparable across types).
-                resid = self.src[0][y : y + tx, x : x + tx] - y_pred
-                lv_adst = self._quantize(resid, tx, "adst_adst")
-                lam = (self.dq_ac * self.dq_ac) // 512
+            depth_cands = [0]
+            if can_code_coeffs and tx >= 8 and self.speed <= 9:
+                depth_cands.append(1)
+            best = None
+            for depth in depth_cands:
+                trial = self._try_luma_depth(
+                    x, y, size, depth, y_mode, ntr, nbl
+                )
+                if trial is None:
+                    # a split whose levels are ALL zero is rejected: a
+                    # zero-luma block may become skip, and skip blocks
+                    # must reconstruct with the depth-0 whole-block
+                    # prediction the decoder uses.
+                    continue
+                jobs_d, dist, rate, recon_blk = trial
+                rate += self._tx_depth_cost(r, c, size, depth)
+                lam_pix = float(
+                    ((self.dq_ac * self.dq_ac) >> 6) * RDOQ_KNUM
+                ) / (RDOQ_KDEN * 128.0)
+                rd = float(dist) + lam_pix * float(rate)
+                if best is None or rd < best[0]:
+                    best = (rd, depth, jobs_d, recon_blk)
+            _, y_depth, y_jobs, y_recon = best
+        y_tx = tx >> y_depth
 
-                def rdcost(lv, tt):
-                    # integer pixel-domain D + integer rate proxy: exactly
-                    # reproducible in the C runtime (no float summation)
-                    rec = self._dequant_inv(lv, tx, tt)
-                    d = int(((resid - rec) ** 2).sum())
-                    r = 0
-                    for v in np.abs(lv[lv != 0]):
-                        r += 2 + 2 * int(v).bit_length()
-                    return d + lam * r
-
-                if rdcost(lv_adst, "adst_adst") < rdcost(y_levels, "dct_dct"):
-                    y_levels = lv_adst
-                    y_tx_type = "adst_adst"
-        if np.any(y_levels):
-            y_recon = np.clip(
-                y_pred + self._dequant_inv(y_levels, tx, y_tx_type), lo, hi
-            )
-        else:
-            y_recon = np.clip(y_pred, lo, hi)
-
-        plane_jobs = [(0, tx, x, y, y_levels, y_pred)]
-        self._y_tx_type = y_tx_type
+        plane_jobs = [
+            (0, y_tx, px_, py_, lv, pr, tt) for lv, pr, tt, px_, py_ in y_jobs
+        ]
         uv_mode = DC_PRED
         cfl_alphas = (0, 0)
         if len(self.planes) > 1:
             uv_mode, cfl_alphas, uv_jobs = self._plan_chroma(
                 x, y, size, tx, y_recon, plane_pred, plane_levels
             )
-            plane_jobs += uv_jobs
+            plane_jobs += [j + ("dct_dct",) for j in uv_jobs]
 
-        skip = not any(np.any(lv) for _, _, _, _, lv, _ in plane_jobs)
-        self.blocks.append((r, c, size, 1 if skip else 0))
+        skip = not any(np.any(lv) for _, _, _, _, lv, _, _ in plane_jobs)
+        assert not (skip and y_depth), "skip block must be depth 0"
+        self.blocks.append((r, c, size, 1 if skip else 0, y_tx))
 
         # --- symbols: skip, modes ---
         skip_ctx = int(self.above_skip[c]) + int(self.left_skip[lr])
@@ -660,9 +678,13 @@ class TileEncoder:
             elif uv_mode in MODE_TO_ANGLE and size >= 8:
                 self._sym(self.cdf.angle_delta[uv_mode - 1], 3)  # delta 0
 
+        # read_block_tx_size: intra blocks code tx_depth after mode info
+        # (allowSelect is true even for skip intra blocks)
+        if size > 4:
+            self._emit_tx_depth(r, c, size, y_depth)
+
         # --- residual coding + recon ---
-        for plane, tx, px, py, levels, pred in plane_jobs:
-            tt = self._y_tx_type if plane == 0 else "dct_dct"
+        for plane, tx, px, py, levels, pred, tt in plane_jobs:
             if skip:
                 self._set_lvl_ctx(plane, px, py, tx, 0, 0)
                 recon_block = pred
@@ -680,6 +702,8 @@ class TileEncoder:
         self.left_skip[lr : lr + n_mi] = 1 if skip else 0
         self.above_mode[c : c + n_mi] = y_mode
         self.left_mode[lr : lr + n_mi] = y_mode
+        self.above_txw[c : c + n_mi] = y_tx
+        self.left_txh[lr : lr + n_mi] = y_tx
 
     # -- lossless (CodedLossless: WHT 4x4, recon == source) -----------------------
 
@@ -905,6 +929,234 @@ class TileEncoder:
         if sign_v:
             ctx_v = sign_v * 3 + sign_u - 3
             self._sym(self.cdf.cfl_alpha[ctx_v], abs(alpha_v) - 1)
+
+    # -- luma tx-depth RD ---------------------------------------------------------
+
+    _TX_CAT = {8: 0, 16: 1, 32: 2, 64: 3}
+
+    def _tx_ctx(self, r: int, c: int, btx: int) -> int:
+        """tx_depth cdf ctx: (aboveTxW >= maxTxW) + (leftTxH >= maxTxH);
+        unavailable neighbors contribute 0 (dav1d get_tx_ctx with the -1
+        reset)."""
+        above = int(self.above_txw[c]) if r > 0 else 0
+        left = int(self.left_txh[r & 15]) if c > 0 else 0
+        return (1 if above >= btx else 0) + (1 if left >= btx else 0)
+
+    def _tx_size_row(self, size: int, ctx: int):
+        cat = self._TX_CAT[size]
+        row = self.cdf.tx_size[cat, ctx]
+        return row[:3] if cat == 0 else row  # cat 0 codes 2 symbols
+
+    def _emit_tx_depth(self, r: int, c: int, size: int, depth: int) -> None:
+        self._sym(self._tx_size_row(size, self._tx_ctx(r, c, min(size, 64))),
+                  depth)
+
+    def _tx_depth_cost(self, r: int, c: int, size: int, depth: int) -> int:
+        cat = self._TX_CAT[size]
+        ctx = self._tx_ctx(r, c, min(size, 64))
+        return int(self._cost_txsz[cat][ctx][depth])
+
+    def _txb_edge_counts(
+        self, size: int, tx: int, ti: int, tj: int, ntr_blk: int, nbl_blk: int
+    ):
+        """(num_top_right, num_bottom_left) for the (ti, tj) txb of a
+        split block, from txb raster decode order: a top-row txb sees the
+        block-interior row above fully decoded to the block's right edge
+        (plus the block-level extension); an interior-row txb sees only
+        to the block's right edge; only left-column txbs see below-left
+        (the left neighbor block's column, plus the block extension)."""
+        ntxb = size // tx
+        right_in_blk = (ntxb - 1 - tj) * tx
+        below_in_blk = (ntxb - 1 - ti) * tx
+        ntr = right_in_blk + (ntr_blk if ti == 0 else 0)
+        nbl = (below_in_blk + nbl_blk) if tj == 0 else 0
+        return min(ntr, tx), min(nbl, tx)
+
+    def _encode_luma_txb(self, px_: int, py_: int, tx: int, y_mode: int,
+                         ntr: int, nbl: int, can_code: bool = True):
+        """Predict one luma txb from the current recon, quantize (RDOQ),
+        two-way ADST RD for tx 8/16. Returns (levels, pred, tx_type)."""
+        ha, hl = py_ > 0, px_ > 0
+        above, left = build_edges(
+            self.recon[0], px_, py_, tx, tx, ha, hl, self.bitdepth,
+            num_top_right=ntr, num_bottom_left=nbl,
+        )
+        pred = predict(y_mode, above, left, tx, tx, ha, hl,
+                       bitdepth=self.bitdepth)
+        if not can_code:
+            return np.zeros((tx, tx), dtype=np.int64), pred, "dct_dct"
+        resid = self.src[0][py_ : py_ + tx, px_ : px_ + tx] - pred
+        levels = self._quantize(resid, tx, ptype=0)
+        tx_type = "dct_dct"
+        if tx in (8, 16) and int((levels != 0).sum()) >= 6:
+            lv_adst = self._quantize(resid, tx, "adst_adst")
+            lam = (self.dq_ac * self.dq_ac) // 512
+
+            def rdcost(lv, tt):
+                rec = self._dequant_inv(lv, tx, tt)
+                d = int(((resid - rec) ** 2).sum())
+                rr = 0
+                for v in np.abs(lv[lv != 0]):
+                    rr += 2 + 2 * int(v).bit_length()
+                return d + lam * rr
+
+            if rdcost(lv_adst, "adst_adst") < rdcost(levels, "dct_dct"):
+                levels = lv_adst
+                tx_type = "adst_adst"
+        return levels, pred, tx_type
+
+    def _try_luma_depth(self, x: int, y: int, size: int, depth: int,
+                        y_mode: int, ntr_blk: int, nbl_blk: int):
+        """Trial-encode the block's luma at the given tx depth. Writes the
+        trial recon into self.recon[0] and restores it before returning
+        (the final coding pass rewrites it). Returns (jobs, dist, rate,
+        recon_block) or None for an all-zero split (see caller)."""
+        btx = min(size, 64)
+        tx = btx >> depth
+        n = size // tx
+        lo, hi = 0, (1 << self.bitdepth) - 1
+        region = self.recon[0][y : y + size, x : x + size]
+        saved = region.copy()
+        jobs = []
+        rate = 0
+        any_nz = False
+        for ti in range(n):
+            for tj in range(n):
+                px_, py_ = x + tj * tx, y + ti * tx
+                if depth == 0:
+                    ntr, nbl = ntr_blk, nbl_blk
+                else:
+                    ntr, nbl = self._txb_edge_counts(
+                        size, tx, ti, tj, ntr_blk, nbl_blk
+                    )
+                levels, pred, tt = self._encode_luma_txb(
+                    px_, py_, tx, y_mode, ntr, nbl, can_code=size >= 8
+                )
+                if np.any(levels):
+                    any_nz = True
+                    rec = np.clip(
+                        pred + self._dequant_inv(levels, tx, tt), lo, hi
+                    )
+                else:
+                    rec = np.clip(pred, lo, hi)
+                self.recon[0][py_ : py_ + tx, px_ : px_ + tx] = rec
+                jobs.append((levels, pred, tt, px_, py_))
+                rate += self._rate_estimate_txb(levels, tx, 0)
+                if tx <= 16:
+                    rate += 256  # tx_type symbol, ~2 bits
+        if depth > 0 and not any_nz:
+            self.recon[0][y : y + size, x : x + size] = saved
+            return None
+        src = self.src[0][y : y + size, x : x + size]
+        dist = int(
+            ((src - self.recon[0][y : y + size, x : x + size]).astype(np.int64)
+             ** 2).sum()
+        )
+        recon_blk = self.recon[0][y : y + size, x : x + size].copy()
+        self.recon[0][y : y + size, x : x + size] = saved
+        return jobs, dist, rate, recon_blk
+
+    def _rate_estimate_txb(self, levels: np.ndarray, tx: int, ptype: int) -> int:
+        """Approximate coded bits (1/128 units) of one txb from the RDOQ
+        cost tables: eob_pt + per-coefficient base/br/golomb/sign costs
+        with pad-neighbor contexts (no adaptation). Deterministic and
+        mirrored in C for the tx-depth decision."""
+        cw = min(tx, 32)
+        n_coded = cw * cw
+        scan = self._scan_cache[cw]
+        txs_ctx = _TXS_CTX[tx]
+        ct = self._cost_tables(txs_ctx, ptype)
+        cost_base = ct["base"]
+        cost_base_eob = ct["base_eob"]
+        cost_br = ct["br"]
+        cost_eob_extra = ct["eob_extra"]
+        cost_eob_pt = self._cost_eob_pt[n_coded][ptype][0].tolist()
+
+        flat = np.abs(levels[:cw, :cw]).reshape(-1)
+        order = flat[scan]
+        nz = np.nonzero(order)[0]
+        if len(nz) == 0:
+            return 256  # txb_skip=1, ~2 bits
+        eob = int(nz[-1]) + 1
+        bwl = cw.bit_length() - 1
+        pad = np.zeros((cw + 2, cw + 2), dtype=np.int64)
+        ofl = order.tolist()
+        for si in range(eob):
+            if ofl[si]:
+                pad[int(scan[si]) >> bwl, int(scan[si]) & (cw - 1)] = min(
+                    ofl[si], 127
+                )
+
+        if eob == 1:
+            pt = 1
+        elif eob == 2:
+            pt = 2
+        else:
+            pt = (eob - 1).bit_length() + 1
+        r = 128 + cost_eob_pt[pt - 1]  # txb_skip(0) ~1 bit + eob_pt
+        if pt >= 3:
+            nbits = pt - 2
+            rest = eob - (1 << (pt - 2)) - 1
+            msb = (rest >> (nbits - 1)) & 1
+            r += cost_eob_extra[pt - 3][msb] + 128 * (nbits - 1)
+
+        for si in range(eob - 1, -1, -1):
+            lvl = ofl[si]
+            pos = int(scan[si])
+            rr, cc = pos >> bwl, pos & (cw - 1)
+            if si == eob - 1:
+                if si == 0:
+                    ectx = 0
+                elif si <= n_coded // 8:
+                    ectx = 1
+                elif si <= n_coded // 4:
+                    ectx = 2
+                else:
+                    ectx = 3
+                r += cost_base_eob[ectx][(lvl if lvl < 3 else 3) - 1]
+            else:
+                mag = (
+                    min(int(pad[rr, cc + 1]), 3)
+                    + min(int(pad[rr + 1, cc]), 3)
+                    + min(int(pad[rr + 1, cc + 1]), 3)
+                    + min(int(pad[rr, cc + 2]), 3)
+                    + min(int(pad[rr + 2, cc]), 3)
+                )
+                mag = min((mag + 1) >> 1, 4)
+                if pos == 0:
+                    bctx = 0
+                elif rr + cc < 2:
+                    bctx = mag + 1
+                elif rr + cc < 4:
+                    bctx = mag + 6
+                else:
+                    bctx = mag + 21
+                r += cost_base[bctx][lvl if lvl < 3 else 3]
+            if lvl:
+                r += 128  # sign
+            if lvl > 3:
+                mag = (
+                    min(int(pad[rr, cc + 1]), 15)
+                    + min(int(pad[rr + 1, cc]), 15)
+                    + min(int(pad[rr + 1, cc + 1]), 15)
+                )
+                mag = min((mag + 1) >> 1, 6)
+                if pos == 0:
+                    brctx = mag
+                elif rr < 2 and cc < 2:
+                    brctx = mag + 7
+                else:
+                    brctx = mag + 14
+                rem = lvl - 3
+                for _ in range(4):
+                    k = rem if rem < 3 else 3
+                    r += cost_br[brctx][k]
+                    rem -= k
+                    if k < 3:
+                        break
+                if lvl > 14:
+                    r += 128 * (2 * (lvl - 14).bit_length() - 1)
+        return r
 
     # -- quant / dequant --------------------------------------------------------
 
@@ -1145,8 +1397,9 @@ class TileEncoder:
 
     def _txb_skip_ctx(self, plane: int, px: int, py: int, tx: int, bsize: int) -> int:
         if plane == 0:
-            # tx_mode LARGEST + square blocks → tx == block for Y
-            return 0
+            if tx == min(bsize, 64):
+                return 0
+            return self._txb_skip_ctx_sub(plane, px, py, tx)
         ps = self.pstate[plane]
         mi_c, mi_r = px // 4, py // 4
         n = tx // 4

@@ -182,21 +182,36 @@ def loop_filter_frame(
     ):
         return planes
 
-    # per-4x4 block size map
+    # per-4x4 tx size maps per plane (filter width = min of the tx sizes
+    # across the edge). Edges: every block left/top boundary, plus
+    # internal TRANSFORM edges (luma: the coded y_tx grid when y_tx <
+    # block; chroma: the 32px cap inside 64 blocks). In an all-intra
+    # frame every tx edge is filtered regardless of skip (spec
+    # applyFilter: isTxEdge && (isBlockEdge || !skip || !IsInter…) — the
+    # IsInter==0 terms hold everywhere here; pinned against dav1d by
+    # test_skip64_flat_region_decodes_exact).
     mi_rows, mi_cols = 2 * ((h + 7) >> 3), 2 * ((w + 7) >> 3)
-    size_map = np.zeros((mi_rows, mi_cols), np.int32)
+    size_map = np.zeros((mi_rows, mi_cols), np.int32)  # luma tx dims
+    size_map_uv = np.zeros((mi_rows, mi_cols), np.int32)  # chroma tx dims
     start_v = np.zeros((mi_rows, mi_cols), bool)  # left edge of a block
     start_h = np.zeros((mi_rows, mi_cols), bool)  # top edge of a block
-    # chroma tx caps at 32: 64 blocks add internal 32px chroma tx edges
     start_v_uv = np.zeros((mi_rows, mi_cols), bool)
     start_h_uv = np.zeros((mi_rows, mi_cols), bool)
-    for r, c, size in ((b[0], b[1], b[2]) for b in blocks):
+    for b in blocks:
+        r, c, size = b[0], b[1], b[2]
+        y_tx = b[4] if len(b) > 4 else min(size, 64)
         n = size // 4
-        size_map[r : r + n, c : c + n] = size
+        size_map[r : r + n, c : c + n] = y_tx
+        uv_tx = min(size, 32)
+        size_map_uv[r : r + n, c : c + n] = uv_tx
         start_v[r : r + n, c] = True
         start_h[r, c : c + n] = True
         start_v_uv[r : r + n, c] = True
         start_h_uv[r, c : c + n] = True
+        nt = y_tx // 4
+        for k in range(nt, n, nt):
+            start_v[r : r + n, c + k] = True
+            start_h[r + k, c : c + n] = True
         if size == 64:
             start_v_uv[r : r + n, c + 8] = True
             start_h_uv[r + 8, c : c + n] = True
@@ -208,6 +223,7 @@ def loop_filter_frame(
 
         sv = start_v if pi == 0 else start_v_uv
         sh = start_h if pi == 0 else start_h_uv
+        smap = size_map if pi == 0 else size_map_uv
         if level_v > 0:
             for c in range(1, mi_cols):
                 x = c * 4
@@ -220,8 +236,8 @@ def loop_filter_frame(
                 segs = []
                 widths = []
                 for r in rows:
-                    sz_r = int(size_map[r, c])
-                    sz_l = int(size_map[r, c - 1])
+                    sz_r = int(smap[r, c])
+                    sz_l = int(smap[r, c - 1])
                     wd = min(sz_r, sz_l, max_w)
                     if pi != 0 and wd >= 8:
                         wd = 6
@@ -254,8 +270,8 @@ def loop_filter_frame(
                 segs = []
                 widths = []
                 for c in cs:
-                    sz_b = int(size_map[r, c])
-                    sz_t = int(size_map[r - 1, c])
+                    sz_b = int(smap[r, c])
+                    sz_t = int(smap[r - 1, c])
                     wd = min(sz_b, sz_t, max_w)
                     if pi != 0 and wd >= 8:
                         wd = 6

@@ -11,8 +11,9 @@ load-bearing for the rest of the encoder:
     (oavif_tpu.av1.loopfilter, oavif_tpu.av1.cdef) so recon == decoder
     output still holds.
   - allow_screen_content_tools = 0 → no palette/intrabc symbols.
-  - tx_mode = LARGEST → no tx-size symbols (tx_type is signaled for
-    luma tx <= 16).
+  - tx_mode = TX_MODE_SELECT → per-block luma tx_depth symbols (the
+    encoder RD-chooses tx == block vs a 4-way tx split; tx_type is
+    signaled per luma txb <= 16).
   - disable_cdf_update = 0 (CDFs adapt within the tile as usual).
 """
 
@@ -226,7 +227,7 @@ def write_frame_header_bits(cfg: FrameConfig, num_planes: int = 3) -> BitWriter:
     # lr_params: seq disabled → nothing
     # read_tx_mode: CodedLossless → ONLY_4X4 implicit, no bit
     if not coded_lossless:
-        w.f(0, 1)  # tx_mode_select = 0 → TX_MODE_LARGEST
+        w.f(1, 1)  # tx_mode_select = 1 → TX_MODE_SELECT (per-block tx RD)
     # frame_reference_mode: intra → nothing
     # skip_mode_params: nothing
     # reduced_tx_set

@@ -51,6 +51,63 @@ def test_textured_image_recon_matches_decoder(test_rgb8):
     assert np.abs(dec.astype(int) - recon.astype(int)).max() <= 1
 
 
+def test_tx_split_streams_decode_exact():
+    """TX_MODE_SELECT: force content + q where the tx-depth RD picks
+    splits (verified via blocks[]), then check the independent decoder
+    agrees (tx_depth ctx, per-txb prediction edges, sub-txb skip ctx,
+    and the tx-aware loop filter are all load-bearing here). The RGB
+    window allows the usual ±1 conversion wobble; YUV is bit-exact."""
+    from oavif_tpu.av1.frame import TileEncoder
+    from oavif_tpu.av1.yuv import rgb_to_yuv444
+    from oavif_tpu.io.avif_ctypes import decode_to_yuv
+
+    d_rng = np.random.default_rng(77)
+    h, w = 120, 152
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    base = 128 + 80 * np.sin(xx / 7) * np.cos(yy / 5)
+    rgb = np.clip(
+        np.stack([base, base * 0.8 + 30, 255 - base], -1)
+        + d_rng.normal(0, 10, (h, w, 3)),
+        0,
+        255,
+    ).astype(np.uint8)
+    for q in (88, 94):
+        data, recon = _encode(rgb, q=q)
+        dec = _decode(data)
+        assert np.abs(dec.astype(int) - recon.astype(int)).max() <= 1
+    # confirm splits actually occur: quadrant-localized texture makes the
+    # 4-way tx split win (finer prediction + cheaper flat quadrants)
+    quad = np.full((64, 96, 3), 128, np.float64)
+    yy2, xx2 = np.mgrid[0:16, 0:16].astype(np.float64)
+    for bx in range(0, 96, 32):
+        quad[0:16, bx : bx + 16, :] += (
+            60 * np.sin(xx2 * 2.2) * np.cos(yy2 * 1.7)
+        )[..., None]
+    quad8 = np.clip(quad + d_rng.normal(0, 2, quad.shape), 0, 255).astype(
+        np.uint8
+    )
+    planes = [p.astype(np.int32) for p in rgb_to_yuv444(quad8, 8)]
+    found = False
+    for qidx in (60, 100, 140, 180):
+        te = TileEncoder(planes, qidx, 8, 9)
+        te.encode()
+        if any(b[4] < min(b[2], 64) for b in te.blocks):
+            found = True
+            break
+    assert found
+
+
+def test_skip64_flat_region_decodes_exact():
+    """A flat 64-SB becomes a skip 64 block; the decoder must agree
+    (regression for internal-chroma-tx-edge loop-filter handling). YUV
+    recon is bit-exact; RGB conversion wobbles ±1 at filtered rows."""
+    rgb = np.full((128, 128, 3), 120, np.uint8)
+    rgb[64:, :, 0] = 180  # second SB row differs so LF has work
+    data, recon = _encode(rgb, q=40)
+    dec = _decode(data)
+    assert np.abs(dec.astype(int) - recon.astype(int)).max() <= 1
+
+
 def test_quality_ordering(test_rgb8):
     sizes = {}
     maes = {}

@@ -299,6 +299,16 @@ def main():
         assert s is not None, f"{name} not found"
         out[name] = s
 
+    # ---- tx_size depth CDFs (av1_default_tx_size_cdf) ----
+    # [MAX_TX_CATS=4][TX_SIZE_CONTEXTS=3][CDF_SIZE(3)=4]; cat 0 rows are
+    # 2-symbol. Located by the cat-1 ICDF signature AOM_CDF3(12272, 30172).
+    txs_off = find_u16_seq(
+        d, [12800, 0, 0, 0, 12800, 0, 0, 0, 8448, 0, 0, 0, 20496, 2596]
+    )
+    txsz = d[txs_off : txs_off + 4 * 3 * 4].astype(np.uint16).reshape(4, 3, 4)
+    assert txsz[3, 2, 0] == 15965 and txsz[2, 0, 1] == 17588
+    out["tx_size"] = txsz[..., :3]  # drop the rodata pad column
+
     OUT.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(OUT, **out)
     total = sum(v.size for v in out.values())

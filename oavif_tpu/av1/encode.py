@@ -24,6 +24,24 @@ import numpy as np
 from ..backend import EncCtx
 from .consts import quality_to_qindex
 from .frame import encode_frame_planes
+
+
+def _chroma_delta_q(qindex: int) -> int:
+    """u_ac_delta_q policy: shift bits from chroma AC to luma, where the
+    perceptual metric concentrates (measured: libaom carries ~2x our
+    chroma MSE at iso-bytes while halving luma MSE — see PARITY.md).
+    Scales with base q; env override OAVIF_UV_DQ for calibration."""
+    import os
+
+    ov = os.environ.get("OAVIF_UV_DQ")
+    if ov is not None:
+        return int(ov)
+    if qindex == 0:
+        return 0
+    # calibrated on iso-score-80 bytes across photo/noise/gradient/
+    # colorful probes (photo −38%, noise −14% vs delta 0; chroma-rich
+    # content prefers smaller deltas, hence the cap)
+    return min(48, max(12, qindex + 16))
 from .cdef import cdef_frame
 from .loopfilter import loop_filter_frame
 from .mux import mux_avif
@@ -150,6 +168,7 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
     tcl, trl = clamp_tile_log2s(w, h, tcl, trl)
 
     planes = rgb_to_yuv444(rgb, bitdepth=out_depth)
+    uv_dq = _chroma_delta_q(qindex) if len(planes) > 1 else 0
     payloads, recon_planes, blocks = encode_frame_planes(
         planes,
         qindex,
@@ -158,6 +177,7 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
         tile_cols_log2=tcl,
         tile_rows_log2=trl,
         max_threads=o.max_threads,
+        u_ac_delta_q=uv_dq,
     )
     flv = _filter_level(qindex)
     filter_levels = (flv, flv, flv, flv)
@@ -187,6 +207,7 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
     frame = FrameConfig(
         width=w, height=h, base_q_idx=qindex,
         tile_cols_log2=tcl, tile_rows_log2=trl,
+        u_ac_delta_q=uv_dq,
         filter_levels=filter_levels,
         enable_cdef=cdef_on,
         cdef_damping=cdef_damping,

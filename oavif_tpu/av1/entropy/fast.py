@@ -66,7 +66,7 @@ def _build() -> Optional[C.CDLL]:
             C.POINTER(_p32),   # recon_out
             C.c_int, C.c_int, C.c_int, C.c_int, C.c_int,  # nplanes,w,h,bd,speed
             C.c_int,           # qindex
-            C.c_int, C.c_int,  # dq_dc, dq_ac
+            C.c_int, C.c_int, C.c_int,  # dq_dc, dq_ac, dq_ac_uv
             C.POINTER(_pu16),  # cdf_ptrs
             C.POINTER(_p32),   # scans
             C.POINTER(_p32),   # sm_weights
@@ -232,7 +232,8 @@ _CDF_ORDER = (
 )
 
 
-def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None):
+def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None,
+                       u_ac_delta_q=0):
     """Encode one tile entirely in C. Returns (payload bytes, [recon
     planes (h, w) int32]) or None when the native library is unavailable.
 
@@ -316,10 +317,12 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None):
     blocks_buf = np.zeros((mi_rows_ * mi_cols_, 5), dtype=np.int32)
     n_blocks = np.zeros(1, dtype=np.int32)
     out = C.POINTER(C.c_uint8)()
+    quv = min(max(qindex + u_ac_delta_q, 0), 255)
     n = lib.tile_encode(
         src_ptrs, recon_ptrs,
         nplanes, w, h, bitdepth, speed, qindex,
         int(dc_q(qindex, bitdepth)), int(ac_q(qindex, bitdepth)),
+        int(ac_q(quv, bitdepth)),
         cdf_ptrs, scan_ptrs, sm_ptrs,
         fh_ptrs, fw_ptrs,
         _i32p(dr),

@@ -71,6 +71,7 @@ typedef struct {
     int bitdepth, speed;
     int qindex;
     int dq_dc, dq_ac;
+    int dq_ac_uv; /* chroma AC dq (u_ac_delta_q applied) */
     int32_t *src[3];        /* padded (ph, pw) */
     int32_t *recon[3];      /* padded (ph, pw) */
     uint16_t *cdf[CDF_N];
@@ -95,6 +96,9 @@ typedef struct {
     uint8_t left_part[16], left_skip[16], left_mode[16];
     int32_t *above_txw; /* chosen luma tx width px, per mi col */
     int32_t left_txh[16];
+    /* variance-adaptive λ (mirrors frame.py _mean_var/_lam_scale) */
+    double mean_var;
+    double cur_lamscale;
     int32_t *above_lvl[3], *above_dc[3];
     int32_t left_lvl[3][16], left_dc[3][16];
 } Tile;
@@ -606,7 +610,8 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
      * matching NumPy's _quantize exactly (a precomputed reciprocal scale
      * adds a second rounding that can flip floor() at integer boundaries) */
     double up = (double)(1 << shift);
-    double dq_ac = (double)t->dq_ac, dq_dc = (double)t->dq_dc;
+    int dqa_i = ptype ? t->dq_ac_uv : t->dq_ac;
+    double dq_ac = (double)dqa_i, dq_dc = (double)t->dq_dc;
 
     int cw = n < 32 ? n : 32;
     int n_coded = cw * cw;
@@ -655,15 +660,15 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
                 ord[si] < 127 ? (int)ord[si] : 127;
     }
 
-    double lam = (double)((((int64_t)t->dq_ac * t->dq_ac) >> (2 * shift)) *
+    double lam = (double)((((int64_t)dqa_i * dqa_i) >> (2 * shift)) *
                           RDOQ_KNUM) /
-                 (RDOQ_KDEN * 128.0);
+                 (RDOQ_KDEN * 128.0) * t->cur_lamscale;
 
 #define ERR2(si, lvl)                                                        \
     ({                                                                       \
         double _a = a_nat[scan[si]];                                         \
         double _e = _a - (double)(((int64_t)(lvl) *                          \
-                                   (scan[si] == 0 ? t->dq_dc : t->dq_ac)) >> \
+                                   (scan[si] == 0 ? t->dq_dc : dqa_i)) >>   \
                                   shift);                                    \
         _e * _e;                                                             \
     })
@@ -741,11 +746,11 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
 
 /* dequant + normative inverse transform (frame.py _dequant_inv) */
 static void dequant_inv_tt(const Tile *t, const int32_t *levels, int tx,
-                           int txtype, int32_t *resid_out) {
+                           int txtype, int ptype, int32_t *resid_out) {
     int shift = DQ_SHIFT_BY_TX[tx];
     for (int i = 0; i < tx * tx; i++) {
         int64_t lv = levels[i];
-        int64_t q = i == 0 ? t->dq_dc : t->dq_ac;
+        int64_t q = i == 0 ? t->dq_dc : (ptype ? t->dq_ac_uv : t->dq_ac);
         int64_t mag = (llabs(lv) * q) & 0xFFFFFF;
         mag >>= shift;
         resid_out[i] = (int32_t)(lv < 0 ? -mag : mag);
@@ -758,7 +763,7 @@ static void dequant_inv_tt(const Tile *t, const int32_t *levels, int tx,
 
 static void dequant_inv(const Tile *t, const int32_t *levels, int tx,
                         int32_t *resid_out) {
-    dequant_inv_tt(t, levels, tx, 0, resid_out);
+    dequant_inv_tt(t, levels, tx, 0, 0, resid_out);
 }
 
 /* ---- coefficient-coding context (mirrors frame.py) ---- */
@@ -1347,7 +1352,7 @@ static int encode_luma_txb_c(Tile *t, int px_, int py_, int tx, int y_mode,
         const int32_t *lvs[2] = {lv, lv_adst};
         int32_t rd_rec[64 * 64];
         for (int k = 0; k < 2; k++) {
-            dequant_inv_tt(t, lvs[k], tx, k, rd_rec);
+            dequant_inv_tt(t, lvs[k], tx, k, 0, rd_rec);
             int64_t d = 0, rrr = 0;
             for (int i = 0; i < npx; i++) {
                 int64_t er = (int64_t)resid[i] - rd_rec[i];
@@ -1407,7 +1412,7 @@ static int try_luma_depth_c(Tile *t, int x, int y, int size, int depth,
             int32_t residb[64 * 64];
             if (lnz) {
                 any_nz = 1;
-                dequant_inv_tt(t, lv, tx, txtypes[idx], residb);
+                dequant_inv_tt(t, lv, tx, txtypes[idx], 0, residb);
             }
             for (int rr = 0; rr < tx; rr++)
                 for (int cc = 0; cc < tx; cc++) {
@@ -1464,6 +1469,26 @@ static void encode_block(Tile *t, int r, int c, int size) {
         t->blocks_out[block_idx * 5 + 4] = size < 64 ? size : 64;
     }
 
+    /* per-block λ scale from source-luma variance (mirrors frame.py) */
+    if (t->mean_var > 0.0) {
+        int64_t s1 = 0, s2 = 0;
+        const int32_t *srcp = t->src[0];
+        for (int rr = 0; rr < size; rr++)
+            for (int cc = 0; cc < size; cc++) {
+                int64_t v = srcp[(size_t)(y + rr) * t->pw + x + cc];
+                s1 += v;
+                s2 += v * v;
+            }
+        int64_t n_ = (int64_t)size * size;
+        double var_b = (double)(n_ * s2 - s1 * s1) / (double)(n_ * n_);
+        double sc = sqrt((var_b + 16.0) / (t->mean_var + 16.0));
+        if (sc < 0.25) sc = 0.25;
+        if (sc > 4.0) sc = 4.0;
+        t->cur_lamscale = sc;
+    } else {
+        t->cur_lamscale = 1.0;
+    }
+
     int have_above0 = r > 0, have_left0 = c > 0;
     int ntr0, nbl0;
     edge_counts(t, r, c, size, &ntr0, &nbl0);
@@ -1508,7 +1533,7 @@ static void encode_block(Tile *t, int r, int c, int size) {
         int tctx = size > 4 ? tx_ctx_c(t, r, c, btx) : 0;
         double lam_pix =
             (double)(((int64_t)t->dq_ac * t->dq_ac >> 6) * RDOQ_KNUM) /
-            (RDOQ_KDEN * 128.0);
+            (RDOQ_KDEN * 128.0) * t->cur_lamscale;
         if (can_code && btx >= 8 && t->speed <= 9) {
             int64_t d1, r1;
             if (try_luma_depth_c(t, x, y, size, 1, y_mode, ntr0, nbl0,
@@ -1565,7 +1590,7 @@ static void encode_block(Tile *t, int r, int c, int size) {
                         if (uv64_lv[p][ti][i]) { lnz = 1; break; }
                     int32_t residb[32 * 32];
                     if (lnz)
-                        dequant_inv_tt(t, uv64_lv[p][ti], 32, 0, residb);
+                        dequant_inv_tt(t, uv64_lv[p][ti], 32, 0, 1, residb);
                     int32_t *rec = t->recon[pi];
                     for (int rr = 0; rr < 32; rr++)
                         for (int cc = 0; cc < 32; cc++) {
@@ -1817,7 +1842,7 @@ static void encode_block(Tile *t, int r, int c, int size) {
         } else {
             encode_coeffs_txb(t, plane, tx, x, y, lv, size, y_mode);
             int32_t resid[64 * 64];
-            dequant_inv_tt(t, lv, tx, 0, resid);
+            dequant_inv_tt(t, lv, tx, 0, 1, resid);
             for (int rr = 0; rr < tx; rr++)
                 for (int cc = 0; cc < tx; cc++) {
                     int32_t v = pred[rr * tx + cc] + resid[rr * tx + cc];
@@ -2029,7 +2054,7 @@ size_t tile_encode(
     const int32_t *const *src_planes, /* per-plane (h, w) int32, row-major */
     int32_t *const *recon_out,        /* per-plane (h, w) int32 out */
     int nplanes, int w, int h, int bitdepth, int speed, int qindex,
-    int dq_dc, int dq_ac,
+    int dq_dc, int dq_ac, int dq_ac_uv,
     uint16_t *const *cdf_ptrs,        /* CDF_N pointers */
     const int32_t *const *scans,      /* 4: scan4,8,16,32 */
     const int32_t *const *sm_weights, /* 5: 4,8,16,32,64 */
@@ -2047,6 +2072,7 @@ size_t tile_encode(
     t.speed = speed;
     t.qindex = qindex;
     t.dq_dc = dq_dc; t.dq_ac = dq_ac;
+    t.dq_ac_uv = dq_ac_uv;
     t.mi_cols = 2 * ((w + 7) >> 3);
     t.mi_rows = 2 * ((h + 7) >> 3);
     t.sb_cols = (t.mi_cols + 15) >> 4;
@@ -2085,6 +2111,31 @@ size_t tile_encode(
     for (int p = 0; p < nplanes; p++) {
         t.above_lvl[p] = (int32_t *)calloc(t.mi_cols, 4);
         t.above_dc[p] = (int32_t *)calloc(t.mi_cols, 4);
+    }
+
+    /* mean 16x16 source-luma variance over the visible region (mirrors
+     * frame.py: exact integer total, one float division) */
+    t.mean_var = 0.0;
+    t.cur_lamscale = 1.0;
+    {
+        int vh = (h / 16) * 16, vw = (w / 16) * 16;
+        if (vh >= 16 && vw >= 16 && qindex != 0) {
+            int64_t total = 0;
+            int nb = 0;
+            for (int by = 0; by < vh; by += 16)
+                for (int bx = 0; bx < vw; bx += 16, nb++) {
+                    int64_t s1 = 0, s2 = 0;
+                    for (int rr = 0; rr < 16; rr++)
+                        for (int cc = 0; cc < 16; cc++) {
+                            int64_t v =
+                                t.src[0][(size_t)(by + rr) * t.pw + bx + cc];
+                            s1 += v;
+                            s2 += v * v;
+                        }
+                    total += 256 * s2 - s1 * s1;
+                }
+            t.mean_var = (double)total / (65536.0 * (double)nb);
+        }
     }
 
     t.enc = enc_new();

@@ -190,6 +190,7 @@ class TileEncoder:
         bitdepth: int = 8,
         speed: int = 9,
         plan: Optional[dict] = None,  # (mi_r, mi_c) → (y_mode, y_levels)
+        u_ac_delta_q: int = 0,
     ) -> None:
         self.planes = planes
         self.qindex = qindex
@@ -261,7 +262,32 @@ class TileEncoder:
 
         self.dq_dc = dc_q(qindex, bitdepth)
         self.dq_ac = ac_q(qindex, bitdepth)
-        self.blocks = []  # (mi_r, mi_c, size_px, skip) for the post-filters
+        # chroma AC delta-q (frame header u_ac_delta_q; DC delta stays 0):
+        # bits shift from chroma to luma, where the metric lives
+        self.u_ac_delta_q = u_ac_delta_q
+        quv = min(max(qindex + u_ac_delta_q, 0), 255)
+        self.dq_ac_uv = ac_q(quv, bitdepth) if u_ac_delta_q else self.dq_ac
+        self.blocks = []  # (mi_r, mi_c, size_px, skip, y_tx) for post-filters
+
+        # Variance-adaptive λ (SSIM-style rate allocation, the behavior
+        # behind the reference's default --tune iq/ssim): the SSIMULACRA2
+        # error is dominated by the WORST local regions (4-norm terms), so
+        # bits move from masked high-variance blocks toward flat ones.
+        # λ_block = λ · sqrt((var_b + C)/(mean_var + C)), clamp [1/4, 4].
+        # sqrt/div are IEEE-exact → identical in C and NumPy.
+        lsrc = self.src[0].astype(np.int64)
+        vh, vw = (h // 16) * 16, (w // 16) * 16
+        self._mean_var = 0.0
+        if vh >= 16 and vw >= 16 and not self.lossless:
+            blk = lsrc[:vh, :vw].reshape(vh // 16, 16, vw // 16, 16)
+            s1 = blk.sum(axis=(1, 3), dtype=np.int64)
+            s2 = (blk * blk).sum(axis=(1, 3), dtype=np.int64)
+            var_num = 256 * s2 - s1 * s1  # n·Σd² − (Σd)², n = 256
+            # exact integer total, then one float division → identical in C
+            self._mean_var = float(int(var_num.sum())) / (
+                65536.0 * float(var_num.size)
+            )
+        self._lam_scale = 1.0  # per-block, set in _encode_block
 
     # -- intra edge availability (square-only z-order, spec BlockDecoded) ----
 
@@ -601,6 +627,18 @@ class TileEncoder:
             src = self.src[plane][y : y + tx, x : x + tx]
             return self._quantize(src - pred, tx, ptype=0 if plane == 0 else 1)
 
+        # per-block λ scale from source-luma variance (masking model)
+        if self._mean_var > 0.0:
+            blk = self.src[0][y : y + size, x : x + size].astype(np.int64)
+            n_ = size * size
+            s1 = int(blk.sum())
+            s2 = int((blk * blk).sum())
+            var_b = float(n_ * s2 - s1 * s1) / float(n_ * n_)
+            sc = np.sqrt((var_b + 16.0) / (self._mean_var + 16.0))
+            self._lam_scale = float(min(max(sc, 0.25), 4.0))
+        else:
+            self._lam_scale = 1.0
+
         # --- luma tx-depth RD: tx == block vs 4-way split (TX_MODE_SELECT).
         # Each candidate runs the real per-txb encode (prediction from the
         # in-progress recon, RDOQ, recon) and is judged by pixel SSE +
@@ -637,7 +675,7 @@ class TileEncoder:
                 rate += self._tx_depth_cost(r, c, size, depth)
                 lam_pix = float(
                     ((self.dq_ac * self.dq_ac) >> 6) * RDOQ_KNUM
-                ) / (RDOQ_KDEN * 128.0)
+                ) / (RDOQ_KDEN * 128.0) * self._lam_scale
                 rd = float(dist) + lam_pix * float(rate)
                 if best is None or rd < best[0]:
                     best = (rd, depth, jobs_d, recon_blk)
@@ -690,7 +728,8 @@ class TileEncoder:
                 recon_block = pred
             else:
                 self._encode_coeffs(plane, tx, px, py, levels, size, y_mode, tt)
-                resid = self._dequant_inv(levels, tx, tt)
+                resid = self._dequant_inv(levels, tx, tt,
+                                          ptype=0 if plane == 0 else 1)
                 recon_block = pred + resid
             lo, hi = 0, (1 << self.bitdepth) - 1
             self.recon[plane][py : py + tx, px : px + tx] = np.clip(
@@ -843,7 +882,8 @@ class TileEncoder:
                         lv = self._quantize(src - pred, 32, ptype=1)
                         if np.any(lv):
                             rec = np.clip(
-                                pred + self._dequant_inv(lv, 32, "dct_dct"),
+                                pred + self._dequant_inv(lv, 32, "dct_dct",
+                                                         ptype=1),
                                 lo, hi)
                         else:
                             rec = np.clip(pred, lo, hi)
@@ -1202,10 +1242,11 @@ class TileEncoder:
         cost_eob_extra = ct["eob_extra"]
         cost_eob_pt = self._cost_eob_pt[n_coded][ptype][0].tolist()
 
-        dqd, dqa = self.dq_dc, self.dq_ac
+        dqd = self.dq_dc
+        dqa = self.dq_ac_uv if ptype else self.dq_ac
         lam = float(((dqa * dqa) >> (2 * shift)) * RDOQ_KNUM) / (
             RDOQ_KDEN * 128.0
-        )
+        ) * self._lam_scale
         bwl = cw.bit_length() - 1
 
         flat = coeffs[:cw, :cw].reshape(-1)
@@ -1384,9 +1425,9 @@ class TileEncoder:
         return out
 
     def _dequant_inv(self, levels: np.ndarray, tx: int,
-                     tx_type: str = "dct_dct") -> np.ndarray:
+                     tx_type: str = "dct_dct", ptype: int = 0) -> np.ndarray:
         shift = DQ_SHIFT[tx]
-        q = np.full_like(levels, self.dq_ac)
+        q = np.full_like(levels, self.dq_ac_uv if ptype else self.dq_ac)
         q[0, 0] = self.dq_dc
         mag = (np.abs(levels) * q) & 0xFFFFFF
         mag >>= shift
@@ -1626,7 +1667,7 @@ class TileEncoder:
 
 
 def _encode_one_tile(args):
-    tile_planes, qindex, bitdepth, speed, use_tpu_planner = args
+    tile_planes, qindex, bitdepth, speed, use_tpu_planner, u_ac_delta_q = args
     plan = None
     if use_tpu_planner:
         try:
@@ -1643,11 +1684,13 @@ def _encode_one_tile(args):
         # (entropy/oav1tile.c), releasing the GIL for tile-thread scaling.
         from .entropy.fast import tile_encode_native
 
-        res = tile_encode_native(tile_planes, qindex, bitdepth, speed, plan)
+        res = tile_encode_native(tile_planes, qindex, bitdepth, speed, plan,
+                                 u_ac_delta_q)
         if res is not None:
             return res
 
-    te = TileEncoder(tile_planes, qindex, bitdepth, speed, plan=plan)
+    te = TileEncoder(tile_planes, qindex, bitdepth, speed, plan=plan,
+                     u_ac_delta_q=u_ac_delta_q)
     payload = te.encode()
     return payload, [r.copy() for r in te.recon], te.blocks
 
@@ -1661,6 +1704,7 @@ def encode_frame_planes(
     tile_rows_log2: int = 0,
     max_threads: int = 1,
     use_tpu_planner: Optional[bool] = None,
+    u_ac_delta_q: int = 0,
 ):
     """Encode YUV444 planes → (list of tile payloads, recon planes).
 
@@ -1692,7 +1736,8 @@ def encode_frame_planes(
             tile_planes = [
                 np.ascontiguousarray(p[y0:y1, x0:x1]) for p in planes
             ]
-            jobs.append((tile_planes, qindex, bitdepth, speed, use_tpu_planner))
+            jobs.append((tile_planes, qindex, bitdepth, speed,
+                         use_tpu_planner, u_ac_delta_q))
             bounds.append((y0, y1, x0, x1))
 
     if max_threads > 1 and len(jobs) > 1:

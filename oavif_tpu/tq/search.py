@@ -334,8 +334,8 @@ def find_target_quality_batched(
 def predict_q_native(tgt: float) -> int:
     """Seed calibrated to THIS encoder's quality→score curve (measured on
     photo/gradient/noise probes against the v2.1-reconstructed metric with
-    the RDOQ quantizer: q ≈ 0.6·tgt + 34 across tgt 60–95, extrapolated
-    below), replacing the reference's libaom-calibrated exponential for
-    the native backend."""
-    q = 0.6 * tgt + 34.0
+    the RDOQ quantizer + chroma delta-q: q ≈ 0.72·tgt + 26.5 across tgt
+    60–95, extrapolated below), replacing the reference's
+    libaom-calibrated exponential for the native backend."""
+    q = 0.72 * tgt + 26.5
     return int(min(max(_round_half_away(q), 0.0), 100.0))

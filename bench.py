@@ -4,10 +4,18 @@ Prints ONE JSON line {"metric","value","unit","vs_baseline"}.
 
 ours      = oavif-tpu: from-scratch AV1 encoder (native entropy/transform
             runtime) + on-TPU SSIMULACRA2, TQ scored on the encoder's own
-            reconstruction (no decode round-trip).
+            reconstruction (no decode round-trip). Timed as full wall
+            (encode + metric + search control).
 baseline  = the reference's exact native stack (libaom via libavif encode +
-            decode round-trip) with the metric on CPU — the self-baseline
-            BASELINE.md prescribes (the reference publishes no numbers).
+            decode round-trip), the self-baseline BASELINE.md prescribes
+            (the reference publishes no numbers). Its metric (fssimu2)
+            is native and cheap in the reference, so the baseline timer
+            covers ONLY encode+decode — the metric runs outside the timed
+            region. That makes vs_baseline strictly conservative for us.
+
+Corpus: three 512x512 classes (sinusoid+noise "photo", 1/f fractal
+texture, hard-edge synthetic). No real photographs ship in this offline
+environment; the fractal class is the photographic stand-in (1/f spectrum).
 """
 
 from __future__ import annotations
@@ -21,7 +29,7 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 
 
-def _test_image(h, w, seed=7):
+def _img_sinusoid(h, w, seed=7):
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
     img = np.stack(
@@ -33,6 +41,33 @@ def _test_image(h, w, seed=7):
         -1,
     )
     img += rng.normal(0, 6, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _img_fractal(h, w, seed=11):
+    """1/f ("pink") random field per channel — the spectral shape of
+    natural photographs."""
+    rng = np.random.default_rng(seed)
+    fy = np.fft.fftfreq(h)[:, None]
+    fx = np.fft.fftfreq(w)[None, :]
+    rad = np.sqrt(fy * fy + fx * fx)
+    rad[0, 0] = 1.0
+    chans = []
+    for c in range(3):
+        spec = (rng.normal(size=(h, w)) + 1j * rng.normal(size=(h, w))) / rad
+        f = np.real(np.fft.ifft2(spec))
+        f = (f - f.min()) / (f.max() - f.min())
+        chans.append(40 + 175 * f)
+    return np.clip(np.stack(chans, -1), 0, 255).astype(np.uint8)
+
+
+def _img_edges(h, w, seed=13):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    g = np.where((xx // 37 + yy // 23) % 2 == 0, 205.0, 70.0)
+    g += np.where((xx + 2 * yy) % 97 < 8, 40.0, 0.0)
+    img = np.stack([g, 0.85 * g + 20, 255 - 0.7 * g], -1)
+    img += rng.normal(0, 3, img.shape)
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
@@ -51,99 +86,102 @@ def _make_ctx(img):
     )
 
 
-def _tq(probe, tgt=80.0, tol=2.0, max_pass=6):
-    from oavif_tpu.tq import find_target_quality
-
-    return find_target_quality(probe, tgt, tol, max_pass)
-
-
 def main():
     size = int(os.environ.get("BENCH_SIZE", "512"))
-    img = _test_image(size, size)
-    mp = img.shape[0] * img.shape[1] / 1e6
+    images = {
+        "sinusoid": _img_sinusoid(size, size),
+        "fractal": _img_fractal(size, size),
+        "edges": _img_edges(size, size),
+    }
+    mp_each = size * size / 1e6
 
     from oavif_tpu.backend.oracle import OracleBackend
     from oavif_tpu.backend.tpu import TpuBackend
     from oavif_tpu.metric import compute_ssimulacra2
-
-    _ = compute_ssimulacra2(img, img)  # compile outside timed region
-
-    # ---- ours (batched speculative search; BASELINE config 2) ----
+    from oavif_tpu.tq import find_target_quality
     from oavif_tpu.tq.driver import search_encode
 
     tpu = TpuBackend()
-
-    warm = _make_ctx(img)
-    warm.o.max_pass = 1
-    search_encode(warm, tpu)  # warm code paths + compile the batch scorer
-
-    ours_s = None
-    for _ in range(2):  # best-of-2: single-core host timing is noisy
-        ctx = _make_ctx(img)
-        t0 = time.time()
-        res, ours_data = search_encode(ctx, tpu)
-        dt = time.time() - t0
-        if ours_s is None or dt < ours_s:
-            ours_s = dt
-        res.num_pass = ctx.num_pass
-    ours_mps = mp / ours_s
-
-    # ---- baseline: reference stack (libavif/libaom encode + decode
-    # round-trip + CPU metric) ----
-    import jax
-
-    cpu = jax.devices("cpu")[0]
-
-    def metric_cpu(a, b):
-        import jax.numpy as jnp
-
-        from oavif_tpu.metric.ssimulacra2 import (
-            ssimulacra2_from_precomputed,
-            ssimulacra2_precompute_ref,
-        )
-
-        with jax.default_device(cpu):
-            pyr = ssimulacra2_precompute_ref(jnp.asarray(a))
-            return float(ssimulacra2_from_precomputed(pyr, jnp.asarray(b)))
-
     oracle = OracleBackend()
-    bctx = _make_ctx(img)
 
-    def probe_base(q):
-        bctx.q = q
-        data = oracle.encode(bctx)
-        dec = oracle.decode_to_rgb8(data)
-        return metric_cpu(img, dec)
+    # compile the metric for the bench shape outside every timed region
+    first = next(iter(images.values()))
+    _ = compute_ssimulacra2(first, first)
 
-    _ = metric_cpu(img, img)
-    base_s = None
-    for _ in range(2):
-        bctx.num_pass = 0
-        t0 = time.time()
-        res_b = _tq(probe_base)
-        dt = time.time() - t0
-        if base_s is None or dt < base_s:
-            base_s = dt
-    base_mps = mp / base_s
+    # ---- ours: full wall time (encode + metric + control) ----
+    warm = _make_ctx(first)
+    warm.o.max_pass = 1
+    search_encode(warm, tpu)
+
+    ours = {}
+    ours_total_s = 0.0
+    for name, img in images.items():
+        best = None
+        for _ in range(2):  # best-of-2: single-core host timing is noisy
+            ctx = _make_ctx(img)
+            t0 = time.time()
+            res, data = search_encode(ctx, tpu)
+            dt = time.time() - t0
+            if best is None or dt < best[0]:
+                best = (dt, res, data, ctx.num_pass)
+        dt, res, data, npass = best
+        ours_total_s += dt
+        ours[name] = {
+            "s": round(dt, 3),
+            "passes": npass,
+            "q": res.q,
+            "score": round(res.score, 2),
+            "bytes": len(data),
+        }
+    ours_mps = len(images) * mp_each / ours_total_s
+
+    # ---- baseline: encode+decode timed; metric OUTSIDE the timer ----
+    base = {}
+    base_total_s = 0.0
+    for name, img in images.items():
+        bctx = _make_ctx(img)
+        codec_s = [0.0]
+
+        def probe_base(q):
+            bctx.q = q
+            t0 = time.time()
+            data = oracle.encode(bctx)
+            dec = oracle.decode_to_rgb8(data)
+            codec_s[0] += time.time() - t0
+            return compute_ssimulacra2(img, dec)  # untimed (native in ref)
+
+        best = None
+        for _ in range(2):
+            bctx.num_pass = 0
+            codec_s[0] = 0.0
+            res_b = find_target_quality(probe_base, 80.0, 2.0, 6)
+            if best is None or codec_s[0] < best[0]:
+                best = (codec_s[0], res_b)
+        dt, res_b = best
+        base_total_s += dt
+        base[name] = {
+            "s": round(dt, 3),
+            "passes": res_b.num_pass,
+            "q": res_b.q,
+            "score": round(res_b.score, 2),
+        }
+    base_mps = len(images) * mp_each / base_total_s
 
     print(
         json.dumps(
             {
-                "metric": "MP/s at SSIMULACRA2 tgt 80 (tol 2), single image",
+                "metric": "MP/s at SSIMULACRA2 tgt 80 (tol 2), 3-image corpus",
                 "value": round(ours_mps, 4),
                 "unit": "MP/s",
                 "vs_baseline": round(ours_mps / base_mps, 3) if base_mps else None,
                 "detail": {
-                    "ours_s": round(ours_s, 3),
-                    "ours_passes": res.num_pass,
-                    "ours_q": res.q,
-                    "ours_score": round(res.score, 2),
-                    "ours_bytes": len(ours_data),
-                    "baseline_s": round(base_s, 3),
-                    "baseline_passes": res_b.num_pass,
-                    "baseline_q": res_b.q,
-                    "baseline_score": round(res_b.score, 2),
-                    "image": f"{size}x{size}",
+                    "ours_total_s": round(ours_total_s, 3),
+                    "ours_wall_includes_metric": True,
+                    "baseline_total_s": round(base_total_s, 3),
+                    "baseline_timer_covers": "encode+decode only (metric untimed)",
+                    "per_image_ours": ours,
+                    "per_image_baseline": base,
+                    "image": f"3x {size}x{size}",
                 },
             }
         )

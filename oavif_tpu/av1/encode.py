@@ -26,27 +26,32 @@ from .consts import quality_to_qindex
 from .frame import encode_frame_planes
 
 
-def _chroma_delta_q(qindex: int) -> int:
-    """u_ac_delta_q policy: shift bits from chroma AC to luma, where the
-    perceptual metric concentrates (measured: libaom carries ~2x our
-    chroma MSE at iso-bytes while halving luma MSE — see PARITY.md).
-    Scales with base q; env override OAVIF_UV_DQ for calibration."""
-    import os
-
-    ov = os.environ.get("OAVIF_UV_DQ")
-    if ov is not None:
-        return int(ov)
-    if qindex == 0:
-        return 0
-    # calibrated on iso-score-80 bytes across photo/noise/gradient/
-    # colorful probes (photo −38%, noise −14% vs delta 0; chroma-rich
-    # content prefers smaller deltas, hence the cap)
-    return min(48, max(12, qindex + 16))
 from .cdef import cdef_frame
 from .loopfilter import loop_filter_frame
 from .mux import mux_avif
 from .obu import FrameConfig, SequenceConfig, assemble_av1_stream, clamp_tile_log2s
 from .yuv import rgb_to_yuv444, yuv444_to_rgb
+
+
+def _chroma_delta_q(qindex: int, tune: str = "iq") -> int:
+    """u_ac_delta_q policy: shift bits from chroma AC to luma, where the
+    perceptual metric concentrates (measured: libaom carries ~2x our
+    chroma MSE at iso-bytes while halving luma MSE — see PARITY.md).
+    Scales with base q; env override OAVIF_UV_DQ for calibration.
+    tune=ssim keeps chroma at the base quantizer (SSIM is a luma
+    metric, but chroma fidelity is preserved for it)."""
+    import os
+
+    ov = os.environ.get("OAVIF_UV_DQ")
+    if ov is not None:
+        return int(ov)
+    if qindex == 0 or tune == "ssim":
+        return 0
+    # calibrated on iso-score-80 bytes across photo/noise/gradient/
+    # colorful probes (photo −38%, noise −14% vs delta 0; chroma-rich
+    # content prefers smaller deltas, hence the cap)
+    return min(48, max(12, qindex + 16))
+
 
 
 def _filter_level(qindex: int) -> int:
@@ -168,7 +173,9 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
     tcl, trl = clamp_tile_log2s(w, h, tcl, trl)
 
     planes = rgb_to_yuv444(rgb, bitdepth=out_depth)
-    uv_dq = _chroma_delta_q(qindex) if len(planes) > 1 else 0
+    uv_dq = (
+        _chroma_delta_q(qindex, o.tune.value) if len(planes) > 1 else 0
+    )
     payloads, recon_planes, blocks = encode_frame_planes(
         planes,
         qindex,

@@ -351,12 +351,12 @@ static const int DQ_SHIFT_BY_TX[65] = {
  * coeffs = fh @ resid @ fw^T in double, deadzone quant + tail trim. */
 static void quantize_mat(const Tile *t, const int32_t *resid, int n,
                          int ptype, const double *fhm, const double *fwm,
-                         int32_t *levels);
+                         int32_t *levels, double *e2_out);
 
 static void quantize_n(const Tile *t, const int32_t *resid, int n, int ptype,
                        int32_t *levels) {
     int fi = n == 4 ? 6 : log2i(n) - 3;
-    quantize_mat(t, resid, n, ptype, t->fh[fi], t->fw[fi], levels);
+    quantize_mat(t, resid, n, ptype, t->fh[fi], t->fw[fi], levels, NULL);
 }
 
 /* C = A @ B, all n*n row-major. i,k,j accumulate form: the j loop is a
@@ -591,7 +591,7 @@ static int rdoq_eobpt_cost(const Rdoq *q, int e) {
 
 static void quantize_mat(const Tile *t, const int32_t *resid, int n,
                          int ptype, const double *fhm, const double *fwm,
-                         int32_t *levels) {
+                         int32_t *levels, double *e2_out) {
     double tmp[64 * 64];
     double out[64 * 64];
     double fwt[64 * 64];
@@ -639,7 +639,17 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
         ord[si] = (int64_t)floor(a_nat[pos] * up / dq + 0.5);
         if (ord[si]) eob = si + 1;
     }
-    if (eob == 0) return;
+    if (eob == 0) {
+        if (e2_out) {
+            double e2 = 0.0;
+            for (int si = 0; si < n_coded; si++) {
+                double a = a_nat[scan[si]];
+                e2 += a * a;
+            }
+            *e2_out = e2;
+        }
+        return;
+    }
 
     Rdoq q;
     q.base = t->rc_base[txs][ptype];
@@ -741,6 +751,17 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
         int pos = scan[si];
         int rr = pos / cw, cc = pos % cw;
         levels[(size_t)rr * n + cc] = (int32_t)(ord[si] * sg_nat[pos]);
+    }
+    if (e2_out) {
+        double e2 = 0.0;
+        for (int si = 0; si < n_coded; si++) {
+            int pos = scan[si];
+            int64_t lvl = si < eob ? ord[si] : 0;
+            int64_t dq = pos == 0 ? t->dq_dc : dqa_i;
+            double e = a_nat[pos] - (double)((lvl * dq) >> shift);
+            e2 += e * e;
+        }
+        *e2_out = e2;
     }
 }
 
@@ -1322,7 +1343,7 @@ static int64_t rate_estimate_txb(const Tile *t, const int32_t *levels,
  * for tx 8/16 (mirrors frame.py _encode_luma_txb). Returns tx_type. */
 static int encode_luma_txb_c(Tile *t, int px_, int py_, int tx, int y_mode,
                              int ntr, int nbl, int can_code, int32_t *lv,
-                             int32_t *pred) {
+                             int32_t *pred, int64_t *rate_out) {
     Edges e;
     build_edges_buf_tr(t, t->recon[0], px_, py_, tx, tx, py_ > 0, px_ > 0,
                        ntr, nbl, &e);
@@ -1330,6 +1351,7 @@ static int encode_luma_txb_c(Tile *t, int px_, int py_, int tx, int y_mode,
     int npx = tx * tx;
     if (!can_code) {
         memset(lv, 0, (size_t)npx * 4);
+        *rate_out = 256;
         return 0;
     }
     int32_t resid[64 * 64];
@@ -1338,35 +1360,34 @@ static int encode_luma_txb_c(Tile *t, int px_, int py_, int tx, int y_mode,
             resid[rr * tx + cc] =
                 t->src[0][(size_t)(py_ + rr) * t->pw + px_ + cc] -
                 pred[rr * tx + cc];
-    quantize_n(t, resid, tx, 0, lv);
+    int fi = tx == 4 ? 6 : log2i(tx) - 3;
+    double e2;
+    quantize_mat(t, resid, tx, 0, t->fh[fi], t->fw[fi], lv, &e2);
+    int64_t rate = rate_estimate_txb(t, lv, tx, 0);
     int nnz = 0;
     for (int i = 0; i < npx; i++)
         if (lv[i]) nnz++;
     int txtype = 0;
     if ((tx == 8 || tx == 16) && nnz >= 6) {
+        /* two-way transform RD in the COEFFICIENT domain (same orthogonal
+         * gain both types): no inverse transforms for the loser */
         int32_t lv_adst[64 * 64];
         int ai = tx == 8 ? 4 : 5;
-        quantize_mat(t, resid, tx, 0, t->fh[ai], t->fw[ai], lv_adst);
-        int64_t lam = ((int64_t)t->dq_ac * t->dq_ac) / 512;
-        int64_t cost[2];
-        const int32_t *lvs[2] = {lv, lv_adst};
-        int32_t rd_rec[64 * 64];
-        for (int k = 0; k < 2; k++) {
-            dequant_inv_tt(t, lvs[k], tx, k, 0, rd_rec);
-            int64_t d = 0, rrr = 0;
-            for (int i = 0; i < npx; i++) {
-                int64_t er = (int64_t)resid[i] - rd_rec[i];
-                d += er * er;
-                int64_t v = llabs((int64_t)lvs[k][i]);
-                if (v) rrr += 2 + 2 * (64 - __builtin_clzll((uint64_t)v));
-            }
-            cost[k] = d + lam * rrr;
-        }
-        if (cost[1] < cost[0]) {
+        double e2_a;
+        quantize_mat(t, resid, tx, 0, t->fh[ai], t->fw[ai], lv_adst, &e2_a);
+        int64_t rate_a = rate_estimate_txb(t, lv_adst, tx, 0);
+        int shift = DQ_SHIFT_BY_TX[tx];
+        double lam =
+            (double)((((int64_t)t->dq_ac * t->dq_ac) >> (2 * shift)) *
+                     RDOQ_KNUM) /
+            (RDOQ_KDEN * 128.0) * t->cur_lamscale;
+        if (e2_a + lam * (double)rate_a < e2 + lam * (double)rate) {
             txtype = 1;
             memcpy(lv, lv_adst, (size_t)npx * 4);
+            rate = rate_a;
         }
     }
+    *rate_out = rate;
     return txtype;
 }
 
@@ -1403,9 +1424,10 @@ static int try_luma_depth_c(Tile *t, int x, int y, int size, int depth,
             }
             int32_t *lv = lv_out + (size_t)idx * tx * tx;
             int32_t *pred = pred_out + (size_t)idx * tx * tx;
+            int64_t r_txb;
             txtypes[idx] =
                 encode_luma_txb_c(t, px_, py_, tx, y_mode, ntr, nbl,
-                                  can_code, lv, pred);
+                                  can_code, lv, pred, &r_txb);
             int lnz = 0;
             for (int i = 0; i < tx * tx; i++)
                 if (lv[i]) { lnz = 1; break; }
@@ -1421,7 +1443,7 @@ static int try_luma_depth_c(Tile *t, int x, int y, int size, int depth,
                     rec[(size_t)(py_ + rr) * t->pw + px_ + cc] =
                         v < 0 ? 0 : (v > hi ? hi : v);
                 }
-            rate += rate_estimate_txb(t, lv, tx, 0);
+            rate += r_txb;
             if (tx <= 16) rate += 256; /* tx_type symbol, ~2 bits */
         }
     if (depth > 0 && !any_nz) {
@@ -1534,7 +1556,8 @@ static void encode_block(Tile *t, int r, int c, int size) {
         double lam_pix =
             (double)(((int64_t)t->dq_ac * t->dq_ac >> 6) * RDOQ_KNUM) /
             (RDOQ_KDEN * 128.0) * t->cur_lamscale;
-        if (can_code && btx >= 8 && t->speed <= 9) {
+        if (can_code && btx >= 8 && (t->speed <= 8 || btx <= 16) &&
+            d0 > ((int64_t)size * size * t->dq_ac * t->dq_ac) >> 9) {
             int64_t d1, r1;
             if (try_luma_depth_c(t, x, y, size, 1, y_mode, ntr0, nbl0,
                                  can_code, lv_b, pr_b, tt_b, rec_b, &d1,

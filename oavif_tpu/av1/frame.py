@@ -658,10 +658,22 @@ class TileEncoder:
                 y_recon = np.clip(y_pred, lo, hi)
         else:
             depth_cands = [0]
-            if can_code_coeffs and tx >= 8 and self.speed <= 9:
+            # speed 9 keeps the split trial only for <=16 blocks (cheap,
+            # where most splits land); lower speeds try every size
+            if can_code_coeffs and tx >= 8 and (
+                self.speed <= 8 or tx <= 16
+            ):
                 depth_cands.append(1)
             best = None
             for depth in depth_cands:
+                if depth == 1 and best is not None:
+                    # prune: when the whole-block tx is already near its
+                    # quantization floor, a split can only add signaling
+                    dist0 = best[4]
+                    if dist0 <= (
+                        size * size * self.dq_ac * self.dq_ac
+                    ) >> 9:
+                        continue
                 trial = self._try_luma_depth(
                     x, y, size, depth, y_mode, ntr, nbl
                 )
@@ -678,8 +690,8 @@ class TileEncoder:
                 ) / (RDOQ_KDEN * 128.0) * self._lam_scale
                 rd = float(dist) + lam_pix * float(rate)
                 if best is None or rd < best[0]:
-                    best = (rd, depth, jobs_d, recon_blk)
-            _, y_depth, y_jobs, y_recon = best
+                    best = (rd, depth, jobs_d, recon_blk, dist)
+            _, y_depth, y_jobs, y_recon, _ = best
         y_tx = tx >> y_depth
 
         plane_jobs = [
@@ -1024,26 +1036,26 @@ class TileEncoder:
         pred = predict(y_mode, above, left, tx, tx, ha, hl,
                        bitdepth=self.bitdepth)
         if not can_code:
-            return np.zeros((tx, tx), dtype=np.int64), pred, "dct_dct"
+            return np.zeros((tx, tx), dtype=np.int64), pred, "dct_dct", 256
         resid = self.src[0][py_ : py_ + tx, px_ : px_ + tx] - pred
-        levels = self._quantize(resid, tx, ptype=0)
+        levels, e2 = self._quantize_rd(resid, tx, ptype=0)
+        rate = self._rate_estimate_txb(levels, tx, 0)
         tx_type = "dct_dct"
         if tx in (8, 16) and int((levels != 0).sum()) >= 6:
-            lv_adst = self._quantize(resid, tx, "adst_adst")
-            lam = (self.dq_ac * self.dq_ac) // 512
-
-            def rdcost(lv, tt):
-                rec = self._dequant_inv(lv, tx, tt)
-                d = int(((resid - rec) ** 2).sum())
-                rr = 0
-                for v in np.abs(lv[lv != 0]):
-                    rr += 2 + 2 * int(v).bit_length()
-                return d + lam * rr
-
-            if rdcost(lv_adst, "adst_adst") < rdcost(levels, "dct_dct"):
+            # two-way transform RD in the COEFFICIENT domain (same
+            # orthogonal gain both types, so SSEs are comparable): no
+            # inverse transform needed for the loser
+            lv_adst, e2_a = self._quantize_rd(resid, tx, "adst_adst")
+            rate_a = self._rate_estimate_txb(lv_adst, tx, 0)
+            shift = DQ_SHIFT[tx]
+            lam = float(
+                ((self.dq_ac * self.dq_ac) >> (2 * shift)) * RDOQ_KNUM
+            ) / (RDOQ_KDEN * 128.0) * self._lam_scale
+            if e2_a + lam * float(rate_a) < e2 + lam * float(rate):
                 levels = lv_adst
                 tx_type = "adst_adst"
-        return levels, pred, tx_type
+                rate = rate_a
+        return levels, pred, tx_type, rate
 
     def _try_luma_depth(self, x: int, y: int, size: int, depth: int,
                         y_mode: int, ntr_blk: int, nbl_blk: int):
@@ -1069,7 +1081,7 @@ class TileEncoder:
                     ntr, nbl = self._txb_edge_counts(
                         size, tx, ti, tj, ntr_blk, nbl_blk
                     )
-                levels, pred, tt = self._encode_luma_txb(
+                levels, pred, tt, r_txb = self._encode_luma_txb(
                     px_, py_, tx, y_mode, ntr, nbl, can_code=size >= 8
                 )
                 if np.any(levels):
@@ -1081,7 +1093,7 @@ class TileEncoder:
                     rec = np.clip(pred, lo, hi)
                 self.recon[0][py_ : py_ + tx, px_ : px_ + tx] = rec
                 jobs.append((levels, pred, tt, px_, py_))
-                rate += self._rate_estimate_txb(levels, tx, 0)
+                rate += r_txb
                 if tx <= 16:
                     rate += 256  # tx_type symbol, ~2 bits
         if depth > 0 and not any_nz:
@@ -1211,8 +1223,16 @@ class TileEncoder:
         D + λR with λ ∝ dq². Replaces the round-1 shaped deadzone + tail
         trim (libaom's edge at iso-score traced to exactly this machinery,
         see PARITY.md)."""
+        return self._quantize_rd(resid, tx, tx_type, ptype)[0]
+
+    def _quantize_rd(self, resid: np.ndarray, tx: int,
+                     tx_type: str = "dct_dct", ptype: int = 0):
+        """RDOQ quantize returning (levels, coefficient-domain SSE). The
+        SSE accumulates in scan order (identical loop order in C) so
+        transform-type RD can compare candidates without inverse
+        transforms."""
         if not resid.any():
-            return np.zeros((tx, tx), dtype=np.int64)
+            return np.zeros((tx, tx), dtype=np.int64), 0.0
         coeffs = fwd_txfm2d(resid, tx_type)
         return self._rdoq(coeffs, tx, ptype)
 
@@ -1262,7 +1282,11 @@ class TileEncoder:
         nz = np.nonzero(order)[0]
         out = np.zeros((tx, tx), dtype=np.int64)
         if len(nz) == 0:
-            return out
+            e2 = 0.0
+            for si in range(n_coded):
+                a = float(a_nat[int(scan[si])])
+                e2 += a * a
+            return out, e2
         eob = int(nz[-1]) + 1
 
         a_scan = a_nat[scan]
@@ -1422,7 +1446,14 @@ class TileEncoder:
                 p = int(scan[si])
                 lv_nat[p] = ofl[si] * int(sg_nat[p])
         out[:cw, :cw] = lv_nat.reshape(cw, cw)
-        return out
+        e2 = 0.0
+        for si in range(n_coded):
+            pos = int(scan[si])
+            lvl = ofl[si] if si < eob else 0
+            dq = dqd if pos == 0 else dqa
+            e = float(a_nat[pos]) - float((lvl * dq) >> shift)
+            e2 += e * e
+        return out, e2
 
     def _dequant_inv(self, levels: np.ndarray, tx: int,
                      tx_type: str = "dct_dct", ptype: int = 0) -> np.ndarray:

@@ -408,6 +408,26 @@ def compute_ssimulacra2(ref_rgb8, dist_rgb8) -> float:
     return float(_score_pair(ref, dist))
 
 
+_score_with_pyr = jax.jit(ssimulacra2_from_precomputed)
+_precompute_jit = jax.jit(ssimulacra2_precompute_ref)
+
+
+def make_ref_scorer(ref_rgb8):
+    """Return a scorer closure with the reference pyramid resident on the
+    device: per-probe cost drops to the distorted-side statistics only
+    (the TQ loop scores many candidates against one reference)."""
+    ref = jnp.asarray(np.ascontiguousarray(ref_rgb8), dtype=jnp.uint8)
+    if ref.shape[0] < 8 or ref.shape[1] < 8:
+        raise ValueError("SSIMULACRA2 requires images at least 8x8")
+    pyr = _precompute_jit(ref)
+
+    def score(_ref_ignored, dist_rgb8) -> float:
+        d = jnp.asarray(np.ascontiguousarray(dist_rgb8), dtype=jnp.uint8)
+        return float(_score_with_pyr(pyr, d))
+
+    return score
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _score_batch(ref_rgb8: jnp.ndarray, dist_batch: jnp.ndarray) -> jnp.ndarray:
     pyr = ssimulacra2_precompute_ref(ref_rgb8)

@@ -19,8 +19,10 @@ class TuneMode(enum.Enum):
     """RD tuning mode (reference parse_args.zig:26-45).
 
     In the reference these are forwarded to libaom as a codec-specific
-    option; in the TPU encoder they select the RD distortion weighting used
-    by the mode/partition search (see oavif_tpu.av1.rd).
+    option; in this encoder they select the perceptual rate-allocation
+    model (oavif_tpu.av1.encode): SSIM enables the variance-adaptive
+    (masking) lambda only; IQ (default) and SSIMULACRA2 additionally apply
+    the chroma AC delta-q that concentrates rate on luma structure.
     """
 
     SSIM = "ssim"

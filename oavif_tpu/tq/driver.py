@@ -122,7 +122,10 @@ def search_encode(
         cache = probe_b.cache
     else:
         if metric is None:
-            from ..metric import compute_ssimulacra2 as metric
+            # reference pyramid stays device-resident across probes
+            from ..metric import make_ref_scorer
+
+            metric = make_ref_scorer(ctx.rgb)
         probe = make_probe(ctx, backend, metric)
         result = find_target_quality(
             probe, o.score_tgt, o.tolerance, o.max_pass,

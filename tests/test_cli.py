@@ -56,3 +56,28 @@ def test_target_quality_search(tmp_path, test_rgb8, capsys):
     assert m, err
     assert 1 <= int(m.group(3)) <= 4
     assert os.path.getsize(outp) > 0
+
+
+def test_tune_modes_change_rate_allocation(tmp_path, test_rgb8):
+    """--tune is live: ssim keeps chroma at the base quantizer while
+    iq/ssimulacra2 apply the chroma delta-q (different streams)."""
+    import numpy as np
+    from oavif_tpu.av1.encode import encode_avif_with_recon
+    from oavif_tpu.backend import EncCtx
+    from oavif_tpu.io.image import Image
+    from oavif_tpu.options import EncOptions, TuneMode
+
+    h, w = test_rgb8.shape[:2]
+    outs = {}
+    for tune in (TuneMode.SSIM, TuneMode.IQ, TuneMode.SSIMULACRA2):
+        img = Image(width=w, height=h, channels=3, hbd=False, data=test_rgb8)
+        ctx = EncCtx(
+            o=EncOptions(tenbit=False, tune=tune), src=img, rgb=test_rgb8,
+            w=w, h=h, q=70,
+        )
+        data, _ = encode_avif_with_recon(ctx)
+        outs[tune] = data
+    assert outs[TuneMode.IQ] == outs[TuneMode.SSIMULACRA2]
+    assert outs[TuneMode.SSIM] != outs[TuneMode.IQ]
+    # chroma spends more bytes under ssim (no delta) than iq
+    assert len(outs[TuneMode.SSIM]) > len(outs[TuneMode.IQ])

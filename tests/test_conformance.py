@@ -89,7 +89,9 @@ def test_tx_split_streams_decode_exact():
     planes = [p.astype(np.int32) for p in rgb_to_yuv444(quad8, 8)]
     found = False
     for qidx in (60, 100, 140, 180):
-        te = TileEncoder(planes, qidx, 8, 9)
+        # speed 8: the split trial runs for every block size (speed 9
+        # gates it to <=16 blocks for throughput)
+        te = TileEncoder(planes, qidx, 8, 8)
         te.encode()
         if any(b[4] < min(b[2], 64) for b in te.blocks):
             found = True

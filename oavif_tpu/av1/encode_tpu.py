@@ -1,102 +1,230 @@
-"""Batched TPU encode planning (JAX).
+"""Batched TPU encode planning (JAX) — the device side of the encoder.
 
 The per-tile symbol coding is entropy-inherent serial (native C runtime),
-but everything upstream of it is dense, batched math that belongs on the
-MXU/VPU:
+but every SEARCH upstream of it is dense, batched math that belongs on the
+MXU/VPU. One jitted call plans the whole frame:
 
-  - all-blocks × all-modes intra prediction from source edges
-  - SSD mode scoring + argmin selection
-  - forward DCT of the chosen residual as batched matmuls
-  - quantization to integer levels
+  - all-blocks × all-modes intra prediction from source edges at the 64,
+    32 and 16 grids (the standard source-edge approximation the host
+    heuristics already use)
+  - SSD mode scoring + argmin per block
+  - the partition decisions (64 NONE vs SPLIT incl. the chroma flat
+    gates, 32 NONE vs 4×16) with the same penalty formulas as the host
 
-One jitted call plans every 32×32 block of the frame; the host tile coder
-then emits symbols and reconstructs (recon prediction uses decoded
-neighbors, which is bit-exactness-preserving: the bitstream's levels are
-whatever the planner chose, and recon = pred_recon + inv(levels) on both
-sides). Mode decisions from source edges instead of recon edges are the
-standard encoder speed trade (enabled at speed >= 8).
+The host tile coder then executes the plan: per planned block it runs ONE
+prediction + quantize + symbol emission instead of its own searches.
+Reconstruction stays bit-exact (recon prediction uses decoded neighbors on
+both sides of the boundary; the plan only pins DECISIONS, which any
+conformant encoder is free to make).
 
-Multi-chip: the block batch shards over the device mesh (tiles are the
-AV1 parallel axis — SURVEY.md §2c); see __graft_entry__.dryrun_multichip.
+The source planes are device-resident across TQ probes (they don't change
+with the quantizer; only the dq-derived gates do), so a probe pays one
+small device step + a tiny plan download.
+
+Multi-chip: tiles are the AV1 parallel axis (SURVEY.md §2c). plan_tiles
+shard_maps this planner over a tile mesh axis — each chip plans its tile
+slice; see __graft_entry__.dryrun_multichip and tests/test_multidevice.py.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .tables import TABLES
-from .transform import fwd_matrices
 
-BLK = 32
-N_MODES = 7  # DC, V, H, SMOOTH, SMOOTH_V, SMOOTH_H, PAETH
-MODE_IDS = np.array([0, 1, 2, 9, 10, 11, 12])  # spec mode ids in that order
-
-
-def _sm_weights(n: int) -> np.ndarray:
-    return np.asarray(TABLES[f"sm_weights_{n}"], dtype=np.float32)
+# spec mode ids for the 7-mode speed-9 family, in search order
+# (DC, V, H, SMOOTH, PAETH, SMOOTH_V, SMOOTH_H — the first 5 are the
+# "base" set used by the partition heuristics)
+MODE_IDS = np.array([0, 1, 2, 9, 12, 10, 11], dtype=np.int32)
+N_MODES = 7
+N_BASE = 5
 
 
-def _predict_all_modes(above, left, corner):
-    """above: (n, BLK) float32; left: (n, BLK); corner: (n,).
+def _sm_weights(n: int) -> jnp.ndarray:
+    return jnp.asarray(TABLES[f"sm_weights_{n}"], dtype=jnp.float32)
 
-    Returns (n, N_MODES, BLK, BLK) predictions (float32, integer-valued
-    where it matters for decisions; exact integer recon happens host-side).
-    """
+
+def _predict_modes(above, left, corner, n_px: int, nmodes: int):
+    """above/left: (n, n_px) float32; corner: (n,).
+
+    Returns (n, nmodes, n_px, n_px) float32 predictions (integer-valued;
+    decisions only — exact integer recon happens host-side)."""
     n = above.shape[0]
-    a = above[:, None, :]  # (n, 1, w)
-    l = left[:, :, None]  # (n, h, 1)
+    a = above[:, None, :]
+    l = left[:, :, None]
     c = corner[:, None, None]
 
-    dc = (above.sum(-1) + left.sum(-1) + BLK) / (2 * BLK)
-    dc = jnp.broadcast_to(dc[:, None, None], (n, BLK, BLK))
-    v = jnp.broadcast_to(a, (n, BLK, BLK))
-    h = jnp.broadcast_to(l, (n, BLK, BLK))
+    dc = (above.sum(-1) + left.sum(-1) + n_px) // (2 * n_px)
+    dc = jnp.broadcast_to(dc[:, None, None], (n, n_px, n_px))
+    v = jnp.broadcast_to(a, (n, n_px, n_px))
+    h = jnp.broadcast_to(l, (n, n_px, n_px))
+
+    w = _sm_weights(n_px)
+    below = left[:, -1][:, None, None]
+    right = above[:, -1][:, None, None]
+    wr = w[None, :, None]
+    wc = w[None, None, :]
+    smooth = jnp.floor(
+        (wr * a + (256.0 - wr) * below + wc * l + (256.0 - wc) * right + 256.0)
+        / 512.0
+    )
 
     base = a + l - c
     pa = jnp.abs(base - a)
     pl = jnp.abs(base - l)
     pc = jnp.abs(base - c)
     paeth = jnp.where(
-        (pa <= pl) & (pa <= pc), jnp.broadcast_to(a, base.shape),
-        jnp.where(pl <= pc, jnp.broadcast_to(l, base.shape), jnp.broadcast_to(c, base.shape)),
+        (pa <= pl) & (pa <= pc),
+        jnp.broadcast_to(a, base.shape),
+        jnp.where(pl <= pc, jnp.broadcast_to(l, base.shape),
+                  jnp.broadcast_to(c, base.shape)),
+    )
+    preds = [dc, v, h, smooth, paeth]
+    if nmodes == 7:
+        smooth_v = jnp.floor((wr * a + (256.0 - wr) * below + 128.0) / 256.0)
+        smooth_h = jnp.floor((wc * l + (256.0 - wc) * right + 128.0) / 256.0)
+        preds += [smooth_v, smooth_h]
+    return jnp.stack(preds, axis=1)
+
+
+def _grid_edges(p, nby, nbx, n_px, base):
+    """Blocks + source edges at an n_px grid from the (+1,+1)-padded
+    plane, with the decoder's unavailability fills (spec 7.11.2)."""
+    H, W = nby * n_px, nbx * n_px
+    blocks = (
+        p[1 : 1 + H, 1 : 1 + W]
+        .reshape(nby, n_px, nbx, n_px)
+        .transpose(0, 2, 1, 3)
+        .reshape(nby * nbx, n_px, n_px)
+    )
+    above = p[0:H:n_px, 1 : 1 + W].reshape(nby, nbx, n_px)
+    left = (
+        p[1 : 1 + H, 0:W:n_px].reshape(nby, n_px, nbx).transpose(0, 2, 1)
+    )
+    corner = p[0:H:n_px, 0:W:n_px]
+
+    bi = jnp.arange(nby)[:, None, None]
+    bj = jnp.arange(nbx)[None, :, None]
+    # above row missing (i==0): left present (j>0) → left[0], else 127
+    above = jnp.where(
+        bi == 0,
+        jnp.where(bj > 0, left[..., :1], jnp.float32(base - 1)),
+        above,
+    )
+    # left col missing (j==0): above present (i>0) → above[0], else 129
+    left = jnp.where(
+        bj == 0,
+        jnp.where(bi > 0, above[..., :1], jnp.float32(base + 1)),
+        left,
+    )
+    ci = jnp.arange(nby)[:, None]
+    cj = jnp.arange(nbx)[None, :]
+    corner = jnp.where(
+        (ci == 0) & (cj == 0),
+        jnp.float32(base),
+        jnp.where(
+            ci == 0, left[..., 0], jnp.where(cj == 0, above[..., 0], corner)
+        ),
+    )
+    n = nby * nbx
+    return (
+        blocks,
+        above.reshape(n, n_px),
+        left.reshape(n, n_px),
+        corner.reshape(n),
     )
 
-    w = jnp.asarray(_sm_weights(BLK))
-    below = left[:, -1][:, None, None]
-    right = above[:, -1][:, None, None]
-    wr = w[None, :, None]  # row weights
-    wc = w[None, None, :]  # col weights
-    smooth = jnp.round(
-        (
-            wr * a + (256.0 - wr) * below + wc * l + (256.0 - wc) * right + 256.0
-        )
-        / 512.0
-    )
-    smooth_v = jnp.round((wr * a + (256.0 - wr) * below + 128.0) / 256.0)
-    smooth_h = jnp.round((wc * l + (256.0 - wc) * right + 128.0) / 256.0)
 
-    return jnp.stack([dc, v, h, smooth, smooth_v, smooth_h, paeth], axis=1)
+def _mode_ssd(p, nby, nbx, n_px, base, nmodes):
+    """(ssd (n, nmodes), best_idx (n,)) for every n_px block."""
+    blocks, above, left, corner = _grid_edges(p, nby, nbx, n_px, base)
+    preds = _predict_modes(above, left, corner, n_px, nmodes)
+    err = preds - blocks[:, None]
+    ssd = jnp.sum(err * err, axis=(2, 3))
+    if nmodes == 7:
+        # smooth_v/smooth_h carry the same rate status as the base set in
+        # the host search (no premium below index 7) — keep parity
+        pass
+    return ssd, blocks
+
+
+def _plan_device_body(y, u, v, dq_ac, qindex_f, nby: int, nbx: int,
+                      bitdepth: int):
+    """Device planning step. y/u/v: (sby*64+1, sbx*64+1) padded planes
+    (+1 border row/col). Returns (plan64 (sby,sbx), mode32 (nby,nbx),
+    part32_split (nby,nbx), mode16 (2nby, 2nbx))."""
+    base = jnp.float32(1 << (bitdepth - 1))
+    sby, sbx = nby // 2, nbx // 2
+
+    ssd64, _ = _mode_ssd(y, sby, sbx, 64, base, N_MODES)
+    ssd32, _ = _mode_ssd(y, nby, nbx, 32, base, N_MODES)
+    ssd16, _ = _mode_ssd(y, nby * 2, nbx * 2, 16, base, N_MODES)
+
+    best64_base = jnp.min(ssd64[:, :N_BASE], axis=1)
+    best32_base = jnp.min(ssd32[:, :N_BASE], axis=1)
+    best16_base = jnp.min(ssd16[:, :N_BASE], axis=1)
+
+    mode32 = jnp.argmin(ssd32, axis=1)
+    mode16 = jnp.argmin(ssd16, axis=1)
+    mode64 = jnp.argmin(ssd64, axis=1)
+
+    # --- partition 64: NONE only on flat SBs (mirrors the host
+    # _choose_partition64: parent-vs-kids + luma and chroma flat gates) ---
+    k32 = best32_base.reshape(nby // 2, 2, nbx // 2, 2).sum(axis=(1, 3))
+    k32 = k32.reshape(-1)
+    penalty64 = 4.0 * dq_ac * dq_ac
+    flat_gate = jnp.float32(64 * 64) * dq_ac * dq_ac / 64.0
+
+    def dc_ssd64(pl):
+        blocks, above, left, corner = _grid_edges(pl, sby, sbx, 64, base)
+        preds = _predict_modes(above, left, corner, 64, 1)  # DC only
+        err = preds[:, 0] - blocks
+        return jnp.sum(err * err, axis=(1, 2))
+
+    uv_flat = (dc_ssd64(u) <= flat_gate) & (dc_ssd64(v) <= flat_gate)
+    none64 = (
+        (best64_base <= k32 + penalty64)
+        & (best64_base <= flat_gate)
+        & uv_flat
+    )
+    plan64 = jnp.where(none64, mode64 + 1, 0).astype(jnp.int32)
+
+    # --- partition 32: NONE vs SPLIT (mirrors _choose_partition32 incl.
+    # the speed/q gate, applied host-side) ---
+    k16 = best16_base.reshape(nby, 2, nbx, 2).sum(axis=(1, 3)).reshape(-1)
+    penalty32 = dq_ac * dq_ac
+    split32 = (k16 + penalty32) < best32_base
+    gate_on = qindex_f <= 90.0
+    split32 = split32 & gate_on
+
+    # ONE packed int32 vector → one device→host fetch (a small-array
+    # readback costs ~28 ms through the remote-TPU tunnel; four would
+    # quadruple it). Layout matches the C runtime's plan buffer.
+    return jnp.concatenate(
+        [
+            plan64.reshape(-1),
+            mode32.astype(jnp.int32),
+            split32.astype(jnp.int32),
+            mode16.astype(jnp.int32),
+        ]
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("dq_shift",))
-def plan_blocks(
-    blocks: jnp.ndarray,  # (n, BLK, BLK) float32 source blocks
-    above: jnp.ndarray,  # (n, BLK)
-    left: jnp.ndarray,  # (n, BLK)
-    corner: jnp.ndarray,  # (n,)
-    fh: jnp.ndarray,  # (BLK, BLK) forward row matrix
-    fw: jnp.ndarray,
-    dq_dc: jnp.ndarray,  # scalar
-    dq_ac: jnp.ndarray,
-    dq_shift: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (best_mode_idx (n,), levels (n, BLK, BLK) int32)."""
-    preds = _predict_all_modes(above, left, corner)
+def plan_blocks(blocks, above, left, corner, fh, fw, dq_dc, dq_ac,
+                dq_shift: int):
+    """Reference XLA lowering for the fused Pallas planner kernel
+    (oavif_tpu.av1.pallas_kernels.plan_blocks_pallas): all-modes predict +
+    argmin + forward DCT + quantize for a batch of 32×32 blocks. Kept as
+    the kernel's correctness anchor (tests/test_pallas_kernels.py)."""
+    n_px = blocks.shape[1]
+    order = [0, 1, 2, 3, 5, 6, 4]  # legacy order: DC,V,H,SM,SM_V,SM_H,PAETH
+    preds = _predict_modes(above, left, corner, n_px, 7)[:, order]
     err = preds - blocks[:, None]
     ssd = jnp.sum(err * err, axis=(2, 3))
     best = jnp.argmin(ssd, axis=1)
@@ -105,100 +233,84 @@ def plan_blocks(
     coeffs = jnp.einsum(
         "ij,njk,lk->nil", fh, resid, fw, precision=jax.lax.Precision.HIGHEST
     )
-    qmat = jnp.full((BLK, BLK), dq_ac, dtype=jnp.float32)
+    qmat = jnp.full((n_px, n_px), dq_ac, dtype=jnp.float32)
     qmat = qmat.at[0, 0].set(dq_dc)
     scaled = coeffs * (1 << dq_shift) / qmat
     levels = jnp.sign(scaled) * jnp.floor(jnp.abs(scaled) + 0.35)
     return best, levels.astype(jnp.int32), pred
 
 
+_plan_device = jax.jit(
+    _plan_device_body, static_argnames=("nby", "nbx", "bitdepth")
+)
+
+
+def unpack_plan(packed: np.ndarray, nby: int, nbx: int) -> Dict[str, np.ndarray]:
+    """Packed device plan vector → the host plan dict (spec mode ids)."""
+    sby, sbx = nby // 2, nbx // 2
+    n64, n32 = sby * sbx, nby * nbx
+    packed = np.asarray(packed)
+    ids = MODE_IDS
+    p64 = packed[:n64].reshape(sby, sbx)
+    m32 = packed[n64 : n64 + n32].reshape(nby, nbx)
+    s32 = packed[n64 + n32 : n64 + 2 * n32].reshape(nby, nbx)
+    m16 = packed[n64 + 2 * n32 :].reshape(nby * 2, nbx * 2)
+    plan64 = np.where(p64 > 0, ids[np.maximum(p64 - 1, 0)] + 1, 0)
+    return {
+        "plan64": plan64.astype(np.int32),
+        "mode32": ids[m32].astype(np.int32),
+        "part32": s32.astype(np.int32),
+        "mode16": ids[m16].astype(np.int32),
+    }
+
+
+class FramePlanner:
+    """Caches the device-resident padded planes of one image and plans
+    per probe (the planes don't change with the quantizer)."""
+
+    def __init__(self, planes, bitdepth: int = 8):
+        y = np.asarray(planes[0])
+        h, w = y.shape
+        self.h, self.w = h, w
+        self.bitdepth = bitdepth
+        self.sby, self.sbx = h // 64, w // 64
+        self.nby, self.nbx = self.sby * 2, self.sbx * 2
+        if self.sby == 0 or self.sbx == 0:
+            self.dev = None
+            return
+        base = 1 << (bitdepth - 1)
+        H, W = self.sby * 64, self.sbx * 64
+        devp = []
+        for pi in range(3):
+            pl = np.asarray(planes[pi]) if len(planes) > 1 else y
+            p = np.empty((H + 1, W + 1), dtype=np.float32)
+            p[1:, 1:] = pl[:H, :W]
+            p[0, :] = base - 1
+            p[:, 0] = base + 1
+            p[0, 0] = base
+            devp.append(jnp.asarray(p))
+        self.dev = devp
+
+    def plan(self, qindex: int) -> Optional[dict]:
+        """Returns {"plan64","mode32","part32","mode16"} numpy arrays
+        (spec mode ids), or None when the frame has no full SBs."""
+        if self.dev is None:
+            return None
+        from .tables import ac_q
+
+        packed = np.asarray(
+            _plan_device(
+                self.dev[0], self.dev[1], self.dev[2],
+                jnp.float32(ac_q(qindex, self.bitdepth)),
+                jnp.float32(qindex),
+                self.nby, self.nbx, self.bitdepth,
+            )
+        )
+        return unpack_plan(packed, self.nby, self.nbx)
+
+
 def plan_frame(y_plane: np.ndarray, qindex: int, bitdepth: int = 8):
-    """Plan Y modes+levels for every full 32×32 block of the frame.
-
-    Returns dict {(mi_r, mi_c): (mode_id, levels int32 (32,32))}.
-    """
-    from .tables import ac_q, dc_q
-    from .frame import DQ_SHIFT
-
-    h, w = y_plane.shape
-    nby, nbx = h // BLK, w // BLK
-    if nby == 0 or nbx == 0:
-        return {}
-    # 1px border filled with the decoder's unavailability values so frame
-    # boundary blocks predict exactly like the decoder does (spec 7.11.2):
-    # missing above row → 127s (or left[0] if left exists), missing left
-    # col → 129s (or above[0]), missing corner → 128.
-    base = 1 << (bitdepth - 1)
-    p = np.empty((nby * BLK + 1, nbx * BLK + 1), dtype=np.float32)
-    p[1:, 1:] = y_plane[: nby * BLK, : nbx * BLK]
-    p[0, 1:] = base - 1
-    p[1:, 0] = base + 1
-    p[0, 0] = base
-    blocks, above, left, corner = [], [], [], []
-    for i in range(nby):
-        for j in range(nbx):
-            y0, x0 = 1 + i * BLK, 1 + j * BLK
-            a = p[y0 - 1, x0 : x0 + BLK].copy()
-            l = p[y0 : y0 + BLK, x0 - 1].copy()
-            if i == 0 and j > 0:
-                a[:] = l[0]  # above missing, left present → left[0]
-            if j == 0 and i > 0:
-                l[:] = a[0]  # left missing, above present → above[0]
-            if i == 0 and j == 0:
-                cnr = base
-            elif i == 0:
-                cnr = l[0]  # only left available → corner = left[0]
-            elif j == 0:
-                cnr = a[0]  # only above available → corner = above[0]
-            else:
-                cnr = p[y0 - 1, x0 - 1]
-            blocks.append(p[y0 : y0 + BLK, x0 : x0 + BLK])
-            above.append(a)
-            left.append(l)
-            corner.append(cnr)
-    fh, fw = fwd_matrices(BLK, BLK)
-    import os
-
-    if os.environ.get("OAVIF_PALLAS") == "1":
-        # Fused Pallas planner (predict+select+DCT+quant in VMEM). At the
-        # current 32-lane block geometry XLA's fused einsum is measured
-        # slightly faster, so the kernel is opt-in; kept as the template
-        # for lane-packed variants.
-        from .pallas_kernels import plan_blocks_pallas
-
-        best, levels = plan_blocks_pallas(
-            jnp.asarray(np.stack(blocks)),
-            jnp.asarray(np.stack(above)),
-            jnp.asarray(np.stack(left)),
-            jnp.asarray(np.asarray(corner)),
-            jnp.asarray(TABLES["sm_weights_32"], dtype=jnp.float32),
-            jnp.asarray(fh, dtype=jnp.float32),
-            jnp.asarray(fw, dtype=jnp.float32),
-            jnp.asarray(
-                [dc_q(qindex, bitdepth), ac_q(qindex, bitdepth),
-                 1 << DQ_SHIFT[BLK]],
-                dtype=jnp.float32,
-            ),
-            interpret=jax.default_backend() == "cpu",
-        )
-    else:
-        best, levels, _ = plan_blocks(
-            jnp.asarray(np.stack(blocks)),
-            jnp.asarray(np.stack(above)),
-            jnp.asarray(np.stack(left)),
-            jnp.asarray(np.asarray(corner)),
-            jnp.asarray(fh, dtype=jnp.float32),
-            jnp.asarray(fw, dtype=jnp.float32),
-            jnp.float32(dc_q(qindex, bitdepth)),
-            jnp.float32(ac_q(qindex, bitdepth)),
-            DQ_SHIFT[BLK],
-        )
-    best = np.asarray(best)
-    levels = np.asarray(levels)
-    out = {}
-    k = 0
-    for i in range(nby):
-        for j in range(nbx):
-            out[(i * 8, j * 8)] = (int(MODE_IDS[best[k]]), levels[k])
-            k += 1
-    return out
+    """Back-compat single-plane entry (Y only): plans with U=V=Y flat
+    gates disabled by passing Y for chroma. Prefer FramePlanner."""
+    fp = FramePlanner([y_plane, y_plane, y_plane], bitdepth)
+    return fp.plan(qindex)

@@ -307,12 +307,24 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None,
     plan_ptr = C.POINTER(C.c_int32)()
     nbx = nby = 0
     if plan:
-        nby, nbx = h // 32, w // 32
-        if nby and nbx:
-            plan_arr = np.full((nby, nbx), -1, dtype=np.int32)
-            for (mi_r, mi_c), v in plan.items():
-                plan_arr[mi_r // 8, mi_c // 8] = int(v[0])
+        # packed device-plan buffer (encode_tpu.FramePlanner.plan):
+        # [plan64 (sby*sbx)] [mode32 (nby*nbx)] [part32] [mode16 (4x)]
+        sby, sbx = plan["plan64"].shape
+        nby, nbx = plan["mode32"].shape
+        if nby == 2 * sby and nbx == 2 * sbx and nby and nbx:
+            plan_arr = np.ascontiguousarray(
+                np.concatenate(
+                    [
+                        plan["plan64"].reshape(-1),
+                        plan["mode32"].reshape(-1),
+                        plan["part32"].reshape(-1),
+                        plan["mode16"].reshape(-1),
+                    ]
+                ).astype(np.int32)
+            )
             plan_ptr = _i32p(plan_arr)
+        else:
+            nbx = nby = 0
 
     blocks_buf = np.zeros((mi_rows_ * mi_cols_, 5), dtype=np.int32)
     n_blocks = np.zeros(1, dtype=np.int32)

@@ -87,7 +87,12 @@ typedef struct {
     const int32_t *smw[5];  /* sm_weights by log2(n)-2: 4,8,16,32,64 */
     const double *fh[7], *fw[7]; /* dct 8,16,32,64; adst 8,16; dct 4 */
     const int32_t *dr_deriv; /* dr_intra_derivative[90] */
-    const int32_t *plan;    /* per-32x32-block mode, -1 = search; or NULL */
+    /* device plan (encode_tpu.FramePlanner): sections of one packed
+     * int32 buffer; NULL = host searches everything */
+    const int32_t *plan64;  /* (sby, sbx): 0 = SPLIT, mode+1 = NONE, -1 */
+    const int32_t *mode32;  /* (nby, nbx) spec mode ids, -1 = search */
+    const int32_t *part32;  /* (nby, nbx) 0/1 split flags */
+    const int32_t *mode16;  /* (2*nby, 2*nbx) spec mode ids, -1 */
     int plan_nbx, plan_nby;
     int32_t *blocks_out;  /* (r, c, size, skip) quads for the post-filters */
     int n_blocks;
@@ -1469,6 +1474,45 @@ static int try_luma_depth_c(Tile *t, int x, int y, int size, int depth,
     return 1;
 }
 
+/* device-plan lookups (mirror frame.py _planned_*) */
+static int planned_part64(const Tile *t, int r, int c) {
+    if (!t->plan64) return -1;
+    int i = r / 16, j = c / 16;
+    int sby = t->plan_nby / 2, sbx = t->plan_nbx / 2;
+    if (i >= sby || j >= sbx || t->plan64[(size_t)i * sbx + j] < 0) return -1;
+    return t->plan64[(size_t)i * sbx + j] > 0 ? PARTITION_NONE
+                                              : PARTITION_SPLIT;
+}
+
+static int planned_part32(const Tile *t, int r, int c) {
+    if (!t->part32) return -1;
+    int i = r / 8, j = c / 8;
+    if (i >= t->plan_nby || j >= t->plan_nbx) return -1;
+    return t->part32[(size_t)i * t->plan_nbx + j] ? PARTITION_SPLIT
+                                                  : PARTITION_NONE;
+}
+
+static int planned_mode(const Tile *t, int r, int c, int size) {
+    if (!t->plan64) return -1;
+    if (size == 64) {
+        int i = r / 16, j = c / 16;
+        int sby = t->plan_nby / 2, sbx = t->plan_nbx / 2;
+        if (i < sby && j < sbx && t->plan64[(size_t)i * sbx + j] > 0)
+            return t->plan64[(size_t)i * sbx + j] - 1;
+    } else if (size == 32) {
+        int i = r / 8, j = c / 8;
+        if (i < t->plan_nby && j < t->plan_nbx &&
+            t->mode32[(size_t)i * t->plan_nbx + j] >= 0)
+            return t->mode32[(size_t)i * t->plan_nbx + j];
+    } else if (size == 16) {
+        int i = r / 4, j = c / 4;
+        if (i < 2 * t->plan_nby && j < 2 * t->plan_nbx &&
+            t->mode16[(size_t)i * 2 * t->plan_nbx + j] >= 0)
+            return t->mode16[(size_t)i * 2 * t->plan_nbx + j];
+    }
+    return -1;
+}
+
 static int tx_ctx_c(const Tile *t, int r, int c, int btx) {
     int above = r > 0 ? t->above_txw[c] : 0;
     int left = c > 0 ? t->left_txh[r & 15] : 0;
@@ -1518,12 +1562,7 @@ static void encode_block(Tile *t, int r, int c, int size) {
     build_edges_buf_tr(t, t->recon[0], x, y, size, size, have_above0,
                        have_left0, ntr0, nbl0, &ey);
 
-    int y_mode = -1;
-    if (t->plan && size == 32 && (r & 7) == 0 && (c & 7) == 0 &&
-        r / 8 < t->plan_nby && c / 8 < t->plan_nbx) {
-        int32_t pm = t->plan[(size_t)(r / 8) * t->plan_nbx + (c / 8)];
-        if (pm >= 0) y_mode = pm;
-    }
+    int y_mode = planned_mode(t, r, c, size);
     int32_t pred_scratch[64 * 64];
     if (y_mode < 0)
         y_mode = choose_y_mode(t, r, c, size, &ey, have_above0, have_left0,
@@ -2018,8 +2057,10 @@ static void encode_partition(Tile *t, int r, int c, int size) {
         if (t->qindex == 0)
             part = PARTITION_SPLIT; /* lossless: descend to 4x4 blocks */
         else if (size == 64 && r + 16 <= t->mi_rows &&
-                 c + 16 <= t->mi_cols)
-            part = choose_partition64(t, r, c);
+                 c + 16 <= t->mi_cols) {
+            part = planned_part64(t, r, c);
+            if (part < 0) part = choose_partition64(t, r, c);
+        }
         else if (size > 32)
             part = PARTITION_SPLIT;
         else if (size == 32 &&
@@ -2028,8 +2069,10 @@ static void encode_partition(Tile *t, int r, int c, int size) {
              * (spec 5.11.4); we always split instead so recon stays inside
              * the mi-grid buffers (encoder choice, still conformant) */
             part = PARTITION_SPLIT;
-        else if (size == 32 && t->speed <= 9 && t->qindex <= 90)
-            part = choose_partition32(t, r, c);
+        else if (size == 32 && t->speed <= 9 && t->qindex <= 90) {
+            part = planned_part32(t, r, c);
+            if (part < 0) part = choose_partition32(t, r, c);
+        }
         else
             part = PARTITION_NONE;
         int ctx = partition_ctx(t, r, c, size);
@@ -2108,9 +2151,16 @@ size_t tile_encode(
     for (int i = 0; i < 5; i++) t.smw[i] = sm_weights[i];
     for (int i = 0; i < 7; i++) { t.fh[i] = fhs[i]; t.fw[i] = fws[i]; }
     t.dr_deriv = dr_deriv;
-    t.plan = plan;
+    t.plan64 = NULL; t.mode32 = NULL; t.part32 = NULL; t.mode16 = NULL;
     t.plan_nbx = plan_nbx;
     t.plan_nby = plan_nby;
+    if (plan && plan_nbx > 0 && plan_nby > 0) {
+        int sby = plan_nby / 2, sbx = plan_nbx / 2;
+        t.plan64 = plan;
+        t.mode32 = t.plan64 + (size_t)sby * sbx;
+        t.part32 = t.mode32 + (size_t)plan_nby * plan_nbx;
+        t.mode16 = t.part32 + (size_t)plan_nby * plan_nbx;
+    }
     t.blocks_out = blocks_out;
     t.n_blocks = 0;
 

@@ -189,7 +189,7 @@ class TileEncoder:
         qindex: int,
         bitdepth: int = 8,
         speed: int = 9,
-        plan: Optional[dict] = None,  # (mi_r, mi_c) → (y_mode, y_levels)
+        plan: Optional[dict] = None,  # device plan arrays (encode_tpu)
         u_ac_delta_q: int = 0,
     ) -> None:
         self.planes = planes
@@ -392,7 +392,9 @@ class TileEncoder:
                 part = PARTITION_SPLIT
             elif (size == 64 and r + 16 <= self.mi_rows
                   and c + 16 <= self.mi_cols):
-                part = self._choose_partition64(r, c)
+                part = self._planned_part64(r, c)
+                if part is None:
+                    part = self._choose_partition64(r, c)
             elif size > 32:
                 part = PARTITION_SPLIT
             elif size == 32 and (
@@ -403,10 +405,12 @@ class TileEncoder:
                 # inside the mi-grid buffers (encoder choice, conformant)
                 part = PARTITION_SPLIT
             elif size == 32 and self.speed <= 9 and self.qindex <= 90:
-                # splitting pays at high quality (closer prediction edges
-                # beat the extra signaling); at coarse q it only adds
-                # overhead — measured on the rate/score curves
-                part = self._choose_partition32(r, c)
+                part = self._planned_part32(r, c)
+                if part is None:
+                    # splitting pays at high quality (closer prediction
+                    # edges beat the extra signaling); at coarse q it only
+                    # adds overhead — measured on the rate/score curves
+                    part = self._choose_partition32(r, c)
             else:
                 part = PARTITION_NONE
             ctx = self._partition_ctx(r, c, size)
@@ -591,13 +595,12 @@ class TileEncoder:
         n_mi = size // 4
         lr = r & 15
 
-        # Device plan supplies the mode decision; levels must derive from
-        # recon-edge prediction (quantizing a source-edge residual lets
-        # recon error random-walk across blocks).
-        planned = self.plan.get((r, c)) if size == 32 else None
-        if planned is not None:
-            y_mode = planned[0]
-        else:
+        # Device plan supplies the mode decision (source-edge search on
+        # the TPU); levels still derive from recon-edge prediction
+        # (quantizing a source-edge residual lets recon error random-walk
+        # across blocks).
+        y_mode = self._planned_mode(r, c, size)
+        if y_mode is None:
             y_mode, _, _, _ = self._choose_y_mode(r, c, size)
         y_levels_planned = None
 
@@ -981,6 +984,49 @@ class TileEncoder:
         if sign_v:
             ctx_v = sign_v * 3 + sign_u - 3
             self._sym(self.cdf.cfl_alpha[ctx_v], abs(alpha_v) - 1)
+
+    # -- device plan application --------------------------------------------------
+
+    def _planned_part64(self, r: int, c: int):
+        p = self.plan.get("plan64") if self.plan else None
+        if p is None:
+            return None
+        i, j = r // 16, c // 16
+        if i >= p.shape[0] or j >= p.shape[1] or p[i, j] < 0:
+            return None
+        return PARTITION_NONE if p[i, j] > 0 else PARTITION_SPLIT
+
+    def _planned_part32(self, r: int, c: int):
+        p = self.plan.get("part32") if self.plan else None
+        if p is None:
+            return None
+        i, j = r // 8, c // 8
+        if i >= p.shape[0] or j >= p.shape[1]:
+            return None
+        return PARTITION_SPLIT if p[i, j] else PARTITION_NONE
+
+    def _planned_mode(self, r: int, c: int, size: int):
+        if not self.plan:
+            return None
+        if size == 64:
+            p = self.plan.get("plan64")
+            i, j = r // 16, c // 16
+            if p is not None and i < p.shape[0] and j < p.shape[1] \
+                    and p[i, j] > 0:
+                return int(p[i, j]) - 1
+        elif size == 32:
+            p = self.plan.get("mode32")
+            i, j = r // 8, c // 8
+            if p is not None and i < p.shape[0] and j < p.shape[1] \
+                    and p[i, j] >= 0:
+                return int(p[i, j])
+        elif size == 16:
+            p = self.plan.get("mode16")
+            i, j = r // 4, c // 4
+            if p is not None and i < p.shape[0] and j < p.shape[1] \
+                    and p[i, j] >= 0:
+                return int(p[i, j])
+        return None
 
     # -- luma tx-depth RD ---------------------------------------------------------
 
@@ -1697,14 +1743,40 @@ class TileEncoder:
             self.enc.bool_q15((x >> i) & 1, 16384)
 
 
-def _encode_one_tile(args):
-    tile_planes, qindex, bitdepth, speed, use_tpu_planner, u_ac_delta_q = args
-    plan = None
-    if use_tpu_planner:
-        try:
-            from .encode_tpu import plan_frame
+_PLANNER_CACHE: dict = {}
 
-            plan = plan_frame(np.asarray(tile_planes[0]), qindex, bitdepth)
+
+def _get_planner(tile_planes, bitdepth):
+    """Device planners cache per tile content: the TQ loop re-encodes the
+    same planes at several quantizers, and the planes (device-resident in
+    the planner) don't change with q. Keyed by a sampled fingerprint —
+    a collision would only pin valid-but-suboptimal decisions."""
+    from .encode_tpu import FramePlanner
+
+    y = np.asarray(tile_planes[0])
+    key = (
+        y.shape, len(tile_planes), bitdepth,
+        int(y[::29, ::31].sum()), int(y[0, 0]), int(y[-1, -1]),
+    )
+    fp = _PLANNER_CACHE.get(key)
+    if fp is None:
+        if len(_PLANNER_CACHE) >= 4:
+            _PLANNER_CACHE.clear()
+        fp = FramePlanner(tile_planes, bitdepth)
+        _PLANNER_CACHE[key] = fp
+    return fp
+
+
+def _encode_one_tile(args):
+    (tile_planes, qindex, bitdepth, speed, use_tpu_planner,
+     u_ac_delta_q) = args
+    plan = None
+    # device planning pays off on real frames; for tiny tiles the host
+    # search is cheaper than the dispatch + (first-run) compile
+    if (use_tpu_planner and qindex > 0
+            and np.asarray(tile_planes[0]).size >= 256 * 256):
+        try:
+            plan = _get_planner(tile_planes, bitdepth).plan(qindex)
         except Exception:
             plan = None
 
@@ -1746,13 +1818,13 @@ def encode_frame_planes(
     batched on the device (oavif_tpu.av1.encode_tpu).
     """
     if use_tpu_planner is None:
-        # Device mode-planning pays one device round-trip per frame; through
-        # the remote-tunnel TPU of this environment that latency exceeds the
-        # host mode search, so it is opt-in (OAVIF_TPU_PLANNER=1). On a
-        # locally attached chip it is the default-on fast path.
+        # Default ON: the whole frame's partition + mode search runs as
+        # one batched device step (planes stay device-resident across TQ
+        # probes, the plan downloads as one packed array). Disable with
+        # OAVIF_TPU_PLANNER=0.
         import os
 
-        use_tpu_planner = os.environ.get("OAVIF_TPU_PLANNER") == "1"
+        use_tpu_planner = os.environ.get("OAVIF_TPU_PLANNER", "1") != "0"
 
     h, w = planes[0].shape
     from .obu import tile_grid

@@ -73,7 +73,7 @@ def _planner_kernel(v_ref, above_ref, lcol_ref, scal_ref, smr_ref, smc_ref,
     a_rows = expand(above)                    # (ROWS, BLK): above row per block
 
     asum = jnp.sum(above, axis=1, keepdims=True)            # (GRP, 1)
-    dc_val = (asum + lsum + BLK) / (2 * BLK)
+    dc_val = jnp.floor((asum + lsum + BLK) / (2 * BLK))
     dc = jnp.broadcast_to(expand(dc_val), (ROWS, BLK))
 
     v = a_rows
@@ -89,11 +89,11 @@ def _planner_kernel(v_ref, above_ref, lcol_ref, scal_ref, smr_ref, smc_ref,
 
     wr = smc_ref[:, :]                        # (ROWS, 1): weight by row-in-block
     wc = smr_ref[:, :]                        # (1, BLK)
-    smooth = jnp.round(
+    smooth = jnp.floor(
         (wr * a_rows + (256.0 - wr) * below + wc * lcol
          + (256.0 - wc) * right + 256.0) / 512.0)
-    smooth_v = jnp.round((wr * a_rows + (256.0 - wr) * below + 128.0) / 256.0)
-    smooth_h = jnp.round((wc * lcol + (256.0 - wc) * right + 128.0) / 256.0)
+    smooth_v = jnp.floor((wr * a_rows + (256.0 - wr) * below + 128.0) / 256.0)
+    smooth_h = jnp.floor((wc * lcol + (256.0 - wc) * right + 128.0) / 256.0)
 
     preds = (dc, v, h, smooth, smooth_v, smooth_h, paeth)
     ssds = []

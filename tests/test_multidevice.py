@@ -1,0 +1,74 @@
+"""Multi-device tile encode: the PRODUCT planner sharded over a tile mesh
+axis must produce exactly the single-device plans and drive the product
+tile coders to identical bitstreams (SURVEY.md §2c tile→chip mapping;
+runs on the virtual 8-device CPU mesh from conftest)."""
+
+import jax
+import numpy as np
+import pytest
+
+import __graft_entry__ as ge
+
+
+@pytest.mark.parametrize("n", [2, 4, 8])
+def test_dryrun_multichip_product_parity(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+    ge.dryrun_multichip(n)
+
+
+def test_sharded_plans_equal_single_device():
+    """Direct check (independent of the dryrun internals): shard_map of
+    the product planning body over tiles == per-tile FramePlanner."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    try:
+        from jax.experimental.shard_map import shard_map
+    except ImportError:
+        from jax.sharding import shard_map
+
+    from oavif_tpu.av1 import encode_tpu as ET
+    from oavif_tpu.av1.tables import ac_q
+
+    rng = np.random.default_rng(5)
+    t_dim = 4
+    TS = 128
+    nby = nbx = TS // 32
+    qindex = 80
+    tiles = []
+    planes_by_tile = []
+    for t in range(t_dim):
+        planes = [
+            rng.integers(0, 256, (TS, TS)).astype(np.int32) for _ in range(3)
+        ]
+        planes_by_tile.append(planes)
+        fp = ET.FramePlanner(planes, 8)
+        tiles.append(np.stack([np.asarray(d) for d in fp.dev]))
+    tiles = jnp.asarray(np.stack(tiles))
+
+    mesh = Mesh(np.array(jax.devices()[:t_dim]), ("tile",))
+
+    def plan_tile(tp):
+        t3 = tp[0]
+        packed = ET._plan_device_body(
+            t3[0], t3[1], t3[2], jnp.float32(ac_q(qindex, 8)),
+            jnp.float32(qindex), nby, nbx, 8,
+        )
+        return packed[None]
+
+    packed = np.asarray(
+        jax.jit(
+            shard_map(
+                plan_tile, mesh=mesh, in_specs=(P("tile"),),
+                out_specs=P("tile"), check_rep=False,
+            )
+        )(tiles)
+    )
+    for t in range(t_dim):
+        sharded = ET.unpack_plan(packed[t], nby, nbx)
+        single = ET.FramePlanner(planes_by_tile[t], 8).plan(qindex)
+        for k in single:
+            np.testing.assert_array_equal(sharded[k], single[k])

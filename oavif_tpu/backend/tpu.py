@@ -1,9 +1,16 @@
 """TPU encoder backend — the product encode path.
 
-Orchestrates the JAX/Pallas AV1 intra encoder (oavif_tpu.av1): RGB→YUV444
-on device, superblock intra-mode RD search, integer transforms,
-quantization, reconstruction, tokenization on device; entropy byte emission
-and ISOBMFF muxing on host (reference behavior boundary: SURVEY.md §2b).
+Division of labor (default-on; SURVEY.md §2b/§7):
+  - DEVICE (one batched JAX step per probe, planes device-resident across
+    the TQ search): the frame's full partition + intra-mode search — all
+    blocks × all modes predicted and SSD-scored at the 64/32/16 grids,
+    partition decisions, packed-plan download (oavif_tpu.av1.encode_tpu).
+    The SSIMULACRA2 scoring of every probe also runs on device against a
+    device-resident reference pyramid.
+  - HOST (C runtime, GIL-released per tile): the entropy-inherent serial
+    work — exact integer prediction/transform/RDOQ under the device plan,
+    adaptive symbol coding, reconstruction, deblock/CDEF, ISOBMFF muxing.
+Set OAVIF_TPU_PLANNER=0 to fall back to host-only searching.
 """
 
 from __future__ import annotations

@@ -204,13 +204,44 @@ def load_webp(path: str) -> Image:
 
 
 def load_avif(path: str) -> Image:
-    """AVIF input decode (io.zig:499-542) via the libavif oracle.
+    """AVIF input decode (io.zig:499-542).
 
-    The reference preserves source depth and left-shifts high-bit-depth to
-    16-bit (io.zig:525-532); Pillow's AVIF decoder yields 8-bit, which is
-    sufficient for re-encode inputs (the metric window is 8-bit anyway,
-    reference main.zig:86 + io.zig:639).
+    Depth-preserving path first: libavif (ctypes) yields native-depth
+    YUV444 planes; high-bit-depth converts to RGB at source depth and
+    left-shifts to 16-bit exactly like the reference (io.zig:525-532).
+    Falls back to Pillow (8-bit, keeps alpha + ICC) for 8-bit sources,
+    alpha images, or when the native decoder is unavailable. The HBD
+    YUV→RGB conversion assumes full-range BT.601 (the common AVIF
+    default); unusual CICP inputs take the Pillow path's handling.
     """
+    try:
+        from .avif_ctypes import decode_to_yuv
+
+        # alpha images keep the Pillow path (the native path is Y'UV only)
+        has_alpha = "A" in _pil_open(path).mode
+        with open(path, "rb") as f:
+            data = f.read()
+        planes, depth, yuv_range = decode_to_yuv(data)
+        if depth > 8 and yuv_range == 1 and not has_alpha:
+            from ..av1.yuv import _INV
+
+            maxv = (1 << depth) - 1
+            h, w = planes[0].shape
+            yuv = np.stack(
+                [p.reshape(-1) for p in planes], axis=1
+            ).astype(np.float32)
+            yuv[:, 1:] -= np.float32((maxv + 1) / 2)
+            rgb = np.clip(np.floor(yuv @ _INV + 0.5), 0, maxv)
+            rgb16 = (rgb.astype(np.uint16) << (16 - depth)).reshape(h, w, 3)
+            icc = None
+            try:
+                icc = _pil_open(path).info.get("icc_profile")
+            except Exception:
+                pass
+            return Image(width=w, height=h, channels=3, hbd=True,
+                         data=rgb16, icc=icc)
+    except Exception:
+        pass
     im = _pil_open(path)
     icc = im.info.get("icc_profile")
     if "A" in im.mode:

@@ -174,3 +174,32 @@ def test_native_yuv_conversions_match_numpy():
             if bd == 10 else out.astype(np.uint8)
         np.testing.assert_array_equal(
             nat2.reshape(-1, 3), ref2.reshape(-1, 3))
+
+
+def test_avif_input_preserves_high_bit_depth(tmp_path):
+    """A 10-bit AVIF input loads as hbd 16-bit (reference io.zig:525-532
+    left-shifts HBD to 16) instead of Pillow's 8-bit downconvert."""
+    import numpy as np
+
+    from oavif_tpu.av1.encode import encode_avif_with_recon
+    from oavif_tpu.backend import EncCtx
+    from oavif_tpu.io.image import Image, load_image
+    from oavif_tpu.options import EncOptions
+
+    rng = np.random.default_rng(0)
+    rgb = np.clip(
+        128 + 40 * np.sin(np.mgrid[0:96, 0:128][1] / 9)[..., None]
+        + rng.normal(0, 8, (96, 128, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    ctx = EncCtx(
+        o=EncOptions(tenbit=True),
+        src=Image(width=128, height=96, channels=3, hbd=False, data=rgb),
+        rgb=rgb, w=128, h=96, q=85,
+    )
+    data, _ = encode_avif_with_recon(ctx)
+    p = tmp_path / "in10.avif"
+    p.write_bytes(data)
+    img = load_image(str(p))
+    assert img.hbd and img.data.dtype == np.uint16 and img.channels == 3
+    assert (img.data & 0x3F == 0).all()  # 10-bit left-shifted by 6

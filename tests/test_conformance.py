@@ -368,3 +368,28 @@ def test_adst_selected_streams_roundtrip(test_rgb8):
         data, recon = _encode(img, q=q)
         dec = _decode(data)
         assert np.abs(dec.astype(int) - recon.astype(int)).max() <= 1
+
+
+def test_planner_streams_decode_exact(test_rgb8):
+    """Product path with the device planner forced ON at small sizes:
+    planned partition/mode decisions must still produce dav1d-exact
+    streams (the plan pins decisions, not reconstruction)."""
+    import numpy as np
+
+    from oavif_tpu.av1.encode_tpu import FramePlanner
+    from oavif_tpu.av1.entropy.fast import tile_encode_native
+    from oavif_tpu.av1.frame import TileEncoder
+    from oavif_tpu.av1.yuv import rgb_to_yuv444
+
+    rgb = np.tile(test_rgb8, (2, 2, 1))[:128, :192]  # 2x3 SBs
+    planes = [p.astype(np.int32) for p in rgb_to_yuv444(rgb, 8)]
+    for qindex in (40, 120):
+        plan = FramePlanner(planes, 8).plan(qindex)
+        assert plan is not None and plan["mode32"].shape == (4, 6)
+        te = TileEncoder([p.copy() for p in planes], qindex, 8, 9,
+                         plan=plan, u_ac_delta_q=24)
+        py = te.encode()
+        res = tile_encode_native(planes, qindex, 8, 9, plan, 24)
+        assert res is not None and res[0] == py
+        # the plan must actually pin decisions somewhere
+        assert (plan["plan64"] >= 0).all()

@@ -290,12 +290,19 @@ class FramePlanner:
             p[0, 0] = base
             devp.append(jnp.asarray(p))
         self.dev = devp
+        self._plan_cache: Dict[int, dict] = {}
 
     def plan(self, qindex: int) -> Optional[dict]:
         """Returns {"plan64","mode32","part32","mode16"} numpy arrays
         (spec mode ids), or None when the frame has no full SBs."""
         if self.dev is None:
             return None
+        # plans vary with q only through dq-scaled gates; probes at nearby
+        # quantizers reuse the cached plan (never across the qindex-90
+        # partition gate) — saves a device step + fetch per probe
+        for qk, cached in self._plan_cache.items():
+            if abs(qk - qindex) <= 16 and (qk <= 90) == (qindex <= 90):
+                return cached
         from .tables import ac_q
 
         packed = np.asarray(
@@ -306,7 +313,11 @@ class FramePlanner:
                 self.nby, self.nbx, self.bitdepth,
             )
         )
-        return unpack_plan(packed, self.nby, self.nbx)
+        plan = unpack_plan(packed, self.nby, self.nbx)
+        if len(self._plan_cache) >= 8:
+            self._plan_cache.clear()
+        self._plan_cache[qindex] = plan
+        return plan
 
 
 def plan_frame(y_plane: np.ndarray, qindex: int, bitdepth: int = 8):

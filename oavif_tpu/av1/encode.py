@@ -55,16 +55,19 @@ def _chroma_delta_q(qindex: int, tune: str = "iq") -> int:
 
 
 def _filter_level(qindex: int) -> int:
-    """Deblocking strength from the quantizer (libaom's default guess:
-    level ~ Round2(ac_q * 20723 + 1015158, 18), clamped to 6 bits). Encoder
-    freedom — conformance only requires the header level to match what the
-    recon applies."""
+    """Deblocking strength from the quantizer: libaom's default guess
+    (level ~ Round2(ac_q * 20723 + 1015158, 18)) at HALF strength —
+    measured better at iso-SSIMULACRA2 on the probe corpus (the metric
+    penalizes over-smoothing more than residual blockiness at these
+    rates; full strength cost ~1.4% photo bytes, zero helps gradients).
+    Encoder freedom — conformance only requires the header level to
+    match what the recon applies."""
     from .tables import ac_q
 
     if qindex == 0:
         return 0
     q = ac_q(qindex, 8)
-    return max(0, min(63, (q * 20723 + 1015158 + (1 << 17)) >> 18))
+    return max(0, min(63, (q * 20723 + 1015158 + (1 << 17)) >> 18)) // 2
 
 
 def _auto_tile_log2s(w: int, h: int, max_threads: int):

@@ -440,7 +440,7 @@ static const int32_t PROB_COST[256] = {
 
 /* λ = (dq_ac² >> 2·shift) · KNUM / (KDEN · 128) — frame.py RDOQ_K */
 #define RDOQ_KNUM 1
-#define RDOQ_KDEN 8
+#define RDOQ_KDEN 4
 
 static int32_t icdf_sym_cost(const uint16_t *row, int s) {
     int prev = s == 0 ? 32768 : row[s - 1];

@@ -109,7 +109,7 @@ _PROB_COST = np.round(
 # λ = RDOQ_K · (dq_ac² >> 2·DQ_SHIFT) / 128, with RDOQ_K = KNUM/KDEN.
 # Calibrated on iso-SSIMULACRA2 bytes (photo/gradient/noise probes).
 RDOQ_KNUM = 1
-RDOQ_KDEN = 8
+RDOQ_KDEN = 4
 
 
 def _icdf_cost_rows(rows: np.ndarray, nsym: int) -> np.ndarray:

@@ -334,8 +334,9 @@ def find_target_quality_batched(
 def predict_q_native(tgt: float) -> int:
     """Seed calibrated to THIS encoder's quality→score curve (measured on
     photo/gradient/noise probes against the v2.1-reconstructed metric with
-    the RDOQ quantizer + chroma delta-q: q ≈ 0.72·tgt + 26.5 across tgt
-    60–95, extrapolated below), replacing the reference's
-    libaom-calibrated exponential for the native backend."""
-    q = 0.72 * tgt + 26.5
+    the RDOQ(K=1/4) quantizer + chroma delta-q + half-strength deblock:
+    q ≈ 0.62·tgt + 36 across tgt 60–95, extrapolated below), replacing
+    the reference's libaom-calibrated exponential for the native
+    backend."""
+    q = 0.62 * tgt + 36.0
     return int(min(max(_round_half_away(q), 0.0), 100.0))

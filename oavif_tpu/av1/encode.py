@@ -33,13 +33,20 @@ from .obu import FrameConfig, SequenceConfig, assemble_av1_stream, clamp_tile_lo
 from .yuv import rgb_to_yuv444, yuv444_to_rgb
 
 
-def _chroma_delta_q(qindex: int, tune: str = "iq") -> int:
+def _chroma_delta_q(qindex: int, tune: str = "iq", planes=None,
+                    bitdepth: int = 8) -> int:
     """u_ac_delta_q policy: shift bits from chroma AC to luma, where the
     perceptual metric concentrates (measured: libaom carries ~2x our
     chroma MSE at iso-bytes while halving luma MSE — see PARITY.md).
     Scales with base q; env override OAVIF_UV_DQ for calibration.
     tune=ssim keeps chroma at the base quantizer (SSIM is a luma
-    metric, but chroma fidelity is preserved for it)."""
+    metric, but chroma fidelity is preserved for it).
+
+    Banding guard: smooth chroma ramps (tiny local variance but a wide
+    global range — gradients) band visibly under a coarse chroma
+    quantizer, so such frames keep a small delta; flat-chroma frames
+    (nothing to band) and textured-chroma frames (masking) take the
+    full delta. Calibrated on photo/noise/gradient/colorful probes."""
     import os
 
     ov = os.environ.get("OAVIF_UV_DQ")
@@ -47,10 +54,37 @@ def _chroma_delta_q(qindex: int, tune: str = "iq") -> int:
         return int(ov)
     if qindex == 0 or tune == "ssim":
         return 0
-    # calibrated on iso-score-80 bytes across photo/noise/gradient/
-    # colorful probes (photo −38%, noise −14% vs delta 0; chroma-rich
-    # content prefers smaller deltas, hence the cap)
-    return min(48, max(12, qindex + 16))
+    delta = min(48, max(12, qindex + 16))
+    if planes is not None and len(planes) == 3:
+        h, w = planes[1].shape
+        vh, vw = (h // 16) * 16, (w // 16) * 16
+        if vh >= 16 and vw >= 16:
+            lv_sum = 0.0
+            mv_max = 0.0
+            for pl in planes[1:]:
+                blk = np.asarray(pl[:vh, :vw], dtype=np.int64).reshape(
+                    vh // 16, 16, vw // 16, 16
+                )
+                s1 = blk.sum(axis=(1, 3), dtype=np.int64)
+                s2 = (blk * blk).sum(axis=(1, 3), dtype=np.int64)
+                var_num = 256 * s2 - s1 * s1
+                lv_sum += float(int(var_num.sum())) / (
+                    65536.0 * float(var_num.size)
+                )
+                means = s1.astype(np.float64) / 256.0
+                mv_max = max(mv_max, float(means.var()))
+        else:
+            return delta
+        # thresholds at 8-bit scale; normalize by the depth
+        sc2 = float(1 << (2 * (bitdepth - 8)))
+        mean_local_var = lv_sum / (2.0 * sc2)
+        mean_drift = mv_max / sc2
+        # banding-prone = chroma is locally smooth but its BLOCK MEANS
+        # drift across the frame (a ramp); noise drifts nothing, texture
+        # fails the smoothness test (masking)
+        if mean_local_var < 40.0 and mean_drift > 100.0:
+            delta = min(delta, 12)
+    return delta
 
 
 
@@ -177,7 +211,8 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
 
     planes = rgb_to_yuv444(rgb, bitdepth=out_depth)
     uv_dq = (
-        _chroma_delta_q(qindex, o.tune.value) if len(planes) > 1 else 0
+        _chroma_delta_q(qindex, o.tune.value, planes, out_depth)
+        if len(planes) > 1 else 0
     )
     payloads, recon_planes, blocks = encode_frame_planes(
         planes,

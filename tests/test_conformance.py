@@ -195,7 +195,7 @@ def test_tenbit_roundtrip(test_rgb8):
     pl = rgb_to_yuv444(_depth_convert(test_rgb8, False, 10), bitdepth=10)
     from oavif_tpu.av1.encode import _chroma_delta_q
     _, ours, blocks = encode_frame_planes(
-        pl, qi, 10, 9, u_ac_delta_q=_chroma_delta_q(qi))
+        pl, qi, 10, 9, u_ac_delta_q=_chroma_delta_q(qi, "iq", pl, 10))
     flv = _filter_level(qi)
     hh, ww = test_rgb8.shape[:2]
     if flv:

@@ -44,7 +44,7 @@ def test_loop_filtered_recon_matches_decoder(q):
         pl = rgb_to_yuv444(img, bitdepth=8)
         from oavif_tpu.av1.encode import _chroma_delta_q
         _, ours, blocks = encode_frame_planes(
-            pl, qi, 8, 9, u_ac_delta_q=_chroma_delta_q(qi))
+            pl, qi, 8, 9, u_ac_delta_q=_chroma_delta_q(qi, "iq", pl, 8))
         flv = _filter_level(qi)
         assert flv > 0
         loop_filter_frame(ours, blocks, (flv,) * 4, bitdepth=8,

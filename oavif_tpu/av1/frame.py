@@ -9,9 +9,10 @@ tile (SURVEY.md §2c — tiles are the parallel axis).
 
 Replaces the reference's libaom delegation (io.zig:629-632). Coding-tool
 configuration matches oavif_tpu.av1.obu (loop filter + CDEF replicated
-normatively post-encode; no restoration, LARGEST
-tx, no screen content tools) so reconstruction here equals the decoder's
-output bit-exactly — verified against dav1d in tests/test_conformance.py.
+normatively post-encode; TX_MODE_SELECT with per-block tx-depth RD; no
+restoration, no screen content tools) so reconstruction here equals the
+decoder's output bit-exactly — verified against dav1d in
+tests/test_conformance.py.
 """
 
 from __future__ import annotations

@@ -18,6 +18,7 @@ import numpy as np
 
 _SRC = Path(__file__).parent / "oav1ec.c"
 _SRC_TILE = Path(__file__).parent / "oav1tile.c"
+_SRC_SSIMU2 = Path(__file__).parent.parent.parent / "metric" / "ssimu2.c"
 _SO = Path(__file__).parent / "_oav1ec.so"
 
 _lib: Optional[C.CDLL] = None
@@ -29,7 +30,7 @@ def _build() -> Optional[C.CDLL]:
     if _build_failed:
         return None
     try:
-        srcs = [_SRC, _SRC_TILE]
+        srcs = [_SRC, _SRC_TILE, _SRC_SSIMU2]
         newest = max(s.stat().st_mtime for s in srcs)
         if not _SO.exists() or _SO.stat().st_mtime < newest:
             with tempfile.TemporaryDirectory() as td:
@@ -99,6 +100,17 @@ def _build() -> Optional[C.CDLL]:
         lib.rgb_to_yuv444_c.argtypes = [
             C.POINTER(C.c_uint8), C.POINTER(C.c_uint16), C.c_int, C.c_int,
             C.POINTER(C.c_float), C.POINTER(_p32),
+        ]
+        lib.ssimu2_ref_new.restype = C.c_void_p
+        lib.ssimu2_ref_new.argtypes = [
+            C.POINTER(C.c_uint8), C.c_int, C.c_int,
+        ]
+        lib.ssimu2_ref_free.argtypes = [C.c_void_p]
+        lib.ssimu2_score.restype = C.c_double
+        lib.ssimu2_score.argtypes = [C.c_void_p, C.POINTER(C.c_uint8)]
+        lib.ssimu2_compute.restype = C.c_double
+        lib.ssimu2_compute.argtypes = [
+            C.POINTER(C.c_uint8), C.POINTER(C.c_uint8), C.c_int, C.c_int,
         ]
         lib.enc_coeffs.restype = C.c_int
         lib.enc_coeffs.argtypes = [

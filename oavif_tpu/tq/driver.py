@@ -58,7 +58,7 @@ def make_probe_batch(ctx: EncCtx, backend, batch_width: int):
     every round reuses one compiled executable."""
     from concurrent.futures import ThreadPoolExecutor
 
-    from ..metric.ssimulacra2 import compute_ssimulacra2_batch
+    from ..metric.native import score_batch_auto
 
     def probe_batch(qs):
         t0 = time.time()
@@ -76,7 +76,7 @@ def make_probe_batch(ctx: EncCtx, backend, batch_width: int):
             outs = [enc(q) for q in qs]
         recons = [r for (_, r) in outs]
         batch = np.stack(recons + [recons[-1]] * (batch_width - len(recons)))
-        scores = compute_ssimulacra2_batch(ctx.rgb, batch)[: len(qs)]
+        scores = score_batch_auto(ctx.rgb, batch)[: len(qs)]
         for q, (data, _) in zip(qs, outs):
             ctx.buf = EncBuffer(q=q, data=data, size=len(data))
             probe_batch.cache[q] = data
@@ -122,10 +122,15 @@ def search_encode(
         cache = probe_b.cache
     else:
         if metric is None:
-            # reference pyramid stays device-resident across probes
-            from ..metric import make_ref_scorer
+            from ..metric.native import compute_ssimulacra2_native, metric_impl
 
-            metric = make_ref_scorer(ctx.rgb)
+            if metric_impl() == "c":
+                metric = lambda r, d: compute_ssimulacra2_native(r, d)  # noqa: E731
+            else:
+                # reference pyramid stays device-resident across probes
+                from ..metric import make_ref_scorer
+
+                metric = make_ref_scorer(ctx.rgb)
         probe = make_probe(ctx, backend, metric)
         result = find_target_quality(
             probe, o.score_tgt, o.tolerance, o.max_pass,

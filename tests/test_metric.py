@@ -146,3 +146,63 @@ def test_small_image_rejected():
 def test_shape_mismatch_rejected(test_rgb8):
     with pytest.raises(ValueError):
         compute_ssimulacra2(test_rgb8, test_rgb8[:-8])
+
+
+# ---------------------------------------------------------------------------
+# Native (C) implementation — must agree with the JAX reference impl.
+# ---------------------------------------------------------------------------
+
+
+def test_native_matches_jax(test_rgb8, rng):
+    """The host-native ssimu2.c and the JAX implementation are independent
+    realizations of the same spec; they must agree within epsilon on
+    identity, mild, and severe distortion (cross-validation of both)."""
+    from oavif_tpu.metric.native import compute_ssimulacra2_native
+
+    if compute_ssimulacra2_native(test_rgb8, test_rgb8) is None:
+        pytest.skip("native library unavailable")
+    assert abs(compute_ssimulacra2_native(test_rgb8, test_rgb8) - 100.0) < 1e-3
+    for sigma in (2, 8, 30):
+        d = np.clip(
+            test_rgb8.astype(np.float64) + rng.normal(0, sigma, test_rgb8.shape),
+            0,
+            255,
+        ).astype(np.uint8)
+        c = compute_ssimulacra2_native(test_rgb8, d)
+        j = compute_ssimulacra2(test_rgb8, d)
+        assert abs(c - j) < 0.05, (sigma, c, j)
+
+
+def test_native_ref_cache_consistency(test_rgb8, rng):
+    """Scoring through the cached ref-context equals a fresh computation."""
+    from oavif_tpu.metric import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    d = np.clip(
+        test_rgb8.astype(np.float64) + rng.normal(0, 6, test_rgb8.shape), 0, 255
+    ).astype(np.uint8)
+    s1 = native.compute_ssimulacra2_native(test_rgb8, d)
+    s2 = native.compute_ssimulacra2_native(test_rgb8, d)  # cached ctx
+    assert s1 == s2
+
+
+def test_batch_auto_matches_single(test_rgb8, rng):
+    from oavif_tpu.metric.native import score_batch_auto, metric_impl
+    from oavif_tpu.metric.native import compute_ssimulacra2_native
+
+    if metric_impl() != "c":
+        pytest.skip("native not selected")
+    batch = np.stack(
+        [
+            np.clip(
+                test_rgb8.astype(np.float64) + rng.normal(0, s, test_rgb8.shape),
+                0,
+                255,
+            ).astype(np.uint8)
+            for s in (2, 9)
+        ]
+    )
+    out = score_batch_auto(test_rgb8, batch)
+    for i in range(2):
+        assert out[i] == compute_ssimulacra2_native(test_rgb8, batch[i])

@@ -19,6 +19,9 @@
 #include <stdlib.h>
 #include <string.h>
 #include <math.h>
+#if defined(__AVX512VNNI__) && defined(__AVX512VL__)
+#include <immintrin.h>
+#endif
 
 /* from oav1ec.c (compiled into the same shared object) */
 typedef struct Enc Enc;
@@ -86,6 +89,17 @@ typedef struct {
     int32_t rc_txsz[4][3][3];    /* tx_size depth costs [cat][ctx][depth] */
     const int32_t *smw[5];  /* sm_weights by log2(n)-2: 4,8,16,32,64 */
     const double *fh[7], *fw[7]; /* dct 8,16,32,64; adst 8,16; dct 4 */
+    /* integer forward-transform matrices (Q12; mirrors transform.py
+     * fwd_matrices_int16): int16 fh, TRANSPOSED int16 fw (k-major so
+     * stage 2 streams unit-stride), its k-pair-interleaved form for the
+     * VNNI kernel, the stage-1 shift, and the exact pow2 scale back to
+     * real coefficient units. Integer math => bit-identical to NumPy
+     * regardless of summation order. */
+    int16_t fh16[7][64 * 64];
+    int16_t fwT16[7][64 * 64];
+    int32_t fwP[7][32 * 64];
+    int fwd_sa[7];
+    double fwd_inv_scale[7];
     const int32_t *dr_deriv; /* dr_intra_derivative[90] */
     /* device plan (encode_tpu.FramePlanner): sections of one packed
      * int32 buffer; NULL = host searches everything */
@@ -352,61 +366,112 @@ static void predict(const Tile *t, const Edges *e, int mode, int w, int h,
 static const int DQ_SHIFT_BY_TX[65] = {
     [4] = 0, [8] = 0, [16] = 0, [32] = 1, [64] = 2};
 
-/* resid (n*n int32) -> levels (int32, natural order) via
- * coeffs = fh @ resid @ fw^T in double, deadzone quant + tail trim. */
+/* resid (n*n int32) -> levels (int32, natural order) via the Q12 integer
+ * forward transform + RDOQ. fi = matrix index into t->fh16/fwT16. */
 static void quantize_mat(const Tile *t, const int32_t *resid, int n,
-                         int ptype, const double *fhm, const double *fwm,
-                         int32_t *levels, double *e2_out);
+                         int ptype, int fi, int32_t *levels, double *e2_out);
 
 static void quantize_n(const Tile *t, const int32_t *resid, int n, int ptype,
                        int32_t *levels) {
     int fi = n == 4 ? 6 : log2i(n) - 3;
-    quantize_mat(t, resid, n, ptype, t->fh[fi], t->fw[fi], levels, NULL);
+    quantize_mat(t, resid, n, ptype, fi, levels, NULL);
 }
 
-/* C = A @ B, all n*n row-major. i,k,j accumulate form: the j loop is a
- * unit-stride FMA stream the compiler vectorizes with AVX-512 (a k-inner
- * dot product is an FP reduction gcc won't reassociate). Each C[i][j]
- * accumulates k = 0..n-1 in order — the order that keeps C<->numpy
- * (float64 BLAS) parity empirically safe. A register-blocked 4x8 tile
- * variant measured SLOWER here (72 vs 53 ms/frame); the plain form wins
- * on this core. */
-#define GEMM_N(NAME, N)                                                    \
-static void NAME(const double *restrict A, const double *restrict B,       \
-                 double *restrict Cm) {                                     \
-    for (int i = 0; i < N; i++) {                                           \
-        const double *ar = A + (size_t)i * N;                               \
-        double acc[N];                                                      \
-        for (int j = 0; j < N; j++) acc[j] = 0.0;                           \
-        for (int k = 0; k < N; k++) {                                       \
-            double cf = ar[k];                                              \
-            const double *brow = B + (size_t)k * N;                         \
-            for (int j = 0; j < N; j++) acc[j] += cf * brow[j];             \
-        }                                                                   \
-        double *to = Cm + (size_t)i * N;                                    \
-        for (int j = 0; j < N; j++) to[j] = acc[j];                         \
-    }                                                                       \
-}
-GEMM_N(gemm_8, 8)
-GEMM_N(gemm_16, 16)
-GEMM_N(gemm_32, 32)
-#undef GEMM_N
+static const int MAT_N[7] = {8, 16, 32, 64, 8, 16, 4};
 
-static void gemm_nn(const double *A, const double *B, double *Cm, int n) {
-    /* size-specialised: the output row accumulates in registers across
-     * the whole k loop (the generic form round-trips it through memory
-     * every k). Per-element k order unchanged — bit-identical. */
-    if (n == 32) { gemm_32(A, B, Cm); return; }
-    if (n == 16) { gemm_16(A, B, Cm); return; }
-    if (n == 8) { gemm_8(A, B, Cm); return; }
-    memset(Cm, 0, sizeof(double) * (size_t)n * n);
-    for (int i = 0; i < n; i++) {
-        const double *ar = A + (size_t)i * n;
-        double *restrict to = Cm + (size_t)i * n;
-        for (int k = 0; k < n; k++) {
-            double cf = ar[k];
-            const double *brow = B + (size_t)k * n;
-            for (int j = 0; j < n; j++) to[j] += cf * brow[j];
+/* Build the Q12 int16 matrices + per-matrix stage-1 shift from the double
+ * matrices (identical algorithm to transform.py fwd_matrices_int16). */
+static void fwd_init(Tile *t) {
+    for (int m = 0; m < 7; m++) {
+        int n = MAT_N[m];
+        int16_t *fh16 = t->fh16[m];
+        int16_t *fwt = t->fwT16[m];
+        int64_t l1h_max = 0, l1w_max = 0;
+        for (int r = 0; r < n; r++) {
+            int64_t l1 = 0;
+            for (int c = 0; c < n; c++) {
+                int v = (int)floor(t->fh[m][(size_t)r * n + c] * 4096.0 + 0.5);
+                fh16[r * n + c] = (int16_t)v;
+                l1 += v < 0 ? -v : v;
+            }
+            if (l1 > l1h_max) l1h_max = l1;
+        }
+        for (int r = 0; r < n; r++) {
+            int64_t l1 = 0;
+            for (int c = 0; c < n; c++) {
+                int v = (int)floor(t->fw[m][(size_t)r * n + c] * 4096.0 + 0.5);
+                fwt[c * n + r] = (int16_t)v; /* transposed */
+                l1 += v < 0 ? -v : v;
+            }
+            if (l1 > l1w_max) l1w_max = l1;
+        }
+        int64_t maxr = (1 << t->bitdepth) - 1;
+        int64_t acc1 = l1h_max * maxr;
+        int sa = 0;
+        for (;;) {
+            int64_t tm = (acc1 + (((int64_t)1 << sa) >> 1)) >> sa;
+            if (tm <= 32767 && l1w_max * tm < ((int64_t)1 << 31)) break;
+            sa++;
+        }
+        t->fwd_sa[m] = sa;
+        t->fwd_inv_scale[m] = 1.0 / (double)((int64_t)1 << (24 - sa));
+        for (int kp = 0; kp < n / 2; kp++) {
+            const int16_t *r0 = fwt + (size_t)(2 * kp) * n, *r1 = r0 + n;
+            int32_t *p = t->fwP[m] + (size_t)kp * n;
+            for (int c = 0; c < n; c++)
+                p[c] = (int32_t)((uint32_t)(uint16_t)r0[c] |
+                                 ((uint32_t)(uint16_t)r1[c] << 16));
+        }
+    }
+}
+
+/* out[r][c] = sum_k A[r][k] * B[k][c] with B supplied k-PAIR interleaved
+ * (Bp[kp][c] packs B[2kp][c] in the low and B[2kp+1][c] in the high int16)
+ * and A rows read as int32 pairs. Integer arithmetic: SIMD and scalar
+ * paths agree bit-for-bit. */
+static void mm_i16_pairs(const int16_t *A, const int32_t *Bp, int n,
+                         int32_t *out) {
+#if defined(__AVX512VNNI__) && defined(__AVX512VL__)
+    if (n >= 16) {
+        for (int r = 0; r < n; r++) {
+            const int32_t *ap = (const int32_t *)(A + (size_t)r * n);
+            for (int cb = 0; cb < n; cb += 16) {
+                __m512i acc = _mm512_setzero_si512();
+                for (int kp = 0; kp < n / 2; kp++)
+                    acc = _mm512_dpwssd_epi32(
+                        acc, _mm512_set1_epi32(ap[kp]),
+                        _mm512_loadu_si512(
+                            (const void *)(Bp + (size_t)kp * n + cb)));
+                _mm512_storeu_si512((void *)(out + (size_t)r * n + cb), acc);
+            }
+        }
+        return;
+    }
+    if (n == 8) {
+        for (int r = 0; r < 8; r++) {
+            const int32_t *ap = (const int32_t *)(A + r * 8);
+            __m256i acc = _mm256_setzero_si256();
+            for (int kp = 0; kp < 4; kp++)
+                acc = _mm256_dpwssd_epi32(
+                    acc, _mm256_set1_epi32(ap[kp]),
+                    _mm256_loadu_si256((const __m256i *)(Bp + kp * 8)));
+            _mm256_storeu_si256((__m256i *)(out + r * 8), acc);
+        }
+        return;
+    }
+#endif
+    for (int r = 0; r < n; r++) {
+        int32_t *o = out + (size_t)r * n;
+        for (int c = 0; c < n; c++) o[c] = 0;
+        const int16_t *ar = A + (size_t)r * n;
+        for (int kp = 0; kp < n / 2; kp++) {
+            int32_t a0 = ar[2 * kp], a1 = ar[2 * kp + 1];
+            const int32_t *bp = Bp + (size_t)kp * n;
+            for (int c = 0; c < n; c++) {
+                int32_t b = bp[c];
+                o[c] += a0 * (int16_t)(uint16_t)b +
+                        a1 * (int16_t)(uint16_t)((uint32_t)b >> 16);
+            }
         }
     }
 }
@@ -595,21 +660,30 @@ static int rdoq_eobpt_cost(const Rdoq *q, int e) {
 }
 
 static void quantize_mat(const Tile *t, const int32_t *resid, int n,
-                         int ptype, const double *fhm, const double *fwm,
-                         int32_t *levels, double *e2_out) {
-    double tmp[64 * 64];
-    double out[64 * 64];
-    double fwt[64 * 64];
-    double rd[64 * 64];
-    for (int i = 0; i < n * n; i++) rd[i] = (double)resid[i];
-    /* fw transposed once so BOTH gemm stages run in i,k,j accumulate form:
-     * the j loop is a unit-stride FMA stream the compiler vectorizes (a
-     * k-inner dot product is an FP reduction gcc won't reassociate). */
-    for (int i = 0; i < n; i++)
-        for (int j = 0; j < n; j++) fwt[(size_t)i * n + j] = fwm[(size_t)j * n + i];
-    /* tmp = fh @ resid ; out = tmp @ fw^T (fwt pre-transposed) */
-    gemm_nn(fhm, rd, tmp, n);
-    gemm_nn(tmp, fwt, out, n);
+                         int ptype, int fi, int32_t *levels, double *e2_out) {
+    /* Q12 integer forward transform (mirrors transform.py
+     * fwd_txfm2d_int exactly — integer ops are order-independent, so the
+     * VNNI kernels and NumPy agree bit-for-bit). */
+    int16_t r16[64 * 64];
+    int32_t bp1[32 * 64];
+    int32_t st1[64 * 64];
+    int16_t tmp16[64 * 64];
+    int32_t out32[64 * 64];
+    for (int i = 0; i < n * n; i++) r16[i] = (int16_t)resid[i];
+    for (int kp = 0; kp < n / 2; kp++) {
+        const int16_t *r0 = r16 + (size_t)(2 * kp) * n, *r1 = r0 + n;
+        int32_t *p = bp1 + (size_t)kp * n;
+        for (int c = 0; c < n; c++)
+            p[c] = (int32_t)((uint32_t)(uint16_t)r0[c] |
+                             ((uint32_t)(uint16_t)r1[c] << 16));
+    }
+    mm_i16_pairs(t->fh16[fi], bp1, n, st1);
+    int sa = t->fwd_sa[fi];
+    int32_t rnd = sa ? 1 << (sa - 1) : 0;
+    for (int i = 0; i < n * n; i++)
+        tmp16[i] = (int16_t)((st1[i] + rnd) >> sa);
+    mm_i16_pairs(tmp16, t->fwP[fi], n, out32);
+    double inv_scale = t->fwd_inv_scale[fi];
     int shift = DQ_SHIFT_BY_TX[n];
     /* per-element (v * (1<<shift)) / dq in that op order — one rounding,
      * matching NumPy's _quantize exactly (a precomputed reciprocal scale
@@ -625,32 +699,36 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
 
     memset(levels, 0, (size_t)n * n * 4);
 
-    /* coded-region magnitudes + signs, natural (cw-wide) order */
+    /* coded-region magnitudes + signs, natural (cw-wide) order, at the
+     * real coefficient scale (exact: int32 x a pow2 factor) */
     double a_nat[32 * 32];
     int sg_nat[32 * 32];
     for (int r = 0; r < cw; r++)
         for (int c = 0; c < cw; c++) {
-            double v = out[(size_t)r * n + c];
-            a_nat[r * cw + c] = fabs(v);
-            sg_nat[r * cw + c] = v < 0.0 ? -1 : 1;
+            int32_t v = out32[(size_t)r * n + c];
+            a_nat[r * cw + c] = fabs((double)v) * inv_scale;
+            sg_nat[r * cw + c] = v < 0 ? -1 : 1;
         }
 
-    /* initial round-half levels, scan order */
+    /* magnitudes gathered to scan order once; every later use is then a
+     * unit-stride stream (AV1 scans always put DC at si = 0, so the dq
+     * select needs no gather either) */
+    double a_scan[1024];
+    for (int si = 0; si < n_coded; si++) a_scan[si] = a_nat[scan[si]];
+
+    /* initial round-half levels, scan order (vectorizable: the eob scan
+     * is split out of the arithmetic loop) */
     int64_t ord[1024];
+    ord[0] = (int64_t)floor(a_scan[0] * up / dq_dc + 0.5);
+    for (int si = 1; si < n_coded; si++)
+        ord[si] = (int64_t)floor(a_scan[si] * up / dq_ac + 0.5);
     int eob = 0;
-    for (int si = 0; si < n_coded; si++) {
-        int pos = scan[si];
-        double dq = pos == 0 ? dq_dc : dq_ac;
-        ord[si] = (int64_t)floor(a_nat[pos] * up / dq + 0.5);
-        if (ord[si]) eob = si + 1;
-    }
+    for (int si = n_coded - 1; si >= 0; si--)
+        if (ord[si]) { eob = si + 1; break; }
     if (eob == 0) {
         if (e2_out) {
             double e2 = 0.0;
-            for (int si = 0; si < n_coded; si++) {
-                double a = a_nat[scan[si]];
-                e2 += a * a;
-            }
+            for (int si = 0; si < n_coded; si++) e2 += a_scan[si] * a_scan[si];
             *e2_out = e2;
         }
         return;
@@ -681,9 +759,9 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
 
 #define ERR2(si, lvl)                                                        \
     ({                                                                       \
-        double _a = a_nat[scan[si]];                                         \
+        double _a = a_scan[si];                                              \
         double _e = _a - (double)(((int64_t)(lvl) *                          \
-                                   (scan[si] == 0 ? t->dq_dc : dqa_i)) >>   \
+                                   ((si) == 0 ? t->dq_dc : dqa_i)) >>       \
                                   shift);                                    \
         _e * _e;                                                             \
     })
@@ -759,13 +837,12 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
     }
     if (e2_out) {
         double e2 = 0.0;
-        for (int si = 0; si < n_coded; si++) {
-            int pos = scan[si];
-            int64_t lvl = si < eob ? ord[si] : 0;
-            int64_t dq = pos == 0 ? t->dq_dc : dqa_i;
-            double e = a_nat[pos] - (double)((lvl * dq) >> shift);
+        for (int si = 0; si < eob; si++) {
+            int64_t dq = si == 0 ? t->dq_dc : dqa_i;
+            double e = a_scan[si] - (double)((ord[si] * dq) >> shift);
             e2 += e * e;
         }
+        for (int si = eob; si < n_coded; si++) e2 += a_scan[si] * a_scan[si];
         *e2_out = e2;
     }
 }
@@ -1367,7 +1444,7 @@ static int encode_luma_txb_c(Tile *t, int px_, int py_, int tx, int y_mode,
                 pred[rr * tx + cc];
     int fi = tx == 4 ? 6 : log2i(tx) - 3;
     double e2;
-    quantize_mat(t, resid, tx, 0, t->fh[fi], t->fw[fi], lv, &e2);
+    quantize_mat(t, resid, tx, 0, fi, lv, &e2);
     int64_t rate = rate_estimate_txb(t, lv, tx, 0);
     int nnz = 0;
     for (int i = 0; i < npx; i++)
@@ -1379,7 +1456,7 @@ static int encode_luma_txb_c(Tile *t, int px_, int py_, int tx, int y_mode,
         int32_t lv_adst[64 * 64];
         int ai = tx == 8 ? 4 : 5;
         double e2_a;
-        quantize_mat(t, resid, tx, 0, t->fh[ai], t->fw[ai], lv_adst, &e2_a);
+        quantize_mat(t, resid, tx, 0, ai, lv_adst, &e2_a);
         int64_t rate_a = rate_estimate_txb(t, lv_adst, tx, 0);
         int shift = DQ_SHIFT_BY_TX[tx];
         double lam =
@@ -2150,6 +2227,7 @@ size_t tile_encode(
     build_rdoq_costs(&t); /* from the INITIAL CDFs, before any coding */
     for (int i = 0; i < 5; i++) t.smw[i] = sm_weights[i];
     for (int i = 0; i < 7; i++) { t.fh[i] = fhs[i]; t.fw[i] = fws[i]; }
+    fwd_init(&t);
     t.dr_deriv = dr_deriv;
     t.plan64 = NULL; t.mode32 = NULL; t.part32 = NULL; t.mode16 = NULL;
     t.plan_nbx = plan_nbx;

@@ -76,7 +76,7 @@ class _NativeShim:
         return self.enc.done()
 from .intra import build_edges, predict
 from .tables import TABLES, ac_q, dc_q
-from .transform import INV_ROW_SHIFT, fwd_txfm2d, inv_txfm2d
+from .transform import INV_ROW_SHIFT, fwd_txfm2d_int, inv_txfm2d
 
 # dequant right-shift per (max) tx dimension — normative (spec 7.12.2 /
 # dav1d dq_shift). Validated by single-coefficient oracle probes.
@@ -1280,7 +1280,7 @@ class TileEncoder:
         transforms."""
         if not resid.any():
             return np.zeros((tx, tx), dtype=np.int64), 0.0
-        coeffs = fwd_txfm2d(resid, tx_type)
+        coeffs = fwd_txfm2d_int(resid, tx_type, self.bitdepth)
         return self._rdoq(coeffs, tx, ptype)
 
     def _cost_tables(self, txs_ctx: int, ptype: int):

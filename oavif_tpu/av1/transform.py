@@ -299,6 +299,67 @@ def fwd_txfm2d(residual: np.ndarray, tx_type: str = "dct_dct") -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Integer fixed-point forward transform — the production path.
+#
+# Two-stage int16xint16->int32 matrix product (Q12 matrices, a per-matrix
+# stage-1 shift chosen so nothing can overflow), exactly mirrored by the C
+# encoder's VNNI kernels: integer arithmetic is order-independent, so C and
+# NumPy are bit-identical with no float-ordering rules. The forward
+# transform is encoder freedom (only the inverse is normative), so the
+# ~1e-3-relative rounding vs the float64 matrices just realizes a slightly
+# different quantizer.
+# ---------------------------------------------------------------------------
+
+_FWD_INT_SCALE_BITS = 12
+
+
+@functools.lru_cache(maxsize=None)
+def fwd_matrices_int16(w: int, h: int, tx_type: str = "dct_dct",
+                       bitdepth: int = 8):
+    """Q12 int16 forward matrices + the stage-1 shift SA.
+
+    Stage 1: acc1 = fh16 @ resid        (int32, provably no overflow)
+             tmp16 = (acc1 + 2^(SA-1)) >> SA   (fits int16)
+    Stage 2: out32 = tmp16 @ fw16.T     (int32, provably no overflow)
+    Coefficient scale: out32 = real * 2^(2*SCALE_BITS - SA)."""
+    fh, fw = fwd_matrices(w, h, tx_type)
+    s = float(1 << _FWD_INT_SCALE_BITS)
+    fh16 = np.floor(fh * s + 0.5).astype(np.int64)
+    fw16 = np.floor(fw * s + 0.5).astype(np.int64)
+    assert np.abs(fh16).max() < 32768 and np.abs(fw16).max() < 32768
+    maxr = (1 << bitdepth) - 1
+    l1_fh = int(np.abs(fh16).sum(axis=1).max())
+    l1_fw = int(np.abs(fw16).sum(axis=1).max())
+    acc1 = l1_fh * maxr
+    assert acc1 < 2**31, "stage-1 overflow"
+    sa = 0
+    while True:
+        t = (acc1 + (1 << sa >> 1)) >> sa
+        if t <= 32767 and l1_fw * t < 2**31:
+            break
+        sa += 1
+    return (fh16.astype(np.int16), fw16.astype(np.int16), sa)
+
+
+def fwd_txfm2d_int(residual: np.ndarray, tx_type: str = "dct_dct",
+                   bitdepth: int = 8) -> np.ndarray:
+    """Integer forward transform; returns float64 coefficients at the real
+    scale (exact: int32 values times an exact power-of-two factor)."""
+    h, w = residual.shape
+    fh16, fw16, sa = fwd_matrices_int16(w, h, tx_type, bitdepth)
+    r32 = residual.astype(np.int32)
+    acc1 = fh16.astype(np.int32) @ r32
+    tmp16 = (acc1 + (1 << sa >> 1)) >> sa if sa else acc1
+    out32 = tmp16.astype(np.int32) @ fw16.astype(np.int32).T
+    c = out32.astype(np.float64) * (1.0 / (1 << (2 * _FWD_INT_SCALE_BITS - sa)))
+    if w == 64:
+        c[:, 32:] = 0
+    if h == 64:
+        c[32:, :] = 0
+    return c
+
+
+# ---------------------------------------------------------------------------
 # Lossless 4x4 Walsh-Hadamard pair (spec 7.13.3 inverse WHT; the forward is
 # its exact integer inverse — round-trip verified in tests/test_transform.py).
 # ---------------------------------------------------------------------------

@@ -312,29 +312,70 @@ double ssimu2_score(const void *pctx, const uint8_t *dist_rgb) {
             ss2_blur(sq, s22, tmp, cw, chh);
             for (size_t i = 0; i < n; i++) sq[i] = i1[i] * i2[i];
             ss2_blur(sq, s12, tmp, cw, chh);
-            double sd1 = 0, sd4 = 0, sa1 = 0, sa4 = 0, sl1 = 0, sl4 = 0;
-            for (size_t i = 0; i < n; i++) {
-                float mu1v = m1[i], mu2v = m2[i];
+            /* 8-lane parallel double accumulators: deterministic (fixed
+             * lane assignment) and vectorizable, unlike a serial FP
+             * reduction the compiler must not reassociate. */
+            double vd1[8] = {0}, vd4[8] = {0}, va1[8] = {0}, va4[8] = {0},
+                   vl1[8] = {0}, vl4[8] = {0};
+            size_t i8 = n & ~(size_t)7;
+            for (size_t i = 0; i < i8; i += 8) {
+                for (int u = 0; u < 8; u++) {
+                    size_t j = i + u;
+                    float mu1v = m1[j], mu2v = m2[j];
+                    float mu11 = mu1v * mu1v, mu22 = mu2v * mu2v;
+                    float mud = mu1v - mu2v;
+                    float num_m = 1.0f - mud * mud;
+                    float num_s =
+                        2.0f * (s12[j] - mu1v * mu2v) + (float)SS2_C2;
+                    float den_s =
+                        (v11[j] - mu11) + (s22[j] - mu22) + (float)SS2_C2;
+                    float d = fmaxf(1.0f - (num_m * num_s) / den_s, 0.0f);
+                    double dd = d, d2 = dd * dd;
+                    vd1[u] += dd;
+                    vd4[u] += d2 * d2;
+                    float r = (1.0f + fabsf(i2[j] - mu2v)) /
+                                  (1.0f + fabsf(i1[j] - mu1v)) -
+                              1.0f;
+                    double a = fmaxf(r, 0.0f);
+                    double l = fmaxf(-r, 0.0f);
+                    double a2 = a * a, l2 = l * l;
+                    va1[u] += a;
+                    va4[u] += a2 * a2;
+                    vl1[u] += l;
+                    vl4[u] += l2 * l2;
+                }
+            }
+            for (size_t j = i8; j < n; j++) {
+                float mu1v = m1[j], mu2v = m2[j];
                 float mu11 = mu1v * mu1v, mu22 = mu2v * mu2v;
                 float mud = mu1v - mu2v;
                 float num_m = 1.0f - mud * mud;
-                float num_s = 2.0f * (s12[i] - mu1v * mu2v) + (float)SS2_C2;
-                float den_s = (v11[i] - mu11) + (s22[i] - mu22) + (float)SS2_C2;
+                float num_s = 2.0f * (s12[j] - mu1v * mu2v) + (float)SS2_C2;
+                float den_s = (v11[j] - mu11) + (s22[j] - mu22) + (float)SS2_C2;
                 float d = 1.0f - (num_m * num_s) / den_s;
                 if (d < 0.0f) d = 0.0f;
                 double dd = d, d2 = dd * dd;
-                sd1 += dd;
-                sd4 += d2 * d2;
-                float r = (1.0f + fabsf(i2[i] - mu2v)) /
-                              (1.0f + fabsf(i1[i] - mu1v)) -
+                vd1[0] += dd;
+                vd4[0] += d2 * d2;
+                float r = (1.0f + fabsf(i2[j] - mu2v)) /
+                              (1.0f + fabsf(i1[j] - mu1v)) -
                           1.0f;
                 double a = r > 0.f ? r : 0.0;
                 double l = r < 0.f ? -r : 0.0;
                 double a2 = a * a, l2 = l * l;
-                sa1 += a;
-                sa4 += a2 * a2;
-                sl1 += l;
-                sl4 += l2 * l2;
+                va1[0] += a;
+                va4[0] += a2 * a2;
+                vl1[0] += l;
+                vl4[0] += l2 * l2;
+            }
+            double sd1 = 0, sd4 = 0, sa1 = 0, sa4 = 0, sl1 = 0, sl4 = 0;
+            for (int u = 0; u < 8; u++) {
+                sd1 += vd1[u];
+                sd4 += vd4[u];
+                sa1 += va1[u];
+                sa4 += va4[u];
+                sl1 += vl1[u];
+                sl4 += vl4[u];
             }
             double inv = 1.0 / (double)n;
             feats[c][s][0] = sd1 * inv;

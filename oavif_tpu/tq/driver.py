@@ -108,7 +108,18 @@ def search_encode(
     # amortizes one device scoring step. Wider batches only pay with real
     # cores to encode on. Env overrides: OAVIF_TQ_BATCH=0/1, _WIDTH=N.
     batch_env = os.environ.get("OAVIF_TQ_BATCH")
-    use_batch = batch_env != "0" if batch_env is not None else True
+    if batch_env is not None:
+        use_batch = batch_env != "0"
+    else:
+        # Batched speculative probing exists to amortize the EXPENSIVE
+        # device metric call (RTT-bound through the tunnel) over several
+        # candidate encodes. With the host-native metric a scoring round
+        # costs ~30ms while each candidate encode costs ~70-150ms, so the
+        # economics flip: the reference's sequential loop (1 encode per
+        # round, seed usually within tolerance) is faster end-to-end.
+        from ..metric.native import metric_impl
+
+        use_batch = metric_impl() != "c"
     use_batch = use_batch and hasattr(backend, "encode_with_recon")
     cache: Dict[int, bytes]
     if use_batch:

@@ -245,6 +245,13 @@ _plan_device = jax.jit(
 )
 
 
+class Plan(dict):
+    """Plan dict that supports weak references (the cross-probe decision
+    cache in frame.py keys decision buffers by live plan instances)."""
+
+    __slots__ = ("__weakref__",)
+
+
 def unpack_plan(packed: np.ndarray, nby: int, nbx: int) -> Dict[str, np.ndarray]:
     """Packed device plan vector → the host plan dict (spec mode ids)."""
     sby, sbx = nby // 2, nbx // 2
@@ -256,12 +263,12 @@ def unpack_plan(packed: np.ndarray, nby: int, nbx: int) -> Dict[str, np.ndarray]
     s32 = packed[n64 + n32 : n64 + 2 * n32].reshape(nby, nbx)
     m16 = packed[n64 + 2 * n32 :].reshape(nby * 2, nbx * 2)
     plan64 = np.where(p64 > 0, ids[np.maximum(p64 - 1, 0)] + 1, 0)
-    return {
-        "plan64": plan64.astype(np.int32),
-        "mode32": ids[m32].astype(np.int32),
-        "part32": s32.astype(np.int32),
-        "mode16": ids[m16].astype(np.int32),
-    }
+    return Plan(
+        plan64=plan64.astype(np.int32),
+        mode32=ids[m32].astype(np.int32),
+        part32=s32.astype(np.int32),
+        mode16=ids[m16].astype(np.int32),
+    )
 
 
 class FramePlanner:

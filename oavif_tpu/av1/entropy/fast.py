@@ -76,6 +76,7 @@ def _build() -> Optional[C.CDLL]:
             _p32,              # dr_deriv
             _p32, C.c_int, C.c_int,  # plan, plan_nbx, plan_nby
             _p32, _p32,        # blocks_out, n_blocks_out
+            _p32, _p32, C.c_int,  # dec_buf, dec_len_io, dec_mode
             C.POINTER(C.POINTER(C.c_uint8)),  # out_payload
         ]
         lib.tile_payload_free.argtypes = [C.POINTER(C.c_uint8)]
@@ -245,7 +246,7 @@ _CDF_ORDER = (
 
 
 def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None,
-                       u_ac_delta_q=0):
+                       u_ac_delta_q=0, dec=None):
     """Encode one tile entirely in C. Returns (payload bytes, [recon
     planes (h, w) int32]) or None when the native library is unavailable.
 
@@ -342,6 +343,15 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None,
     n_blocks = np.zeros(1, dtype=np.int32)
     out = C.POINTER(C.c_uint8)()
     quv = min(max(qindex + u_ac_delta_q, 0), 255)
+    # cross-probe decision reuse: dec = {"mode": 1 record | 2 replay,
+    # "buf": int32 array, "len": record capacity / replay length}
+    dec_ptr = C.POINTER(C.c_int32)()
+    dec_len = None
+    dec_mode = 0
+    if dec is not None and dec.get("mode"):
+        dec_mode = int(dec["mode"])
+        dec_ptr = _i32p(dec["buf"])
+        dec_len = np.array([int(dec["len"])], dtype=np.int32)
     n = lib.tile_encode(
         src_ptrs, recon_ptrs,
         nplanes, w, h, bitdepth, speed, qindex,
@@ -352,8 +362,13 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None,
         _i32p(dr),
         plan_ptr, nbx, nby,
         _i32p(blocks_buf), _i32p(n_blocks),
+        dec_ptr,
+        _i32p(dec_len) if dec_len is not None else C.POINTER(C.c_int32)(),
+        dec_mode,
         C.byref(out),
     )
+    if dec is not None and dec_mode == 1 and dec_len is not None:
+        dec["len"] = int(dec_len[0])
     payload = bytes(bytearray(C.cast(out, C.POINTER(C.c_uint8 * n))[0]))
     lib.tile_payload_free(out)
     blocks = [tuple(map(int, row)) for row in blocks_buf[: int(n_blocks[0])]]

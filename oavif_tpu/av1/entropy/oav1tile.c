@@ -110,6 +110,13 @@ typedef struct {
     int plan_nbx, plan_nby;
     int32_t *blocks_out;  /* (r, c, size, skip) quads for the post-filters */
     int n_blocks;
+    /* cross-probe decision record/replay (mode 0 off, 1 record, 2 replay):
+     * per coded block 9 ints [tag, y_depth, tt0..3, uv_mode, a_u, a_v];
+     * tag guards block-sequence alignment (edge SBs fall back to
+     * q-dependent host partition search, so sequences CAN diverge — on
+     * the first tag mismatch replay disarms for the rest of the tile) */
+    int32_t *dec_buf;
+    int dec_pos, dec_cap, dec_mode;
     /* context lines */
     uint8_t *above_part, *above_skip, *above_mode;
     uint8_t left_part[16], left_skip[16], left_mode[16];
@@ -367,14 +374,17 @@ static const int DQ_SHIFT_BY_TX[65] = {
     [4] = 0, [8] = 0, [16] = 0, [32] = 1, [64] = 2};
 
 /* resid (n*n int32) -> levels (int32, natural order) via the Q12 integer
- * forward transform + RDOQ. fi = matrix index into t->fh16/fwT16. */
+ * forward transform + RDOQ. fi = matrix index into t->fh16/fwT16.
+ * ord_out/eob_out (optional) export the scan-order magnitudes + eob so
+ * the caller's rate estimate skips re-gathering the levels. */
 static void quantize_mat(const Tile *t, const int32_t *resid, int n,
-                         int ptype, int fi, int32_t *levels, double *e2_out);
+                         int ptype, int fi, int32_t *levels, double *e2_out,
+                         int64_t *ord_out, int *eob_out);
 
 static void quantize_n(const Tile *t, const int32_t *resid, int n, int ptype,
                        int32_t *levels) {
     int fi = n == 4 ? 6 : log2i(n) - 3;
-    quantize_mat(t, resid, n, ptype, fi, levels, NULL);
+    quantize_mat(t, resid, n, ptype, fi, levels, NULL, NULL, NULL);
 }
 
 static const int MAT_N[7] = {8, 16, 32, 64, 8, 16, 4};
@@ -660,7 +670,8 @@ static int rdoq_eobpt_cost(const Rdoq *q, int e) {
 }
 
 static void quantize_mat(const Tile *t, const int32_t *resid, int n,
-                         int ptype, int fi, int32_t *levels, double *e2_out) {
+                         int ptype, int fi, int32_t *levels, double *e2_out,
+                         int64_t *ord_out, int *eob_out) {
     /* Q12 integer forward transform (mirrors transform.py
      * fwd_txfm2d_int exactly — integer ops are order-independent, so the
      * VNNI kernels and NumPy agree bit-for-bit). */
@@ -731,6 +742,7 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
             for (int si = 0; si < n_coded; si++) e2 += a_scan[si] * a_scan[si];
             *e2_out = e2;
         }
+        if (eob_out) *eob_out = 0;
         return;
     }
 
@@ -835,6 +847,8 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
         int rr = pos / cw, cc = pos % cw;
         levels[(size_t)rr * n + cc] = (int32_t)(ord[si] * sg_nat[pos]);
     }
+    if (ord_out) memcpy(ord_out, ord, (size_t)eob * 8);
+    if (eob_out) *eob_out = eob;
     if (e2_out) {
         double e2 = 0.0;
         for (int si = 0; si < eob; si++) {
@@ -1323,8 +1337,10 @@ static void txb_edge_counts(int size, int tx, int ti, int tj, int ntr_blk,
 
 /* approximate coded bits (1/128 units) of one txb from the RDOQ cost
  * tables (mirrors frame.py _rate_estimate_txb exactly) */
-static int64_t rate_estimate_txb(const Tile *t, const int32_t *levels,
-                                 int tx, int ptype) {
+/* core rate model over scan-order magnitudes (ofl[0..eob)) — the caller
+ * usually has these straight out of quantize_mat */
+static int64_t rate_estimate_scan(const Tile *t, const int64_t *ofl, int eob,
+                                  int tx, int ptype) {
     int cw = tx < 32 ? tx : 32;
     int n_coded = cw * cw;
     const int32_t *scan = t->scan[log2i(cw) - 2];
@@ -1335,16 +1351,6 @@ static int64_t rate_estimate_txb(const Tile *t, const int32_t *levels,
     const int32_t(*cost_eob_extra)[2] = t->rc_eob_extra[txs][ptype];
     const int32_t *cost_eob_pt = t->rc_eob_pt[log2i(cw) - 2][ptype];
     int bwl = log2i(cw);
-
-    int64_t ofl[1024];
-    int eob = 0;
-    for (int si = 0; si < n_coded; si++) {
-        int pos = scan[si];
-        int rr = pos >> bwl, cc = pos & (cw - 1);
-        int32_t v = levels[(size_t)rr * tx + cc];
-        ofl[si] = v < 0 ? -(int64_t)v : v;
-        if (ofl[si]) eob = si + 1;
-    }
     if (eob == 0) return 256; /* txb_skip=1, ~2 bits */
 
     int W = cw + 2;
@@ -1421,11 +1427,29 @@ static int64_t rate_estimate_txb(const Tile *t, const int32_t *levels,
     return rr_;
 }
 
+static int64_t rate_estimate_txb(const Tile *t, const int32_t *levels,
+                                 int tx, int ptype) {
+    int cw = tx < 32 ? tx : 32;
+    int n_coded = cw * cw;
+    const int32_t *scan = t->scan[log2i(cw) - 2];
+    int bwl = log2i(cw);
+    int64_t ofl[1024];
+    int eob = 0;
+    for (int si = 0; si < n_coded; si++) {
+        int pos = scan[si];
+        int rr = pos >> bwl, cc = pos & (cw - 1);
+        int32_t v = levels[(size_t)rr * tx + cc];
+        ofl[si] = v < 0 ? -(int64_t)v : v;
+        if (ofl[si]) eob = si + 1;
+    }
+    return rate_estimate_scan(t, ofl, eob, tx, ptype);
+}
+
 /* predict + quantize one luma txb from the current recon; two-way ADST RD
  * for tx 8/16 (mirrors frame.py _encode_luma_txb). Returns tx_type. */
 static int encode_luma_txb_c(Tile *t, int px_, int py_, int tx, int y_mode,
-                             int ntr, int nbl, int can_code, int32_t *lv,
-                             int32_t *pred, int64_t *rate_out) {
+                             int ntr, int nbl, int can_code, int forced_tt,
+                             int32_t *lv, int32_t *pred, int64_t *rate_out) {
     Edges e;
     build_edges_buf_tr(t, t->recon[0], px_, py_, tx, tx, py_ > 0, px_ > 0,
                        ntr, nbl, &e);
@@ -1442,13 +1466,25 @@ static int encode_luma_txb_c(Tile *t, int px_, int py_, int tx, int y_mode,
             resid[rr * tx + cc] =
                 t->src[0][(size_t)(py_ + rr) * t->pw + px_ + cc] -
                 pred[rr * tx + cc];
+    if (forced_tt >= 0) {
+        /* replayed decision: quantize under the recorded transform only,
+         * no rate estimate (there is no RD comparison to feed) */
+        int use_adst = forced_tt == 1 && (tx == 8 || tx == 16);
+        int fi2 = use_adst ? (tx == 8 ? 4 : 5)
+                           : (tx == 4 ? 6 : log2i(tx) - 3);
+        quantize_mat(t, resid, tx, 0, fi2, lv, NULL, NULL, NULL);
+        *rate_out = 0;
+        return use_adst ? 1 : 0;
+    }
     int fi = tx == 4 ? 6 : log2i(tx) - 3;
     double e2;
-    quantize_mat(t, resid, tx, 0, fi, lv, &e2);
-    int64_t rate = rate_estimate_txb(t, lv, tx, 0);
+    int64_t ord[1024];
+    int eob = 0;
+    quantize_mat(t, resid, tx, 0, fi, lv, &e2, ord, &eob);
+    int64_t rate = rate_estimate_scan(t, ord, eob, tx, 0);
     int nnz = 0;
-    for (int i = 0; i < npx; i++)
-        if (lv[i]) nnz++;
+    for (int si = 0; si < eob; si++)
+        if (ord[si]) nnz++;
     int txtype = 0;
     if ((tx == 8 || tx == 16) && nnz >= 6) {
         /* two-way transform RD in the COEFFICIENT domain (same orthogonal
@@ -1456,8 +1492,9 @@ static int encode_luma_txb_c(Tile *t, int px_, int py_, int tx, int y_mode,
         int32_t lv_adst[64 * 64];
         int ai = tx == 8 ? 4 : 5;
         double e2_a;
-        quantize_mat(t, resid, tx, 0, ai, lv_adst, &e2_a);
-        int64_t rate_a = rate_estimate_txb(t, lv_adst, tx, 0);
+        int eob_a = 0;
+        quantize_mat(t, resid, tx, 0, ai, lv_adst, &e2_a, ord, &eob_a);
+        int64_t rate_a = rate_estimate_scan(t, ord, eob_a, tx, 0);
         int shift = DQ_SHIFT_BY_TX[tx];
         double lam =
             (double)((((int64_t)t->dq_ac * t->dq_ac) >> (2 * shift)) *
@@ -1477,7 +1514,8 @@ static int encode_luma_txb_c(Tile *t, int px_, int py_, int tx, int y_mode,
  * (restored before return). Returns 0 for a rejected all-zero split. */
 static int try_luma_depth_c(Tile *t, int x, int y, int size, int depth,
                             int y_mode, int ntr_blk, int nbl_blk,
-                            int can_code, int32_t *lv_out /* txb-major */,
+                            int can_code, const int *forced_tt,
+                            int32_t *lv_out /* txb-major */,
                             int32_t *pred_out, int *txtypes,
                             int32_t *recon_out /* (size,size) */,
                             int64_t *dist_out, int64_t *rate_out) {
@@ -1509,7 +1547,8 @@ static int try_luma_depth_c(Tile *t, int x, int y, int size, int depth,
             int64_t r_txb;
             txtypes[idx] =
                 encode_luma_txb_c(t, px_, py_, tx, y_mode, ntr, nbl,
-                                  can_code, lv, pred, &r_txb);
+                                  can_code, forced_tt ? forced_tt[idx] : -1,
+                                  lv, pred, &r_txb);
             int lnz = 0;
             for (int i = 0; i < tx * tx; i++)
                 if (lv[i]) { lnz = 1; break; }
@@ -1645,6 +1684,25 @@ static void encode_block(Tile *t, int r, int c, int size) {
         y_mode = choose_y_mode(t, r, c, size, &ey, have_above0, have_left0,
                                pred_scratch);
 
+    /* cross-probe decision replay */
+    int rep_on = 0, rep_depth = 0, rep_uv = -1, rep_au = 0, rep_av = 0;
+    int rep_tt[4] = {0, 0, 0, 0};
+    int32_t dec_tag = (int32_t)((r << 16) | (c << 8) | size);
+    if (t->dec_mode == 2) {
+        if (t->dec_pos + 9 <= t->dec_cap &&
+            t->dec_buf[t->dec_pos] == dec_tag) {
+            const int32_t *dd = t->dec_buf + t->dec_pos;
+            t->dec_pos += 9;
+            rep_on = 1;
+            rep_depth = dd[1];
+            rep_tt[0] = dd[2]; rep_tt[1] = dd[3];
+            rep_tt[2] = dd[4]; rep_tt[3] = dd[5];
+            rep_uv = dd[6]; rep_au = dd[7]; rep_av = dd[8];
+        } else {
+            t->dec_mode = 0; /* sequence diverged: disarm for the tile */
+        }
+    }
+
     int can_code = size >= 8; /* tx_type signaled for tx <= 16 */
     int tx = size;
     int npx = tx * tx;
@@ -1665,8 +1723,24 @@ static void encode_block(Tile *t, int r, int c, int size) {
         static _Thread_local int32_t rec_b[64 * 64];
         int tt_a[4] = {0, 0, 0, 0}, tt_b[4] = {0, 0, 0, 0};
         int64_t d0 = 0, r0 = 0;
+        if (rep_on) {
+            y_depth = rep_depth;
+            if (!try_luma_depth_c(t, x, y, size, y_depth, y_mode, ntr0,
+                                  nbl0, can_code, rep_tt, lv_a, pr_a, tt_a,
+                                  y_recon, &d0, &r0)) {
+                /* replayed split is all-zero at this q: skip semantics
+                 * demand the depth-0 whole-block prediction */
+                static const int tt_dct[4] = {0, 0, 0, 0};
+                y_depth = 0;
+                try_luma_depth_c(t, x, y, size, 0, y_mode, ntr0, nbl0,
+                                 can_code, tt_dct, lv_a, pr_a, tt_a,
+                                 y_recon, &d0, &r0);
+            }
+            memcpy(y_txtypes, tt_a, sizeof(tt_a));
+            goto luma_done;
+        }
         try_luma_depth_c(t, x, y, size, 0, y_mode, ntr0, nbl0, can_code,
-                         lv_a, pr_a, tt_a, y_recon, &d0, &r0);
+                         NULL, lv_a, pr_a, tt_a, y_recon, &d0, &r0);
         int cat = log2i(size) - 3;
         int tctx = size > 4 ? tx_ctx_c(t, r, c, btx) : 0;
         double lam_pix =
@@ -1676,8 +1750,8 @@ static void encode_block(Tile *t, int r, int c, int size) {
             d0 > ((int64_t)size * size * t->dq_ac * t->dq_ac) >> 9) {
             int64_t d1, r1;
             if (try_luma_depth_c(t, x, y, size, 1, y_mode, ntr0, nbl0,
-                                 can_code, lv_b, pr_b, tt_b, rec_b, &d1,
-                                 &r1)) {
+                                 can_code, NULL, lv_b, pr_b, tt_b, rec_b,
+                                 &d1, &r1)) {
                 double rd0 = (double)(d0) +
                              lam_pix * (double)(r0 + t->rc_txsz[cat][tctx][0]);
                 double rd1 = (double)(d1) +
@@ -1692,6 +1766,7 @@ static void encode_block(Tile *t, int r, int c, int size) {
             }
         }
         if (!y_depth) memcpy(y_txtypes, tt_a, sizeof(tt_a));
+    luma_done:
         memcpy(levels, lv_a, (size_t)npx * 4);
         memcpy(preds, pr_a, (size_t)npx * 4);
     }
@@ -1750,7 +1825,46 @@ static void encode_block(Tile *t, int r, int c, int size) {
         }
         int use_cfl = 0;
         static _Thread_local int32_t cfl_pred[2][64 * 64];
-        if (size <= 32) {
+        if (rep_on) {
+            if (rep_uv == UV_CFL_PRED && (rep_au || rep_av) && size <= 32) {
+                /* replayed CfL: rebuild lumaAC from THIS q's recon, apply
+                 * the recorded alphas, skip the alpha search + DC trial */
+                int64_t sum = 0;
+                int lg = 0;
+                while ((1 << lg) < size) lg++;
+                lg *= 2;
+                static _Thread_local int64_t diff_r[64 * 64];
+                for (int i = 0; i < npx; i++) sum += (int64_t)y_recon[i] << 3;
+                int64_t avg = (sum + ((int64_t)1 << (lg - 1))) >> lg;
+                for (int i = 0; i < npx; i++)
+                    diff_r[i] = ((int64_t)y_recon[i] << 3) - avg;
+                int aa[2] = {rep_au, rep_av};
+                for (int i = 0; i < 2; i++) {
+                    for (int rr = 0; rr < tx; rr++)
+                        for (int cc = 0; cc < tx; cc++) {
+                            int64_t prod =
+                                (int64_t)aa[i] * diff_r[rr * tx + cc];
+                            int64_t contrib = prod < 0
+                                                  ? -((-prod + 32) >> 6)
+                                                  : ((prod + 32) >> 6);
+                            int64_t p = dc_pred[i][rr * tx + cc] + contrib;
+                            if (p < 0) p = 0;
+                            if (p > hi) p = hi;
+                            cfl_pred[i][rr * tx + cc] = (int32_t)p;
+                        }
+                    if (plane_levels_c(t, 1 + i, x, y, tx, can_code,
+                                       cfl_pred[i],
+                                       levels + (size_t)(1 + i) * npx))
+                        any_nonzero = 1;
+                    memcpy(preds + (size_t)(1 + i) * npx, cfl_pred[i],
+                           (size_t)npx * 4);
+                }
+                uv_mode = UV_CFL_PRED;
+                alpha_u = rep_au;
+                alpha_v = rep_av;
+                use_cfl = 1;
+            }
+        } else if (size <= 32) {
             /* lumaAC: (recon << 3) - Round2(sum, log2w+log2h) */
             int64_t sum = 0;
             int lg = 0;
@@ -1866,6 +1980,15 @@ static void encode_block(Tile *t, int r, int c, int size) {
     int skip = !any_nonzero;
     if (skip) { y_depth = 0; y_tx = btx; } /* all-zero splits are rejected
                                               upstream, so skip ⇒ depth 0 */
+    if (t->dec_mode == 1 && t->dec_buf && t->dec_pos + 9 <= t->dec_cap) {
+        int32_t *dd = t->dec_buf + t->dec_pos;
+        t->dec_pos += 9;
+        dd[0] = dec_tag;
+        dd[1] = y_depth;
+        dd[2] = y_txtypes[0]; dd[3] = y_txtypes[1];
+        dd[4] = y_txtypes[2]; dd[5] = y_txtypes[3];
+        dd[6] = uv_mode; dd[7] = alpha_u; dd[8] = alpha_v;
+    }
     if (block_idx >= 0) {
         t->blocks_out[block_idx * 5 + 3] = skip;
         t->blocks_out[block_idx * 5 + 4] = y_tx;
@@ -2205,6 +2328,7 @@ size_t tile_encode(
     const int32_t *dr_deriv,
     const int32_t *plan, int plan_nbx, int plan_nby,
     int32_t *blocks_out, int32_t *n_blocks_out, /* optional geometry export */
+    int32_t *dec_buf, int32_t *dec_len_io, int dec_mode, /* decision reuse */
     uint8_t **out_payload)            /* malloc'd; caller frees */
 {
     Tile t;
@@ -2241,6 +2365,10 @@ size_t tile_encode(
     }
     t.blocks_out = blocks_out;
     t.n_blocks = 0;
+    t.dec_buf = dec_buf;
+    t.dec_pos = 0;
+    t.dec_cap = dec_buf && dec_len_io ? *dec_len_io : 0;
+    t.dec_mode = dec_buf ? dec_mode : 0;
 
     /* padded src (edge-replicated) + zeroed recon */
     for (int p = 0; p < nplanes; p++) {
@@ -2323,6 +2451,7 @@ size_t tile_encode(
     free(t.above_mode);
     free(t.above_txw);
     if (n_blocks_out) *n_blocks_out = t.n_blocks;
+    if (dec_len_io && dec_mode == 1) *dec_len_io = t.dec_pos;
     return n;
 }
 

@@ -192,7 +192,12 @@ class TileEncoder:
         speed: int = 9,
         plan: Optional[dict] = None,  # device plan arrays (encode_tpu)
         u_ac_delta_q: int = 0,
+        dec: Optional[dict] = None,  # decision record/replay (see C mirror)
     ) -> None:
+        self._dec = dec
+        self._dec_mode = int(dec["mode"]) if dec else 0
+        self._dec_pos = 0
+        self._dec_out: List[int] = []
         self.planes = planes
         self.qindex = qindex
         self.lossless = qindex == 0
@@ -341,6 +346,12 @@ class TileEncoder:
 
     # -- top level ------------------------------------------------------------
 
+    def _dec_flush(self) -> None:
+        if self._dec is not None and self._dec_mode == 1:
+            n = len(self._dec_out)
+            self._dec["buf"][:n] = self._dec_out
+            self._dec["len"] = n
+
     def encode(self) -> bytes:
         for sb_r in range(self.sb_rows):
             self.left_part[:] = 0
@@ -352,6 +363,7 @@ class TileEncoder:
                 ps.left_dc[:] = 0
             for sb_c in range(self.sb_cols):
                 self._encode_partition(sb_r * 16, sb_c * 16, 64)
+        self._dec_flush()
         return self.enc.done()
 
     # -- partitions -----------------------------------------------------------
@@ -605,6 +617,18 @@ class TileEncoder:
             y_mode, _, _, _ = self._choose_y_mode(r, c, size)
         y_levels_planned = None
 
+        # cross-probe decision replay (mirrors oav1tile.c: per block
+        # [tag, y_depth, tt0..3, uv_mode, a_u, a_v]; tag mismatch disarms)
+        rep = None
+        if self._dec_mode == 2:
+            buf, pos = self._dec["buf"], self._dec_pos
+            tag = (r << 16) | (c << 8) | size
+            if pos + 9 <= int(self._dec["len"]) and int(buf[pos]) == tag:
+                rep = [int(v) for v in buf[pos : pos + 9]]
+                self._dec_pos += 9
+            else:
+                self._dec_mode = 0
+
         # --- plan residuals: luma first (CfL predicts chroma from the
         # reconstructed luma of this block), then chroma ---
         tx = min(size, 64)
@@ -660,6 +684,19 @@ class TileEncoder:
                 )
             else:
                 y_recon = np.clip(y_pred, lo, hi)
+        elif rep is not None:
+            y_depth = rep[1]
+            trial = self._try_luma_depth(
+                x, y, size, y_depth, y_mode, ntr, nbl, forced_tt=rep[2:6]
+            )
+            if trial is None:
+                # replayed split is all-zero at this q: skip semantics
+                # demand the depth-0 whole-block prediction
+                y_depth = 0
+                trial = self._try_luma_depth(
+                    x, y, size, 0, y_mode, ntr, nbl, forced_tt=[0, 0, 0, 0]
+                )
+            y_jobs, _, _, y_recon = trial
         else:
             depth_cands = [0]
             # speed 9 keeps the split trial only for <=16 blocks (cheap,
@@ -705,12 +742,21 @@ class TileEncoder:
         cfl_alphas = (0, 0)
         if len(self.planes) > 1:
             uv_mode, cfl_alphas, uv_jobs = self._plan_chroma(
-                x, y, size, tx, y_recon, plane_pred, plane_levels
+                x, y, size, tx, y_recon, plane_pred, plane_levels,
+                forced=(rep[6], rep[7], rep[8]) if rep is not None else None,
             )
             plane_jobs += [j + ("dct_dct",) for j in uv_jobs]
 
         skip = not any(np.any(lv) for _, _, _, _, lv, _, _ in plane_jobs)
         assert not (skip and y_depth), "skip block must be depth 0"
+        if self._dec_mode == 1:
+            tts = [0, 0, 0, 0]
+            for i, j in enumerate(y_jobs[:4]):
+                tts[i] = 1 if j[2] == "adst_adst" else 0
+            self._dec_out += [
+                (r << 16) | (c << 8) | size, y_depth, *tts,
+                uv_mode, cfl_alphas[0], cfl_alphas[1],
+            ]
         self.blocks.append((r, c, size, 1 if skip else 0, y_tx))
 
         # --- symbols: skip, modes ---
@@ -868,7 +914,8 @@ class TileEncoder:
 
     # -- chroma planning (CfL) ---------------------------------------------------
 
-    def _plan_chroma(self, x, y, size, tx, y_recon, plane_pred, plane_levels):
+    def _plan_chroma(self, x, y, size, tx, y_recon, plane_pred, plane_levels,
+                     forced=None):
         """Choose DC vs CfL for the chroma planes (spec 7.11.5).
 
         CfL predicts chroma as DC + Round2Signed(alpha_q3 * lumaAC, 6) where
@@ -910,6 +957,32 @@ class TileEncoder:
             return DC_PRED, (0, 0), jobs
 
         dc_preds = [plane_pred(p, DC_PRED) for p in (1, 2)]
+
+        if forced is not None:
+            # replayed decision (mirrors oav1tile.c): DC goes straight to
+            # DC levels; CfL rebuilds lumaAC at THIS q and applies the
+            # recorded alphas — no alpha search, no DC-vs-CfL trial
+            f_uv, f_au, f_av = forced
+            if f_uv == UV_CFL_PRED and (f_au or f_av) and size <= 32:
+                luma_f = (y_recon.astype(np.int64)) << 3
+                lg_f = 2 * (size.bit_length() - 1)
+                avg_f = (int(luma_f.sum()) + (1 << (lg_f - 1))) >> lg_f
+                diff_f = luma_f - avg_f
+                hi_f = (1 << self.bitdepth) - 1
+                jobs = []
+                for i, a in enumerate((f_au, f_av)):
+                    prod = a * diff_f
+                    contrib = np.sign(prod) * ((np.abs(prod) + 32) >> 6)
+                    pred = np.clip(dc_preds[i] + contrib, 0, hi_f)
+                    jobs.append((1 + i, tx, x, y,
+                                 plane_levels(1 + i, pred), pred))
+                return UV_CFL_PRED, (f_au, f_av), jobs
+            jobs = [
+                (p, tx, x, y, plane_levels(p, dc_preds[p - 1]),
+                 dc_preds[p - 1])
+                for p in (1, 2)
+            ]
+            return DC_PRED, (0, 0), jobs
 
         luma = (y_recon.astype(np.int64)) << 3
         lg = 2 * (size.bit_length() - 1)
@@ -1072,9 +1145,12 @@ class TileEncoder:
         return min(ntr, tx), min(nbl, tx)
 
     def _encode_luma_txb(self, px_: int, py_: int, tx: int, y_mode: int,
-                         ntr: int, nbl: int, can_code: bool = True):
+                         ntr: int, nbl: int, can_code: bool = True,
+                         forced_tt: int = -1):
         """Predict one luma txb from the current recon, quantize (RDOQ),
-        two-way ADST RD for tx 8/16. Returns (levels, pred, tx_type)."""
+        two-way ADST RD for tx 8/16. Returns (levels, pred, tx_type).
+        forced_tt >= 0 replays a recorded transform choice: quantize under
+        that transform only, no rate estimate (mirrors oav1tile.c)."""
         ha, hl = py_ > 0, px_ > 0
         above, left = build_edges(
             self.recon[0], px_, py_, tx, tx, ha, hl, self.bitdepth,
@@ -1085,6 +1161,10 @@ class TileEncoder:
         if not can_code:
             return np.zeros((tx, tx), dtype=np.int64), pred, "dct_dct", 256
         resid = self.src[0][py_ : py_ + tx, px_ : px_ + tx] - pred
+        if forced_tt >= 0:
+            use_adst = forced_tt == 1 and tx in (8, 16)
+            tt = "adst_adst" if use_adst else "dct_dct"
+            return self._quantize(resid, tx, tt, ptype=0), pred, tt, 0
         levels, e2 = self._quantize_rd(resid, tx, ptype=0)
         rate = self._rate_estimate_txb(levels, tx, 0)
         tx_type = "dct_dct"
@@ -1105,7 +1185,8 @@ class TileEncoder:
         return levels, pred, tx_type, rate
 
     def _try_luma_depth(self, x: int, y: int, size: int, depth: int,
-                        y_mode: int, ntr_blk: int, nbl_blk: int):
+                        y_mode: int, ntr_blk: int, nbl_blk: int,
+                        forced_tt=None):
         """Trial-encode the block's luma at the given tx depth. Writes the
         trial recon into self.recon[0] and restores it before returning
         (the final coding pass rewrites it). Returns (jobs, dist, rate,
@@ -1128,8 +1209,10 @@ class TileEncoder:
                     ntr, nbl = self._txb_edge_counts(
                         size, tx, ti, tj, ntr_blk, nbl_blk
                     )
+                idx = ti * n + tj
                 levels, pred, tt, r_txb = self._encode_luma_txb(
-                    px_, py_, tx, y_mode, ntr, nbl, can_code=size >= 8
+                    px_, py_, tx, y_mode, ntr, nbl, can_code=size >= 8,
+                    forced_tt=forced_tt[idx] if forced_tt else -1,
                 )
                 if np.any(levels):
                     any_nz = True
@@ -1768,6 +1851,36 @@ def _get_planner(tile_planes, bitdepth):
     return fp
 
 
+# Cross-probe decision cache: one entry per live device-plan instance
+# (the TQ loop re-encodes the same tile at nearby quantizers; the plan
+# object identity inherits the plan cache's ±16-qindex / q90-gate reuse
+# window). Entry: id(plan) -> (weakref(plan), buf, length, qindex).
+_DEC_CACHE: dict = {}
+
+
+def _get_dec(plan, tile_planes, qindex):
+    import os
+    import weakref
+
+    if plan is None or os.environ.get("OAVIF_DEC_REUSE", "1") == "0":
+        return None, False
+    ent = _DEC_CACHE.get(id(plan))
+    if ent is not None and ent[0]() is plan:
+        return {"mode": 2, "buf": ent[1], "len": ent[2]}, False
+    _DEC_CACHE.pop(id(plan), None)
+    h, w = tile_planes[0].shape
+    cap = ((h // 8) + 2) * ((w // 8) + 2) * 9
+    return {"mode": 1, "buf": np.zeros(cap, dtype=np.int32), "len": cap}, True
+
+
+def _store_dec(plan, dec):
+    import weakref
+
+    if len(_DEC_CACHE) > 16:
+        _DEC_CACHE.clear()
+    _DEC_CACHE[id(plan)] = (weakref.ref(plan), dec["buf"], dec["len"])
+
+
 def _encode_one_tile(args):
     (tile_planes, qindex, bitdepth, speed, use_tpu_planner,
      u_ac_delta_q) = args
@@ -1783,19 +1896,25 @@ def _encode_one_tile(args):
 
     import os
 
+    dec, record = _get_dec(plan, tile_planes, qindex)
+
     if os.environ.get("OAVIF_PY_TILE") != "1":
         # Production path: the whole per-tile serial loop in C
         # (entropy/oav1tile.c), releasing the GIL for tile-thread scaling.
         from .entropy.fast import tile_encode_native
 
         res = tile_encode_native(tile_planes, qindex, bitdepth, speed, plan,
-                                 u_ac_delta_q)
+                                 u_ac_delta_q, dec=dec)
         if res is not None:
+            if record and dec is not None:
+                _store_dec(plan, dec)
             return res
 
     te = TileEncoder(tile_planes, qindex, bitdepth, speed, plan=plan,
-                     u_ac_delta_q=u_ac_delta_q)
+                     u_ac_delta_q=u_ac_delta_q, dec=dec)
     payload = te.encode()
+    if record and dec is not None:
+        _store_dec(plan, dec)
     return payload, [r.copy() for r in te.recon], te.blocks
 
 

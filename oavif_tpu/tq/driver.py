@@ -145,7 +145,7 @@ def search_encode(
         probe = make_probe(ctx, backend, metric)
         result = find_target_quality(
             probe, o.score_tgt, o.tolerance, o.max_pass,
-            seed_fn=predict_q_native,
+            seed_fn=predict_q_native, slope_prior=(2.1, 0.7),
         )
         cache = probe.cache
 

@@ -135,6 +135,7 @@ def find_target_quality(
     tolerance: float,
     max_pass: int,
     seed_fn: Optional[Callable[[float], int]] = None,
+    slope_prior: Optional[tuple] = None,
 ) -> SearchResult:
     """Run the full search loop (tq.zig:124-210).
 
@@ -160,6 +161,19 @@ def find_target_quality(
     for pss in range(max_pass):
         if pss == 0:
             q = seed_fn(score_tgt)
+        elif pss == 1 and slope_prior is not None:
+            # Native pass-1 policy: jump by the measured metric-vs-q slope
+            # instead of bisecting the pass-0 bound. When the seed misses
+            # low the content is in the steep class (slope ~1.9-2.6 at
+            # 512^2; flat content lands inside the tolerance at pass 0),
+            # so the feed-forward jump usually converges in 2 passes where
+            # bisection takes 3-4. Asymmetric: the curve is much flatter
+            # below the operating point than above it.
+            up_slope, down_slope = slope_prior
+            err = score_tgt - history[0].score
+            sl = up_slope if err > 0 else down_slope
+            q = _clamp_round_q(history[0].q + err / sl)
+            q = min(max(q, lo_bound), hi_bound)
         else:
             q = interpolate_quantizer(lo_bound, hi_bound, history, score_tgt)
 

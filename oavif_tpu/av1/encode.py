@@ -33,8 +33,32 @@ from .obu import FrameConfig, SequenceConfig, assemble_av1_stream, clamp_tile_lo
 from .yuv import rgb_to_yuv444, yuv444_to_rgb
 
 
+def _chroma_stats(planes, bitdepth: int = 8):
+    """Q-independent part of the chroma delta-q analysis: (mean local
+    16x16 variance, max block-mean drift) over the chroma planes at 8-bit
+    scale. Cached per source across TQ probes (see encode_avif_with_recon)."""
+    h, w = planes[1].shape
+    vh, vw = (h // 16) * 16, (w // 16) * 16
+    if vh < 16 or vw < 16:
+        return None
+    lv_sum = 0.0
+    mv_max = 0.0
+    for pl in planes[1:]:
+        blk = np.asarray(pl[:vh, :vw], dtype=np.int64).reshape(
+            vh // 16, 16, vw // 16, 16
+        )
+        s1 = blk.sum(axis=(1, 3), dtype=np.int64)
+        s2 = (blk * blk).sum(axis=(1, 3), dtype=np.int64)
+        var_num = 256 * s2 - s1 * s1
+        lv_sum += float(int(var_num.sum())) / (65536.0 * float(var_num.size))
+        means = s1.astype(np.float64) / 256.0
+        mv_max = max(mv_max, float(means.var()))
+    sc2 = float(1 << (2 * (bitdepth - 8)))
+    return lv_sum / (2.0 * sc2), mv_max / sc2
+
+
 def _chroma_delta_q(qindex: int, tune: str = "iq", planes=None,
-                    bitdepth: int = 8) -> int:
+                    bitdepth: int = 8, stats=None) -> int:
     """u_ac_delta_q policy: shift bits from chroma AC to luma, where the
     perceptual metric concentrates (measured: libaom carries ~2x our
     chroma MSE at iso-bytes while halving luma MSE — see PARITY.md).
@@ -55,30 +79,10 @@ def _chroma_delta_q(qindex: int, tune: str = "iq", planes=None,
     if qindex == 0 or tune == "ssim":
         return 0
     delta = min(48, max(12, qindex + 16))
-    if planes is not None and len(planes) == 3:
-        h, w = planes[1].shape
-        vh, vw = (h // 16) * 16, (w // 16) * 16
-        if vh >= 16 and vw >= 16:
-            lv_sum = 0.0
-            mv_max = 0.0
-            for pl in planes[1:]:
-                blk = np.asarray(pl[:vh, :vw], dtype=np.int64).reshape(
-                    vh // 16, 16, vw // 16, 16
-                )
-                s1 = blk.sum(axis=(1, 3), dtype=np.int64)
-                s2 = (blk * blk).sum(axis=(1, 3), dtype=np.int64)
-                var_num = 256 * s2 - s1 * s1
-                lv_sum += float(int(var_num.sum())) / (
-                    65536.0 * float(var_num.size)
-                )
-                means = s1.astype(np.float64) / 256.0
-                mv_max = max(mv_max, float(means.var()))
-        else:
-            return delta
-        # thresholds at 8-bit scale; normalize by the depth
-        sc2 = float(1 << (2 * (bitdepth - 8)))
-        mean_local_var = lv_sum / (2.0 * sc2)
-        mean_drift = mv_max / sc2
+    if stats is None and planes is not None and len(planes) == 3:
+        stats = _chroma_stats(planes, bitdepth)
+    if stats is not None:
+        mean_local_var, mean_drift = stats
         # banding-prone = chroma is locally smooth but its BLOCK MEANS
         # drift across the frame (a ramp); noise drifts nothing, texture
         # fails the smoothness test (masking)
@@ -172,6 +176,27 @@ def encode_avif(ctx: EncCtx) -> bytes:
     return data
 
 
+# Per-source cache of the YUV conversion + q-independent chroma analysis:
+# the TQ loop re-encodes the SAME source at several quantizers, and
+# neither depends on q. Keyed by source-buffer identity, weakref-guarded.
+_SRC_CACHE: dict = {}
+
+
+def _cached_planes(src_data: np.ndarray, rgb: np.ndarray, out_depth: int):
+    import weakref
+
+    key = (id(src_data), out_depth)
+    ent = _SRC_CACHE.get(key)
+    if ent is not None and ent[0]() is src_data:
+        return ent[1], ent[2]
+    planes = rgb_to_yuv444(rgb, bitdepth=out_depth)
+    stats = _chroma_stats(planes, out_depth) if len(planes) == 3 else None
+    while len(_SRC_CACHE) >= 4:
+        _SRC_CACHE.pop(next(iter(_SRC_CACHE)))
+    _SRC_CACHE[key] = (weakref.ref(src_data), planes, stats)
+    return planes, stats
+
+
 def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
     """Encode per ctx options at quantizer ctx.q; returns (avif bytes,
     reconstructed 8-bit RGB for in-loop scoring)."""
@@ -209,9 +234,10 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
         tcl, trl = o.tile_cols_log2, o.tile_rows_log2
     tcl, trl = clamp_tile_log2s(w, h, tcl, trl)
 
-    planes = rgb_to_yuv444(rgb, bitdepth=out_depth)
+    planes, ch_stats = _cached_planes(src.data, rgb, out_depth)
     uv_dq = (
-        _chroma_delta_q(qindex, o.tune.value, planes, out_depth)
+        _chroma_delta_q(qindex, o.tune.value, planes, out_depth,
+                        stats=ch_stats)
         if len(planes) > 1 else 0
     )
     payloads, recon_planes, blocks = encode_frame_planes(

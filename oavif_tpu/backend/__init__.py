@@ -42,7 +42,8 @@ class EncCtx:
     w: int
     h: int
     q: int = 0
-    num_pass: int = 0
+    num_pass: int = 0       # encodes performed (reference pass semantics)
+    num_rounds: int = 0     # batched mode: scoring rounds (<= num_pass)
     score: float = 0.0
     buf: EncBuffer = field(default_factory=EncBuffer)
 

@@ -128,7 +128,15 @@ def run(argv: List[str]) -> int:
             _perr(f"Profiler trace written to {trace_dir}")
     if os.environ.get("OAVIF_VERBOSE") == "1":
         _perr(f"Pass timings (ms): {search_encode.last_timings}")
-    _perr(f"Found q{result.q} (score {result.score:.2f}, {ctx.num_pass} passes)")
+    rounds = ""
+    if 0 < ctx.num_rounds < ctx.num_pass:
+        # batched speculative mode: several encodes share one scoring
+        # round; report both (passes == encodes, reference semantics)
+        rounds = f" in {ctx.num_rounds} rounds"
+    _perr(
+        f"Found q{result.q} (score {result.score:.2f}, "
+        f"{ctx.num_pass} passes{rounds})"
+    )
 
     with open(parsed.output_file, "wb") as f:
         f.write(data)

@@ -80,7 +80,12 @@ def make_probe_batch(ctx: EncCtx, backend, batch_width: int):
         for q, (data, _) in zip(qs, outs):
             ctx.buf = EncBuffer(q=q, data=data, size=len(data))
             probe_batch.cache[q] = data
-        ctx.num_pass += 1  # one round = one sequential encode wave
+        # pass accounting counts ENCODES so the stderr "N passes" line
+        # stays apples-to-apples with the reference's one-encode-per-pass
+        # semantics (a batched round performs len(qs) encodes); the round
+        # count is tracked separately for the verbose report
+        ctx.num_pass += len(qs)
+        ctx.num_rounds = getattr(ctx, "num_rounds", 0) + 1
         probe_batch.timings.append(round((time.time() - t0) * 1000, 1))
         return [float(s) for s in scores]
 

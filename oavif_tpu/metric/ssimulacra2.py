@@ -249,18 +249,88 @@ def rgb8_to_linear(rgb8: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _gauss_kernel() -> np.ndarray:
-    r = _KERNEL_RADIUS
-    xs = np.arange(-r, r + 1, dtype=np.float64)
+def _gauss_kernel(radius: int = _KERNEL_RADIUS) -> np.ndarray:
+    xs = np.arange(-radius, radius + 1, dtype=np.float64)
     k = np.exp(-0.5 * (xs / _SIGMA) ** 2)
     k /= k.sum()
     return k.astype(np.float32)
 
 
+def kernel_l1_error(radius: int) -> float:
+    """L1 distance between the radius-`radius` normalized kernel and the
+    (effectively exact) radius-8 one — the knob behind the blur
+    sensitivity bound in tests/test_metric.py / PARITY.md."""
+    full = _gauss_kernel(_KERNEL_RADIUS).astype(np.float64)
+    trunc = _gauss_kernel(radius).astype(np.float64)
+    pad = np.zeros_like(full)
+    off = _KERNEL_RADIUS - radius
+    pad[off : off + len(trunc)] = trunc
+    return float(np.abs(full - pad).sum())
+
+
+@functools.lru_cache(maxsize=None)
+def _yvv_coeffs():
+    """Young–van Vliet 3rd-order recursive Gaussian coefficients, σ=1.5
+    (the classic q-polynomial fit; the upstream tool uses a recursive-IIR
+    Gaussian of this family). Returns (B, b1/b0, b2/b0, b3/b0)."""
+    sigma = _SIGMA
+    q = 3.97156 - 4.14554 * np.sqrt(1.0 - 0.26891 * sigma)
+    b0 = 1.57825 + 2.44413 * q + 1.4281 * q * q + 0.422205 * q ** 3
+    b1 = 2.44413 * q + 2.85619 * q * q + 1.26661 * q ** 3
+    b2 = -(1.4281 * q * q + 1.26661 * q ** 3)
+    b3 = 0.422205 * q ** 3
+    B = 1.0 - (b1 + b2 + b3) / b0
+    return (np.float32(B), np.float32(b1 / b0), np.float32(b2 / b0),
+            np.float32(b3 / b0))
+
+
+def _iir_pass_1d(x: jnp.ndarray) -> jnp.ndarray:
+    """Forward+backward YvV recursion along the LAST axis, zero initial
+    state (matching the FIR path's zero padding)."""
+    B, a1, a2, a3 = _yvv_coeffs()
+
+    def fwd(carry, xt):
+        w1, w2, w3 = carry
+        w = B * xt + a1 * w1 + a2 * w2 + a3 * w3
+        return (w, w1, w2), w
+
+    def bwd(carry, wt):
+        y1, y2, y3 = carry
+        y = B * wt + a1 * y1 + a2 * y2 + a3 * y3
+        return (y, y1, y2), y
+
+    xt = jnp.moveaxis(x, -1, 0)
+    z = jnp.zeros_like(xt[0])
+    _, w = jax.lax.scan(fwd, (z, z, z), xt)
+    _, y = jax.lax.scan(bwd, (z, z, z), w[::-1])
+    return jnp.moveaxis(y[::-1], 0, -1)
+
+
+def blur_iir(img: jnp.ndarray) -> jnp.ndarray:
+    """Recursive-IIR Gaussian σ=1.5 over (C, H, W) — the upstream blur
+    family. Used to BOUND the FIR-vs-IIR deviation empirically
+    (tests/test_metric.py pins the measured delta); select with
+    OAVIF_METRIC_BLUR=iir."""
+    x = _iir_pass_1d(img)  # rows
+    x = jnp.swapaxes(_iir_pass_1d(jnp.swapaxes(x, -1, -2)), -1, -2)
+    return x
+
+
 def blur(img: jnp.ndarray) -> jnp.ndarray:
     """Separable Gaussian σ=1.5 over (C, H, W), zero-padded borders
     (matches the recursive-Gaussian zero initial state used upstream)."""
-    k = jnp.asarray(_gauss_kernel())
+    import os
+
+    sel = os.environ.get("OAVIF_METRIC_BLUR", "")
+    if sel == "iir":
+        return blur_iir(img)
+    if sel.startswith("fir_r"):  # truncated-kernel sensitivity probes
+        return _blur_fir(img, int(sel[5:]))
+    return _blur_fir(img, _KERNEL_RADIUS)
+
+
+def _blur_fir(img: jnp.ndarray, radius: int) -> jnp.ndarray:
+    k = jnp.asarray(_gauss_kernel(radius))
     c, h, w = img.shape
     # Horizontal then vertical, as grouped 1D convolutions.
     x = img[:, None]  # (C, 1, H, W) — N=C, C=1
@@ -271,7 +341,7 @@ def blur(img: jnp.ndarray) -> jnp.ndarray:
         x,
         kh,
         window_strides=(1, 1),
-        padding=((0, 0), (_KERNEL_RADIUS,) * 2),
+        padding=((0, 0), (radius,) * 2),
         precision=jax.lax.Precision.HIGHEST,
     )
     kv = k.reshape(1, 1, -1, 1)
@@ -279,7 +349,7 @@ def blur(img: jnp.ndarray) -> jnp.ndarray:
         x,
         kv,
         window_strides=(1, 1),
-        padding=((_KERNEL_RADIUS,) * 2, (0, 0)),
+        padding=((radius,) * 2, (0, 0)),
         precision=jax.lax.Precision.HIGHEST,
     )
     return x[:, 0]

@@ -206,3 +206,32 @@ def test_batch_auto_matches_single(test_rgb8, rng):
     out = score_batch_auto(test_rgb8, batch)
     for i in range(2):
         assert out[i] == compute_ssimulacra2_native(test_rgb8, batch[i])
+
+
+def test_blur_sensitivity_bound(test_rgb8, rng):
+    """Bound the blur-implementation deviation source empirically: score
+    shift per unit of kernel L1 error is small and roughly linear
+    (measured ~0.5-3.7 score / 1% L1 at operating scores). An accurate
+    recursive Gaussian of the upstream's class (<~0.3% L1 error) can
+    therefore shift scores by at most ~1 point worst-case; see PARITY.md.
+    The truncated radius-5 kernel (0.04% L1 error) must stay within 0.5."""
+    import importlib
+    import os
+
+    import oavif_tpu.metric.ssimulacra2 as M
+
+    dist = np.clip(
+        test_rgb8.astype(np.float64) + rng.normal(0, 5, test_rgb8.shape),
+        0,
+        255,
+    ).astype(np.uint8)
+    base = M.compute_ssimulacra2(test_rgb8, dist)
+    assert M.kernel_l1_error(5) < 0.001
+    os.environ["OAVIF_METRIC_BLUR"] = "fir_r5"
+    try:
+        importlib.reload(M)
+        r5 = M.compute_ssimulacra2(test_rgb8, dist)
+    finally:
+        os.environ.pop("OAVIF_METRIC_BLUR")
+        importlib.reload(M)
+    assert abs(r5 - base) < 0.5, (base, r5)

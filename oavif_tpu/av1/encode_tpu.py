@@ -215,31 +215,6 @@ def _plan_device_body(y, u, v, dq_ac, qindex_f, nby: int, nbx: int,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("dq_shift",))
-def plan_blocks(blocks, above, left, corner, fh, fw, dq_dc, dq_ac,
-                dq_shift: int):
-    """Reference XLA lowering for the fused Pallas planner kernel
-    (oavif_tpu.av1.pallas_kernels.plan_blocks_pallas): all-modes predict +
-    argmin + forward DCT + quantize for a batch of 32×32 blocks. Kept as
-    the kernel's correctness anchor (tests/test_pallas_kernels.py)."""
-    n_px = blocks.shape[1]
-    order = [0, 1, 2, 3, 5, 6, 4]  # legacy order: DC,V,H,SM,SM_V,SM_H,PAETH
-    preds = _predict_modes(above, left, corner, n_px, 7)[:, order]
-    err = preds - blocks[:, None]
-    ssd = jnp.sum(err * err, axis=(2, 3))
-    best = jnp.argmin(ssd, axis=1)
-    pred = jnp.take_along_axis(preds, best[:, None, None, None], axis=1)[:, 0]
-    resid = blocks - pred
-    coeffs = jnp.einsum(
-        "ij,njk,lk->nil", fh, resid, fw, precision=jax.lax.Precision.HIGHEST
-    )
-    qmat = jnp.full((n_px, n_px), dq_ac, dtype=jnp.float32)
-    qmat = qmat.at[0, 0].set(dq_dc)
-    scaled = coeffs * (1 << dq_shift) / qmat
-    levels = jnp.sign(scaled) * jnp.floor(jnp.abs(scaled) + 0.35)
-    return best, levels.astype(jnp.int32), pred
-
-
 _plan_device = jax.jit(
     _plan_device_body, static_argnames=("nby", "nbx", "bitdepth")
 )

@@ -1,6 +1,6 @@
 """oavif-tpu: a TPU-native target-quality AVIF still-image encoder.
 
-A from-scratch JAX/XLA/Pallas re-design of the capability surface of
+A from-scratch JAX/XLA re-design of the capability surface of
 Enter-tainer/oavif (reference: /root/reference): given an input image and a
 target SSIMULACRA2 score, search the quantizer that meets the target within a
 tolerance and pass budget, and emit a standard .avif file.
@@ -16,7 +16,7 @@ Layering (TPU-first, not a port):
     delegates to fssimu2, src/tq.zig:37).
   - ``oavif_tpu.av1``      — the AV1 intra encoder core: RGB→YUV, integer
     transforms, quantization, intra prediction, RD search, reconstruction,
-    tokenization — dense, batched, MXU/VPU-friendly JAX + Pallas.
+    tokenization — dense, batched, MXU/VPU-friendly JAX/XLA.
   - ``oavif_tpu.backend``  — encoder backends: ``tpu`` (ours) and ``oracle``
     (libavif/libaom via Pillow/ctypes — conformance oracle + baseline only).
   - ``oavif_tpu.parallel`` — device mesh setup, tile sharding via shard_map.

@@ -3,7 +3,7 @@
 A backend turns (image, options, quantizer) into AVIF bytes and can decode
 AVIF bytes back to RGB8 for scoring. Two implementations:
 
-  - ``oavif_tpu.backend.tpu``    — the product: the JAX/Pallas AV1 encoder.
+  - ``oavif_tpu.backend.tpu``    — the product: the TPU-planned AV1 encoder.
   - ``oavif_tpu.backend.oracle`` — libavif/libaom via Pillow. Used ONLY as
     the conformance oracle (independent AV1 decode of our bitstreams), as
     the behavior/performance baseline (it is exactly what the reference

@@ -78,7 +78,9 @@ def _chroma_delta_q(qindex: int, tune: str = "iq", planes=None,
         return int(ov)
     if qindex == 0 or tune == "ssim":
         return 0
-    delta = min(48, max(12, qindex + 16))
+    # taper toward 0 near lossless: qindex 1-11 must not coarsen chroma
+    # by the full floor where the user asked for maximum fidelity
+    delta = min(48, max(12, qindex + 16), qindex)
     if stats is None and planes is not None and len(planes) == 3:
         stats = _chroma_stats(planes, bitdepth)
     if stats is not None:

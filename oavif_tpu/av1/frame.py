@@ -1833,21 +1833,25 @@ _PLANNER_CACHE: dict = {}
 def _get_planner(tile_planes, bitdepth):
     """Device planners cache per tile content: the TQ loop re-encodes the
     same planes at several quantizers, and the planes (device-resident in
-    the planner) don't change with q. Keyed by a sampled fingerprint —
-    a collision would only pin valid-but-suboptimal decisions."""
+    the planner) don't change with q. Keyed by a full-content digest
+    (crc32 of the Y bytes, <1 ms at 512² — collisions would serve another
+    image's plan and make bitstreams depend on process history), with
+    per-key LRU eviction so frames with more tiles than the capacity
+    don't thrash."""
+    import zlib
+
     from .encode_tpu import FramePlanner
 
-    y = np.asarray(tile_planes[0])
-    key = (
-        y.shape, len(tile_planes), bitdepth,
-        int(y[::29, ::31].sum()), int(y[0, 0]), int(y[-1, -1]),
-    )
+    y = np.ascontiguousarray(tile_planes[0])
+    key = (y.shape, len(tile_planes), bitdepth, zlib.crc32(y.tobytes()))
     fp = _PLANNER_CACHE.get(key)
     if fp is None:
-        if len(_PLANNER_CACHE) >= 4:
-            _PLANNER_CACHE.clear()
+        while len(_PLANNER_CACHE) >= 8:
+            _PLANNER_CACHE.pop(next(iter(_PLANNER_CACHE)))
         fp = FramePlanner(tile_planes, bitdepth)
-        _PLANNER_CACHE[key] = fp
+    else:
+        del _PLANNER_CACHE[key]  # re-insert: LRU order
+    _PLANNER_CACHE[key] = fp
     return fp
 
 

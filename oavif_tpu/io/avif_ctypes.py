@@ -27,8 +27,11 @@ class _avifROData(C.Structure):
     _fields_ = [("data", C.POINTER(C.c_uint8)), ("size", C.c_size_t)]
 
 
-def decode_to_yuv(avif_bytes: bytes) -> Tuple[List[np.ndarray], int, int]:
-    """Decode AVIF → ([y, u, v] int32 planes (444), bit_depth, range_flag).
+def decode_to_yuv(avif_bytes: bytes, want_cicp: bool = False):
+    """Decode AVIF → ([y, u, v] int32 planes (444), bit_depth, range_flag)
+    — plus (color_primaries, transfer, matrix_coefficients) when
+    ``want_cicp`` (offsets located empirically against our own muxer's
+    CICP round-trip; guarded by the dimension check below).
 
     Raises RuntimeError on decode failure (conformance failure signal).
     """
@@ -89,6 +92,10 @@ def decode_to_yuv(avif_bytes: bytes) -> Tuple[List[np.ndarray], int, int]:
                 height, rb // bytes_pp
             )[:, :width]
             out.append(arr.astype(np.int32))
+        if want_cicp:
+            u16 = C.cast(img_ptr, C.POINTER(C.c_uint16))
+            cicp = (int(u16[52]), int(u16[53]), int(u16[54]))
+            return out, int(depth), int(yuv_range), cicp
         return out, int(depth), int(yuv_range)
     finally:
         lib.avifDecoderDestroy(C.c_void_p(dec))

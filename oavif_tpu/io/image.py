@@ -209,20 +209,27 @@ def load_avif(path: str) -> Image:
     Depth-preserving path first: libavif (ctypes) yields native-depth
     YUV444 planes; high-bit-depth converts to RGB at source depth and
     left-shifts to 16-bit exactly like the reference (io.zig:525-532).
-    Falls back to Pillow (8-bit, keeps alpha + ICC) for 8-bit sources,
-    alpha images, or when the native decoder is unavailable. The HBD
-    YUV→RGB conversion assumes full-range BT.601 (the common AVIF
-    default); unusual CICP inputs take the Pillow path's handling.
+    The native path runs only for full-range BT.601 streams
+    (matrixCoefficients 5/6 — checked from the decoded image's CICP,
+    which is what the _INV matrix implements) with no alpha; everything
+    else — 8-bit, alpha, other matrices — takes Pillow (8-bit window,
+    keeps alpha + ICC), matching the reference's avifImageYUVToRGB
+    CICP handling through its own converter.
     """
+    im = _pil_open(path)  # opened once: alpha probe + ICC + fallback
+    icc = im.info.get("icc_profile")
     try:
         from .avif_ctypes import decode_to_yuv
 
         # alpha images keep the Pillow path (the native path is Y'UV only)
-        has_alpha = "A" in _pil_open(path).mode
+        has_alpha = "A" in im.mode
         with open(path, "rb") as f:
             data = f.read()
-        planes, depth, yuv_range = decode_to_yuv(data)
-        if depth > 8 and yuv_range == 1 and not has_alpha:
+        planes, depth, yuv_range, cicp = decode_to_yuv(data, want_cicp=True)
+        mc = cicp[2]
+        # 5/6 = BT.601 (what _INV implements); 2 = unspecified, which
+        # libavif's own converter also resolves to 601 in practice
+        if depth > 8 and yuv_range == 1 and mc in (2, 5, 6) and not has_alpha:
             from ..av1.yuv import _INV
 
             maxv = (1 << depth) - 1
@@ -233,17 +240,10 @@ def load_avif(path: str) -> Image:
             yuv[:, 1:] -= np.float32((maxv + 1) / 2)
             rgb = np.clip(np.floor(yuv @ _INV + 0.5), 0, maxv)
             rgb16 = (rgb.astype(np.uint16) << (16 - depth)).reshape(h, w, 3)
-            icc = None
-            try:
-                icc = _pil_open(path).info.get("icc_profile")
-            except Exception:
-                pass
             return Image(width=w, height=h, channels=3, hbd=True,
                          data=rgb16, icc=icc)
     except Exception:
         pass
-    im = _pil_open(path)
-    icc = im.info.get("icc_profile")
     if "A" in im.mode:
         arr = np.asarray(im.convert("RGBA"))
         ch = 4

@@ -154,10 +154,14 @@ _CDEF_CANDS = (
 )
 
 
-def _pick_cdef(planes, recon_planes, blocks, qindex, bitdepth, visible):
-    """Choose CDEF strengths by sampled SSE against the source."""
+def _pick_cdef(planes, recon_planes, blocks, qindex, bitdepth, visible,
+               speed=9):
+    """Choose CDEF strengths by sampled SSE against the source; the
+    sampling density follows the speed ladder (1/16 of 8x8 blocks at the
+    default, 1/4 at speeds 6-7, every block at <= 5)."""
     from .entropy.fast import cdef_search_native
 
+    sample_log2 = 2 if speed >= 8 else (1 if speed >= 6 else 0)
     damping = min(6, 3 + (qindex >> 6))
     ph, pw = recon_planes[0].shape
     padded_src = []
@@ -169,7 +173,8 @@ def _pick_cdef(planes, recon_planes, blocks, qindex, bitdepth, visible):
         buf[hh:, :] = buf[hh - 1 : hh, :]
         padded_src.append(buf)
     idx = cdef_search_native(padded_src, recon_planes, blocks, _CDEF_CANDS,
-                             damping, bitdepth, visible[0], visible[1])
+                             damping, bitdepth, visible[0], visible[1],
+                             sample_log2=sample_log2)
     return _CDEF_CANDS[idx], damping
 
 
@@ -262,7 +267,8 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
     cdef_damping = min(6, 3 + (qindex >> 6))
     if cdef_on:
         cdef_strengths, cdef_damping = _pick_cdef(
-            planes, recon_planes, blocks, qindex, out_depth, (h, w))
+            planes, recon_planes, blocks, qindex, out_depth, (h, w),
+            speed=o.speed)
         if any(cdef_strengths):
             cdef_frame(recon_planes, blocks, cdef_strengths, cdef_damping,
                        out_depth)

@@ -37,12 +37,18 @@ import numpy as np
 
 from .tables import TABLES
 
-# spec mode ids for the 7-mode speed-9 family, in search order
-# (DC, V, H, SMOOTH, PAETH, SMOOTH_V, SMOOTH_H — the first 5 are the
-# "base" set used by the partition heuristics)
-MODE_IDS = np.array([0, 1, 2, 9, 12, 10, 11], dtype=np.int32)
+# spec mode ids in search order: DC, V, H, SMOOTH, PAETH, SMOOTH_V,
+# SMOOTH_H, then the 6 directional families (D45, D135, D113, D157, D203,
+# D67). The first 5 are the "base" set used by the partition heuristics;
+# the directional tail is the round-3 nomination set (VERDICT #4): the
+# planner scores them on device for ~free and the host encodes whichever
+# wins, with the same 12.5% symbol-rate premium as the host search.
+MODE_IDS = np.array([0, 1, 2, 9, 12, 10, 11, 3, 4, 5, 6, 7, 8],
+                    dtype=np.int32)
 N_MODES = 7
+N_MODES_DIR = 13
 N_BASE = 5
+_DIR_ANGLES = (45, 135, 113, 157, 203, 67)  # matches MODE_IDS[7:]
 
 
 def _sm_weights(n: int) -> jnp.ndarray:
@@ -85,11 +91,85 @@ def _predict_modes(above, left, corner, n_px: int, nmodes: int):
                   jnp.broadcast_to(c, base.shape)),
     )
     preds = [dc, v, h, smooth, paeth]
-    if nmodes == 7:
+    if nmodes >= 7:
         smooth_v = jnp.floor((wr * a + (256.0 - wr) * below + 128.0) / 256.0)
         smooth_h = jnp.floor((wc * l + (256.0 - wc) * right + 128.0) / 256.0)
         preds += [smooth_v, smooth_h]
-    return jnp.stack(preds, axis=1)
+    out = jnp.stack(preds, axis=1)
+    if nmodes >= 13:
+        out = jnp.concatenate(
+            [out, _predict_directional_modes(above, left, corner, n_px)], 1
+        )
+    return out
+
+
+def _predict_directional_modes(above, left, corner, n_px: int):
+    """Directional prediction (spec 7.11.2.4, zero angle delta) for the 6
+    non-cardinal families, vectorized over blocks. Edges beyond n_px are
+    last-sample replicated (the planner has no top-right/bottom-left
+    context) — a nomination-grade approximation; the host builds exact
+    edges when it encodes the chosen mode."""
+    from .tables import TABLES as _T
+
+    n = above.shape[0]
+    P = n_px
+    dr = np.asarray(_T["dr_intra_derivative"], dtype=np.int64)
+    aE = jnp.concatenate(
+        [above, jnp.broadcast_to(above[:, -1:], (n, P))], 1)
+    lE = jnp.concatenate(
+        [left, jnp.broadcast_to(left[:, -1:], (n, P))], 1)
+    am1 = jnp.concatenate([corner[:, None], aE], 1)
+    lm1 = jnp.concatenate([corner[:, None], lE], 1)
+    r = np.arange(P)[:, None]
+    c = np.arange(P)[None, :]
+    outs = []
+    for angle in _DIR_ANGLES:
+        # index/shift grids are static → computed in numpy at trace time
+        if angle < 90:
+            dx = int(dr[angle])
+            x = (r + 1) * dx
+            base = (x >> 6) + c
+            sh = np.broadcast_to(
+                (x >> 1) & 0x1F, base.shape
+            ).astype(np.float32).reshape(-1)
+            mx = 2 * P - 1
+            b0 = np.minimum(base, mx).reshape(-1)
+            b1 = np.minimum(base + 1, mx).reshape(-1)
+            v = jnp.floor(
+                (aE[:, b0] * (32.0 - sh) + aE[:, b1] * sh + 16.0) / 32.0)
+        elif angle > 180:
+            dy = int(dr[270 - angle])
+            y = (c + 1) * dy
+            base = (y >> 6) + r
+            sh = np.broadcast_to(
+                (y >> 1) & 0x1F, base.shape
+            ).astype(np.float32).reshape(-1)
+            mx = 2 * P - 1
+            b0 = np.minimum(base, mx).reshape(-1)
+            b1 = np.minimum(base + 1, mx).reshape(-1)
+            v = jnp.floor(
+                (lE[:, b0] * (32.0 - sh) + lE[:, b1] * sh + 16.0) / 32.0)
+        else:
+            dx = int(dr[180 - angle])
+            dy = int(dr[angle - 90])
+            x = (c << 6) - (r + 1) * dx
+            bx = x >> 6
+            sx = ((x >> 1) & 0x1F).astype(np.float32).reshape(-1)
+            y = (r << 6) - (c + 1) * dy
+            by = y >> 6
+            sy = ((y >> 1) & 0x1F).astype(np.float32).reshape(-1)
+            bx0 = np.clip(bx + 1, 0, 2 * P).reshape(-1)
+            bx1 = np.clip(bx + 2, 0, 2 * P).reshape(-1)
+            by0 = np.clip(by + 1, 0, 2 * P).reshape(-1)
+            by1 = np.clip(by + 2, 0, 2 * P).reshape(-1)
+            va = jnp.floor(
+                (am1[:, bx0] * (32.0 - sx) + am1[:, bx1] * sx + 16.0) / 32.0)
+            vl = jnp.floor(
+                (lm1[:, by0] * (32.0 - sy) + lm1[:, by1] * sy + 16.0) / 32.0)
+            use_a = jnp.asarray((bx >= -1).reshape(-1))
+            v = jnp.where(use_a[None, :], va, vl)
+        outs.append(v.reshape(n, P, P))
+    return jnp.stack(outs, axis=1)
 
 
 def _grid_edges(p, nby, nbx, n_px, base):
@@ -146,32 +226,69 @@ def _mode_ssd(p, nby, nbx, n_px, base, nmodes):
     preds = _predict_modes(above, left, corner, n_px, nmodes)
     err = preds - blocks[:, None]
     ssd = jnp.sum(err * err, axis=(2, 3))
-    if nmodes == 7:
-        # smooth_v/smooth_h carry the same rate status as the base set in
-        # the host search (no premium below index 7) — keep parity
-        pass
+    if nmodes > 7:
+        # directional modes carry a symbol-rate premium (rarer kf_y
+        # symbols + angle_delta) plus the planner's replicated-edge
+        # optimism for the zone-1/3 families — stiffer than the host
+        # search's 12.5% (calibrated on the edges/photo probes)
+        ssd = ssd.at[:, 7:].multiply(1.4)
     return ssd, blocks
 
 
 def _plan_device_body(y, u, v, dq_ac, qindex_f, nby: int, nbx: int,
-                      bitdepth: int):
+                      bitdepth: int, nmodes: int = N_MODES_DIR,
+                      duel_level: int = 0):
     """Device planning step. y/u/v: (sby*64+1, sbx*64+1) padded planes
     (+1 border row/col). Returns (plan64 (sby,sbx), mode32 (nby,nbx),
     part32_split (nby,nbx), mode16 (2nby, 2nbx))."""
     base = jnp.float32(1 << (bitdepth - 1))
     sby, sbx = nby // 2, nbx // 2
 
+    # 64-blocks keep the 7-mode set (NONE-at-64 is gated to flat SBs
+    # where directional modes can't win); 32 stays at 7 too (tx32 has no
+    # ADST, so directional residuals code badly there — measured +5-7%
+    # bytes); only the 16 grid takes the directional nomination set,
+    # where the tx-16 ADST two-way makes the residuals pay
     ssd64, _ = _mode_ssd(y, sby, sbx, 64, base, N_MODES)
     ssd32, _ = _mode_ssd(y, nby, nbx, 32, base, N_MODES)
-    ssd16, _ = _mode_ssd(y, nby * 2, nbx * 2, 16, base, N_MODES)
+    ssd16, _ = _mode_ssd(y, nby * 2, nbx * 2, 16, base, nmodes)
 
     best64_base = jnp.min(ssd64[:, :N_BASE], axis=1)
     best32_base = jnp.min(ssd32[:, :N_BASE], axis=1)
     best16_base = jnp.min(ssd16[:, :N_BASE], axis=1)
 
-    mode32 = jnp.argmin(ssd32, axis=1)
-    mode16 = jnp.argmin(ssd16, axis=1)
+    mode32_nd = jnp.argmin(ssd32, axis=1)
     mode64 = jnp.argmin(ssd64, axis=1)
+    if duel_level >= 2:
+        # quality speeds: pack the runner-up mode at the 32 grid too —
+        # the host duels winner vs runner-up with real D+lambda*R
+        ssd32_x = ssd32.at[jnp.arange(ssd32.shape[0]), mode32_nd].set(
+            jnp.inf)
+        run32 = jnp.argmin(ssd32_x, axis=1)
+        mode32 = mode32_nd + ((run32 + 1) << 8)
+    else:
+        mode32 = mode32_nd
+    # 16 grid: non-directional winner always; when a directional mode
+    # beats it on premium-adjusted SSD, pack it as a NOMINEE in the high
+    # byte — the host runs a real D+lambda*R trial between the two
+    # (SSD alone measured byte-negative; rate-aware selection is what
+    # makes directional pay at the default speed)
+    mode16_nd = jnp.argmin(ssd16[:, :N_MODES], axis=1)
+    if duel_level >= 1:
+        # runner-up duel at the 16 grid (any mode kind)
+        best16 = jnp.argmin(ssd16, axis=1)
+        ssd16_x = ssd16.at[jnp.arange(ssd16.shape[0]), best16].set(jnp.inf)
+        run16 = jnp.argmin(ssd16_x, axis=1)
+        mode16 = best16 + ((run16 + 1) << 8)
+    elif nmodes > N_MODES:
+        dir_idx = jnp.argmin(ssd16[:, N_MODES:], axis=1) + N_MODES
+        dir_wins = (
+            jnp.take_along_axis(ssd16, dir_idx[:, None], 1)[:, 0]
+            < jnp.take_along_axis(ssd16, mode16_nd[:, None], 1)[:, 0]
+        )
+        mode16 = mode16_nd + jnp.where(dir_wins, (dir_idx + 1) << 8, 0)
+    else:
+        mode16 = mode16_nd
 
     # --- partition 64: NONE only on flat SBs (mirrors the host
     # _choose_partition64: parent-vs-kids + luma and chroma flat gates) ---
@@ -216,7 +333,8 @@ def _plan_device_body(y, u, v, dq_ac, qindex_f, nby: int, nbx: int,
 
 
 _plan_device = jax.jit(
-    _plan_device_body, static_argnames=("nby", "nbx", "bitdepth")
+    _plan_device_body,
+    static_argnames=("nby", "nbx", "bitdepth", "nmodes", "duel_level"),
 )
 
 
@@ -238,11 +356,16 @@ def unpack_plan(packed: np.ndarray, nby: int, nbx: int) -> Dict[str, np.ndarray]
     s32 = packed[n64 + n32 : n64 + 2 * n32].reshape(nby, nbx)
     m16 = packed[n64 + 2 * n32 :].reshape(nby * 2, nbx * 2)
     plan64 = np.where(p64 > 0, ids[np.maximum(p64 - 1, 0)] + 1, 0)
+    # mode16 may carry a directional nominee index in the high byte;
+    # map both fields to spec mode ids (nominee kept as (id+1)<<8)
+    m16_low = ids[m16 & 0xFF].astype(np.int32)
+    m16_high = (m16 >> 8).astype(np.int64)
+    nominee = np.where(m16_high > 0, ids[np.maximum(m16_high - 1, 0)] + 1, 0)
     return Plan(
         plan64=plan64.astype(np.int32),
         mode32=ids[m32].astype(np.int32),
         part32=s32.astype(np.int32),
-        mode16=ids[m16].astype(np.int32),
+        mode16=(m16_low + (nominee.astype(np.int32) << 8)).astype(np.int32),
     )
 
 
@@ -250,7 +373,10 @@ class FramePlanner:
     """Caches the device-resident padded planes of one image and plans
     per probe (the planes don't change with the quantizer)."""
 
-    def __init__(self, planes, bitdepth: int = 8):
+    def __init__(self, planes, bitdepth: int = 8,
+                 nmodes: int = N_MODES_DIR, duel_level: int = 0):
+        self.nmodes = nmodes
+        self.duel_level = duel_level
         y = np.asarray(planes[0])
         h, w = y.shape
         self.h, self.w = h, w
@@ -274,16 +400,19 @@ class FramePlanner:
         self.dev = devp
         self._plan_cache: Dict[int, dict] = {}
 
-    def plan(self, qindex: int) -> Optional[dict]:
+    def plan(self, qindex: int, exact: bool = False) -> Optional[dict]:
         """Returns {"plan64","mode32","part32","mode16"} numpy arrays
-        (spec mode ids), or None when the frame has no full SBs."""
+        (spec mode ids), or None when the frame has no full SBs.
+        exact=True (quality speeds <= 4) disables the cross-q window and
+        replans at every distinct qindex."""
         if self.dev is None:
             return None
         # plans vary with q only through dq-scaled gates; probes at nearby
         # quantizers reuse the cached plan (never across the qindex-90
         # partition gate) — saves a device step + fetch per probe
+        window = 0 if exact else 16
         for qk, cached in self._plan_cache.items():
-            if abs(qk - qindex) <= 16 and (qk <= 90) == (qindex <= 90):
+            if abs(qk - qindex) <= window and (qk <= 90) == (qindex <= 90):
                 return cached
         from .tables import ac_q
 
@@ -292,7 +421,8 @@ class FramePlanner:
                 self.dev[0], self.dev[1], self.dev[2],
                 jnp.float32(ac_q(qindex, self.bitdepth)),
                 jnp.float32(qindex),
-                self.nby, self.nbx, self.bitdepth,
+                self.nby, self.nbx, self.bitdepth, self.nmodes,
+                self.duel_level,
             )
         )
         plan = unpack_plan(packed, self.nby, self.nbx)

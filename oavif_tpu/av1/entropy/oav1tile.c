@@ -746,6 +746,29 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
         return;
     }
 
+    if (t->speed >= 10) {
+        /* speed 10: plain round-half quantization, no RDOQ passes */
+        for (int si = 0; si < eob; si++) {
+            if (!ord[si]) continue;
+            int pos = scan[si];
+            int rr2 = pos / cw, cc2 = pos % cw;
+            levels[(size_t)rr2 * n + cc2] = (int32_t)(ord[si] * sg_nat[pos]);
+        }
+        if (ord_out) memcpy(ord_out, ord, (size_t)eob * 8);
+        if (eob_out) *eob_out = eob;
+        if (e2_out) {
+            double e2 = 0.0;
+            for (int si = 0; si < eob; si++) {
+                int64_t dq = si == 0 ? t->dq_dc : dqa_i;
+                double e = a_scan[si] - (double)((ord[si] * dq) >> shift);
+                e2 += e * e;
+            }
+            for (int si = eob; si < n_coded; si++)
+                e2 += a_scan[si] * a_scan[si];
+            *e2_out = e2;
+        }
+        return;
+    }
     Rdoq q;
     q.base = t->rc_base[txs][ptype];
     q.base_eob = t->rc_base_eob[txs][ptype];
@@ -1486,7 +1509,7 @@ static int encode_luma_txb_c(Tile *t, int px_, int py_, int tx, int y_mode,
     for (int si = 0; si < eob; si++)
         if (ord[si]) nnz++;
     int txtype = 0;
-    if ((tx == 8 || tx == 16) && nnz >= 6) {
+    if ((tx == 8 || tx == 16) && nnz >= 6 && t->speed <= 9) {
         /* two-way transform RD in the COEFFICIENT domain (same orthogonal
          * gain both types): no inverse transforms for the loser */
         int32_t lv_adst[64 * 64];
@@ -1679,6 +1702,14 @@ static void encode_block(Tile *t, int r, int c, int size) {
                        have_left0, ntr0, nbl0, &ey);
 
     int y_mode = planned_mode(t, r, c, size);
+    /* a 16-grid plan entry may carry a directional NOMINEE in the high
+     * byte: the host duels it against the non-directional winner with a
+     * real D + lambda*R trial below */
+    int y_nominee = -1;
+    if (y_mode >= 256) {
+        y_nominee = (y_mode >> 8) - 1;
+        y_mode &= 255;
+    }
     int32_t pred_scratch[64 * 64];
     if (y_mode < 0)
         y_mode = choose_y_mode(t, r, c, size, &ey, have_above0, have_left0,
@@ -1689,15 +1720,17 @@ static void encode_block(Tile *t, int r, int c, int size) {
     int rep_tt[4] = {0, 0, 0, 0};
     int32_t dec_tag = (int32_t)((r << 16) | (c << 8) | size);
     if (t->dec_mode == 2) {
-        if (t->dec_pos + 9 <= t->dec_cap &&
+        if (t->dec_pos + 10 <= t->dec_cap &&
             t->dec_buf[t->dec_pos] == dec_tag) {
             const int32_t *dd = t->dec_buf + t->dec_pos;
-            t->dec_pos += 9;
+            t->dec_pos += 10;
             rep_on = 1;
             rep_depth = dd[1];
             rep_tt[0] = dd[2]; rep_tt[1] = dd[3];
             rep_tt[2] = dd[4]; rep_tt[3] = dd[5];
             rep_uv = dd[6]; rep_au = dd[7]; rep_av = dd[8];
+            y_mode = dd[9]; /* the recorded duel winner */
+            y_nominee = -1;
         } else {
             t->dec_mode = 0; /* sequence diverged: disarm for the tile */
         }
@@ -1746,8 +1779,34 @@ static void encode_block(Tile *t, int r, int c, int size) {
         double lam_pix =
             (double)(((int64_t)t->dq_ac * t->dq_ac >> 6) * RDOQ_KNUM) /
             (RDOQ_KDEN * 128.0) * t->cur_lamscale;
-        if (can_code && btx >= 8 && (t->speed <= 8 || btx <= 16) &&
-            d0 > ((int64_t)size * size * t->dq_ac * t->dq_ac) >> 9) {
+        if (y_nominee >= 0) {
+            /* directional-nominee duel: real rate, not SSD. +600 rate
+             * units (~4.7 bits) models the rarer kf_y symbol + the
+             * angle_delta symbol the directional side pays. */
+            int64_t dB = 0, rB = 0;
+            if (try_luma_depth_c(t, x, y, size, 0, y_nominee, ntr0, nbl0,
+                                 can_code, NULL, lv_b, pr_b, tt_b, rec_b,
+                                 &dB, &rB)) {
+                /* only directional nominees pay the angle_delta +
+                 * kf_y-rarity premium */
+                int prem = (y_nominee >= 3 && y_nominee <= 8) ? 600 : 0;
+                double rdA = (double)d0 + lam_pix * (double)r0;
+                double rdB = (double)dB + lam_pix * (double)(rB + prem);
+                if (rdB < rdA) {
+                    y_mode = y_nominee;
+                    d0 = dB;
+                    r0 = rB;
+                    memcpy(lv_a, lv_b, (size_t)npx * 4);
+                    memcpy(pr_a, pr_b, (size_t)npx * 4);
+                    memcpy(y_recon, rec_b, (size_t)npx * 4);
+                    memcpy(tt_a, tt_b, sizeof(tt_b));
+                }
+            }
+        }
+        if (can_code && btx >= 8 && t->speed <= 9 &&
+            (t->speed <= 8 || btx <= 16) &&
+            (t->speed <= 5 ||
+             d0 > ((int64_t)size * size * t->dq_ac * t->dq_ac) >> 9)) {
             int64_t d1, r1;
             if (try_luma_depth_c(t, x, y, size, 1, y_mode, ntr0, nbl0,
                                  can_code, NULL, lv_b, pr_b, tt_b, rec_b,
@@ -1897,8 +1956,19 @@ static void encode_block(Tile *t, int r, int c, int size) {
                 }
                 if (a_est == 0) { best_a[i] = 0; continue; }
                 int64_t best_ssd = -1;
-                int64_t order[3] = {a_est, a_est - 1, a_est + 1};
-                for (int k = 0; k < 3; k++) {
+                int64_t order[33];
+                int ncand_a;
+                if (t->speed <= 6) {
+                    /* exhaustive alphabet at low speeds */
+                    ncand_a = 0;
+                    for (int a2 = -16; a2 <= 16; a2++)
+                        if (a2) order[ncand_a++] = a2;
+                } else {
+                    order[0] = a_est; order[1] = a_est - 1;
+                    order[2] = a_est + 1;
+                    ncand_a = 3;
+                }
+                for (int k = 0; k < ncand_a; k++) {
                     int64_t a = order[k];
                     if (a < -16 || a > 16) continue;
                     int64_t ssd = 0;
@@ -1980,14 +2050,15 @@ static void encode_block(Tile *t, int r, int c, int size) {
     int skip = !any_nonzero;
     if (skip) { y_depth = 0; y_tx = btx; } /* all-zero splits are rejected
                                               upstream, so skip ⇒ depth 0 */
-    if (t->dec_mode == 1 && t->dec_buf && t->dec_pos + 9 <= t->dec_cap) {
+    if (t->dec_mode == 1 && t->dec_buf && t->dec_pos + 10 <= t->dec_cap) {
         int32_t *dd = t->dec_buf + t->dec_pos;
-        t->dec_pos += 9;
+        t->dec_pos += 10;
         dd[0] = dec_tag;
         dd[1] = y_depth;
         dd[2] = y_txtypes[0]; dd[3] = y_txtypes[1];
         dd[4] = y_txtypes[2]; dd[5] = y_txtypes[3];
         dd[6] = uv_mode; dd[7] = alpha_u; dd[8] = alpha_v;
+        dd[9] = y_mode;
     }
     if (block_idx >= 0) {
         t->blocks_out[block_idx * 5 + 3] = skip;

@@ -104,3 +104,27 @@ def test_replay_byte_cost_small(planes):
     finally:
         os.environ.pop("OAVIF_DEC_REUSE")
     assert len(rep) <= len(fresh) * 1.03, (len(rep), len(fresh))
+
+
+@pytest.mark.parametrize("speed", [4, 5, 6, 7, 8, 9, 10])
+def test_speed_ladder_c_py_parity(planes, speed):
+    """Every speed preset's knob set must stay byte-identical between the
+    C and Python encoders (the ladder touches ADST gates, split trials,
+    RDOQ, CfL breadth, and decision reuse)."""
+    from oavif_tpu.av1.entropy.fast import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    _reset()
+    os.environ.pop("OAVIF_PY_TILE", None)
+    c_p, _, _ = F.encode_frame_planes(planes, 40, 8, speed,
+                                      use_tpu_planner=True, u_ac_delta_q=32)
+    _reset()
+    os.environ["OAVIF_PY_TILE"] = "1"
+    try:
+        p_p, _, _ = F.encode_frame_planes(planes, 40, 8, speed,
+                                          use_tpu_planner=True,
+                                          u_ac_delta_q=32)
+    finally:
+        os.environ.pop("OAVIF_PY_TILE", None)
+    assert c_p[0] == p_p[0], f"speed {speed} bytes diverge C vs Python"

@@ -79,8 +79,9 @@ def _chroma_delta_q(qindex: int, tune: str = "iq", planes=None,
     if qindex == 0 or tune == "ssim":
         return 0
     # taper toward 0 near lossless: qindex 1-11 must not coarsen chroma
-    # by the full floor where the user asked for maximum fidelity
-    delta = min(48, max(12, qindex + 16), qindex)
+    # by the full 12 floor where the user asked for maximum fidelity
+    # (the calibrated qindex+16 ramp is untouched above that)
+    delta = min(48, max(12, qindex + 16)) if qindex >= 12 else qindex
     if stats is None and planes is not None and len(planes) == 3:
         stats = _chroma_stats(planes, bitdepth)
     if stats is not None:

@@ -374,9 +374,11 @@ class FramePlanner:
     per probe (the planes don't change with the quantizer)."""
 
     def __init__(self, planes, bitdepth: int = 8,
-                 nmodes: int = N_MODES_DIR, duel_level: int = 0):
+                 nmodes: int = N_MODES_DIR, duel_level: int = 0,
+                 device=None):
         self.nmodes = nmodes
         self.duel_level = duel_level
+        self.device = device
         y = np.asarray(planes[0])
         h, w = y.shape
         self.h, self.w = h, w
@@ -396,7 +398,8 @@ class FramePlanner:
             p[0, :] = base - 1
             p[:, 0] = base + 1
             p[0, 0] = base
-            devp.append(jnp.asarray(p))
+            devp.append(jax.device_put(p, self.device) if self.device
+                        is not None else jnp.asarray(p))
         self.dev = devp
         self._plan_cache: Dict[int, dict] = {}
 

@@ -1881,7 +1881,8 @@ class TileEncoder:
 _PLANNER_CACHE: dict = {}
 
 
-def _get_planner(tile_planes, bitdepth, nmodes=13, duel_level=0):
+def _get_planner(tile_planes, bitdepth, nmodes=13, duel_level=0,
+                 tile_idx=0):
     """Device planners cache per tile content: the TQ loop re-encodes the
     same planes at several quantizers, and the planes (device-resident in
     the planner) don't change with q. Keyed by a full-content digest
@@ -1900,8 +1901,21 @@ def _get_planner(tile_planes, bitdepth, nmodes=13, duel_level=0):
     if fp is None:
         while len(_PLANNER_CACHE) >= 8:
             _PLANNER_CACHE.pop(next(iter(_PLANNER_CACHE)))
+        # multi-chip product path (SURVEY.md §2c): tiles are the shard
+        # axis — each tile's planes live on (and its planning step runs
+        # on) its own device, round-robin over the local mesh; dispatch
+        # is async so tile plans compute concurrently across chips
+        device = None
+        try:
+            import jax
+
+            devs = jax.devices()
+            if len(devs) > 1:
+                device = devs[tile_idx % len(devs)]
+        except Exception:
+            device = None
         fp = FramePlanner(tile_planes, bitdepth, nmodes=nmodes,
-                          duel_level=duel_level)
+                          duel_level=duel_level, device=device)
     else:
         del _PLANNER_CACHE[key]  # re-insert: LRU order
     _PLANNER_CACHE[key] = fp
@@ -1943,7 +1957,7 @@ def _store_dec(plan, dec):
 
 def _encode_one_tile(args):
     (tile_planes, qindex, bitdepth, speed, use_tpu_planner,
-     u_ac_delta_q) = args
+     u_ac_delta_q, tile_idx) = args
     plan = None
     # device planning pays off on real frames; for tiny tiles the host
     # search is cheaper than the dispatch + (first-run) compile
@@ -1955,8 +1969,9 @@ def _encode_one_tile(args):
             # add host runner-up duels at the 16 (<=6) and 32 (<=5) grids
             nmodes = 13 if speed <= 9 else 5
             duel_level = 2 if speed <= 5 else (1 if speed <= 6 else 0)
-            plan = _get_planner(tile_planes, bitdepth, nmodes,
-                                duel_level).plan(qindex, exact=speed <= 4)
+            plan = _get_planner(
+                tile_planes, bitdepth, nmodes, duel_level, tile_idx
+            ).plan(qindex, exact=speed <= 4)
         except Exception:
             plan = None
 
@@ -2026,7 +2041,7 @@ def encode_frame_planes(
                 np.ascontiguousarray(p[y0:y1, x0:x1]) for p in planes
             ]
             jobs.append((tile_planes, qindex, bitdepth, speed,
-                         use_tpu_planner, u_ac_delta_q))
+                         use_tpu_planner, u_ac_delta_q, len(jobs)))
             bounds.append((y0, y1, x0, x1))
 
     if max_threads > 1 and len(jobs) > 1:

@@ -185,9 +185,9 @@ static void ss2_xyb(const float *lin, int w, int h, float *xyb) {
         float l = OPSIN_M[0] * r + OPSIN_M[1] * g + OPSIN_M[2] * b + OPSIN_BIAS;
         float m = OPSIN_M[3] * r + OPSIN_M[4] * g + OPSIN_M[5] * b + OPSIN_BIAS;
         float s = OPSIN_M[6] * r + OPSIN_M[7] * g + OPSIN_M[8] * b + OPSIN_BIAS;
-        l = fcbrtf(l < 0.f ? 0.f : l) - CBRT_OPSIN_BIAS;
-        m = fcbrtf(m < 0.f ? 0.f : m) - CBRT_OPSIN_BIAS;
-        s = fcbrtf(s < 0.f ? 0.f : s) - CBRT_OPSIN_BIAS;
+        l = fcbrtf(fmaxf(l, 0.f)) - CBRT_OPSIN_BIAS;
+        m = fcbrtf(fmaxf(m, 0.f)) - CBRT_OPSIN_BIAS;
+        s = fcbrtf(fmaxf(s, 0.f)) - CBRT_OPSIN_BIAS;
         float x = (l - m) * 0.5f;
         float y = (l + m) * 0.5f;
         X[i] = x * 14.0f + 0.42f;
@@ -319,6 +319,7 @@ double ssimu2_score(const void *pctx, const uint8_t *dist_rgb) {
                    vl1[8] = {0}, vl4[8] = {0};
             size_t i8 = n & ~(size_t)7;
             for (size_t i = 0; i < i8; i += 8) {
+                float td[8], ta[8], tl[8];
                 for (int u = 0; u < 8; u++) {
                     size_t j = i + u;
                     float mu1v = m1[j], mu2v = m2[j];
@@ -329,18 +330,21 @@ double ssimu2_score(const void *pctx, const uint8_t *dist_rgb) {
                         2.0f * (s12[j] - mu1v * mu2v) + (float)SS2_C2;
                     float den_s =
                         (v11[j] - mu11) + (s22[j] - mu22) + (float)SS2_C2;
-                    float d = fmaxf(1.0f - (num_m * num_s) / den_s, 0.0f);
-                    double dd = d, d2 = dd * dd;
-                    vd1[u] += dd;
-                    vd4[u] += d2 * d2;
+                    td[u] = fmaxf(1.0f - (num_m * num_s) / den_s, 0.0f);
                     float r = (1.0f + fabsf(i2[j] - mu2v)) /
                                   (1.0f + fabsf(i1[j] - mu1v)) -
                               1.0f;
-                    double a = fmaxf(r, 0.0f);
-                    double l = fmaxf(-r, 0.0f);
-                    double a2 = a * a, l2 = l * l;
+                    ta[u] = fmaxf(r, 0.0f);
+                    tl[u] = fmaxf(-r, 0.0f);
+                }
+                for (int u = 0; u < 8; u++) {
+                    double dd = td[u], d2 = dd * dd;
+                    vd1[u] += dd;
+                    vd4[u] += d2 * d2;
+                    double a = ta[u], a2 = a * a;
                     va1[u] += a;
                     va4[u] += a2 * a2;
+                    double l = tl[u], l2 = l * l;
                     vl1[u] += l;
                     vl4[u] += l2 * l2;
                 }

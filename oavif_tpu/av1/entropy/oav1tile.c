@@ -853,6 +853,15 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
         for (si = eob - 2; si >= 0; si--) {
             lvl = ord[si];
             if (lvl == 0) continue;
+            /* provably-losing skip: a decrement is accepted iff
+             * dD < lam*(cost(l) - cost(l-1)), and the per-coefficient
+             * cost delta is bounded by base(<=1024) + one br step
+             * (<=1024) + one golomb bit-length step (<=256) < 6144.
+             * When dD >= lam*6144 the decrement cannot win, so skipping
+             * the context + cost evaluations changes NOTHING (no Python
+             * mirror needed — outcomes are identical by this bound). */
+            double derr = ERR2(si, lvl - 1) - ERR2(si, lvl);
+            if (derr >= lam * 6144.0) continue;
             int bctx = rdoq_base_ctx(&q, si);
             if (ERR2(si, lvl - 1) +
                     lam * (double)rdoq_int_cost(&q, lvl - 1, bctx, si) <

@@ -72,3 +72,33 @@ def test_sharded_plans_equal_single_device():
         single = ET.FramePlanner(planes_by_tile[t], 8).plan(qindex)
         for k in single:
             np.testing.assert_array_equal(sharded[k], single[k])
+
+
+def test_sharded_metric_matches_single():
+    """Width-sharded SSIMULACRA2 (ppermute halo + psum'd norms +
+    gather-when-small coarse scales) equals the single-device scorer."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 host devices")
+    from oavif_tpu.metric import compute_ssimulacra2
+    from oavif_tpu.metric.sharded import compute_ssimulacra2_sharded
+
+    rng = np.random.default_rng(11)
+    img = np.clip(
+        np.kron(rng.integers(30, 225, (16, 64, 3)), np.ones((16, 8, 1)))
+        + rng.normal(0, 6, (256, 512, 3)),
+        0,
+        255,
+    ).astype(np.uint8)
+    dist = np.clip(
+        img.astype(np.int16) + rng.integers(-9, 10, img.shape), 0, 255
+    ).astype(np.uint8)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("tile",))
+    s_sh = compute_ssimulacra2_sharded(img, dist, mesh)
+    s_1 = compute_ssimulacra2(img, dist)
+    assert abs(s_sh - s_1) < 0.05, (s_sh, s_1)

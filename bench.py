@@ -86,6 +86,51 @@ def _make_ctx(img):
     )
 
 
+def _install_stage_timers():
+    """Accumulating wall timers around the hot stages (VERDICT r2 #1:
+    the headline must record where the time goes)."""
+    import time as _t
+    from collections import defaultdict
+
+    acc = defaultdict(float)
+
+    def wrap(mod, name, label):
+        fn = getattr(mod, name)
+
+        def timed(*a, **k):
+            t0 = _t.perf_counter()
+            out = fn(*a, **k)
+            acc[label] += _t.perf_counter() - t0
+            return out
+
+        setattr(mod, name, timed)
+
+    from oavif_tpu.av1 import encode_tpu as _et
+    from oavif_tpu.av1.entropy import fast as _fast
+    from oavif_tpu.metric import native as _nat
+
+    wrap(_fast, "tile_encode_native", "c_tile_encode")
+    plan_fn = _et.FramePlanner.plan
+
+    def timed_plan(self, *a, **k):
+        t0 = _t.perf_counter()
+        out = plan_fn(self, *a, **k)
+        acc["device_plan"] += _t.perf_counter() - t0
+        return out
+
+    _et.FramePlanner.plan = timed_plan
+    score_fn = _nat._RefCtx.score
+
+    def timed_score(self, *a, **k):
+        t0 = _t.perf_counter()
+        out = score_fn(self, *a, **k)
+        acc["metric"] += _t.perf_counter() - t0
+        return out
+
+    _nat._RefCtx.score = timed_score
+    return acc
+
+
 def main():
     size = int(os.environ.get("BENCH_SIZE", "512"))
     images = {
@@ -113,11 +158,12 @@ def main():
     warm.o.max_pass = 1
     search_encode(warm, tpu)
 
+    stage_acc = _install_stage_timers()
     ours = {}
     ours_total_s = 0.0
     for name, img in images.items():
         best = None
-        for _ in range(2):  # best-of-2: single-core host timing is noisy
+        for _ in range(3):  # best-of-3: single-core host timing is noisy
             ctx = _make_ctx(img)
             t0 = time.time()
             res, data = search_encode(ctx, tpu)
@@ -151,7 +197,7 @@ def main():
             return compute_ssimulacra2(img, dec)  # untimed (native in ref)
 
         best = None
-        for _ in range(2):
+        for _ in range(3):
             bctx.num_pass = 0
             codec_s[0] = 0.0
             res_b = find_target_quality(probe_base, 80.0, 2.0, 6)
@@ -176,6 +222,14 @@ def main():
                 "vs_baseline": round(ours_mps / base_mps, 3) if base_mps else None,
                 "detail": {
                     "ours_total_s": round(ours_total_s, 3),
+                    "ours_stage_split_s": {
+                        k: round(v, 3) for k, v in sorted(stage_acc.items())
+                    },
+                    "ours_stage_split_note": (
+                        "accumulated over ALL runs incl. the discarded "
+                        "best-of-N halves; remainder = search control, "
+                        "loop filter/CDEF, conversions, mux"
+                    ),
                     "ours_wall_includes_metric": True,
                     "baseline_total_s": round(base_total_s, 3),
                     "baseline_timer_covers": "encode+decode only (metric untimed)",

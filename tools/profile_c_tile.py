@@ -39,7 +39,9 @@ size_t tile_encode(
     const double *const *fhs, const double *const *fws,
     const int32_t *dr_deriv,
     const int32_t *plan, int plan_nbx, int plan_nby,
-    int32_t *blocks_out, int32_t *n_blocks_out, uint8_t **out_payload);
+    int32_t *blocks_out, int32_t *n_blocks_out,
+    int32_t *dec_buf, int32_t *dec_len_io, int dec_mode,
+    uint8_t **out_payload);
 void tile_payload_free(uint8_t *p);
 
 static void *load(const char *name, long *sz) {
@@ -116,7 +118,7 @@ int main(int argc, char **argv) {
             (uint16_t *const *)cdfs, (const int32_t *const *)scans,
             (const int32_t *const *)sms, (const double *const *)fhs,
             (const double *const *)fws, dr, plan, plan_nbx, plan_nby,
-            NULL, NULL, &payload);
+            NULL, NULL, NULL, NULL, 0, &payload);
         total += n;
         tile_payload_free(payload);
         /* CDFs adapt in place - restore for identical work per iter */

@@ -285,6 +285,9 @@ double ssimu2_score(const void *pctx, const uint8_t *dist_rgb) {
     float *s12 = (float *)malloc(n0 * 4);
     float *tmp = (float *)malloc(n0 * 4);
     float *sq = (float *)malloc(n0 * 4);
+    float *td_buf = (float *)malloc(n0 * 4);
+    float *ta_buf = (float *)malloc(n0 * 4);
+    float *tl_buf = (float *)malloc(n0 * 4);
     /* feats[channel][scale][6]: ssim1, a1, l1, ssim4, a4, l4 */
     double feats[3][SS2_MAXSCALES][6];
     memset(feats, 0, sizeof feats);
@@ -317,58 +320,45 @@ double ssimu2_score(const void *pctx, const uint8_t *dist_rgb) {
              * reduction the compiler must not reassociate. */
             double vd1[8] = {0}, vd4[8] = {0}, va1[8] = {0}, va4[8] = {0},
                    vl1[8] = {0}, vl4[8] = {0};
-            size_t i8 = n & ~(size_t)7;
-            for (size_t i = 0; i < i8; i += 8) {
-                float td[8], ta[8], tl[8];
-                for (int u = 0; u < 8; u++) {
-                    size_t j = i + u;
-                    float mu1v = m1[j], mu2v = m2[j];
-                    float mu11 = mu1v * mu1v, mu22 = mu2v * mu2v;
-                    float mud = mu1v - mu2v;
-                    float num_m = 1.0f - mud * mud;
-                    float num_s =
-                        2.0f * (s12[j] - mu1v * mu2v) + (float)SS2_C2;
-                    float den_s =
-                        (v11[j] - mu11) + (s22[j] - mu22) + (float)SS2_C2;
-                    td[u] = fmaxf(1.0f - (num_m * num_s) / den_s, 0.0f);
-                    float r = (1.0f + fabsf(i2[j] - mu2v)) /
-                                  (1.0f + fabsf(i1[j] - mu1v)) -
-                              1.0f;
-                    ta[u] = fmaxf(r, 0.0f);
-                    tl[u] = fmaxf(-r, 0.0f);
-                }
-                for (int u = 0; u < 8; u++) {
-                    double dd = td[u], d2 = dd * dd;
-                    vd1[u] += dd;
-                    vd4[u] += d2 * d2;
-                    double a = ta[u], a2 = a * a;
-                    va1[u] += a;
-                    va4[u] += a2 * a2;
-                    double l = tl[u], l2 = l * l;
-                    vl1[u] += l;
-                    vl4[u] += l2 * l2;
-                }
-            }
-            for (size_t j = i8; j < n; j++) {
+            /* pass A: flat per-pixel maps into scratch (vectorizes);
+             * pass B: 8-lane deterministic double accumulation */
+            for (size_t j = 0; j < n; j++) {
                 float mu1v = m1[j], mu2v = m2[j];
                 float mu11 = mu1v * mu1v, mu22 = mu2v * mu2v;
                 float mud = mu1v - mu2v;
                 float num_m = 1.0f - mud * mud;
                 float num_s = 2.0f * (s12[j] - mu1v * mu2v) + (float)SS2_C2;
-                float den_s = (v11[j] - mu11) + (s22[j] - mu22) + (float)SS2_C2;
-                float d = 1.0f - (num_m * num_s) / den_s;
-                if (d < 0.0f) d = 0.0f;
-                double dd = d, d2 = dd * dd;
-                vd1[0] += dd;
-                vd4[0] += d2 * d2;
+                float den_s =
+                    (v11[j] - mu11) + (s22[j] - mu22) + (float)SS2_C2;
+                td_buf[j] = fmaxf(1.0f - (num_m * num_s) / den_s, 0.0f);
                 float r = (1.0f + fabsf(i2[j] - mu2v)) /
                               (1.0f + fabsf(i1[j] - mu1v)) -
                           1.0f;
-                double a = r > 0.f ? r : 0.0;
-                double l = r < 0.f ? -r : 0.0;
-                double a2 = a * a, l2 = l * l;
+                ta_buf[j] = fmaxf(r, 0.0f);
+                tl_buf[j] = fmaxf(-r, 0.0f);
+            }
+            size_t i8 = n & ~(size_t)7;
+            for (size_t i = 0; i < i8; i += 8) {
+                for (int u = 0; u < 8; u++) {
+                    double dd = td_buf[i + u], d2 = dd * dd;
+                    vd1[u] += dd;
+                    vd4[u] += d2 * d2;
+                    double a = ta_buf[i + u], a2 = a * a;
+                    va1[u] += a;
+                    va4[u] += a2 * a2;
+                    double l = tl_buf[i + u], l2 = l * l;
+                    vl1[u] += l;
+                    vl4[u] += l2 * l2;
+                }
+            }
+            for (size_t j = i8; j < n; j++) {
+                double dd = td_buf[j], d2 = dd * dd;
+                vd1[0] += dd;
+                vd4[0] += d2 * d2;
+                double a = ta_buf[j], a2 = a * a;
                 va1[0] += a;
                 va4[0] += a2 * a2;
+                double l = tl_buf[j], l2 = l * l;
                 vl1[0] += l;
                 vl4[0] += l2 * l2;
             }
@@ -398,6 +388,9 @@ double ssimu2_score(const void *pctx, const uint8_t *dist_rgb) {
     free(s12);
     free(tmp);
     free(sq);
+    free(td_buf);
+    free(ta_buf);
+    free(tl_buf);
 
     double dot = 0.0;
     for (int c = 0; c < 3; c++)

@@ -525,6 +525,17 @@ void inv_txfm2d_c(int32_t *c, int w, int h, int bitdepth) {
                                   ? 0
                                   : c[r * w + cc];
 
+    /* rect (|log2w - log2h| odd): the spec's 1/sqrt2 pre-scale
+     * (Round2(x * 2896, 12)), mirrored from transform.py inv_txfm2d */
+    {
+        int lw = 0, lh = 0;
+        while ((1 << lw) < w) lw++;
+        while ((1 << lh) < h) lh++;
+        if ((lw + lh) & 1)
+            for (int i = 0; i < h * w; i++)
+                buf[i] = round2(buf[i] * 2896, 12);
+    }
+
     /* rows: lanes = 4 consecutive rows (transposed load/store) */
     for (int r0 = 0; r0 < h; r0 += LN) {
         for (int i = 0; i < w; i++)

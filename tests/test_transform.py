@@ -69,3 +69,47 @@ def test_adst_roundtrip_all_sizes(rng):
             c = np.round(fwd_txfm2d(x, tt)).astype(np.int64)
             y = inv_txfm2d(c, 8, tt)
             assert np.abs(y - x).max() <= 1, (n, tt)
+
+
+# ---------------------------------------------------------------------------
+# Rectangular-transform groundwork (round-4 rect partitions)
+# ---------------------------------------------------------------------------
+
+
+def test_rect_scans_are_transposed_pairs():
+    """The extracted rect scan tables: valid anti-diagonal permutations,
+    DC first, and each wide/tall pair is an exact transpose of the other
+    (the AV1 structural relation — strong evidence the right rodata
+    tables were found)."""
+    from oavif_tpu.av1.tables import TABLES
+
+    for name, n, w in [("scan_4x8", 32, 4), ("scan_8x4", 32, 8),
+                       ("scan_8x16", 128, 8), ("scan_16x8", 128, 16),
+                       ("scan_16x32", 512, 16), ("scan_32x16", 512, 32)]:
+        s = np.asarray(TABLES[name])
+        assert s[0] == 0 and s[-1] == n - 1
+        assert np.array_equal(np.sort(s), np.arange(n)), name
+        r, c = s // w, s % w
+        assert np.all(np.diff((r + c).astype(np.int64)) >= 0), name
+    for wide, tall, ww, wt in [("scan_8x4", "scan_4x8", 8, 4),
+                               ("scan_16x8", "scan_8x16", 16, 8),
+                               ("scan_32x16", "scan_16x32", 32, 16)]:
+        t = np.asarray(TABLES[tall])
+        tp = (t % wt) * ww + (t // wt)
+        assert np.array_equal(tp, np.asarray(TABLES[wide])), (wide, tall)
+
+
+@pytest.mark.parametrize("h,w", [(4, 8), (8, 4), (8, 16), (16, 8),
+                                 (16, 32), (32, 16)])
+def test_rect_forward_inverse_roundtrip(h, w, rng):
+    """fwd_matrices/inv_txfm2d already handle rect shapes (the sqrt2
+    stage scale included): an exact forward of a residual must come back
+    through the normative integer inverse within rounding distance."""
+    from oavif_tpu.av1.transform import fwd_matrices, inv_txfm2d
+
+    resid = rng.integers(-255, 256, (h, w)).astype(np.int64)
+    fh, fw = fwd_matrices(w, h)
+    coeffs = fh @ resid.astype(np.float64) @ fw.T
+    back = inv_txfm2d(np.round(coeffs).astype(np.int64), bitdepth=8)
+    err = np.abs(back - resid).max()
+    assert err <= 2, (h, w, err)

@@ -294,10 +294,26 @@ def main():
         ("scan_8x8", 64, 8),
         ("scan_16x16", 256, 16),
         ("scan_32x32", 1024, 32),
+        # rect scans (round-4 rect-partition groundwork); validated by
+        # the exact transpose relation between each wide/tall pair
+        ("scan_4x8", 32, 4),
+        ("scan_8x4", 32, 8),
+        ("scan_8x16", 128, 8),
+        ("scan_16x8", 128, 16),
+        ("scan_16x32", 512, 16),
+        ("scan_32x16", 512, 32),
     ]:
         s = find_scan(n, w)
         assert s is not None, f"{name} not found"
         out[name] = s
+    for wide, tall, w_wide, w_tall in [
+        ("scan_8x4", "scan_4x8", 8, 4),
+        ("scan_16x8", "scan_8x16", 16, 8),
+        ("scan_32x16", "scan_16x32", 32, 16),
+    ]:
+        t = out[tall]
+        tp = (t % w_tall) * w_wide + (t // w_tall)
+        assert np.array_equal(tp, out[wide]), (wide, tall)
 
     # ---- tx_size depth CDFs (av1_default_tx_size_cdf) ----
     # [MAX_TX_CATS=4][TX_SIZE_CONTEXTS=3][CDF_SIZE(3)=4]; cat 0 rows are

@@ -113,3 +113,19 @@ def test_rect_forward_inverse_roundtrip(h, w, rng):
     back = inv_txfm2d(np.round(coeffs).astype(np.int64), bitdepth=8)
     err = np.abs(back - resid).max()
     assert err <= 2, (h, w, err)
+
+
+@pytest.mark.parametrize("h,w", [(4, 8), (16, 8), (32, 16)])
+def test_rect_int16_forward_roundtrip(h, w, rng):
+    """The Q12 integer forward path (the production quantizer's front
+    end) handles rect shapes: exact int pipeline, inverse within 1 LSB."""
+    from oavif_tpu.av1.transform import fwd_matrices_int16, inv_txfm2d
+
+    fh16, fw16, sa = fwd_matrices_int16(w, h, "dct_dct", 8)
+    resid = rng.integers(-255, 256, (h, w)).astype(np.int32)
+    acc1 = fh16.astype(np.int32) @ resid
+    tmp16 = (acc1 + (1 << sa >> 1)) >> sa if sa else acc1
+    out32 = tmp16.astype(np.int32) @ fw16.astype(np.int32).T
+    c = np.round(out32.astype(np.float64) / (1 << (24 - sa))).astype(np.int64)
+    back = inv_txfm2d(c, bitdepth=8)
+    assert np.abs(back - resid).max() <= 1, (h, w)

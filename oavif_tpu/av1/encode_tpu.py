@@ -409,13 +409,26 @@ class FramePlanner:
         if self.sby == 0 or self.sbx == 0:
             self.dev = None
             return
+        # SHAPE BUCKETING: pad the SB grid up to a multiple of 4 (256 px)
+        # so corpora with many distinct image sizes share compiled planner
+        # executables (each new shape costs minutes through the tunnel).
+        # Cropped plans are identical to unpadded ones: prediction edges
+        # are LEFT/TOP only, so real blocks never see the right/bottom
+        # padding (tests/test_multidevice.py pins the equality).
+        self.psby = -(-self.sby // 4) * 4
+        self.psbx = -(-self.sbx // 4) * 4
         base = 1 << (bitdepth - 1)
         H, W = self.sby * 64, self.sbx * 64
+        PH, PW = self.psby * 64, self.psbx * 64
         devp = []
         for pi in range(3):
             pl = np.asarray(planes[pi]) if len(planes) > 1 else y
-            p = np.empty((H + 1, W + 1), dtype=np.float32)
-            p[1:, 1:] = pl[:H, :W]
+            p = np.empty((PH + 1, PW + 1), dtype=np.float32)
+            p[1 : 1 + H, 1 : 1 + W] = pl[:H, :W]
+            # edge-replicate into the bucket padding (content there only
+            # shapes padded-SB plans, which are cropped away)
+            p[1 : 1 + H, 1 + W :] = p[1 : 1 + H, W : W + 1]
+            p[1 + H :, 1:] = p[H : H + 1, 1:]
             p[0, :] = base - 1
             p[:, 0] = base + 1
             p[0, 0] = base
@@ -440,16 +453,24 @@ class FramePlanner:
                 return cached
         from .tables import ac_q
 
+        pnby, pnbx = self.psby * 2, self.psbx * 2
         packed = np.asarray(
             _plan_device(
                 self.dev[0], self.dev[1], self.dev[2],
                 jnp.float32(ac_q(qindex, self.bitdepth)),
                 jnp.float32(qindex),
-                self.nby, self.nbx, self.bitdepth, self.nmodes,
+                pnby, pnbx, self.bitdepth, self.nmodes,
                 self.duel_level,
             )
         )
-        plan = unpack_plan(packed, self.nby, self.nbx)
+        plan = unpack_plan(packed, pnby, pnbx)
+        if (pnby, pnbx) != (self.nby, self.nbx):
+            plan = Plan(
+                plan64=plan["plan64"][: self.sby, : self.sbx],
+                mode32=plan["mode32"][: self.nby, : self.nbx],
+                part32=plan["part32"][: self.nby, : self.nbx],
+                mode16=plan["mode16"][: 2 * self.nby, : 2 * self.nbx],
+            )
         if len(self._plan_cache) >= 8:
             self._plan_cache.clear()
         self._plan_cache[qindex] = plan

@@ -102,3 +102,43 @@ def test_sharded_metric_matches_single():
     s_sh = compute_ssimulacra2_sharded(img, dist, mesh)
     s_1 = compute_ssimulacra2(img, dist)
     assert abs(s_sh - s_1) < 0.05, (s_sh, s_1)
+
+
+def test_planner_shape_bucketing_plan_equality():
+    """Bucket-padded planner plans (shape shared across image sizes to
+    amortize compiles) equal the direct unpadded device plan: prediction
+    edges are left/top only, so real blocks never see the padding."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from oavif_tpu.av1 import encode_tpu as ET
+    from oavif_tpu.av1.tables import ac_q
+
+    rng = np.random.default_rng(21)
+    h, w = 320, 448  # 5x7 SBs -> bucketed to 8x8
+    planes = [rng.integers(0, 256, (h, w)).astype(np.int32)
+              for _ in range(3)]
+    fp = ET.FramePlanner(planes, 8)
+    assert (fp.psby, fp.psbx) == (8, 8)
+    got = fp.plan(40)
+
+    base = 128
+    nby, nbx = fp.nby, fp.nbx
+    devp = []
+    for pl in planes:
+        p = np.empty((fp.sby * 64 + 1, fp.sbx * 64 + 1), dtype=np.float32)
+        p[1:, 1:] = pl[: fp.sby * 64, : fp.sbx * 64]
+        p[0, :] = base - 1
+        p[:, 0] = base + 1
+        p[0, 0] = base
+        devp.append(jnp.asarray(p))
+    packed = np.asarray(
+        ET._plan_device(
+            devp[0], devp[1], devp[2],
+            jnp.float32(ac_q(40, 8)), jnp.float32(40),
+            nby, nbx, 8, fp.nmodes, fp.duel_level,
+        )
+    )
+    want = ET.unpack_plan(packed, nby, nbx)
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k], err_msg=k)

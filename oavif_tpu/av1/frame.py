@@ -417,6 +417,8 @@ class TileEncoder:
                 # grid (spec 5.11.4); always split instead so recon stays
                 # inside the mi-grid buffers (encoder choice, conformant)
                 part = PARTITION_SPLIT
+            elif size == 32 and self._force_rect_test:
+                part = 1  # PARTITION_HORZ — test-gated rect slice
             elif size == 32 and self.speed <= 9 and self.qindex <= 90:
                 part = self._planned_part32(r, c)
                 if part is None:
@@ -429,6 +431,13 @@ class TileEncoder:
             ctx = self._partition_ctx(r, c, size)
             cdf = self.cdf.partition[size][ctx]
             self._sym(cdf, part)
+            if part == 1:  # HORZ: two (size x size/2) px blocks
+                self._encode_block_rect(r, c, size, size // 2)
+                if r + size // 8 < self.mi_rows:
+                    self._encode_block_rect(r + size // 8, c,
+                                            size, size // 2)
+                self._update_part_ctx_rect(r, c, size, size, size // 2)
+                return
         elif not has_rows and not has_cols:
             part = PARTITION_SPLIT  # implicit, nothing coded
         else:
@@ -838,6 +847,293 @@ class TileEncoder:
         self.left_mode[lr : lr + n_mi] = y_mode
         self.above_txw[c : c + n_mi] = y_tx
         self.left_txh[lr : lr + n_mi] = y_tx
+
+    # -- rectangular blocks (round-4 groundwork; test-gated slice) ---------------
+    # The first conformant rect path: PARTITION_HORZ at 32 -> two 32x16
+    # blocks, tx == block (TX_32X16 carries no tx_type syntax), DC-only
+    # modes, round-half quantization. Validated end-to-end against the
+    # independent oracle decoder (tests/test_conformance.py). The full
+    # rect RD (planner nomination, RDOQ, VERT, 16x8) builds on this.
+
+    _force_rect_test = False
+
+    def _update_part_ctx_rect(self, r, c, size, sub_w, sub_h):
+        n_mi = size // 4
+        self.above_part[c : c + n_mi] = _PART_CTX_BYTE[sub_w]
+        self.left_part[(r & 15) : (r & 15) + n_mi] = _PART_CTX_BYTE[sub_h]
+
+    @staticmethod
+    def _rect_dq_shift(th, tw):
+        # spec dequant shift: (area >= 1024) + (area >= 4096) — verified
+        # against the oracle decoder (TX_32X16's 512 coeffs shift 0)
+        area = th * tw
+        return (1 if area >= 1024 else 0) + (1 if area >= 4096 else 0)
+
+    @staticmethod
+    def _rect_txs_ctx(th, tw):
+        """Coefficient-CDF tx-size context: (sqr + sqr_up + 1) >> 1 over
+        the {4,8,16,32,64} size indices (spec get_tx_size_ctx)."""
+        idx = {4: 0, 8: 1, 16: 2, 32: 3, 64: 4}
+        lo, hi = idx[min(th, tw)], idx[max(th, tw)]
+        return (lo + hi + 1) >> 1
+
+    def _quantize_rect(self, resid, th, tw, ptype):
+        """Round-half quantization of a rect residual (no RDOQ yet —
+        encoder freedom; rect RDOQ lands with the full rect RD)."""
+        from .transform import fwd_matrices_int16
+
+        fh16, fw16, sa = fwd_matrices_int16(tw, th, "dct_dct", self.bitdepth)
+        acc1 = fh16.astype(np.int32) @ resid.astype(np.int32)
+        tmp16 = (acc1 + (1 << sa >> 1)) >> sa if sa else acc1
+        out32 = tmp16.astype(np.int32) @ fw16.astype(np.int32).T
+        cf = out32.astype(np.float64) * (1.0 / (1 << (24 - sa)))
+        shift = self._rect_dq_shift(th, tw)
+        dqa = self.dq_ac_uv if ptype else self.dq_ac
+        dq = np.full((th, tw), float(dqa))
+        dq[0, 0] = float(self.dq_dc)
+        lv = np.floor(np.abs(cf) * float(1 << shift) / dq + 0.5).astype(
+            np.int64
+        )
+        return np.where(cf < 0.0, -lv, lv)
+
+    def _dequant_inv_rect(self, levels, th, tw, ptype):
+        shift = self._rect_dq_shift(th, tw)
+        q = np.full_like(levels, self.dq_ac_uv if ptype else self.dq_ac)
+        q[0, 0] = self.dq_dc
+        mag = (np.abs(levels) * q) & 0xFFFFFF
+        mag >>= shift
+        return inv_txfm2d(np.sign(levels) * mag, self.bitdepth)
+
+    def _set_lvl_ctx_rect(self, plane, px, py, tw, th, cul, dc_cat):
+        ps = self.pstate[plane]
+        mi_c, mi_r = px // 4, py // 4
+        ps.above_lvl[mi_c : mi_c + tw // 4] = cul
+        ps.left_lvl[(mi_r & 15) : (mi_r & 15) + th // 4] = cul
+        ps.above_dc[mi_c : mi_c + tw // 4] = dc_cat
+        ps.left_dc[(mi_r & 15) : (mi_r & 15) + th // 4] = dc_cat
+
+    def _dc_sign_ctx_rect(self, plane, px, py, tw, th):
+        ps = self.pstate[plane]
+        mi_c, mi_r = px // 4, py // 4
+        cats = np.concatenate(
+            [
+                ps.above_dc[mi_c : mi_c + tw // 4],
+                ps.left_dc[(mi_r & 15) : (mi_r & 15) + th // 4],
+            ]
+        )
+        bal = int((cats == 2).sum()) - int((cats == 1).sum())
+        if bal < 0:
+            return 1
+        if bal > 0:
+            return 2
+        return 0
+
+    def _encode_block_rect(self, r, c, bw, bh):
+        """One rect block (bw x bh px), tx == block, DC-only modes."""
+        x, y = c * 4, r * 4
+        lr = r & 15
+        lo, hi = 0, (1 << self.bitdepth) - 1
+        have_above, have_left = y > 0, x > 0
+
+        levels_all, preds_all = [], []
+        for plane in range(len(self.planes)):
+            above, left = build_edges(
+                self.recon[plane], x, y, bw, bh, have_above, have_left,
+                self.bitdepth,
+            )
+            pred = predict(DC_PRED, above, left, bw, bh, have_above,
+                           have_left, bitdepth=self.bitdepth)
+            srcb = self.src[plane][y : y + bh, x : x + bw]
+            levels_all.append(
+                self._quantize_rect(srcb - pred, bh, bw,
+                                    0 if plane == 0 else 1)
+            )
+            preds_all.append(pred)
+        skip = not any(np.any(l) for l in levels_all)
+
+        nw, nh = bw // 4, bh // 4
+        skip_ctx = int(self.above_skip[c]) + int(self.left_skip[lr])
+        self._sym(self.cdf.skip[skip_ctx], 1 if skip else 0)
+        actx = INTRA_MODE_CONTEXT[int(self.above_mode[c])] if r > 0 else 0
+        lctx = INTRA_MODE_CONTEXT[int(self.left_mode[lr])] if c > 0 else 0
+        self._sym(self.cdf.kf_y[actx][lctx], DC_PRED)
+        if len(self.planes) > 1:
+            cfl_allowed = max(bw, bh) <= 32
+            uv_cdfs = (self.cdf.uv_mode_cfl if cfl_allowed
+                       else self.cdf.uv_mode)
+            self._sym(uv_cdfs[DC_PRED], DC_PRED)
+        # tx_depth 0 of the rect max tx: cat = sqr_up category, ctx from
+        # the rect dims
+        cat = {8: 0, 16: 1, 32: 2, 64: 3}[max(bw, bh)]
+        above = int(self.above_txw[c]) if r > 0 else 0
+        left = int(self.left_txh[lr]) if c > 0 else 0
+        tctx = (1 if above >= bw else 0) + (1 if left >= bh else 0)
+        row = self.cdf.tx_size[cat, tctx]
+        self._sym(row[:3] if cat == 0 else row, 0)
+
+        for plane in range(len(self.planes)):
+            lv = levels_all[plane]
+            pred = preds_all[plane]
+            if skip:
+                self._set_lvl_ctx_rect(plane, x, y, bw, bh, 0, 0)
+                recon_blk = pred
+            else:
+                self._encode_coeffs_rect(plane, bw, bh, x, y, lv)
+                resid = self._dequant_inv_rect(
+                    lv, bh, bw, 0 if plane == 0 else 1
+                )
+                recon_blk = pred + resid
+            self.recon[plane][y : y + bh, x : x + bw] = np.clip(
+                recon_blk, lo, hi
+            )
+
+        self.above_skip[c : c + nw] = 1 if skip else 0
+        self.left_skip[lr : lr + nh] = 1 if skip else 0
+        self.above_mode[c : c + nw] = DC_PRED
+        self.left_mode[lr : lr + nh] = DC_PRED
+        self.above_txw[c : c + nw] = bw
+        self.left_txh[lr : lr + nh] = bh
+
+    def _encode_coeffs_rect(self, plane, tw, th, px, py, levels2d):
+        """Coefficient emission for one rect txb (DCT only; mirrors the
+        square Python path with per-axis dims)."""
+        from .tables import TABLES
+
+        txs_ctx = self._rect_txs_ctx(th, tw)
+        ptype = 0 if plane == 0 else 1
+        lv = levels2d
+        scan = np.asarray(TABLES[f"scan_{tw}x{th}"])
+        n_coded = tw * th
+
+        if plane == 0:
+            ctx = 0  # tx == block
+        else:
+            ps = self.pstate[plane]
+            mi_c, mi_r = px // 4, py // 4
+            above_nz = np.any(ps.above_lvl[mi_c : mi_c + tw // 4] != 0)
+            left_nz = np.any(
+                ps.left_lvl[(mi_r & 15) : (mi_r & 15) + th // 4] != 0
+            )
+            ctx = 7 + int(above_nz) + int(left_nz)  # tx dims == block dims
+
+        flat = lv.reshape(-1)
+        nz = np.nonzero(flat[scan])[0]
+        eob = int(nz[-1]) + 1 if len(nz) else 0
+
+        self._sym(self.cdf.txb_skip[txs_ctx][ctx], 1 if eob == 0 else 0)
+        if eob == 0:
+            self._set_lvl_ctx_rect(plane, px, py, tw, th, 0, 0)
+            return
+        # TX_32X16/16X32/32X32-class txs carry no tx_type syntax
+
+        if eob == 1:
+            eob_pt = 1
+        elif eob == 2:
+            eob_pt = 2
+        else:
+            eob_pt = (eob - 1).bit_length() + 1
+        self._sym(self.cdf.eob_pt[n_coded][ptype][0], eob_pt - 1)
+        if eob_pt >= 3:
+            nbits = eob_pt - 2
+            rest = eob - (1 << (eob_pt - 2)) - 1
+            msb = (rest >> (nbits - 1)) & 1
+            self._sym(self.cdf.eob_extra[txs_ctx][ptype][eob_pt - 3], msb)
+            for i in range(nbits - 2, -1, -1):
+                self.enc.bool_q15((rest >> i) & 1, 16384)
+
+        absl = np.minimum(np.abs(lv), 127).astype(np.int64)
+        pad = np.zeros((th + 2, tw + 2), dtype=np.int64)
+        pad[:th, :tw] = absl
+
+        for si in range(eob - 1, -1, -1):
+            pos = int(scan[si])
+            rr, cc = pos // tw, pos % tw
+            level = int(absl[rr, cc])
+            if si == eob - 1:
+                if si == 0:
+                    ctx_eob = 0
+                elif si <= n_coded // 8:
+                    ctx_eob = 1
+                elif si <= n_coded // 4:
+                    ctx_eob = 2
+                else:
+                    ctx_eob = 3
+                self._sym(
+                    self.cdf.coeff_base_eob[txs_ctx][ptype][ctx_eob],
+                    min(level, 3) - 1,
+                )
+            else:
+                mag = (
+                    min(int(pad[rr, cc + 1]), 3)
+                    + min(int(pad[rr + 1, cc]), 3)
+                    + min(int(pad[rr + 1, cc + 1]), 3)
+                    + min(int(pad[rr, cc + 2]), 3)
+                    + min(int(pad[rr + 2, cc]), 3)
+                )
+                mag = min((mag + 1) >> 1, 4)
+                # rect 2D base-ctx offsets (extracted from the decoder's
+                # av1_nz_map_ctx_offset tables and verified byte-for-byte
+                # against the generating rule): wide txs give the first
+                # two COLUMNS offset 16, tall txs the first two ROWS
+                # offset 11; the square 1-offset band is unreachable
+                if pos == 0:
+                    base_ctx = 0
+                elif tw > th and cc < 2:
+                    base_ctx = mag + 16
+                elif tw < th and rr < 2:
+                    base_ctx = mag + 11
+                elif rr + cc < 4:
+                    base_ctx = mag + 6
+                else:
+                    base_ctx = mag + 21
+                self._sym(
+                    self.cdf.coeff_base[txs_ctx][ptype][base_ctx],
+                    min(level, 3),
+                )
+            if level > 2:  # NUM_BASE_LEVELS — br coded from level 3 up
+                mag = (
+                    min(int(pad[rr, cc + 1]), 15)
+                    + min(int(pad[rr + 1, cc]), 15)
+                    + min(int(pad[rr + 1, cc + 1]), 15)
+                )
+                mag = min((mag + 1) >> 1, 6)
+                if pos == 0:
+                    br_ctx = mag
+                elif rr < 2 and cc < 2:
+                    br_ctx = mag + 7
+                else:
+                    br_ctx = mag + 14
+                remaining = level - 3
+                for _ in range(4):
+                    k = min(remaining, 3)
+                    self._sym(
+                        self.cdf.coeff_br[min(txs_ctx, 3)][ptype][br_ctx], k
+                    )
+                    remaining -= k
+                    if k < 3:
+                        break
+
+        dc_cat = 0
+        cul = 0
+        for si in range(eob):
+            pos = int(scan[si])
+            rr, cc = pos // tw, pos % tw
+            v = int(lv[rr, cc])
+            level = abs(v)
+            cul += level
+            if level == 0:
+                continue
+            sign = 1 if v < 0 else 0
+            if si == 0:
+                sctx = self._dc_sign_ctx_rect(plane, px, py, tw, th)
+                self._sym(self.cdf.dc_sign[ptype][sctx], sign)
+                dc_cat = 1 if sign else 2
+            else:
+                self.enc.bool_q15(sign, 16384)
+            if level > 14:
+                self._write_golomb(level - 15)
+
+        self._set_lvl_ctx_rect(plane, px, py, tw, th, min(cul, 63), dc_cat)
 
     # -- lossless (CodedLossless: WHT 4x4, recon == source) -----------------------
 

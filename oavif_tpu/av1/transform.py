@@ -191,7 +191,8 @@ def inv_txfm2d(coeffs: np.ndarray, bitdepth: int = 8, tx_type: str = "dct_dct") 
     if h == 64:
         t[32:, :] = 0
 
-    if abs(log2w - log2h) % 2 == 1:
+    rect_odd = abs(log2w - log2h) % 2 == 1
+    if rect_odd:
         t = _round2(t * INV_SQRT2, 12)
 
     row_shift = INV_ROW_SHIFT[max(w, h)]

@@ -514,7 +514,9 @@ static void idct_ln(const int64_t *x, int64_t *out, int N) {
 void inv_txfm2d_c(int32_t *c, int w, int h, int bitdepth) {
     int64_t buf[64 * 64];
     int64_t vec[64 * LN], outv[64 * LN];
-    /* INV_ROW_SHIFT: {4:0, 8:1, 16:2, 32:2, 64:2} by max dim */
+    /* INV_ROW_SHIFT: {4:0, 8:1, 16:2, 32:2, 64:2} by max dim; 2:1 rects
+     * shift ONE LESS (dav1d per-size table, disasm-verified: 32x16 uses
+     * 1 where 32x32 uses 2) -- mirrors transform.py inv_row_shift */
     int maxd = w > h ? w : h;
     int row_shift = maxd >= 16 ? 2 : (maxd >= 8 ? 1 : 0);
     int64_t clamp = ((int64_t)1 << (bitdepth + 7)) - 1;
@@ -531,9 +533,14 @@ void inv_txfm2d_c(int32_t *c, int w, int h, int bitdepth) {
         int lw = 0, lh = 0;
         while ((1 << lw) < w) lw++;
         while ((1 << lh) < h) lh++;
-        if ((lw + lh) & 1)
+        if ((lw + lh) & 1) {
             for (int i = 0; i < h * w; i++)
                 buf[i] = round2(buf[i] * 2896, 12);
+            row_shift -= 1;
+        } else if (lw != lh) {
+            /* 4:1 rects: 4x16/16x4 -> 1, others keep the max-dim shift */
+            if (maxd == 16) row_shift = 1;
+        }
     }
 
     /* rows: lanes = 4 consecutive rows (transposed load/store) */

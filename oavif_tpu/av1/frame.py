@@ -864,10 +864,13 @@ class TileEncoder:
 
     @staticmethod
     def _rect_dq_shift(th, tw):
-        # spec dequant shift: (area >= 1024) + (area >= 4096) — verified
-        # against the oracle decoder (TX_32X16's 512 coeffs shift 0)
-        area = th * tw
-        return (1 if area >= 1024 else 0) + (1 if area >= 4096 else 0)
+        # Normative dequant shift (libaom av1_get_tx_scale):
+        # (pels > 256) + (pels > 1024). TX_32X16's 512 pels shift 1 —
+        # paired with the rect row shift of 1 this is bit-exact vs the
+        # dav1d oracle (tools/probe_rect_inverse.py); the earlier
+        # area>=1024 rule matched squares only.
+        pels = th * tw
+        return (1 if pels > 256 else 0) + (1 if pels > 1024 else 0)
 
     @staticmethod
     def _rect_txs_ctx(th, tw):
@@ -902,6 +905,9 @@ class TileEncoder:
         q[0, 0] = self.dq_dc
         mag = (np.abs(levels) * q) & 0xFFFFFF
         mag >>= shift
+        # spec conformance clamp to bd+8 signed bits (dav1d stores 8-bit
+        # coefficients as int16)
+        mag = np.minimum(mag, (1 << (self.bitdepth + 7)) - 1)
         return inv_txfm2d(np.sign(levels) * mag, self.bitdepth)
 
     def _set_lvl_ctx_rect(self, plane, px, py, tw, th, cul, dc_cat):

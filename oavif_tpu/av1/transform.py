@@ -165,6 +165,25 @@ INV_SQRT2 = 2896  # round(2^12 / sqrt(2))
 INV_ROW_SHIFT = {4: 0, 8: 1, 16: 2, 32: 2, 64: 2}
 
 
+def inv_row_shift(w: int, h: int) -> int:
+    """Row-pass right shift of the normative inverse transform.
+
+    Squares use INV_ROW_SHIFT[dim]; 2:1 rectangles shift ONE LESS than
+    their max dimension's square (dav1d per-size shift table, verified
+    by disassembly of the 32x16 template wrapper: shift=1 where 32x32
+    uses 2, paired with the 1/sqrt2 input pre-scale). Validated
+    bit-exact against the dav1d oracle over single-coefficient and
+    dense 32x16 probes (tools/probe_rect_inverse.py)."""
+    if w == h:
+        return INV_ROW_SHIFT[w]
+    log2w, log2h = w.bit_length() - 1, h.bit_length() - 1
+    if abs(log2w - log2h) == 1:
+        return INV_ROW_SHIFT[max(w, h)] - 1
+    # 4:1 rects (dav1d wrapper shifts): 4x16/16x4 -> 1, 8x32/32x8 -> 2,
+    # 16x64/64x16 -> 2
+    return {16: 1, 32: 2, 64: 2}[max(w, h)]
+
+
 def inv_txfm2d(coeffs: np.ndarray, bitdepth: int = 8, tx_type: str = "dct_dct") -> np.ndarray:
     """Normative 2D inverse transform → residual (int array, h×w).
 
@@ -195,7 +214,7 @@ def inv_txfm2d(coeffs: np.ndarray, bitdepth: int = 8, tx_type: str = "dct_dct") 
     if rect_odd:
         t = _round2(t * INV_SQRT2, 12)
 
-    row_shift = INV_ROW_SHIFT[max(w, h)]
+    row_shift = inv_row_shift(w, h)
     col_shift = 4
 
     row_clamp = (1 << (bitdepth + 8 - 1)) - 1  # intermediate 16-bit for 8b
@@ -274,7 +293,7 @@ def fwd_matrices(w: int, h: int, tx_type: str = "dct_dct"):
     mw = _inv_matrix_1d(w, row_kind)
     mh = _inv_matrix_1d(h, col_kind)
     log2w, log2h = w.bit_length() - 1, h.bit_length() - 1
-    row_shift = INV_ROW_SHIFT[max(w, h)]
+    row_shift = inv_row_shift(w, h)
     # inverse: res = round2(Mh @ (round2(Mw @ C^T, row_shift))^T, 4)
     #        = Mh @ C @ Mw^T / 2^(row_shift+4)    (as floats)
     # plus the rect sqrt2 pre-scale.

@@ -395,21 +395,16 @@ def test_planner_streams_decode_exact(test_rgb8):
         assert (plan["plan64"] >= 0).all()
 
 
-@pytest.mark.xfail(
-    reason="rect inverse-transform rounding: levels/syntax decode exactly "
-    "(validated by probes), recon differs by +-1 LSB on multi-coefficient "
-    "txbs — the decoder's exact rect rounding sequence is the one open "
-    "item; see test_rect_syntax_decodes_exact_levels and PARITY.md",
-    strict=False,
-)
 def test_rect_horz_32x16_stream_decodes_exact():
-    """First rectangular-partition slice (round-4 groundwork):
-    PARTITION_HORZ at 32 -> two 32x16 blocks with TX_32X16 (tx == block,
-    DC modes, no tx_type syntax). Everything rect is load-bearing here —
-    the HORZ partition symbol and rect context bytes, the rect scan
-    table, eob_pt_512 class, rect coefficient contexts, the rect inverse
-    transform's sqrt2 stage — and the independent decoder must agree
-    bit-exactly with the encoder's reconstruction."""
+    """Rectangular-partition slice: PARTITION_HORZ at 32 -> two 32x16
+    blocks with TX_32X16 (tx == block, DC modes, no tx_type syntax).
+    Everything rect is load-bearing here — the HORZ partition symbol and
+    rect context bytes, the rect scan table, eob_pt_512 class, rect
+    coefficient contexts, the rect dequant shift ((pels>256)+(pels>1024))
+    and the rect inverse transform's sqrt2 stage + row shift (one less
+    than the square schedule; dav1d-disasm-verified) — and the
+    independent decoder must agree bit-exactly with the encoder's
+    reconstruction."""
     from oavif_tpu.av1.frame import TileEncoder
     from oavif_tpu.av1.mux import mux_avif
     from oavif_tpu.av1.obu import (
@@ -481,7 +476,7 @@ def test_rect_syntax_decodes_exact_levels():
     for ours, dec in zip(te.recon, yuv):
         np.testing.assert_array_equal(ours[:h, :w], dec)
 
-    # textured: levels decode exactly -> recon within rounding distance
+    # textured: multi-coefficient txbs round-trip bit-exact too
     rng2 = np.random.default_rng(11)
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
     base = 128 + 60 * np.sin(xx / 9) * np.cos(yy / 6)
@@ -498,5 +493,4 @@ def test_rect_syntax_decodes_exact_levels():
     )
     yuv, _, _ = decode_to_yuv(avif)
     for pi, (ours, dec) in enumerate(zip(te.recon, yuv)):
-        d = np.abs(ours[:h, :w].astype(int) - dec.astype(int))
-        assert d.max() <= 3, (pi, d.max())
+        np.testing.assert_array_equal(ours[:h, :w], dec, err_msg=str(pi))

@@ -187,8 +187,9 @@ def cdef_frame(
     for b in blocks:
         r, c, size = b[0], b[1], b[2]
         sk = b[3] if len(b) > 3 else 0
-        n = size // 4
-        skip_map[r : r + n, c : c + n] = sk
+        bw = size & 0xFFFF
+        bh = (size >> 16) or bw
+        skip_map[r : r + bh // 4, c : c + bw // 4] = sk
 
     coeff_shift = bitdepth - 8
     y_pri_s = y_pri << coeff_shift

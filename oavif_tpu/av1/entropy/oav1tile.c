@@ -2714,31 +2714,43 @@ void loop_filter_frame_c(int32_t *const *planes, int nplanes, int w, int h,
     uint8_t *start_v_uv = (uint8_t *)calloc((size_t)mi_rows * mi_cols, 1);
     uint8_t *start_h_uv = (uint8_t *)calloc((size_t)mi_rows * mi_cols, 1);
     for (int b = 0; b < n_blocks; b++) {
-        int r = blocks[b*5], c = blocks[b*5+1], n = blocks[b*5+2] / 4;
+        /* rect blocks pack w | h<<16 in the size/tx fields; the maps
+         * store txw | txh<<16 (vertical edges use the width half,
+         * horizontal edges the height half). Mirrors loopfilter.py. */
+        int r = blocks[b*5], c = blocks[b*5+1];
         int size = blocks[b*5+2];
+        int bw = size & 0xFFFF, bh = (size >> 16) ? (size >> 16) : bw;
         int y_tx = blocks[b*5+4];
-        int uv_tx = size < 32 ? size : 32;
-        for (int i = 0; i < n; i++) {
-            for (int j = 0; j < n; j++) {
-                size_map[(size_t)(r+i) * mi_cols + c + j] = y_tx;
-                size_map_uv[(size_t)(r+i) * mi_cols + c + j] = uv_tx;
+        int txw = y_tx & 0xFFFF, txh = (y_tx >> 16) ? (y_tx >> 16) : txw;
+        int nw = bw / 4, nh = bh / 4;
+        int uvw = bw < 32 ? bw : 32, uvh = bh < 32 ? bh : 32;
+        int32_t packed_y = txw | (txh << 16);
+        int32_t packed_uv = uvw | (uvh << 16);
+        for (int i = 0; i < nh; i++)
+            for (int j = 0; j < nw; j++) {
+                size_map[(size_t)(r+i) * mi_cols + c + j] = packed_y;
+                size_map_uv[(size_t)(r+i) * mi_cols + c + j] = packed_uv;
             }
+        for (int i = 0; i < nh; i++) {
             start_v[(size_t)(r+i) * mi_cols + c] = 1;
-            start_h[(size_t)r * mi_cols + c + i] = 1;
             start_v_uv[(size_t)(r+i) * mi_cols + c] = 1;
+        }
+        for (int i = 0; i < nw; i++) {
+            start_h[(size_t)r * mi_cols + c + i] = 1;
             start_h_uv[(size_t)r * mi_cols + c + i] = 1;
         }
-        int nt = y_tx / 4;
-        for (int k = nt; k < n; k += nt)
-            for (int i = 0; i < n; i++) {
+        for (int k = txw / 4; k < nw; k += txw / 4)
+            for (int i = 0; i < nh; i++)
                 start_v[(size_t)(r+i) * mi_cols + c + k] = 1;
+        for (int k = txh / 4; k < nh; k += txh / 4)
+            for (int i = 0; i < nw; i++)
                 start_h[(size_t)(r+k) * mi_cols + c + i] = 1;
-            }
-        if (size == 64)
-            for (int i = 0; i < n; i++) {
+        if (bw == 64)
+            for (int i = 0; i < nh; i++)
                 start_v_uv[(size_t)(r+i) * mi_cols + c + 8] = 1;
+        if (bh == 64)
+            for (int i = 0; i < nw; i++)
                 start_h_uv[(size_t)(r+8) * mi_cols + c + i] = 1;
-            }
     }
 
     for (int pi = 0; pi < nplanes; pi++) {
@@ -2778,8 +2790,8 @@ void loop_filter_frame_c(int32_t *const *planes, int nplanes, int w, int h,
                     for (int r = 0; r < mi_rows; r++) {
                         if (!edge_v[(size_t)r * mi_cols + c]) continue;
                         if (r * 4 >= vis_h) continue;
-                        int sz_r = smap[(size_t)r * mi_cols + c];
-                        int sz_l = smap[(size_t)r * mi_cols + c - 1];
+                        int sz_r = smap[(size_t)r * mi_cols + c] & 0xFFFF;
+                        int sz_l = smap[(size_t)r * mi_cols + c - 1] & 0xFFFF;
                         int wd = sz_r < sz_l ? sz_r : sz_l;
                         if (wd > max_w) wd = max_w;
                         if (pi != 0 && wd >= 8) wd = 6;
@@ -2807,8 +2819,8 @@ void loop_filter_frame_c(int32_t *const *planes, int nplanes, int w, int h,
                     for (int c = 0; c < mi_cols; c++) {
                         if (!edge_h[(size_t)r * mi_cols + c]) continue;
                         if (c * 4 >= vis_w) continue;
-                        int sz_b = smap[(size_t)r * mi_cols + c];
-                        int sz_t = smap[(size_t)(r - 1) * mi_cols + c];
+                        int sz_b = smap[(size_t)r * mi_cols + c] >> 16;
+                        int sz_t = smap[(size_t)(r - 1) * mi_cols + c] >> 16;
                         int wd = sz_b < sz_t ? sz_b : sz_t;
                         if (wd > max_w) wd = max_w;
                         if (pi != 0 && wd >= 8) wd = 6;
@@ -3054,10 +3066,12 @@ void cdef_frame_c(int32_t *const *planes, int nplanes, int w, int h,
     memset(skip_map, 1, (size_t)mi_rows * mi_cols);
     for (int b = 0; b < n_blocks; b++) {
         int r = blocks[b * 5], c = blocks[b * 5 + 1];
-        int n = blocks[b * 5 + 2] / 4, sk = blocks[b * 5 + 3];
-        for (int i = 0; i < n && r + i < mi_rows; i++)
+        int size = blocks[b * 5 + 2], sk = blocks[b * 5 + 3];
+        int bw = size & 0xFFFF, bh = (size >> 16) ? (size >> 16) : bw;
+        int nw = bw / 4, nh = bh / 4;
+        for (int i = 0; i < nh && r + i < mi_rows; i++)
             memset(skip_map + (size_t)(r + i) * mi_cols + c, sk,
-                   (size_t)(c + n <= mi_cols ? n : mi_cols - c));
+                   (size_t)(c + nw <= mi_cols ? nw : mi_cols - c));
     }
     int cs = bitdepth - 8;
     int yp = y_pri << cs, ys = y_sec << cs;
@@ -3135,10 +3149,12 @@ int cdef_search_c(int32_t *const *src_planes, int32_t *const *recon_planes,
     memset(skip_map, 1, (size_t)mi_rows * mi_cols);
     for (int b = 0; b < n_blocks; b++) {
         int r = blocks[b * 5], c = blocks[b * 5 + 1];
-        int n = blocks[b * 5 + 2] / 4, sk = blocks[b * 5 + 3];
-        for (int i = 0; i < n && r + i < mi_rows; i++)
+        int size = blocks[b * 5 + 2], sk = blocks[b * 5 + 3];
+        int bw = size & 0xFFFF, bh = (size >> 16) ? (size >> 16) : bw;
+        int nw = bw / 4, nh = bh / 4;
+        for (int i = 0; i < nh && r + i < mi_rows; i++)
             memset(skip_map + (size_t)(r + i) * mi_cols + c, sk,
-                   (size_t)(c + n <= mi_cols ? n : mi_cols - c));
+                   (size_t)(c + nw <= mi_cols ? nw : mi_cols - c));
     }
     int cs = bitdepth - 8;
     int step = 2 << sample_log2; /* mi step between sampled 8x8 blocks */

@@ -17,6 +17,7 @@ tests/test_conformance.py.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import List, Optional
 
@@ -420,7 +421,9 @@ class TileEncoder:
             elif size == 32 and self._force_rect_test:
                 part = 1  # PARTITION_HORZ — test-gated rect slice
             elif size == 32 and self.speed <= 9 and self.qindex <= 90:
-                part = self._planned_part32(r, c)
+                part = None if self._enable_rect else (
+                    self._planned_part32(r, c)
+                )
                 if part is None:
                     # splitting pays at high quality (closer prediction
                     # edges beat the extra signaling); at coarse q it only
@@ -437,6 +440,13 @@ class TileEncoder:
                     self._encode_block_rect(r + size // 8, c,
                                             size, size // 2)
                 self._update_part_ctx_rect(r, c, size, size, size // 2)
+                return
+            if part == 2:  # VERT: two (size/2 x size) px blocks
+                self._encode_block_rect(r, c, size // 2, size)
+                if c + size // 8 < self.mi_cols:
+                    self._encode_block_rect(r, c + size // 8,
+                                            size // 2, size)
+                self._update_part_ctx_rect(r, c, size, size // 2, size)
                 return
         elif not has_rows and not has_cols:
             part = PARTITION_SPLIT  # implicit, nothing coded
@@ -532,26 +542,30 @@ class TileEncoder:
                 best = (ssd, m, pred)
         return best[1], best[2], above, left
 
-    def _src_mode_ssd(self, x: int, y: int, size: int) -> int:
+    def _src_mode_ssd(self, x: int, y: int, size: int, h: int = 0) -> int:
         """Best-candidate-mode prediction SSD using *source* pixels as
         edges (children aren't reconstructed yet at decision time — the
-        standard partition-RD approximation)."""
+        standard partition-RD approximation). `h` (default size) allows
+        rectangular candidates."""
         from .consts import (
             H_PRED, PAETH_PRED, SMOOTH_H_PRED, SMOOTH_PRED, SMOOTH_V_PRED,
             V_PRED,
         )
 
+        w = size
+        if h == 0:
+            h = size
         have_above, have_left = y > 0, x > 0
         above, left = build_edges(
-            self.src[0], x, y, size, size, have_above, have_left, self.bitdepth
+            self.src[0], x, y, w, h, have_above, have_left, self.bitdepth
         )
-        srcb = self.src[0][y : y + size, x : x + size]
+        srcb = self.src[0][y : y + h, x : x + w]
         # keep this NARROW (the 5 cheap modes): it only ranks split vs none,
         # and the full candidate set runs in the per-block search anyway
         cands = [DC_PRED, V_PRED, H_PRED, SMOOTH_PRED, PAETH_PRED]
         best = None
         for m in cands:
-            pred = predict(m, above, left, size, size, have_above, have_left,
+            pred = predict(m, above, left, w, h, have_above, have_left,
                            bitdepth=self.bitdepth)
             ssd = int(((srcb - pred) ** 2).sum())
             if best is None or ssd < best:
@@ -594,9 +608,10 @@ class TileEncoder:
         return int((d * d).sum())
 
     def _choose_partition32(self, r: int, c: int) -> int:
-        """NONE vs SPLIT for a full 32x32 node: compare best-mode source
-        SSD of the parent vs its four 16x16 children plus a q-scaled rate
-        penalty for the extra partition/mode/coeff signaling."""
+        """NONE / HORZ / VERT / SPLIT for a full 32x32 node: best-mode
+        source SSD of each arm plus a q-scaled rate penalty for the extra
+        partition/mode/coeff signaling (SPLIT pays 4 header sets + 3
+        partition symbols; HORZ/VERT pay 2 header sets)."""
         x, y = c * 4, r * 4
         ssd_parent = self._src_mode_ssd(x, y, 32)
         ssd_kids = 0
@@ -604,10 +619,20 @@ class TileEncoder:
             for dx in (0, 16):
                 ssd_kids += self._src_mode_ssd(x + dx, y + dy, 16)
         penalty = self.dq_ac * self.dq_ac
-        return (
-            PARTITION_SPLIT if ssd_kids + penalty < ssd_parent
-            else PARTITION_NONE
-        )
+        best = (ssd_parent, PARTITION_NONE)
+        if ssd_kids + penalty < best[0]:
+            best = (ssd_kids + penalty, PARTITION_SPLIT)
+        if self._enable_rect:
+            half_pen = penalty >> 1
+            ssd_h = (self._src_mode_ssd(x, y, 32, 16)
+                     + self._src_mode_ssd(x, y + 16, 32, 16))
+            if ssd_h + half_pen < best[0]:
+                best = (ssd_h + half_pen, 1)  # PARTITION_HORZ
+            ssd_v = (self._src_mode_ssd(x, y, 16, 32)
+                     + self._src_mode_ssd(x + 16, y, 16, 32))
+            if ssd_v + half_pen < best[0]:
+                best = (ssd_v + half_pen, 2)  # PARTITION_VERT
+        return best[1]
 
     def _encode_block(self, r: int, c: int, size: int) -> None:
         if self.lossless:
@@ -856,6 +881,9 @@ class TileEncoder:
     # rect RD (planner nomination, RDOQ, VERT, 16x8) builds on this.
 
     _force_rect_test = False
+    # rect HORZ/VERT in the product partition RD. Python-side complete;
+    # default tracks the C mirror so the byte-identical invariant holds.
+    _enable_rect = os.environ.get("OAVIF_RECT", "0") == "1"
 
     def _update_part_ctx_rect(self, r, c, size, sub_w, sub_h):
         n_mi = size // 4
@@ -881,23 +909,224 @@ class TileEncoder:
         return (lo + hi + 1) >> 1
 
     def _quantize_rect(self, resid, th, tw, ptype):
-        """Round-half quantization of a rect residual (no RDOQ yet —
-        encoder freedom; rect RDOQ lands with the full rect RD)."""
+        """RDOQ quantization of a rect residual (same trellis-lite passes
+        as the square path, with rect scan/contexts)."""
         from .transform import fwd_matrices_int16
 
+        if not resid.any():
+            return np.zeros((th, tw), dtype=np.int64)
         fh16, fw16, sa = fwd_matrices_int16(tw, th, "dct_dct", self.bitdepth)
         acc1 = fh16.astype(np.int32) @ resid.astype(np.int32)
         tmp16 = (acc1 + (1 << sa >> 1)) >> sa if sa else acc1
         out32 = tmp16.astype(np.int32) @ fw16.astype(np.int32).T
         cf = out32.astype(np.float64) * (1.0 / (1 << (24 - sa)))
+        return self._rdoq_rect(cf, th, tw, ptype)
+
+    def _rdoq_rect(self, coeffs, th, tw, ptype):
+        """Rect-shape RDOQ: mirrors _rdoq with per-axis dims, the rect
+        scan table, the rect dequant shift and the rect base-ctx bands
+        (wide +16 on the first two columns, tall +11 on the first two
+        rows; no square rr+cc<2 band)."""
+        from .tables import TABLES
+
         shift = self._rect_dq_shift(th, tw)
+        scan = np.asarray(TABLES[f"scan_{tw}x{th}"])
+        n_coded = tw * th
+        txs_ctx = self._rect_txs_ctx(th, tw)
+        ct = self._cost_tables(txs_ctx, ptype)
+        cost_base = ct["base"]
+        cost_base_eob = ct["base_eob"]
+        cost_br = ct["br"]
+        cost_eob_extra = ct["eob_extra"]
+        cost_eob_pt = self._cost_eob_pt[n_coded][ptype][0].tolist()
+
+        dqd = self.dq_dc
         dqa = self.dq_ac_uv if ptype else self.dq_ac
-        dq = np.full((th, tw), float(dqa))
-        dq[0, 0] = float(self.dq_dc)
-        lv = np.floor(np.abs(cf) * float(1 << shift) / dq + 0.5).astype(
-            np.int64
-        )
-        return np.where(cf < 0.0, -lv, lv)
+        lam = float(((dqa * dqa) >> (2 * shift)) * RDOQ_KNUM) / (
+            RDOQ_KDEN * 128.0
+        ) * self._lam_scale
+
+        flat = coeffs.reshape(-1)
+        a_nat = np.abs(flat)
+        sg_nat = np.where(flat < 0.0, -1, 1)
+
+        up = float(1 << shift)
+        dq_nat = np.full(n_coded, float(dqa))
+        dq_nat[0] = float(dqd)
+        l0 = np.floor(a_nat * up / dq_nat + 0.5).astype(np.int64)
+        order = l0[scan]
+        nz = np.nonzero(order)[0]
+        out = np.zeros((th, tw), dtype=np.int64)
+        if len(nz) == 0:
+            return out
+        eob = int(nz[-1]) + 1
+
+        a_scan = a_nat[scan]
+        if self.speed >= 10:
+            lv_nat0 = np.zeros(n_coded, dtype=np.int64)
+            for si in range(eob):
+                if order[si]:
+                    p = int(scan[si])
+                    lv_nat0[p] = order[si] * int(sg_nat[p])
+            return lv_nat0.reshape(th, tw)
+        dq_scan = [dqd if int(scan[si]) == 0 else dqa for si in range(eob)]
+        pos_r = [int(scan[si]) // tw for si in range(eob)]
+        pos_c = [int(scan[si]) % tw for si in range(eob)]
+
+        pad = np.zeros((th + 2, tw + 2), dtype=np.int64)
+        ofl = order.tolist()
+        for si in range(eob):
+            if ofl[si]:
+                pad[pos_r[si], pos_c[si]] = min(ofl[si], 127)
+
+        def err2(si, lvl):
+            e = float(a_scan[si]) - float((lvl * dq_scan[si]) >> shift)
+            return e * e
+
+        def hi_cost(lvl, brctx):
+            r = 0
+            rem = lvl - 3
+            row = cost_br[brctx]
+            for _ in range(4):
+                k = rem if rem < 3 else 3
+                r += row[k]
+                rem -= k
+                if k < 3:
+                    break
+            if lvl > 14:
+                r += 128 * (2 * (lvl - 14).bit_length() - 1)
+            return r
+
+        def base_ctx(si):
+            rr, cc = pos_r[si], pos_c[si]
+            mag = (
+                min(int(pad[rr, cc + 1]), 3)
+                + min(int(pad[rr + 1, cc]), 3)
+                + min(int(pad[rr + 1, cc + 1]), 3)
+                + min(int(pad[rr, cc + 2]), 3)
+                + min(int(pad[rr + 2, cc]), 3)
+            )
+            mag = min((mag + 1) >> 1, 4)
+            if rr == 0 and cc == 0:
+                return 0
+            if tw > th and cc < 2:
+                return mag + 16
+            if tw < th and rr < 2:
+                return mag + 11
+            if rr + cc < 4:
+                return mag + 6
+            return mag + 21
+
+        def br_ctx(si):
+            rr, cc = pos_r[si], pos_c[si]
+            mag = (
+                min(int(pad[rr, cc + 1]), 15)
+                + min(int(pad[rr + 1, cc]), 15)
+                + min(int(pad[rr + 1, cc + 1]), 15)
+            )
+            mag = min((mag + 1) >> 1, 6)
+            if pos_r[si] == 0 and pos_c[si] == 0:
+                return mag
+            if rr < 2 and cc < 2:
+                return mag + 7
+            return mag + 14
+
+        def eob_ctx(si):
+            if si == 0:
+                return 0
+            if si <= n_coded // 8:
+                return 1
+            if si <= n_coded // 4:
+                return 2
+            return 3
+
+        def int_cost(lvl, bctx, si):
+            r = cost_base[bctx][lvl if lvl < 3 else 3]
+            if lvl:
+                r += 128  # sign
+                if lvl > 3:
+                    r += hi_cost(lvl, br_ctx(si))
+            return r
+
+        def eob_coeff_cost(lvl, si):
+            r = cost_base_eob[eob_ctx(si)][(lvl if lvl < 3 else 3) - 1] + 128
+            if lvl > 3:
+                r += hi_cost(lvl, br_ctx(si))
+            return r
+
+        def eobpt_cost(e):
+            if e == 1:
+                pt = 1
+            elif e == 2:
+                pt = 2
+            else:
+                pt = (e - 1).bit_length() + 1
+            r = cost_eob_pt[pt - 1]
+            if pt >= 3:
+                nbits = pt - 2
+                rest = e - (1 << (pt - 2)) - 1
+                msb = (rest >> (nbits - 1)) & 1
+                r += cost_eob_extra[pt - 3][msb] + 128 * (nbits - 1)
+            return r
+
+        # phase 1: eob shrinking
+        while eob > 0:
+            si = eob - 1
+            lvl = ofl[si]
+            keep = err2(si, lvl) + lam * (
+                eobpt_cost(eob) + eob_coeff_cost(lvl, si)
+            )
+            pe = si - 1
+            while pe >= 0 and ofl[pe] == 0:
+                pe -= 1
+            pad[pos_r[si], pos_c[si]] = 0
+            if pe < 0:
+                if err2(si, 0) < keep:
+                    ofl[si] = 0
+                    eob = 0
+                else:
+                    pad[pos_r[si], pos_c[si]] = min(lvl, 127)
+                break
+            lp = ofl[pe]
+            drop = err2(si, 0) + lam * (
+                eobpt_cost(pe + 1) + eob_coeff_cost(lp, pe)
+            )
+            keep += lam * int_cost(lp, base_ctx(pe), pe)
+            if drop < keep:
+                ofl[si] = 0
+                eob = pe + 1
+            else:
+                pad[pos_r[si], pos_c[si]] = min(lvl, 127)
+                break
+
+        if eob > 0:
+            # phase 2: eob coefficient level decrement (floor 1)
+            si = eob - 1
+            lvl = ofl[si]
+            if lvl >= 2:
+                if err2(si, lvl - 1) + lam * eob_coeff_cost(
+                    lvl - 1, si
+                ) < err2(si, lvl) + lam * eob_coeff_cost(lvl, si):
+                    ofl[si] = lvl - 1
+                    pad[pos_r[si], pos_c[si]] = min(lvl - 1, 127)
+            # phase 3: interior level decrements (reverse scan)
+            for si in range(eob - 2, -1, -1):
+                lvl = ofl[si]
+                if lvl == 0:
+                    continue
+                bctx = base_ctx(si)
+                if err2(si, lvl - 1) + lam * int_cost(
+                    lvl - 1, bctx, si
+                ) < err2(si, lvl) + lam * int_cost(lvl, bctx, si):
+                    ofl[si] = lvl - 1
+                    pad[pos_r[si], pos_c[si]] = min(lvl - 1, 127)
+
+        lv_nat = np.zeros(n_coded, dtype=np.int64)
+        for si in range(eob):
+            if ofl[si]:
+                p = int(scan[si])
+                lv_nat[p] = ofl[si] * int(sg_nat[p])
+        return lv_nat.reshape(th, tw)
 
     def _dequant_inv_rect(self, levels, th, tw, ptype):
         shift = self._rect_dq_shift(th, tw)
@@ -935,39 +1164,163 @@ class TileEncoder:
         return 0
 
     def _encode_block_rect(self, r, c, bw, bh):
-        """One rect block (bw x bh px), tx == block, DC-only modes."""
+        """One rect block (bw x bh px), tx == block.
+
+        Y mode from the square candidate ladder by prediction SSD (same
+        policy as _choose_y_mode); chroma DC-vs-CfL with the rect lumaAC
+        average (log2w+log2h rounding); RDOQ levels via _rdoq_rect.
+        Cross-probe decision replay records rect rows with the bh-coded
+        tag (mirrored disarm on mismatch)."""
+        from .consts import (
+            PAETH_PRED, SMOOTH_H_PRED, SMOOTH_PRED, SMOOTH_V_PRED,
+            UV_CFL_PRED, V_PRED,
+        )
+        from .consts import H_PRED as H_PRED_
+
         x, y = c * 4, r * 4
         lr = r & 15
         lo, hi = 0, (1 << self.bitdepth) - 1
         have_above, have_left = y > 0, x > 0
 
-        levels_all, preds_all = [], []
-        for plane in range(len(self.planes)):
-            above, left = build_edges(
-                self.recon[plane], x, y, bw, bh, have_above, have_left,
-                self.bitdepth,
+        # per-block λ scale from source-luma variance (mirror the square)
+        if self._mean_var > 0.0:
+            blk = self.src[0][y : y + bh, x : x + bw].astype(np.int64)
+            n_ = bw * bh
+            s1 = int(blk.sum())
+            s2 = int((blk * blk).sum())
+            var_b = float(n_ * s2 - s1 * s1) / float(n_ * n_)
+            sc = np.sqrt((var_b + 16.0) / (self._mean_var + 16.0))
+            self._lam_scale = float(min(max(sc, 0.25), 4.0))
+        else:
+            self._lam_scale = 1.0
+
+        # replay (10-int rows like squares; tag size byte = bh|1 marks
+        # HORZ rect, bw|2 VERT — disjoint from the square size values)
+        tagsz = (bh | 1) if bw > bh else (bw | 2)
+        tag = (r << 16) | (c << 8) | tagsz
+        rep = None
+        if self._dec_mode == 2:
+            buf, pos = self._dec["buf"], self._dec_pos
+            if pos + 10 <= int(self._dec["len"]) and int(buf[pos]) == tag:
+                rep = [int(v) for v in buf[pos : pos + 10]]
+                self._dec_pos += 10
+            else:
+                self._dec_mode = 0
+
+        # --- luma: mode by pred SSD over the candidate ladder ---
+        above0, left0 = build_edges(
+            self.recon[0], x, y, bw, bh, have_above, have_left,
+            self.bitdepth,
+        )
+        src0 = self.src[0][y : y + bh, x : x + bw]
+        if rep is not None:
+            y_mode = rep[9]
+            y_pred = predict(y_mode, above0, left0, bw, bh, have_above,
+                             have_left, bitdepth=self.bitdepth)
+        else:
+            candidates = [DC_PRED, V_PRED, H_PRED_, SMOOTH_PRED,
+                          PAETH_PRED]
+            if self.speed <= 9:
+                candidates += [SMOOTH_V_PRED, SMOOTH_H_PRED]
+            best = None
+            for m in candidates:
+                pred = predict(m, above0, left0, bw, bh, have_above,
+                               have_left, bitdepth=self.bitdepth)
+                ssd = int(((src0 - pred) ** 2).sum())
+                if best is None or ssd < best[0]:
+                    best = (ssd, m, pred)
+            _, y_mode, y_pred = best
+        y_levels = self._quantize_rect(src0 - y_pred, bh, bw, 0)
+        if np.any(y_levels):
+            y_recon = np.clip(
+                y_pred + self._dequant_inv_rect(y_levels, bh, bw, 0), lo, hi
             )
-            pred = predict(DC_PRED, above, left, bw, bh, have_above,
-                           have_left, bitdepth=self.bitdepth)
-            srcb = self.src[plane][y : y + bh, x : x + bw]
-            levels_all.append(
-                self._quantize_rect(srcb - pred, bh, bw,
-                                    0 if plane == 0 else 1)
-            )
-            preds_all.append(pred)
-        skip = not any(np.any(l) for l in levels_all)
+        else:
+            y_recon = np.clip(y_pred, lo, hi)
+
+        # --- chroma: DC vs CfL (rect lumaAC) ---
+        uv_mode = DC_PRED
+        cfl_alphas = (0, 0)
+        uv_planes = []
+        if len(self.planes) > 1:
+            dc_preds = []
+            for p in (1, 2):
+                a_, l_ = build_edges(
+                    self.recon[p], x, y, bw, bh, have_above, have_left,
+                    self.bitdepth,
+                )
+                dc_preds.append(
+                    predict(DC_PRED, a_, l_, bw, bh, have_above, have_left,
+                            bitdepth=self.bitdepth)
+                )
+            luma = y_recon.astype(np.int64) << 3
+            lg = (bw.bit_length() - 1) + (bh.bit_length() - 1)
+            avg = (int(luma.sum()) + (1 << (lg - 1))) >> lg
+            diff = luma - avg
+            if rep is not None:
+                uv_mode = rep[6]
+                cfl_alphas = (rep[7], rep[8])
+                if uv_mode != UV_CFL_PRED:
+                    cfl_alphas = (0, 0)
+            else:
+                # per-plane alpha by prediction SSD over the ±16 alphabet
+                # (0 kept = DC); mirror the square policy shape
+                alphas = []
+                for i, p in enumerate((1, 2)):
+                    srcp = self.src[p][y : y + bh, x : x + bw]
+                    best_a, best_ssd = 0, None
+                    for a in range(-16, 17):
+                        prod = a * diff
+                        contrib = np.sign(prod) * ((np.abs(prod) + 32) >> 6)
+                        predp = np.clip(dc_preds[i] + contrib, 0, hi)
+                        ssd = int(((srcp - predp) ** 2).sum())
+                        if best_ssd is None or ssd < best_ssd:
+                            best_a, best_ssd = a, ssd
+                    alphas.append(best_a)
+                if alphas[0] or alphas[1]:
+                    uv_mode = UV_CFL_PRED
+                    cfl_alphas = (alphas[0], alphas[1])
+            for i, p in enumerate((1, 2)):
+                if uv_mode == UV_CFL_PRED:
+                    prod = cfl_alphas[i] * diff
+                    contrib = np.sign(prod) * ((np.abs(prod) + 32) >> 6)
+                    predp = np.clip(dc_preds[i] + contrib, 0, hi)
+                else:
+                    predp = dc_preds[i]
+                srcp = self.src[p][y : y + bh, x : x + bw]
+                lvp = self._quantize_rect(srcp - predp, bh, bw, 1)
+                uv_planes.append((p, lvp, predp))
+
+        skip = not np.any(y_levels) and not any(
+            np.any(lv) for _, lv, _ in uv_planes
+        )
+        if self._dec_mode == 1:
+            self._dec_out += [
+                tag, 0, 0, 0, 0, 0,
+                uv_mode, cfl_alphas[0], cfl_alphas[1], y_mode,
+            ]
 
         nw, nh = bw // 4, bh // 4
+        self.blocks.append((r, c, bw | (bh << 16), 1 if skip else 0,
+                            bw | (bh << 16)))
+
+        # --- symbols ---
         skip_ctx = int(self.above_skip[c]) + int(self.left_skip[lr])
         self._sym(self.cdf.skip[skip_ctx], 1 if skip else 0)
         actx = INTRA_MODE_CONTEXT[int(self.above_mode[c])] if r > 0 else 0
         lctx = INTRA_MODE_CONTEXT[int(self.left_mode[lr])] if c > 0 else 0
-        self._sym(self.cdf.kf_y[actx][lctx], DC_PRED)
+        self._sym(self.cdf.kf_y[actx][lctx], y_mode)
+        if y_mode in MODE_TO_ANGLE and min(bw, bh) >= 8:
+            self._sym(self.cdf.angle_delta[y_mode - 1], 3)  # delta 0
         if len(self.planes) > 1:
             cfl_allowed = max(bw, bh) <= 32
             uv_cdfs = (self.cdf.uv_mode_cfl if cfl_allowed
                        else self.cdf.uv_mode)
-            self._sym(uv_cdfs[DC_PRED], DC_PRED)
+            self._sym(uv_cdfs[y_mode], uv_mode)
+            if uv_mode == UV_CFL_PRED:
+                self._emit_cfl_alphas(*cfl_alphas)
+            elif uv_mode in MODE_TO_ANGLE and min(bw, bh) >= 8:
+                self._sym(self.cdf.angle_delta[uv_mode - 1], 3)
         # tx_depth 0 of the rect max tx: cat = sqr_up category, ctx from
         # the rect dims
         cat = {8: 0, 16: 1, 32: 2, 64: 3}[max(bw, bh)]
@@ -977,26 +1330,29 @@ class TileEncoder:
         row = self.cdf.tx_size[cat, tctx]
         self._sym(row[:3] if cat == 0 else row, 0)
 
-        for plane in range(len(self.planes)):
-            lv = levels_all[plane]
-            pred = preds_all[plane]
+        # --- residual coding + recon ---
+        plane_sets = [(0, y_levels, y_pred)] + uv_planes
+        for plane, lv, pred in plane_sets:
             if skip:
                 self._set_lvl_ctx_rect(plane, x, y, bw, bh, 0, 0)
                 recon_blk = pred
+            elif plane == 0:
+                self._encode_coeffs_rect(plane, bw, bh, x, y, lv)
+                recon_blk = y_recon
             else:
                 self._encode_coeffs_rect(plane, bw, bh, x, y, lv)
-                resid = self._dequant_inv_rect(
-                    lv, bh, bw, 0 if plane == 0 else 1
-                )
-                recon_blk = pred + resid
+                if np.any(lv):
+                    recon_blk = pred + self._dequant_inv_rect(lv, bh, bw, 1)
+                else:
+                    recon_blk = pred
             self.recon[plane][y : y + bh, x : x + bw] = np.clip(
                 recon_blk, lo, hi
             )
 
         self.above_skip[c : c + nw] = 1 if skip else 0
         self.left_skip[lr : lr + nh] = 1 if skip else 0
-        self.above_mode[c : c + nw] = DC_PRED
-        self.left_mode[lr : lr + nh] = DC_PRED
+        self.above_mode[c : c + nw] = y_mode
+        self.left_mode[lr : lr + nh] = y_mode
         self.above_txw[c : c + nw] = bw
         self.left_txh[lr : lr + nh] = bh
 

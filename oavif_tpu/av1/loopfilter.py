@@ -191,30 +191,42 @@ def loop_filter_frame(
     # IsInter==0 terms hold everywhere here; pinned against dav1d by
     # test_skip64_flat_region_decodes_exact).
     mi_rows, mi_cols = 2 * ((h + 7) >> 3), 2 * ((w + 7) >> 3)
-    size_map = np.zeros((mi_rows, mi_cols), np.int32)  # luma tx dims
-    size_map_uv = np.zeros((mi_rows, mi_cols), np.int32)  # chroma tx dims
+    # per-direction tx-dimension maps: vertical edges filter by tx WIDTH,
+    # horizontal edges by tx HEIGHT (identical for the square-only case;
+    # rect blocks pack w | h<<16 in the size/tx fields)
+    size_map_w = np.zeros((mi_rows, mi_cols), np.int32)
+    size_map_h = np.zeros((mi_rows, mi_cols), np.int32)
+    size_map_uv_w = np.zeros((mi_rows, mi_cols), np.int32)
+    size_map_uv_h = np.zeros((mi_rows, mi_cols), np.int32)
     start_v = np.zeros((mi_rows, mi_cols), bool)  # left edge of a block
     start_h = np.zeros((mi_rows, mi_cols), bool)  # top edge of a block
     start_v_uv = np.zeros((mi_rows, mi_cols), bool)
     start_h_uv = np.zeros((mi_rows, mi_cols), bool)
     for b in blocks:
         r, c, size = b[0], b[1], b[2]
-        y_tx = b[4] if len(b) > 4 else min(size, 64)
-        n = size // 4
-        size_map[r : r + n, c : c + n] = y_tx
-        uv_tx = min(size, 32)
-        size_map_uv[r : r + n, c : c + n] = uv_tx
-        start_v[r : r + n, c] = True
-        start_h[r, c : c + n] = True
-        start_v_uv[r : r + n, c] = True
-        start_h_uv[r, c : c + n] = True
-        nt = y_tx // 4
-        for k in range(nt, n, nt):
-            start_v[r : r + n, c + k] = True
-            start_h[r + k, c : c + n] = True
-        if size == 64:
-            start_v_uv[r : r + n, c + 8] = True
-            start_h_uv[r + 8, c : c + n] = True
+        bw = size & 0xFFFF
+        bh = (size >> 16) or bw
+        y_tx = b[4] if len(b) > 4 else (bw | (bh << 16) if bh != bw
+                                        else min(bw, 64))
+        txw = y_tx & 0xFFFF
+        txh = (y_tx >> 16) or txw
+        nw, nh = bw // 4, bh // 4
+        size_map_w[r : r + nh, c : c + nw] = txw
+        size_map_h[r : r + nh, c : c + nw] = txh
+        size_map_uv_w[r : r + nh, c : c + nw] = min(bw, 32)
+        size_map_uv_h[r : r + nh, c : c + nw] = min(bh, 32)
+        start_v[r : r + nh, c] = True
+        start_h[r, c : c + nw] = True
+        start_v_uv[r : r + nh, c] = True
+        start_h_uv[r, c : c + nw] = True
+        for k in range(txw // 4, nw, txw // 4):
+            start_v[r : r + nh, c + k] = True
+        for k in range(txh // 4, nh, txh // 4):
+            start_h[r + k, c : c + nw] = True
+        if bw == 64:
+            start_v_uv[r : r + nh, c + 8] = True
+        if bh == 64:
+            start_h_uv[r + 8, c : c + nw] = True
 
     for pi, plane in enumerate(planes):
         level_v = levels[0] if pi == 0 else levels[1 + pi]
@@ -223,7 +235,8 @@ def loop_filter_frame(
 
         sv = start_v if pi == 0 else start_v_uv
         sh = start_h if pi == 0 else start_h_uv
-        smap = size_map if pi == 0 else size_map_uv
+        smap_w = size_map_w if pi == 0 else size_map_uv_w
+        smap_h = size_map_h if pi == 0 else size_map_uv_h
         if level_v > 0:
             for c in range(1, mi_cols):
                 x = c * 4
@@ -236,8 +249,8 @@ def loop_filter_frame(
                 segs = []
                 widths = []
                 for r in rows:
-                    sz_r = int(smap[r, c])
-                    sz_l = int(smap[r, c - 1])
+                    sz_r = int(smap_w[r, c])
+                    sz_l = int(smap_w[r, c - 1])
                     wd = min(sz_r, sz_l, max_w)
                     if pi != 0 and wd >= 8:
                         wd = 6
@@ -270,8 +283,8 @@ def loop_filter_frame(
                 segs = []
                 widths = []
                 for c in cs:
-                    sz_b = int(smap[r, c])
-                    sz_t = int(smap[r - 1, c])
+                    sz_b = int(smap_h[r, c])
+                    sz_t = int(smap_h[r - 1, c])
                     wd = min(sz_b, sz_t, max_w)
                     if pi != 0 and wd >= 8:
                         wd = 6

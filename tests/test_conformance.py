@@ -442,6 +442,61 @@ def test_rect_horz_32x16_stream_decodes_exact():
             )
 
 
+def test_rect_rd_full_pipeline_decodes_exact(monkeypatch):
+    """RD-gated rect partitions (HORZ and VERT chosen by the partition
+    search, not forced) through the FULL pipeline — modes, CfL chroma,
+    RDOQ, loop filter with per-direction rect tx maps, CDEF with rect
+    skip maps, mux — must decode bit-exactly via dav1d."""
+    import os
+
+    from oavif_tpu.av1.cdef import cdef_frame
+    from oavif_tpu.av1.consts import quality_to_qindex
+    from oavif_tpu.av1.encode import (
+        _chroma_delta_q, _filter_level, _pick_cdef,
+    )
+    from oavif_tpu.av1.frame import TileEncoder, encode_frame_planes
+    from oavif_tpu.av1.loopfilter import loop_filter_frame
+    from oavif_tpu.av1.yuv import rgb_to_yuv444
+    from oavif_tpu.io.avif_ctypes import decode_to_yuv
+
+    monkeypatch.setenv("OAVIF_PY_TILE", "1")
+    monkeypatch.setattr(TileEncoder, "_enable_rect", True)
+    from oavif_tpu.av1.encode import encode_avif_with_recon
+    from oavif_tpu.backend import EncCtx
+    from oavif_tpu.io.image import Image
+    from oavif_tpu.options import EncOptions
+
+    rng2 = np.random.default_rng(3)
+    h, w = 192, 160
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    base = 128 + 80 * np.sin(yy / 5) + 40 * np.sin(xx / 4.2) * (xx > 80)
+    rgb = np.clip(
+        np.stack([base, 0.9 * base, 255 - 0.6 * base], -1)
+        + rng2.normal(0, 6, (h, w, 3)), 0, 255,
+    ).astype(np.uint8)
+
+    qi = quality_to_qindex(70)
+    pl = rgb_to_yuv444(rgb, 8)
+    _, ours, blocks = encode_frame_planes(
+        pl, qi, 8, 9, u_ac_delta_q=_chroma_delta_q(qi, "iq", pl, 8))
+    nrect = sum(1 for b in blocks if (b[2] >> 16))
+    assert nrect > 0, "RD search should pick rect on oriented content"
+    img = Image(width=w, height=h, channels=3, hbd=False, data=rgb)
+    ctx = EncCtx(o=EncOptions(tenbit=False), src=img, rgb=rgb, w=w, h=h,
+                 q=70)
+    data, _ = encode_avif_with_recon(ctx)
+    yuv, _, _ = decode_to_yuv(data)
+    flv = _filter_level(qi)
+    if flv:
+        loop_filter_frame(ours, blocks, (flv,) * 4, bitdepth=8,
+                          visible=(h, w))
+    st, damp = _pick_cdef(pl, ours, blocks, qi, 8, (h, w))
+    if any(st):
+        cdef_frame(ours, blocks, st, damp, 8)
+    for pi, (a, b) in enumerate(zip(yuv, ours)):
+        np.testing.assert_array_equal(a, b[:h, :w], err_msg=f"plane {pi}")
+
+
 def test_rect_syntax_decodes_exact_levels():
     """What IS proven for the rect slice: the complete rect SYNTAX round-
     trips through the independent decoder — HORZ partition symbols, rect

@@ -622,17 +622,38 @@ class TileEncoder:
         best = (ssd_parent, PARTITION_NONE)
         if ssd_kids + penalty < best[0]:
             best = (ssd_kids + penalty, PARTITION_SPLIT)
-        if self._enable_rect:
-            half_pen = penalty >> 1
-            ssd_h = (self._src_mode_ssd(x, y, 32, 16)
-                     + self._src_mode_ssd(x, y + 16, 32, 16))
-            if ssd_h + half_pen < best[0]:
-                best = (ssd_h + half_pen, 1)  # PARTITION_HORZ
-            ssd_v = (self._src_mode_ssd(x, y, 16, 32)
-                     + self._src_mode_ssd(x + 16, y, 16, 32))
-            if ssd_v + half_pen < best[0]:
-                best = (ssd_v + half_pen, 2)  # PARTITION_VERT
-        return best[1]
+        if not self._enable_rect:
+            return best[1]
+        # rect arms: the SSD proxy only NOMINATES (finer prediction
+        # always lowers SSD, so the proxy over-picks rect — measured
+        # +8% bytes on striped content); a nominated rect runs a REAL
+        # luma D+lambda*R duel against the proxy-winning square arm.
+        half_pen = penalty >> 1
+        ssd_h = (self._src_mode_ssd(x, y, 32, 16)
+                 + self._src_mode_ssd(x, y + 16, 32, 16))
+        ssd_v = (self._src_mode_ssd(x, y, 16, 32)
+                 + self._src_mode_ssd(x + 16, y, 16, 32))
+        ssd_r, part_r = (ssd_h, 1) if ssd_h <= ssd_v else (ssd_v, 2)
+        if ssd_r + half_pen >= best[0]:
+            return best[1]
+        lam_pix = float(
+            ((self.dq_ac * self.dq_ac) >> 6) * RDOQ_KNUM
+        ) / (RDOQ_KDEN * 128.0)
+        save_lam = self._lam_scale
+        self._lam_scale = 1.0
+        try:
+            d_sq, r_sq = self._try_square_arm(r, c, best[1])
+            d_re, r_re = self._try_rect_luma(x, y, part_r)
+        finally:
+            self._lam_scale = save_lam
+        # header premium: each extra skip/mode/tx set ~5 bits; rect pays
+        # 1 more set than NONE, SPLIT pays 3 more than NONE plus its sub
+        # partition symbols (already proxied by the SSD penalty)
+        hdr = 640
+        n_sq = 0 if best[1] == PARTITION_NONE else 3 * hdr
+        rd_sq = float(d_sq) + lam_pix * float(r_sq + n_sq)
+        rd_re = float(d_re) + lam_pix * float(r_re + hdr)
+        return part_r if rd_re < rd_sq else best[1]
 
     def _encode_block(self, r: int, c: int, size: int) -> None:
         if self.lossless:
@@ -1208,29 +1229,20 @@ class TileEncoder:
                 self._dec_mode = 0
 
         # --- luma: mode by pred SSD over the candidate ladder ---
-        above0, left0 = build_edges(
-            self.recon[0], x, y, bw, bh, have_above, have_left,
-            self.bitdepth,
-        )
         src0 = self.src[0][y : y + bh, x : x + bw]
         if rep is not None:
             y_mode = rep[9]
+            above0, left0 = build_edges(
+                self.recon[0], x, y, bw, bh, have_above, have_left,
+                self.bitdepth,
+            )
             y_pred = predict(y_mode, above0, left0, bw, bh, have_above,
                              have_left, bitdepth=self.bitdepth)
+            y_levels = self._quantize_rect(src0 - y_pred, bh, bw, 0)
         else:
-            candidates = [DC_PRED, V_PRED, H_PRED_, SMOOTH_PRED,
-                          PAETH_PRED]
-            if self.speed <= 9:
-                candidates += [SMOOTH_V_PRED, SMOOTH_H_PRED]
-            best = None
-            for m in candidates:
-                pred = predict(m, above0, left0, bw, bh, have_above,
-                               have_left, bitdepth=self.bitdepth)
-                ssd = int(((src0 - pred) ** 2).sum())
-                if best is None or ssd < best[0]:
-                    best = (ssd, m, pred)
-            _, y_mode, y_pred = best
-        y_levels = self._quantize_rect(src0 - y_pred, bh, bw, 0)
+            y_mode, y_pred, y_levels = self._rect_mode_and_levels(
+                x, y, bw, bh
+            )
         if np.any(y_levels):
             y_recon = np.clip(
                 y_pred + self._dequant_inv_rect(y_levels, bh, bw, 0), lo, hi
@@ -2033,6 +2045,187 @@ class TileEncoder:
                 if lvl > 14:
                     r += 128 * (2 * (lvl - 14).bit_length() - 1)
         return r
+
+    def _rate_estimate_rect_txb(self, levels, th, tw, ptype):
+        """Rect twin of _rate_estimate_txb: rect scan, rect base-ctx
+        bands, eob table keyed by tw*th."""
+        from .tables import TABLES
+
+        scan = np.asarray(TABLES[f"scan_{tw}x{th}"])
+        n_coded = tw * th
+        txs_ctx = self._rect_txs_ctx(th, tw)
+        ct = self._cost_tables(txs_ctx, ptype)
+        cost_base = ct["base"]
+        cost_base_eob = ct["base_eob"]
+        cost_br = ct["br"]
+        cost_eob_extra = ct["eob_extra"]
+        cost_eob_pt = self._cost_eob_pt[n_coded][ptype][0].tolist()
+
+        flat = np.abs(levels).reshape(-1)
+        order = flat[scan]
+        nz = np.nonzero(order)[0]
+        if len(nz) == 0:
+            return 256
+        eob = int(nz[-1]) + 1
+        pad = np.zeros((th + 2, tw + 2), dtype=np.int64)
+        ofl = order.tolist()
+        for si in range(eob):
+            if ofl[si]:
+                pad[int(scan[si]) // tw, int(scan[si]) % tw] = min(
+                    ofl[si], 127
+                )
+
+        if eob == 1:
+            pt = 1
+        elif eob == 2:
+            pt = 2
+        else:
+            pt = (eob - 1).bit_length() + 1
+        r = 128 + cost_eob_pt[pt - 1]
+        if pt >= 3:
+            nbits = pt - 2
+            rest = eob - (1 << (pt - 2)) - 1
+            msb = (rest >> (nbits - 1)) & 1
+            r += cost_eob_extra[pt - 3][msb] + 128 * (nbits - 1)
+
+        for si in range(eob - 1, -1, -1):
+            lvl = ofl[si]
+            pos = int(scan[si])
+            rr, cc = pos // tw, pos % tw
+            if si == eob - 1:
+                if si == 0:
+                    ectx = 0
+                elif si <= n_coded // 8:
+                    ectx = 1
+                elif si <= n_coded // 4:
+                    ectx = 2
+                else:
+                    ectx = 3
+                r += cost_base_eob[ectx][(lvl if lvl < 3 else 3) - 1]
+            else:
+                mag = (
+                    min(int(pad[rr, cc + 1]), 3)
+                    + min(int(pad[rr + 1, cc]), 3)
+                    + min(int(pad[rr + 1, cc + 1]), 3)
+                    + min(int(pad[rr, cc + 2]), 3)
+                    + min(int(pad[rr + 2, cc]), 3)
+                )
+                mag = min((mag + 1) >> 1, 4)
+                if pos == 0:
+                    bctx = 0
+                elif tw > th and cc < 2:
+                    bctx = mag + 16
+                elif tw < th and rr < 2:
+                    bctx = mag + 11
+                elif rr + cc < 4:
+                    bctx = mag + 6
+                else:
+                    bctx = mag + 21
+                r += cost_base[bctx][lvl if lvl < 3 else 3]
+            if lvl:
+                r += 128
+            if lvl > 3:
+                mag = (
+                    min(int(pad[rr, cc + 1]), 15)
+                    + min(int(pad[rr + 1, cc]), 15)
+                    + min(int(pad[rr + 1, cc + 1]), 15)
+                )
+                mag = min((mag + 1) >> 1, 6)
+                if pos == 0:
+                    brctx = mag
+                elif rr < 2 and cc < 2:
+                    brctx = mag + 7
+                else:
+                    brctx = mag + 14
+                rem = lvl - 3
+                for _ in range(4):
+                    k = rem if rem < 3 else 3
+                    r += cost_br[brctx][k]
+                    rem -= k
+                    if k < 3:
+                        break
+                if lvl > 14:
+                    r += 128 * (2 * (lvl - 14).bit_length() - 1)
+        return r
+
+    def _rect_mode_and_levels(self, x, y, bw, bh):
+        """Shared by the duel trial and the final rect encode: mode by
+        pred SSD over the candidate ladder, then RDOQ levels."""
+        from .consts import (
+            PAETH_PRED, SMOOTH_H_PRED, SMOOTH_PRED, SMOOTH_V_PRED, V_PRED,
+        )
+        from .consts import H_PRED as H_PRED_
+
+        have_above, have_left = y > 0, x > 0
+        above0, left0 = build_edges(
+            self.recon[0], x, y, bw, bh, have_above, have_left,
+            self.bitdepth,
+        )
+        src0 = self.src[0][y : y + bh, x : x + bw]
+        candidates = [DC_PRED, V_PRED, H_PRED_, SMOOTH_PRED, PAETH_PRED]
+        if self.speed <= 9:
+            candidates += [SMOOTH_V_PRED, SMOOTH_H_PRED]
+        best = None
+        for m in candidates:
+            pred = predict(m, above0, left0, bw, bh, have_above,
+                           have_left, bitdepth=self.bitdepth)
+            ssd = int(((src0 - pred) ** 2).sum())
+            if best is None or ssd < best[0]:
+                best = (ssd, m, pred)
+        _, y_mode, y_pred = best
+        levels = self._quantize_rect(src0 - y_pred, bh, bw, 0)
+        return y_mode, y_pred, levels
+
+    def _try_rect_luma(self, x, y, part):
+        """Real-RD luma trial of a 32-node rect arm (part 1 HORZ /
+        2 VERT): encode both sub-blocks sequentially (the second predicts
+        from the first's trial recon), restore recon, return
+        (dist, rate)."""
+        bw, bh = (32, 16) if part == 1 else (16, 32)
+        lo, hi = 0, (1 << self.bitdepth) - 1
+        region = self.recon[0][y : y + 32, x : x + 32]
+        saved = region.copy()
+        rate = 0
+        for k in range(2):
+            sx = x + (16 * k if part == 2 else 0)
+            sy = y + (16 * k if part == 1 else 0)
+            _, y_pred, levels = self._rect_mode_and_levels(sx, sy, bw, bh)
+            if np.any(levels):
+                rec = np.clip(
+                    y_pred + self._dequant_inv_rect(levels, bh, bw, 0),
+                    lo, hi,
+                )
+            else:
+                rec = np.clip(y_pred, lo, hi)
+            self.recon[0][sy : sy + bh, sx : sx + bw] = rec
+            rate += self._rate_estimate_rect_txb(levels, bh, bw, 0)
+        src = self.src[0][y : y + 32, x : x + 32]
+        dist = int(((src - self.recon[0][y : y + 32, x : x + 32]).astype(
+            np.int64) ** 2).sum())
+        self.recon[0][y : y + 32, x : x + 32] = saved
+        return dist, rate
+
+    def _try_square_arm(self, r, c, part):
+        """Real-RD luma trial of the NONE (part 0) or SPLIT (part 3) arm
+        of a 32-node, depth-0 tx, per-block pred-SSD modes. Returns
+        (dist, rate) with recon restored."""
+        x, y = c * 4, r * 4
+        saved = self.recon[0][y : y + 32, x : x + 32].copy()
+        rate = 0
+        dist = 0
+        coords = ([(r, c, 32)] if part == 0 else
+                  [(r + dr, c + dc, 16) for dr in (0, 4) for dc in (0, 4)])
+        for (br, bc, bs) in coords:
+            bx, by = bc * 4, br * 4
+            y_mode, _, _, _ = self._choose_y_mode(br, bc, bs)
+            ntr, nbl = self._edge_counts(br, bc, bs)
+            trial = self._try_luma_depth(bx, by, bs, 0, y_mode, ntr, nbl)
+            jobs, d, rt, recon_blk = trial
+            self.recon[0][by : by + bs, bx : bx + bs] = recon_blk
+            dist += d
+            rate += rt
+        self.recon[0][y : y + 32, x : x + 32] = saved
+        return dist, rate
 
     # -- quant / dequant --------------------------------------------------------
 

@@ -242,6 +242,7 @@ _CDF_ORDER = (
     "eob16", "eob64", "eob256", "eob1024",
     "eob_extra", "coeff_base_eob", "coeff_base", "coeff_br", "dc_sign",
     "cfl_sign", "cfl_alpha", "intra_ext_tx1", "intra_ext_tx2", "tx_size",
+    "eob128", "eob512",
 )
 
 
@@ -274,6 +275,7 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None,
         "txb_skip": bank.txb_skip,
         "eob16": bank.eob_pt[16], "eob64": bank.eob_pt[64],
         "eob256": bank.eob_pt[256], "eob1024": bank.eob_pt[1024],
+        "eob128": bank.eob_pt[128], "eob512": bank.eob_pt[512],
         "eob_extra": bank.eob_extra, "coeff_base_eob": bank.coeff_base_eob,
         "coeff_base": bank.coeff_base, "coeff_br": bank.coeff_br,
         "dc_sign": bank.dc_sign,
@@ -295,8 +297,11 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None,
     scan_arrs = [
         np.ascontiguousarray(TABLES[f"scan_{n}x{n}"], dtype=np.int32)
         for n in (4, 8, 16, 32)
+    ] + [
+        np.ascontiguousarray(TABLES["scan_32x16"], dtype=np.int32),
+        np.ascontiguousarray(TABLES["scan_16x32"], dtype=np.int32),
     ]
-    scan_ptrs = (C.POINTER(C.c_int32) * 4)(*[_i32p(a) for a in scan_arrs])
+    scan_ptrs = (C.POINTER(C.c_int32) * 6)(*[_i32p(a) for a in scan_arrs])
     sm_arrs = [
         np.ascontiguousarray(TABLES[f"sm_weights_{n}"], dtype=np.int32)
         for n in (4, 8, 16, 32, 64)
@@ -306,14 +311,16 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None,
 
     fmats = [
         tuple(np.ascontiguousarray(m, dtype=np.float64)
-              for m in fwd_matrices(n, n, tt))
-        for n, tt in ((8, "dct_dct"), (16, "dct_dct"), (32, "dct_dct"),
-                      (64, "dct_dct"), (8, "adst_adst"), (16, "adst_adst"),
-                      (4, "dct_dct"))
+              for m in fwd_matrices(w_, h_, tt))
+        for w_, h_, tt in (
+            (8, 8, "dct_dct"), (16, 16, "dct_dct"), (32, 32, "dct_dct"),
+            (64, 64, "dct_dct"), (8, 8, "adst_adst"), (16, 16, "adst_adst"),
+            (4, 4, "dct_dct"), (32, 16, "dct_dct"), (16, 32, "dct_dct"),
+        )
     ]
-    fh_ptrs = (C.POINTER(C.c_double) * 7)(
+    fh_ptrs = (C.POINTER(C.c_double) * 9)(
         *[m[0].ctypes.data_as(C.POINTER(C.c_double)) for m in fmats])
-    fw_ptrs = (C.POINTER(C.c_double) * 7)(
+    fw_ptrs = (C.POINTER(C.c_double) * 9)(
         *[m[1].ctypes.data_as(C.POINTER(C.c_double)) for m in fmats])
 
     plan_arr = None

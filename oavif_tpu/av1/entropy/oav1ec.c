@@ -298,6 +298,130 @@ int enc_coeffs(
     return eob;
 }
 
+/* Rect-txb coefficient emitter: same symbol sequence as enc_coeffs with
+ * per-axis dims. Position decode uses pos/cw, pos%cw; the base-level
+ * context uses the rect bands (wide txs: +16 on the first two columns,
+ * tall txs: +11 on the first two rows; the square rr+cc<2 band is
+ * unreachable). Mirrors frame.py _encode_coeffs_rect. */
+int enc_coeffs_rect(
+    Enc *e,
+    const int32_t *lv, int cw, int ch,
+    const int32_t *scan,
+    uint16_t *txb_skip_row,
+    uint16_t *eob_pt_row, int eob_pt_nsym,
+    uint16_t *eob_extra_rows,
+    uint16_t *base_eob_rows,
+    uint16_t *base_rows,
+    uint16_t *br_rows,
+    uint16_t *dc_sign_row,
+    int32_t *out_ctx)
+{
+    int n_coded = cw * ch;
+    int wide = cw > ch;
+
+    int eob = 0;
+    for (int si = 0; si < n_coded; si++)
+        if (lv[scan[si]]) eob = si + 1;
+
+    enc_symbol_adapt(e, txb_skip_row, 2, eob == 0);
+    if (eob == 0) {
+        out_ctx[0] = 0;
+        out_ctx[1] = 0;
+        return 0;
+    }
+    /* TX_32X16-class sizes carry no tx_type syntax */
+
+    int eob_pt;
+    if (eob == 1) eob_pt = 1;
+    else if (eob == 2) eob_pt = 2;
+    else eob_pt = ilog_nz((uint32_t)(eob - 1)) + 1;
+    enc_symbol_adapt(e, eob_pt_row, eob_pt_nsym, eob_pt - 1);
+    if (eob_pt >= 3) {
+        int nbits = eob_pt - 2;
+        int rest = eob - (1 << (eob_pt - 2)) - 1;
+        enc_symbol_adapt(e, eob_extra_rows + (size_t)(eob_pt - 3) * 3, 2,
+                         (rest >> (nbits - 1)) & 1);
+        for (int i = nbits - 2; i >= 0; i--) enc_bool(e, (rest >> i) & 1, 16384);
+    }
+
+    int stride = cw + 2;
+    uint8_t *pad = (uint8_t *)calloc((size_t)(ch + 2) * stride, 1);
+    for (int r = 0; r < ch; r++)
+        for (int c = 0; c < cw; c++) {
+            int32_t v = lv[r * cw + c];
+            int a = v < 0 ? -v : v;
+            pad[r * stride + c] = (uint8_t)(a > 127 ? 127 : a);
+        }
+
+    for (int si = eob - 1; si >= 0; si--) {
+        int pos = scan[si];
+        int rr = pos / cw, cc = pos % cw;
+        int32_t v = lv[pos];
+        int level = v < 0 ? -v : v;
+        if (si == eob - 1) {
+            int ctx_eob;
+            if (si == 0) ctx_eob = 0;
+            else if (si <= n_coded / 8) ctx_eob = 1;
+            else if (si <= n_coded / 4) ctx_eob = 2;
+            else ctx_eob = 3;
+            enc_symbol_adapt(e, base_eob_rows + (size_t)ctx_eob * 4, 3,
+                             min_i(level, 3) - 1);
+        } else {
+            const uint8_t *p = pad + rr * stride + cc;
+            int mag = min_i(p[1], 3) + min_i(p[stride], 3) +
+                      min_i(p[stride + 1], 3) + min_i(p[2], 3) +
+                      min_i(p[2 * stride], 3);
+            mag = min_i((mag + 1) >> 1, 4);
+            int bctx;
+            if (pos == 0) bctx = 0;
+            else if (wide && cc < 2) bctx = mag + 16;
+            else if (!wide && rr < 2) bctx = mag + 11;
+            else if (rr + cc < 4) bctx = mag + 6;
+            else bctx = mag + 21;
+            enc_symbol_adapt(e, base_rows + (size_t)bctx * 5, 4, min_i(level, 3));
+        }
+        if (level > 2) {
+            const uint8_t *p = pad + rr * stride + cc;
+            int mag = min_i(p[1], 15) + min_i(p[stride], 15) +
+                      min_i(p[stride + 1], 15);
+            mag = min_i((mag + 1) >> 1, 6);
+            int brctx;
+            if (pos == 0) brctx = mag;
+            else if (rr < 2 && cc < 2) brctx = mag + 7;
+            else brctx = mag + 14;
+            int remaining = level - 3;
+            for (int k = 0; k < 4; k++) {
+                int kk = min_i(remaining, 3);
+                enc_symbol_adapt(e, br_rows + (size_t)brctx * 5, 4, kk);
+                remaining -= kk;
+                if (kk < 3) break;
+            }
+        }
+    }
+
+    int dc_cat = 0;
+    int cul = 0;
+    for (int si = 0; si < eob; si++) {
+        int pos = scan[si];
+        int32_t v = lv[pos];
+        int level = v < 0 ? -v : v;
+        cul += level;
+        if (!level) continue;
+        int sign = v < 0;
+        if (si == 0) {
+            enc_symbol_adapt(e, dc_sign_row, 2, sign);
+            dc_cat = sign ? 1 : 2;
+        } else {
+            enc_bool(e, sign, 16384);
+        }
+        if (level > 14) enc_golomb(e, (uint32_t)(level - 15));
+    }
+    free(pad);
+    out_ctx[0] = cul > 63 ? 63 : cul;
+    out_ctx[1] = dc_cat;
+    return eob;
+}
+
 
 /* ------------------------------------------------------------------ */
 /* Normative inverse DCT (generic cascade, mirrors transform.py).      */

@@ -59,7 +59,7 @@ enum {
     CDF_TXB_SKIP, CDF_EOB_PT16, CDF_EOB_PT64, CDF_EOB_PT256, CDF_EOB_PT1024,
     CDF_EOB_EXTRA, CDF_COEFF_BASE_EOB, CDF_COEFF_BASE, CDF_COEFF_BR,
     CDF_DC_SIGN, CDF_CFL_SIGN, CDF_CFL_ALPHA, CDF_INTRA_EXT_TX1,
-    CDF_INTRA_EXT_TX2, CDF_TX_SIZE, CDF_N
+    CDF_INTRA_EXT_TX2, CDF_TX_SIZE, CDF_EOB_PT128, CDF_EOB_PT512, CDF_N
 };
 
 enum { UV_CFL_PRED = 13 };
@@ -78,7 +78,7 @@ typedef struct {
     int32_t *src[3];        /* padded (ph, pw) */
     int32_t *recon[3];      /* padded (ph, pw) */
     uint16_t *cdf[CDF_N];
-    const int32_t *scan[6]; /* index by log2(cw)-2: 4,8,16,32 */
+    const int32_t *scan[6]; /* log2(cw)-2: 4,8,16,32; [4]=32x16, [5]=16x32 */
     /* RDOQ bit-cost tables (1/128-bit units), computed from the INITIAL
      * CDFs at tile start (mirrors frame.py _icdf_cost_rows) */
     int32_t rc_base[5][2][42][4];
@@ -86,20 +86,24 @@ typedef struct {
     int32_t rc_br[4][2][21][4];
     int32_t rc_eob_extra[5][2][9][2];
     int32_t rc_eob_pt[4][2][11]; /* by log2(cw)-2: nsym 5,7,9,11 */
+    int32_t rc_eob_pt_rect[2][2][11]; /* [0]=128 (nsym 8), [1]=512 (10) */
     int32_t rc_txsz[4][3][3];    /* tx_size depth costs [cat][ctx][depth] */
     const int32_t *smw[5];  /* sm_weights by log2(n)-2: 4,8,16,32,64 */
-    const double *fh[7], *fw[7]; /* dct 8,16,32,64; adst 8,16; dct 4 */
+    const double *fh[9], *fw[9]; /* dct 8,16,32,64; adst 8,16; dct 4;
+                                    rect dct 32x16 (fh16/fw32), 16x32 */
     /* integer forward-transform matrices (Q12; mirrors transform.py
      * fwd_matrices_int16): int16 fh, TRANSPOSED int16 fw (k-major so
      * stage 2 streams unit-stride), its k-pair-interleaved form for the
      * VNNI kernel, the stage-1 shift, and the exact pow2 scale back to
      * real coefficient units. Integer math => bit-identical to NumPy
      * regardless of summation order. */
-    int16_t fh16[7][64 * 64];
-    int16_t fwT16[7][64 * 64];
-    int32_t fwP[7][32 * 64];
-    int fwd_sa[7];
-    double fwd_inv_scale[7];
+    int16_t fh16[9][64 * 64];
+    int16_t fwT16[9][64 * 64];
+    int32_t fwP[9][32 * 64];
+    int fwd_sa[9];
+    double fwd_inv_scale[9];
+    int enable_rect; /* HORZ/VERT 32-node arms (OAVIF_RECT, mirrors
+                        frame.py TileEncoder._enable_rect) */
     const int32_t *dr_deriv; /* dr_intra_derivative[90] */
     /* device plan (encode_tpu.FramePlanner): sections of one packed
      * int32 buffer; NULL = host searches everything */
@@ -387,30 +391,33 @@ static void quantize_n(const Tile *t, const int32_t *resid, int n, int ptype,
     quantize_mat(t, resid, n, ptype, fi, levels, NULL, NULL, NULL);
 }
 
-static const int MAT_N[7] = {8, 16, 32, 64, 8, 16, 4};
+/* matrix dims: fh is MAT_NH x MAT_NH (column/height side), fw is
+ * MAT_NW x MAT_NW (row/width side); square entries have NH == NW */
+static const int MAT_NH[9] = {8, 16, 32, 64, 8, 16, 4, 16, 32};
+static const int MAT_NW[9] = {8, 16, 32, 64, 8, 16, 4, 32, 16};
 
 /* Build the Q12 int16 matrices + per-matrix stage-1 shift from the double
  * matrices (identical algorithm to transform.py fwd_matrices_int16). */
 static void fwd_init(Tile *t) {
-    for (int m = 0; m < 7; m++) {
-        int n = MAT_N[m];
+    for (int m = 0; m < 9; m++) {
+        int nh = MAT_NH[m], nw = MAT_NW[m];
         int16_t *fh16 = t->fh16[m];
         int16_t *fwt = t->fwT16[m];
         int64_t l1h_max = 0, l1w_max = 0;
-        for (int r = 0; r < n; r++) {
+        for (int r = 0; r < nh; r++) {
             int64_t l1 = 0;
-            for (int c = 0; c < n; c++) {
-                int v = (int)floor(t->fh[m][(size_t)r * n + c] * 4096.0 + 0.5);
-                fh16[r * n + c] = (int16_t)v;
+            for (int c = 0; c < nh; c++) {
+                int v = (int)floor(t->fh[m][(size_t)r * nh + c] * 4096.0 + 0.5);
+                fh16[r * nh + c] = (int16_t)v;
                 l1 += v < 0 ? -v : v;
             }
             if (l1 > l1h_max) l1h_max = l1;
         }
-        for (int r = 0; r < n; r++) {
+        for (int r = 0; r < nw; r++) {
             int64_t l1 = 0;
-            for (int c = 0; c < n; c++) {
-                int v = (int)floor(t->fw[m][(size_t)r * n + c] * 4096.0 + 0.5);
-                fwt[c * n + r] = (int16_t)v; /* transposed */
+            for (int c = 0; c < nw; c++) {
+                int v = (int)floor(t->fw[m][(size_t)r * nw + c] * 4096.0 + 0.5);
+                fwt[c * nw + r] = (int16_t)v; /* transposed */
                 l1 += v < 0 ? -v : v;
             }
             if (l1 > l1w_max) l1w_max = l1;
@@ -425,12 +432,49 @@ static void fwd_init(Tile *t) {
         }
         t->fwd_sa[m] = sa;
         t->fwd_inv_scale[m] = 1.0 / (double)((int64_t)1 << (24 - sa));
-        for (int kp = 0; kp < n / 2; kp++) {
-            const int16_t *r0 = fwt + (size_t)(2 * kp) * n, *r1 = r0 + n;
-            int32_t *p = t->fwP[m] + (size_t)kp * n;
-            for (int c = 0; c < n; c++)
+        for (int kp = 0; kp < nw / 2; kp++) {
+            const int16_t *r0 = fwt + (size_t)(2 * kp) * nw, *r1 = r0 + nw;
+            int32_t *p = t->fwP[m] + (size_t)kp * nw;
+            for (int c = 0; c < nw; c++)
                 p[c] = (int32_t)((uint32_t)(uint16_t)r0[c] |
                                  ((uint32_t)(uint16_t)r1[c] << 16));
+        }
+    }
+}
+
+/* General (m x k) @ (k x n) with B supplied k-PAIR interleaved. Integer
+ * arithmetic: SIMD and scalar paths agree bit-for-bit. */
+static void mm_i16_pairs_g(const int16_t *A, const int32_t *Bp, int m, int k,
+                           int n, int32_t *out) {
+#if defined(__AVX512VNNI__) && defined(__AVX512VL__)
+    if (n >= 16 && n % 16 == 0) {
+        for (int r = 0; r < m; r++) {
+            const int32_t *ap = (const int32_t *)(A + (size_t)r * k);
+            for (int cb = 0; cb < n; cb += 16) {
+                __m512i acc = _mm512_setzero_si512();
+                for (int kp = 0; kp < k / 2; kp++)
+                    acc = _mm512_dpwssd_epi32(
+                        acc, _mm512_set1_epi32(ap[kp]),
+                        _mm512_loadu_si512(
+                            (const void *)(Bp + (size_t)kp * n + cb)));
+                _mm512_storeu_si512((void *)(out + (size_t)r * n + cb), acc);
+            }
+        }
+        return;
+    }
+#endif
+    for (int r = 0; r < m; r++) {
+        int32_t *o = out + (size_t)r * n;
+        for (int c = 0; c < n; c++) o[c] = 0;
+        const int16_t *ar = A + (size_t)r * k;
+        for (int kp = 0; kp < k / 2; kp++) {
+            int32_t a0 = ar[2 * kp], a1 = ar[2 * kp + 1];
+            const int32_t *bp = Bp + (size_t)kp * n;
+            for (int c = 0; c < n; c++) {
+                int32_t b = bp[c];
+                o[c] += a0 * (int16_t)(uint16_t)b +
+                        a1 * (int16_t)(uint16_t)((uint32_t)b >> 16);
+            }
         }
     }
 }
@@ -567,6 +611,17 @@ static void build_rdoq_costs(Tile *t) {
             for (int s = 0; s < nsym; s++)
                 t->rc_eob_pt[k][pt][s] = icdf_sym_cost(row, s);
         }
+    static const int eob_rect_idx[2] = {CDF_EOB_PT128, CDF_EOB_PT512};
+    static const int eob_rect_nsym[2] = {8, 10};
+    for (int k = 0; k < 2; k++)
+        for (int pt = 0; pt < 2; pt++) {
+            if (!t->cdf[eob_rect_idx[k]]) continue;
+            int nsym = eob_rect_nsym[k];
+            const uint16_t *row =
+                t->cdf[eob_rect_idx[k]] + (size_t)pt * 2 * (nsym + 1);
+            for (int s = 0; s < nsym; s++)
+                t->rc_eob_pt_rect[k][pt][s] = icdf_sym_cost(row, s);
+        }
     for (int cat = 0; cat < 4; cat++)
         for (int ctx = 0; ctx < 3; ctx++) {
             const uint16_t *row =
@@ -585,6 +640,7 @@ typedef struct {
     const int32_t (*eob_extra)[2];
     const int32_t *eob_pt;
     int n_coded, cw;
+    int rect; /* 0 square, 1 wide (w>h), 2 tall — rect base-ctx bands */
     int pad[34 * 34];
     int pos_r[1024], pos_c[1024];
 } Rdoq;
@@ -614,7 +670,9 @@ static int rdoq_base_ctx(const Rdoq *q, int si) {
               imin(pad[rr * W + cc + 2], 3) + imin(pad[(rr + 2) * W + cc], 3);
     mag = imin((mag + 1) >> 1, 4);
     if (rr == 0 && cc == 0) return 0;
-    if (rr + cc < 2) return mag + 1;
+    if (q->rect == 1 && cc < 2) return mag + 16;
+    if (q->rect == 2 && rr < 2) return mag + 11;
+    if (!q->rect && rr + cc < 2) return mag + 1;
     if (rr + cc < 4) return mag + 6;
     return mag + 21;
 }
@@ -777,6 +835,7 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
     q.eob_pt = t->rc_eob_pt[log2i(cw) - 2][ptype];
     q.n_coded = n_coded;
     q.cw = cw;
+    q.rect = 0;
     int W = cw + 2;
     memset(q.pad, 0, sizeof(int) * (size_t)W * W);
     for (int si = 0; si < eob; si++) {
@@ -891,6 +950,331 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
         for (int si = eob; si < n_coded; si++) e2 += a_scan[si] * a_scan[si];
         *e2_out = e2;
     }
+}
+
+/* Rect-txb RDOQ quantize (mirrors frame.py _quantize_rect/_rdoq_rect):
+ * residual (th x tw) -> levels (th x tw). Same phase structure and float
+ * op order as quantize_mat with per-axis dims, the rect scan, the rect
+ * dequant shift ((pels>256)+(pels>1024)) and rect base-ctx bands. */
+static void quantize_rect(const Tile *t, const int32_t *resid, int tw,
+                          int th, int ptype, int32_t *levels,
+                          double *e2_out, int64_t *ord_out, int *eob_out) {
+    int fi = tw > th ? 7 : 8;
+    int16_t r16[32 * 32];
+    int32_t bp1[16 * 32];
+    int32_t st1[32 * 32];
+    int16_t tmp16[32 * 32];
+    int32_t out32[32 * 32];
+    int npx = tw * th;
+    for (int i = 0; i < npx; i++) r16[i] = (int16_t)resid[i];
+    for (int kp = 0; kp < th / 2; kp++) {
+        const int16_t *r0 = r16 + (size_t)(2 * kp) * tw, *r1 = r0 + tw;
+        int32_t *p = bp1 + (size_t)kp * tw;
+        for (int c = 0; c < tw; c++)
+            p[c] = (int32_t)((uint32_t)(uint16_t)r0[c] |
+                             ((uint32_t)(uint16_t)r1[c] << 16));
+    }
+    mm_i16_pairs_g(t->fh16[fi], bp1, th, th, tw, st1);
+    int sa = t->fwd_sa[fi];
+    int32_t rnd = sa ? 1 << (sa - 1) : 0;
+    for (int i = 0; i < npx; i++)
+        tmp16[i] = (int16_t)((st1[i] + rnd) >> sa);
+    mm_i16_pairs_g(tmp16, t->fwP[fi], th, tw, tw, out32);
+    double inv_scale = t->fwd_inv_scale[fi];
+    int pels = tw * th;
+    int shift = (pels > 256) + (pels > 1024);
+    double up = (double)(1 << shift);
+    int dqa_i = ptype ? t->dq_ac_uv : t->dq_ac;
+    double dq_ac = (double)dqa_i, dq_dc = (double)t->dq_dc;
+
+    int n_coded = npx;
+    const int32_t *scan = t->scan[tw > th ? 4 : 5];
+    int lo_i = log2i(tw < th ? tw : th), hi_i = log2i(tw > th ? tw : th);
+    int txs = ((lo_i - 2) + (hi_i - 2) + 1) >> 1;
+
+    memset(levels, 0, (size_t)npx * 4);
+
+    double a_nat[32 * 32];
+    int sg_nat[32 * 32];
+    for (int i = 0; i < npx; i++) {
+        int32_t v = out32[i];
+        a_nat[i] = fabs((double)v) * inv_scale;
+        sg_nat[i] = v < 0 ? -1 : 1;
+    }
+    double a_scan[1024];
+    for (int si = 0; si < n_coded; si++) a_scan[si] = a_nat[scan[si]];
+
+    int64_t ord[1024];
+    ord[0] = (int64_t)floor(a_scan[0] * up / dq_dc + 0.5);
+    for (int si = 1; si < n_coded; si++)
+        ord[si] = (int64_t)floor(a_scan[si] * up / dq_ac + 0.5);
+    int eob = 0;
+    for (int si = n_coded - 1; si >= 0; si--)
+        if (ord[si]) { eob = si + 1; break; }
+    if (eob == 0) {
+        if (e2_out) {
+            double e2 = 0.0;
+            for (int si = 0; si < n_coded; si++) e2 += a_scan[si] * a_scan[si];
+            *e2_out = e2;
+        }
+        if (eob_out) *eob_out = 0;
+        return;
+    }
+
+    if (t->speed >= 10) {
+        for (int si = 0; si < eob; si++) {
+            if (!ord[si]) continue;
+            int pos = scan[si];
+            levels[pos] = (int32_t)(ord[si] * sg_nat[pos]);
+        }
+        if (ord_out) memcpy(ord_out, ord, (size_t)eob * 8);
+        if (eob_out) *eob_out = eob;
+        if (e2_out) {
+            double e2 = 0.0;
+            for (int si = 0; si < eob; si++) {
+                int64_t dq = si == 0 ? t->dq_dc : dqa_i;
+                double e = a_scan[si] - (double)((ord[si] * dq) >> shift);
+                e2 += e * e;
+            }
+            for (int si = eob; si < n_coded; si++)
+                e2 += a_scan[si] * a_scan[si];
+            *e2_out = e2;
+        }
+        return;
+    }
+    Rdoq q;
+    q.base = t->rc_base[txs][ptype];
+    q.base_eob = t->rc_base_eob[txs][ptype];
+    q.br = t->rc_br[txs < 3 ? txs : 3][ptype];
+    q.eob_extra = t->rc_eob_extra[txs][ptype];
+    q.eob_pt = t->rc_eob_pt_rect[n_coded == 128 ? 0 : 1][ptype];
+    q.n_coded = n_coded;
+    q.cw = tw;
+    q.rect = tw > th ? 1 : 2;
+    int W = tw + 2;
+    memset(q.pad, 0, sizeof(int) * (size_t)W * (th + 2));
+    for (int si = 0; si < eob; si++) {
+        int pos = scan[si];
+        q.pos_r[si] = pos / tw;
+        q.pos_c[si] = pos % tw;
+        if (ord[si])
+            q.pad[q.pos_r[si] * W + q.pos_c[si]] =
+                ord[si] < 127 ? (int)ord[si] : 127;
+    }
+
+    double lam = (double)((((int64_t)dqa_i * dqa_i) >> (2 * shift)) *
+                          RDOQ_KNUM) /
+                 (RDOQ_KDEN * 128.0) * t->cur_lamscale;
+
+#define ERR2R(si, lvl)                                                       \
+    ({                                                                       \
+        double _a = a_scan[si];                                              \
+        double _e = _a - (double)(((int64_t)(lvl) *                          \
+                                   ((si) == 0 ? t->dq_dc : dqa_i)) >>        \
+                                  shift);                                    \
+        _e * _e;                                                             \
+    })
+
+    /* --- phase 1: eob shrinking --- */
+    while (eob > 0) {
+        int si = eob - 1;
+        int64_t lvl = ord[si];
+        double keep = ERR2R(si, lvl) +
+                      lam * (double)(rdoq_eobpt_cost(&q, eob) +
+                                     rdoq_eob_coeff_cost(&q, lvl, si));
+        int pe = si - 1;
+        while (pe >= 0 && ord[pe] == 0) pe--;
+        q.pad[q.pos_r[si] * W + q.pos_c[si]] = 0;
+        if (pe < 0) {
+            if (ERR2R(si, 0) < keep) {
+                ord[si] = 0;
+                eob = 0;
+            } else {
+                q.pad[q.pos_r[si] * W + q.pos_c[si]] =
+                    lvl < 127 ? (int)lvl : 127;
+            }
+            break;
+        }
+        int64_t lp = ord[pe];
+        double drop = ERR2R(si, 0) +
+                      lam * (double)(rdoq_eobpt_cost(&q, pe + 1) +
+                                     rdoq_eob_coeff_cost(&q, lp, pe));
+        keep += lam * (double)rdoq_int_cost(&q, lp, rdoq_base_ctx(&q, pe), pe);
+        if (drop < keep) {
+            ord[si] = 0;
+            eob = pe + 1;
+        } else {
+            q.pad[q.pos_r[si] * W + q.pos_c[si]] = lvl < 127 ? (int)lvl : 127;
+            break;
+        }
+    }
+
+    if (eob > 0) {
+        /* --- phase 2: eob coefficient level decrement (floor 1) --- */
+        int si = eob - 1;
+        int64_t lvl = ord[si];
+        if (lvl >= 2) {
+            if (ERR2R(si, lvl - 1) +
+                    lam * (double)rdoq_eob_coeff_cost(&q, lvl - 1, si) <
+                ERR2R(si, lvl) +
+                    lam * (double)rdoq_eob_coeff_cost(&q, lvl, si)) {
+                ord[si] = lvl - 1;
+                q.pad[q.pos_r[si] * W + q.pos_c[si]] =
+                    (lvl - 1) < 127 ? (int)(lvl - 1) : 127;
+            }
+        }
+        /* --- phase 3: interior level decrements (reverse scan) --- */
+        for (si = eob - 2; si >= 0; si--) {
+            lvl = ord[si];
+            if (lvl == 0) continue;
+            double derr = ERR2R(si, lvl - 1) - ERR2R(si, lvl);
+            if (derr >= lam * 6144.0) continue; /* provably losing */
+            int bctx = rdoq_base_ctx(&q, si);
+            if (ERR2R(si, lvl - 1) +
+                    lam * (double)rdoq_int_cost(&q, lvl - 1, bctx, si) <
+                ERR2R(si, lvl) + lam * (double)rdoq_int_cost(&q, lvl, bctx, si)) {
+                ord[si] = lvl - 1;
+                q.pad[q.pos_r[si] * W + q.pos_c[si]] =
+                    (lvl - 1) < 127 ? (int)(lvl - 1) : 127;
+            }
+        }
+    }
+
+    for (int si = 0; si < eob; si++) {
+        if (!ord[si]) continue;
+        int pos = scan[si];
+        levels[pos] = (int32_t)(ord[si] * sg_nat[pos]);
+    }
+    if (ord_out) memcpy(ord_out, ord, (size_t)eob * 8);
+    if (eob_out) *eob_out = eob;
+    if (e2_out) {
+        double e2 = 0.0;
+        for (int si = 0; si < eob; si++) {
+            int64_t dq = si == 0 ? t->dq_dc : dqa_i;
+            double e = a_scan[si] - (double)((ord[si] * dq) >> shift);
+            e2 += e * e;
+        }
+        for (int si = eob; si < n_coded; si++) e2 += a_scan[si] * a_scan[si];
+        *e2_out = e2;
+    }
+#undef ERR2R
+}
+
+/* rect dequant + normative inverse (frame.py _dequant_inv_rect): the
+ * pels-thresholded shift and the bd+8 conformance clamp */
+static void dequant_inv_rect(const Tile *t, const int32_t *levels, int tw,
+                             int th, int ptype, int32_t *resid_out) {
+    int pels = tw * th;
+    int shift = (pels > 256) + (pels > 1024);
+    int64_t cl = ((int64_t)1 << (t->bitdepth + 7)) - 1;
+    for (int i = 0; i < pels; i++) {
+        int64_t lv = levels[i];
+        int64_t q = i == 0 ? t->dq_dc : (ptype ? t->dq_ac_uv : t->dq_ac);
+        int64_t mag = (llabs(lv) * q) & 0xFFFFFF;
+        mag >>= shift;
+        if (mag > cl) mag = cl;
+        resid_out[i] = (int32_t)(lv < 0 ? -mag : mag);
+    }
+    inv_txfm2d_c(resid_out, tw, th, t->bitdepth);
+}
+
+/* rect twin of rate_estimate_scan/rate_estimate_txb (mirrors frame.py
+ * _rate_estimate_rect_txb) */
+static int64_t rate_estimate_rect(const Tile *t, const int32_t *levels,
+                                  int tw, int th, int ptype) {
+    int n_coded = tw * th;
+    const int32_t *scan = t->scan[tw > th ? 4 : 5];
+    int lo_i = log2i(tw < th ? tw : th), hi_i = log2i(tw > th ? tw : th);
+    int txs = ((lo_i - 2) + (hi_i - 2) + 1) >> 1;
+    const int32_t(*cost_base)[4] = t->rc_base[txs][ptype];
+    const int32_t(*cost_base_eob)[3] = t->rc_base_eob[txs][ptype];
+    const int32_t(*cost_br)[4] = t->rc_br[txs < 3 ? txs : 3][ptype];
+    const int32_t(*cost_eob_extra)[2] = t->rc_eob_extra[txs][ptype];
+    const int32_t *cost_eob_pt =
+        t->rc_eob_pt_rect[n_coded == 128 ? 0 : 1][ptype];
+    int wide = tw > th;
+
+    int64_t ofl[1024];
+    int eob = 0;
+    for (int si = 0; si < n_coded; si++) {
+        int32_t v = levels[scan[si]];
+        ofl[si] = v < 0 ? -(int64_t)v : v;
+        if (ofl[si]) eob = si + 1;
+    }
+    if (eob == 0) return 256;
+
+    int W = tw + 2;
+    int pad[34 * 34];
+    memset(pad, 0, sizeof(int) * (size_t)W * (th + 2));
+    for (int si = 0; si < eob; si++)
+        if (ofl[si]) {
+            int pos = scan[si];
+            pad[(pos / tw) * W + (pos % tw)] =
+                ofl[si] < 127 ? (int)ofl[si] : 127;
+        }
+
+    int pt;
+    if (eob == 1) pt = 1;
+    else if (eob == 2) pt = 2;
+    else pt = (32 - __builtin_clz((unsigned)(eob - 1))) + 1;
+    int64_t rr_ = 128 + cost_eob_pt[pt - 1];
+    if (pt >= 3) {
+        int nbits = pt - 2;
+        int rest = eob - (1 << (pt - 2)) - 1;
+        int msb = (rest >> (nbits - 1)) & 1;
+        rr_ += cost_eob_extra[pt - 3][msb] + 128 * (nbits - 1);
+    }
+
+    for (int si = eob - 1; si >= 0; si--) {
+        int64_t lvl = ofl[si];
+        int pos = scan[si];
+        int rr = pos / tw, cc = pos % tw;
+        if (si == eob - 1) {
+            int ectx;
+            if (si == 0) ectx = 0;
+            else if (si <= n_coded / 8) ectx = 1;
+            else if (si <= n_coded / 4) ectx = 2;
+            else ectx = 3;
+            rr_ += cost_base_eob[ectx][(lvl < 3 ? (int)lvl : 3) - 1];
+        } else {
+            int mag = imin(pad[rr * W + cc + 1], 3) +
+                      imin(pad[(rr + 1) * W + cc], 3) +
+                      imin(pad[(rr + 1) * W + cc + 1], 3) +
+                      imin(pad[rr * W + cc + 2], 3) +
+                      imin(pad[(rr + 2) * W + cc], 3);
+            mag = imin((mag + 1) >> 1, 4);
+            int bctx;
+            if (pos == 0) bctx = 0;
+            else if (wide && cc < 2) bctx = mag + 16;
+            else if (!wide && rr < 2) bctx = mag + 11;
+            else if (rr + cc < 4) bctx = mag + 6;
+            else bctx = mag + 21;
+            rr_ += cost_base[bctx][lvl < 3 ? (int)lvl : 3];
+        }
+        if (lvl) rr_ += 128;
+        if (lvl > 3) {
+            int mag = imin(pad[rr * W + cc + 1], 15) +
+                      imin(pad[(rr + 1) * W + cc], 15) +
+                      imin(pad[(rr + 1) * W + cc + 1], 15);
+            mag = imin((mag + 1) >> 1, 6);
+            int brctx;
+            if (pos == 0) brctx = mag;
+            else if (rr < 2 && cc < 2) brctx = mag + 7;
+            else brctx = mag + 14;
+            int64_t rem = lvl - 3;
+            for (int i = 0; i < 4; i++) {
+                int k = rem < 3 ? (int)rem : 3;
+                rr_ += cost_br[brctx][k];
+                rem -= k;
+                if (k < 3) break;
+            }
+            if (lvl > 14) {
+                int bl = 64 - __builtin_clzll((unsigned long long)(lvl - 14));
+                rr_ += 128 * (2 * bl - 1);
+            }
+        }
+    }
+    return rr_;
 }
 
 /* dequant + normative inverse transform (frame.py _dequant_inv) */
@@ -1622,6 +2006,629 @@ static int try_luma_depth_c(Tile *t, int x, int y, int size, int depth,
     return 1;
 }
 
+/* ---- rect blocks (mirror frame.py _encode_block_rect + the duel) ---- */
+
+int enc_coeffs_rect(Enc *e, const int32_t *lv, int cw, int ch,
+                    const int32_t *scan, uint16_t *txb_skip_row,
+                    uint16_t *eob_pt_row, int eob_pt_nsym,
+                    uint16_t *eob_extra_rows, uint16_t *base_eob_rows,
+                    uint16_t *base_rows, uint16_t *br_rows,
+                    uint16_t *dc_sign_row, int32_t *out_ctx);
+
+static int rect_txs_ctx(int tw, int th) {
+    int lo = log2i(tw < th ? tw : th) - 2, hi = log2i(tw > th ? tw : th) - 2;
+    return (lo + hi + 1) >> 1;
+}
+
+static void set_lvl_ctx_rect(Tile *t, int plane, int px, int py, int tw,
+                             int th, int cul, int dc_cat) {
+    int mi_c = px / 4, mi_r = py / 4;
+    for (int i = 0; i < tw / 4; i++) {
+        t->above_lvl[plane][mi_c + i] = cul;
+        t->above_dc[plane][mi_c + i] = dc_cat;
+    }
+    for (int i = 0; i < th / 4; i++) {
+        t->left_lvl[plane][(mi_r & 15) + i] = cul;
+        t->left_dc[plane][(mi_r & 15) + i] = dc_cat;
+    }
+}
+
+static int dc_sign_ctx_rect(const Tile *t, int plane, int px, int py,
+                            int tw, int th) {
+    int mi_c = px / 4, mi_r = py / 4;
+    int bal = 0;
+    for (int i = 0; i < tw / 4; i++) {
+        int32_t c1 = t->above_dc[plane][mi_c + i];
+        bal += (c1 == 2) - (c1 == 1);
+    }
+    for (int i = 0; i < th / 4; i++) {
+        int32_t c2 = t->left_dc[plane][(mi_r & 15) + i];
+        bal += (c2 == 2) - (c2 == 1);
+    }
+    return bal < 0 ? 1 : (bal > 0 ? 2 : 0);
+}
+
+static void encode_coeffs_rect_c(Tile *t, int plane, int tw, int th, int px,
+                                 int py, const int32_t *levels) {
+    int txs = rect_txs_ctx(tw, th);
+    int ptype = plane == 0 ? 0 : 1;
+    int n_coded = tw * th;
+    int ctx;
+    if (plane == 0) {
+        ctx = 0; /* tx == block */
+    } else {
+        int mi_c = px / 4, mi_r = py / 4;
+        int above_nz = 0, left_nz = 0;
+        for (int i = 0; i < tw / 4; i++)
+            if (t->above_lvl[plane][mi_c + i]) above_nz = 1;
+        for (int i = 0; i < th / 4; i++)
+            if (t->left_lvl[plane][(mi_r & 15) + i]) left_nz = 1;
+        ctx = 7 + above_nz + left_nz; /* tx dims == block dims */
+    }
+    int sctx = dc_sign_ctx_rect(t, plane, px, py, tw, th);
+    uint16_t *txb_skip_row = t->cdf[CDF_TXB_SKIP] + ((size_t)txs * 13 + ctx) * 3;
+    int eob_idx = n_coded == 128 ? CDF_EOB_PT128 : CDF_EOB_PT512;
+    int eob_nsym = n_coded == 128 ? 8 : 10;
+    uint16_t *eob_pt_row =
+        t->cdf[eob_idx] + (size_t)ptype * 2 * (eob_nsym + 1);
+    uint16_t *eob_extra_rows =
+        t->cdf[CDF_EOB_EXTRA] + ((size_t)txs * 2 + ptype) * 9 * 3;
+    uint16_t *base_eob_rows =
+        t->cdf[CDF_COEFF_BASE_EOB] + ((size_t)txs * 2 + ptype) * 4 * 4;
+    uint16_t *base_rows =
+        t->cdf[CDF_COEFF_BASE] + ((size_t)txs * 2 + ptype) * 42 * 5;
+    uint16_t *br_rows =
+        t->cdf[CDF_COEFF_BR] + ((size_t)imin(txs, 3) * 2 + ptype) * 21 * 5;
+    uint16_t *dc_sign_row = t->cdf[CDF_DC_SIGN] + ((size_t)ptype * 3 + sctx) * 3;
+    int32_t out_ctx[2];
+    enc_coeffs_rect(t->enc, levels, tw, th, t->scan[tw > th ? 4 : 5],
+                    txb_skip_row, eob_pt_row, eob_nsym, eob_extra_rows,
+                    base_eob_rows, base_rows, br_rows, dc_sign_row, out_ctx);
+    set_lvl_ctx_rect(t, plane, px, py, tw, th, out_ctx[0], out_ctx[1]);
+}
+
+/* mode by pred SSD over the non-directional candidate ladder + RDOQ
+ * levels (mirrors frame.py _rect_mode_and_levels: shared by the duel
+ * trial and the final rect encode) */
+static int rect_mode_and_levels_c(Tile *t, int x, int y, int bw, int bh,
+                                  int32_t *pred_out, int32_t *lv_out) {
+    int ha = y > 0, hl = x > 0;
+    Edges e;
+    build_edges_buf(t, t->recon[0], x, y, bw, bh, ha, hl, &e);
+    int cands[7] = {DC_PRED, V_PRED, H_PRED, SMOOTH_PRED, PAETH_PRED,
+                    SMOOTH_V_PRED, SMOOTH_H_PRED};
+    int ncand = t->speed <= 9 ? 7 : 5;
+    int best_mode = DC_PRED;
+    int64_t best_ssd = -1;
+    int32_t pred[32 * 32];
+    for (int m = 0; m < ncand; m++) {
+        predict(t, &e, cands[m], bw, bh, ha, hl, pred);
+        int64_t ssd = 0;
+        for (int rr = 0; rr < bh; rr++)
+            for (int cc = 0; cc < bw; cc++) {
+                int64_t d = t->src[0][(size_t)(y + rr) * t->pw + x + cc] -
+                            pred[rr * bw + cc];
+                ssd += d * d;
+            }
+        if (best_ssd < 0 || ssd < best_ssd) {
+            best_ssd = ssd;
+            best_mode = cands[m];
+            memcpy(pred_out, pred, (size_t)bw * bh * 4);
+        }
+    }
+    int32_t resid[32 * 32];
+    for (int rr = 0; rr < bh; rr++)
+        for (int cc = 0; cc < bw; cc++)
+            resid[rr * bw + cc] =
+                t->src[0][(size_t)(y + rr) * t->pw + x + cc] -
+                pred_out[rr * bw + cc];
+    int all0 = 1;
+    for (int i = 0; i < bw * bh; i++)
+        if (resid[i]) { all0 = 0; break; }
+    if (all0)
+        memset(lv_out, 0, (size_t)bw * bh * 4);
+    else
+        quantize_rect(t, resid, bw, bh, 0, lv_out, NULL, NULL, NULL);
+    return best_mode;
+}
+
+/* real-RD luma trial of a 32-node rect arm (mirrors frame.py
+ * _try_rect_luma): both sub-blocks sequentially, recon restored */
+static void try_rect_luma_c(Tile *t, int x, int y, int part,
+                            int64_t *dist_out, int64_t *rate_out) {
+    int bw = part == 1 ? 32 : 16, bh = part == 1 ? 16 : 32;
+    int hi = (1 << t->bitdepth) - 1;
+    int32_t saved[32 * 32];
+    int32_t *rec = t->recon[0];
+    for (int rr = 0; rr < 32; rr++)
+        memcpy(saved + (size_t)rr * 32, rec + (size_t)(y + rr) * t->pw + x,
+               32 * 4);
+    int64_t rate = 0;
+    for (int k = 0; k < 2; k++) {
+        int sx = x + (part == 2 ? 16 * k : 0);
+        int sy = y + (part == 1 ? 16 * k : 0);
+        int32_t pred[32 * 32], lv[32 * 32];
+        rect_mode_and_levels_c(t, sx, sy, bw, bh, pred, lv);
+        int lnz = 0;
+        for (int i = 0; i < bw * bh; i++)
+            if (lv[i]) { lnz = 1; break; }
+        int32_t residb[32 * 32];
+        if (lnz) dequant_inv_rect(t, lv, bw, bh, 0, residb);
+        for (int rr = 0; rr < bh; rr++)
+            for (int cc = 0; cc < bw; cc++) {
+                int32_t v = pred[rr * bw + cc] +
+                            (lnz ? residb[rr * bw + cc] : 0);
+                rec[(size_t)(sy + rr) * t->pw + sx + cc] =
+                    v < 0 ? 0 : (v > hi ? hi : v);
+            }
+        rate += rate_estimate_rect(t, lv, bw, bh, 0);
+    }
+    int64_t dist = 0;
+    for (int rr = 0; rr < 32; rr++)
+        for (int cc = 0; cc < 32; cc++) {
+            int64_t d = t->src[0][(size_t)(y + rr) * t->pw + x + cc] -
+                        rec[(size_t)(y + rr) * t->pw + x + cc];
+            dist += d * d;
+        }
+    for (int rr = 0; rr < 32; rr++)
+        memcpy(rec + (size_t)(y + rr) * t->pw + x, saved + (size_t)rr * 32,
+               32 * 4);
+    *dist_out = dist;
+    *rate_out = rate;
+}
+
+/* real-RD luma trial of the NONE/SPLIT arm (mirrors frame.py
+ * _try_square_arm): depth-0 tx, per-block pred-SSD modes, recon restored */
+static void try_square_arm_c(Tile *t, int r, int c, int part,
+                             int64_t *dist_out, int64_t *rate_out) {
+    int x = c * 4, y = r * 4;
+    int32_t saved[32 * 32];
+    int32_t *rec = t->recon[0];
+    for (int rr = 0; rr < 32; rr++)
+        memcpy(saved + (size_t)rr * 32, rec + (size_t)(y + rr) * t->pw + x,
+               32 * 4);
+    int64_t dist = 0, rate = 0;
+    int nsub = part == 0 ? 1 : 4;
+    for (int k = 0; k < nsub; k++) {
+        int br = part == 0 ? r : r + (k / 2) * 4;
+        int bc = part == 0 ? c : c + (k % 2) * 4;
+        int bs = part == 0 ? 32 : 16;
+        int bx = bc * 4, by = br * 4;
+        int ha = by > 0, hl = bx > 0;
+        int ntr, nbl;
+        edge_counts(t, br, bc, bs, &ntr, &nbl);
+        Edges e;
+        build_edges_buf_tr(t, t->recon[0], bx, by, bs, bs, ha, hl, ntr, nbl,
+                           &e);
+        int32_t scratch[32 * 32];
+        int y_mode = choose_y_mode(t, br, bc, bs, &e, ha, hl, scratch);
+        static _Thread_local int32_t lv_t[32 * 32], pr_t[32 * 32],
+            rec_t[32 * 32];
+        int tts[4];
+        int64_t d_, r_;
+        try_luma_depth_c(t, bx, by, bs, 0, y_mode, ntr, nbl, 1, NULL, lv_t,
+                         pr_t, tts, rec_t, &d_, &r_);
+        for (int rr = 0; rr < bs; rr++)
+            memcpy(rec + (size_t)(by + rr) * t->pw + bx,
+                   rec_t + (size_t)rr * bs, (size_t)bs * 4);
+        dist += d_;
+        rate += r_;
+    }
+    for (int rr = 0; rr < 32; rr++)
+        memcpy(rec + (size_t)(y + rr) * t->pw + x, saved + (size_t)rr * 32,
+               32 * 4);
+    *dist_out = dist;
+    *rate_out = rate;
+}
+
+static const uint8_t PART_CTX_BYTE_FWD[65] = {
+    [4] = 31, [8] = 30, [16] = 28, [32] = 24, [64] = 16};
+
+static void update_part_ctx_rect(Tile *t, int r, int c, int size, int sub_w,
+                                 int sub_h) {
+    int n_mi = size / 4;
+    for (int i = 0; i < n_mi; i++) {
+        t->above_part[c + i] = PART_CTX_BYTE_FWD[sub_w];
+        t->left_part[(r & 15) + i] = PART_CTX_BYTE_FWD[sub_h];
+    }
+}
+
+/* one rect block (mirrors frame.py _encode_block_rect) */
+static void encode_block_rect_c(Tile *t, int r, int c, int bw, int bh) {
+    int x = c * 4, y = r * 4;
+    int lr = r & 15;
+    int hi = (1 << t->bitdepth) - 1;
+    int npx = bw * bh;
+    int nplanes = t->nplanes;
+
+    int block_idx = -1;
+    if (t->blocks_out) {
+        block_idx = t->n_blocks++;
+        t->blocks_out[block_idx * 5 + 0] = r;
+        t->blocks_out[block_idx * 5 + 1] = c;
+        t->blocks_out[block_idx * 5 + 2] = bw | (bh << 16);
+        t->blocks_out[block_idx * 5 + 3] = 0;
+        t->blocks_out[block_idx * 5 + 4] = bw | (bh << 16);
+    }
+
+    /* per-block lambda scale (mirrors frame.py) */
+    if (t->mean_var > 0.0) {
+        int64_t s1 = 0, s2 = 0;
+        for (int rr = 0; rr < bh; rr++)
+            for (int cc = 0; cc < bw; cc++) {
+                int64_t v = t->src[0][(size_t)(y + rr) * t->pw + x + cc];
+                s1 += v;
+                s2 += v * v;
+            }
+        int64_t n_ = (int64_t)npx;
+        double var_b = (double)(n_ * s2 - s1 * s1) / (double)(n_ * n_);
+        double sc = sqrt((var_b + 16.0) / (t->mean_var + 16.0));
+        if (sc < 0.25) sc = 0.25;
+        if (sc > 4.0) sc = 4.0;
+        t->cur_lamscale = sc;
+    } else {
+        t->cur_lamscale = 1.0;
+    }
+
+    /* replay rows under rect-coded tags (bh|1 HORZ, bw|2 VERT) */
+    int tagsz = bw > bh ? (bh | 1) : (bw | 2);
+    int32_t dec_tag = (int32_t)((r << 16) | (c << 8) | tagsz);
+    int rep_on = 0, rep_uv = -1, rep_au = 0, rep_av = 0, rep_mode = 0;
+    if (t->dec_mode == 2) {
+        if (t->dec_pos + 10 <= t->dec_cap &&
+            t->dec_buf[t->dec_pos] == dec_tag) {
+            const int32_t *dd = t->dec_buf + t->dec_pos;
+            t->dec_pos += 10;
+            rep_on = 1;
+            rep_uv = dd[6]; rep_au = dd[7]; rep_av = dd[8];
+            rep_mode = dd[9];
+        } else {
+            t->dec_mode = 0;
+        }
+    }
+
+    /* --- luma --- */
+    static _Thread_local int32_t y_pred[32 * 32], y_levels[32 * 32];
+    static _Thread_local int32_t y_recon[32 * 32];
+    int y_mode;
+    if (rep_on) {
+        y_mode = rep_mode;
+        Edges e;
+        build_edges_buf(t, t->recon[0], x, y, bw, bh, y > 0, x > 0, &e);
+        predict(t, &e, y_mode, bw, bh, y > 0, x > 0, y_pred);
+        int32_t resid[32 * 32];
+        int all0 = 1;
+        for (int rr = 0; rr < bh; rr++)
+            for (int cc = 0; cc < bw; cc++) {
+                resid[rr * bw + cc] =
+                    t->src[0][(size_t)(y + rr) * t->pw + x + cc] -
+                    y_pred[rr * bw + cc];
+                if (resid[rr * bw + cc]) all0 = 0;
+            }
+        if (all0)
+            memset(y_levels, 0, (size_t)npx * 4);
+        else
+            quantize_rect(t, resid, bw, bh, 0, y_levels, NULL, NULL, NULL);
+    } else {
+        y_mode = rect_mode_and_levels_c(t, x, y, bw, bh, y_pred, y_levels);
+    }
+    int y_nz = 0;
+    for (int i = 0; i < npx; i++)
+        if (y_levels[i]) { y_nz = 1; break; }
+    if (y_nz) {
+        int32_t residb[32 * 32];
+        dequant_inv_rect(t, y_levels, bw, bh, 0, residb);
+        for (int i = 0; i < npx; i++) {
+            int32_t v = y_pred[i] + residb[i];
+            y_recon[i] = v < 0 ? 0 : (v > hi ? hi : v);
+        }
+    } else {
+        for (int i = 0; i < npx; i++) {
+            int32_t v = y_pred[i];
+            y_recon[i] = v < 0 ? 0 : (v > hi ? hi : v);
+        }
+    }
+
+    /* --- chroma: DC vs CfL with the rect lumaAC average (mirrors the
+     * aligned frame.py algorithm: closed-form LS alpha + refinement,
+     * rate-proxy decision) --- */
+    int uv_mode = DC_PRED;
+    int alpha_u = 0, alpha_v = 0;
+    static _Thread_local int32_t uv_pred[2][32 * 32], uv_lv[2][32 * 32];
+    int any_uv_nz = 0;
+    if (nplanes > 1) {
+        int32_t dc_pred[2][32 * 32];
+        for (int i = 0; i < 2; i++) {
+            Edges e;
+            build_edges_buf(t, t->recon[1 + i], x, y, bw, bh, y > 0, x > 0,
+                            &e);
+            predict(t, &e, DC_PRED, bw, bh, y > 0, x > 0, dc_pred[i]);
+        }
+        int64_t sum = 0;
+        int lg = log2i(bw) + log2i(bh);
+        static _Thread_local int64_t diff[32 * 32];
+        for (int i = 0; i < npx; i++) sum += (int64_t)y_recon[i] << 3;
+        int64_t avg = (sum + ((int64_t)1 << (lg - 1))) >> lg;
+        for (int i = 0; i < npx; i++)
+            diff[i] = ((int64_t)y_recon[i] << 3) - avg;
+
+        int done = 0;
+        if (rep_on) {
+            uv_mode = rep_uv == UV_CFL_PRED ? UV_CFL_PRED : DC_PRED;
+            if (uv_mode == UV_CFL_PRED) { alpha_u = rep_au; alpha_v = rep_av; }
+            int aa[2] = {alpha_u, alpha_v};
+            for (int i = 0; i < 2; i++) {
+                if (uv_mode == UV_CFL_PRED) {
+                    for (int k = 0; k < npx; k++) {
+                        int64_t prod = (int64_t)aa[i] * diff[k];
+                        int64_t contrib = prod < 0 ? -((-prod + 32) >> 6)
+                                                   : ((prod + 32) >> 6);
+                        int64_t p = dc_pred[i][k] + contrib;
+                        if (p < 0) p = 0;
+                        if (p > hi) p = hi;
+                        uv_pred[i][k] = (int32_t)p;
+                    }
+                } else {
+                    memcpy(uv_pred[i], dc_pred[i], (size_t)npx * 4);
+                }
+            }
+            done = 1;
+        } else {
+            int64_t var = 0;
+            for (int i = 0; i < npx; i++) var += diff[i] * diff[i];
+            int best_a[2] = {0, 0};
+            static _Thread_local int32_t cfl_pred[2][32 * 32];
+            for (int i = 0; i < 2; i++) {
+                const int32_t *srcp = t->src[1 + i];
+                int64_t cov = 0;
+                for (int rr = 0; rr < bh; rr++)
+                    for (int cc = 0; cc < bw; cc++)
+                        cov += diff[rr * bw + cc] *
+                               (int64_t)(srcp[(size_t)(y + rr) * t->pw + x + cc] -
+                                         dc_pred[i][rr * bw + cc]);
+                int64_t a_est;
+                if (var == 0 || cov == 0) a_est = 0;
+                else {
+                    a_est = (64 * llabs(cov) + var / 2) / var;
+                    if (a_est > 16) a_est = 16;
+                    if (cov < 0) a_est = -a_est;
+                }
+                if (a_est == 0) {
+                    best_a[i] = 0;
+                    memcpy(cfl_pred[i], dc_pred[i], (size_t)npx * 4);
+                    continue;
+                }
+                int64_t best_ssd = -1;
+                int64_t order[33];
+                int ncand_a;
+                if (t->speed <= 6) {
+                    ncand_a = 0;
+                    for (int a2 = -16; a2 <= 16; a2++)
+                        if (a2) order[ncand_a++] = a2;
+                } else {
+                    order[0] = a_est; order[1] = a_est - 1;
+                    order[2] = a_est + 1;
+                    ncand_a = 3;
+                }
+                for (int k = 0; k < ncand_a; k++) {
+                    int64_t a = order[k];
+                    if (a < -16 || a > 16) continue;
+                    int64_t ssd = 0;
+                    int32_t cand[32 * 32];
+                    for (int rr = 0; rr < bh; rr++)
+                        for (int cc = 0; cc < bw; cc++) {
+                            int64_t prod = a * diff[rr * bw + cc];
+                            int64_t contrib =
+                                prod < 0 ? -((-prod + 32) >> 6)
+                                         : ((prod + 32) >> 6);
+                            int64_t p = dc_pred[i][rr * bw + cc] + contrib;
+                            if (p < 0) p = 0;
+                            if (p > hi) p = hi;
+                            cand[rr * bw + cc] = (int32_t)p;
+                            int64_t dd =
+                                srcp[(size_t)(y + rr) * t->pw + x + cc] - p;
+                            ssd += dd * dd;
+                        }
+                    if (best_ssd < 0 || ssd < best_ssd) {
+                        best_ssd = ssd;
+                        best_a[i] = (int)a;
+                        memcpy(cfl_pred[i], cand, (size_t)npx * 4);
+                    }
+                }
+            }
+            static _Thread_local int32_t lv_dc[2][32 * 32],
+                lv_cfl[2][32 * 32];
+            for (int i = 0; i < 2; i++) {
+                int32_t resid[32 * 32];
+                int all0 = 1;
+                for (int rr = 0; rr < bh; rr++)
+                    for (int cc = 0; cc < bw; cc++) {
+                        resid[rr * bw + cc] =
+                            t->src[1 + i][(size_t)(y + rr) * t->pw + x + cc] -
+                            dc_pred[i][rr * bw + cc];
+                        if (resid[rr * bw + cc]) all0 = 0;
+                    }
+                if (all0) memset(lv_dc[i], 0, (size_t)npx * 4);
+                else quantize_rect(t, resid, bw, bh, 1, lv_dc[i], NULL,
+                                   NULL, NULL);
+            }
+            if (best_a[0] == 0 && best_a[1] == 0) {
+                for (int i = 0; i < 2; i++) {
+                    memcpy(uv_pred[i], dc_pred[i], (size_t)npx * 4);
+                    memcpy(uv_lv[i], lv_dc[i], (size_t)npx * 4);
+                }
+                done = 2; /* DC levels already in uv_lv */
+            } else {
+                for (int i = 0; i < 2; i++) {
+                    int32_t resid[32 * 32];
+                    int all0 = 1;
+                    for (int rr = 0; rr < bh; rr++)
+                        for (int cc = 0; cc < bw; cc++) {
+                            resid[rr * bw + cc] =
+                                t->src[1 + i][(size_t)(y + rr) * t->pw + x +
+                                              cc] -
+                                cfl_pred[i][rr * bw + cc];
+                            if (resid[rr * bw + cc]) all0 = 0;
+                        }
+                    if (all0) memset(lv_cfl[i], 0, (size_t)npx * 4);
+                    else quantize_rect(t, resid, bw, bh, 1, lv_cfl[i], NULL,
+                                       NULL, NULL);
+                }
+                int64_t cost_dc = 0, cost_cfl = 4;
+                for (int i = 0; i < 2; i++) {
+                    cost_dc += rate_proxy(lv_dc[i], npx);
+                    cost_cfl += rate_proxy(lv_cfl[i], npx);
+                }
+                if (cost_cfl < cost_dc) {
+                    uv_mode = UV_CFL_PRED;
+                    alpha_u = best_a[0];
+                    alpha_v = best_a[1];
+                    for (int i = 0; i < 2; i++) {
+                        memcpy(uv_pred[i], cfl_pred[i], (size_t)npx * 4);
+                        memcpy(uv_lv[i], lv_cfl[i], (size_t)npx * 4);
+                    }
+                } else {
+                    for (int i = 0; i < 2; i++) {
+                        memcpy(uv_pred[i], dc_pred[i], (size_t)npx * 4);
+                        memcpy(uv_lv[i], lv_dc[i], (size_t)npx * 4);
+                    }
+                }
+                done = 2;
+            }
+        }
+        if (done == 1) {
+            /* replay: quantize under the replayed prediction */
+            for (int i = 0; i < 2; i++) {
+                int32_t resid[32 * 32];
+                int all0 = 1;
+                for (int rr = 0; rr < bh; rr++)
+                    for (int cc = 0; cc < bw; cc++) {
+                        resid[rr * bw + cc] =
+                            t->src[1 + i][(size_t)(y + rr) * t->pw + x + cc] -
+                            uv_pred[i][rr * bw + cc];
+                        if (resid[rr * bw + cc]) all0 = 0;
+                    }
+                if (all0) memset(uv_lv[i], 0, (size_t)npx * 4);
+                else quantize_rect(t, resid, bw, bh, 1, uv_lv[i], NULL,
+                                   NULL, NULL);
+            }
+        }
+        for (int i = 0; i < 2; i++)
+            for (int k = 0; k < npx; k++)
+                if (uv_lv[i][k]) { any_uv_nz = 1; break; }
+    }
+
+    int skip = !y_nz && !any_uv_nz;
+    if (t->dec_mode == 1 && t->dec_buf && t->dec_pos + 10 <= t->dec_cap) {
+        int32_t *dd = t->dec_buf + t->dec_pos;
+        t->dec_pos += 10;
+        dd[0] = dec_tag;
+        dd[1] = 0; dd[2] = 0; dd[3] = 0; dd[4] = 0; dd[5] = 0;
+        dd[6] = uv_mode; dd[7] = alpha_u; dd[8] = alpha_v;
+        dd[9] = y_mode;
+    }
+    if (block_idx >= 0) t->blocks_out[block_idx * 5 + 3] = skip;
+
+    int nw = bw / 4, nh = bh / 4;
+
+    /* --- symbols --- */
+    int skip_ctx = t->above_skip[c] + t->left_skip[lr];
+    enc_symbol_adapt(t->enc, t->cdf[CDF_SKIP] + (size_t)skip_ctx * 3, 2, skip);
+    int actx = r > 0 ? INTRA_MODE_CONTEXT[t->above_mode[c]] : 0;
+    int lctx = c > 0 ? INTRA_MODE_CONTEXT[t->left_mode[lr]] : 0;
+    enc_symbol_adapt(t->enc,
+                     t->cdf[CDF_KF_Y] + ((size_t)actx * 5 + lctx) * 14, 13,
+                     y_mode);
+    if (MODE_ANGLE[y_mode] && (bw < bh ? bw : bh) >= 8)
+        enc_symbol_adapt(t->enc,
+                         t->cdf[CDF_ANGLE_DELTA] + (size_t)(y_mode - 1) * 8, 7,
+                         3);
+    if (nplanes > 1) {
+        /* cfl_allowed: max(bw,bh) <= 32 always true for these sizes */
+        enc_symbol_adapt(t->enc, t->cdf[CDF_UV_MODE_CFL] + (size_t)y_mode * 15,
+                         14, uv_mode);
+        if (uv_mode == UV_CFL_PRED) {
+            int sign_u = alpha_u == 0 ? 0 : (alpha_u < 0 ? 1 : 2);
+            int sign_v = alpha_v == 0 ? 0 : (alpha_v < 0 ? 1 : 2);
+            int joint = sign_u * 3 + sign_v - 1;
+            enc_symbol_adapt(t->enc, t->cdf[CDF_CFL_SIGN], 8, joint);
+            if (sign_u)
+                enc_symbol_adapt(
+                    t->enc, t->cdf[CDF_CFL_ALPHA] + (size_t)(joint - 2) * 17,
+                    16, abs(alpha_u) - 1);
+            if (sign_v)
+                enc_symbol_adapt(
+                    t->enc,
+                    t->cdf[CDF_CFL_ALPHA] +
+                        (size_t)(sign_v * 3 + sign_u - 3) * 17,
+                    16, abs(alpha_v) - 1);
+        } else if (MODE_ANGLE[uv_mode] && (bw < bh ? bw : bh) >= 8) {
+            enc_symbol_adapt(t->enc,
+                             t->cdf[CDF_ANGLE_DELTA] + (size_t)(uv_mode - 1) * 8,
+                             7, 3);
+        }
+    }
+    /* tx_depth 0 of the rect max tx (cat = sqr_up category) */
+    {
+        int mx = bw > bh ? bw : bh;
+        int cat = mx == 8 ? 0 : mx == 16 ? 1 : mx == 32 ? 2 : 3;
+        int above = r > 0 ? t->above_txw[c] : 0;
+        int left = c > 0 ? t->left_txh[lr] : 0;
+        int tctx = (above >= bw ? 1 : 0) + (left >= bh ? 1 : 0);
+        enc_symbol_adapt(t->enc,
+                         t->cdf[CDF_TX_SIZE] + ((size_t)cat * 3 + tctx) * 4,
+                         cat == 0 ? 2 : 3, 0);
+    }
+
+    /* --- residual coding + recon --- */
+    for (int plane = 0; plane < nplanes; plane++) {
+        const int32_t *lv = plane == 0 ? y_levels : uv_lv[plane - 1];
+        const int32_t *pred = plane == 0 ? y_pred : uv_pred[plane - 1];
+        int32_t *rec = t->recon[plane];
+        if (skip) {
+            set_lvl_ctx_rect(t, plane, x, y, bw, bh, 0, 0);
+            for (int rr = 0; rr < bh; rr++)
+                for (int cc = 0; cc < bw; cc++) {
+                    int32_t v = pred[rr * bw + cc];
+                    rec[(size_t)(y + rr) * t->pw + x + cc] =
+                        v < 0 ? 0 : (v > hi ? hi : v);
+                }
+            continue;
+        }
+        encode_coeffs_rect_c(t, plane, bw, bh, x, y, lv);
+        if (plane == 0) {
+            for (int rr = 0; rr < bh; rr++)
+                memcpy(rec + (size_t)(y + rr) * t->pw + x,
+                       y_recon + (size_t)rr * bw, (size_t)bw * 4);
+        } else {
+            int lnz = 0;
+            for (int i = 0; i < npx; i++)
+                if (lv[i]) { lnz = 1; break; }
+            int32_t residb[32 * 32];
+            if (lnz) dequant_inv_rect(t, lv, bw, bh, 1, residb);
+            for (int rr = 0; rr < bh; rr++)
+                for (int cc = 0; cc < bw; cc++) {
+                    int32_t v = pred[rr * bw + cc] +
+                                (lnz ? residb[rr * bw + cc] : 0);
+                    rec[(size_t)(y + rr) * t->pw + x + cc] =
+                        v < 0 ? 0 : (v > hi ? hi : v);
+                }
+        }
+    }
+
+    /* --- context updates --- */
+    for (int i = 0; i < nw; i++) {
+        t->above_skip[c + i] = skip;
+        t->above_mode[c + i] = (uint8_t)y_mode;
+        t->above_txw[c + i] = bw;
+    }
+    for (int i = 0; i < nh; i++) {
+        t->left_skip[lr + i] = skip;
+        t->left_mode[lr + i] = (uint8_t)y_mode;
+        t->left_txh[lr + i] = bh;
+    }
+}
+
 /* device-plan lookups (mirror frame.py _planned_*) */
 static int planned_part64(const Tile *t, int r, int c) {
     if (!t->plan64) return -1;
@@ -2209,26 +3216,30 @@ static void encode_block(Tile *t, int r, int c, int size) {
 
 /* ---- partition RD decision (mirrors frame.py) ---- */
 
-static int64_t src_mode_ssd(const Tile *t, int x, int y, int size) {
+static int64_t src_mode_ssd_wh(const Tile *t, int x, int y, int w, int h) {
     Edges e;
     int ha = y > 0, hl = x > 0;
-    build_edges_buf(t, t->src[0], x, y, size, size, ha, hl, &e);
+    build_edges_buf(t, t->src[0], x, y, w, h, ha, hl, &e);
     int cands[5] = {DC_PRED, V_PRED, H_PRED, SMOOTH_PRED, PAETH_PRED};
     int ncand = 5;
     int32_t pred[64 * 64];
     int64_t best = -1;
     for (int m = 0; m < ncand; m++) {
-        predict(t, &e, cands[m], size, size, ha, hl, pred);
+        predict(t, &e, cands[m], w, h, ha, hl, pred);
         int64_t ssd = 0;
-        for (int rr = 0; rr < size; rr++)
-            for (int cc = 0; cc < size; cc++) {
+        for (int rr = 0; rr < h; rr++)
+            for (int cc = 0; cc < w; cc++) {
                 int64_t d = t->src[0][(size_t)(y + rr) * t->pw + x + cc] -
-                            pred[rr * size + cc];
+                            pred[rr * w + cc];
                 ssd += d * d;
             }
         if (best < 0 || ssd < best) best = ssd;
     }
     return best;
+}
+
+static int64_t src_mode_ssd(const Tile *t, int x, int y, int size) {
+    return src_mode_ssd_wh(t, x, y, size, size);
 }
 
 static int64_t src_dc_ssd(const Tile *t, int plane, int x, int y,
@@ -2274,7 +3285,7 @@ static int choose_partition64(const Tile *t, int r, int c) {
     return PARTITION_NONE;
 }
 
-static int choose_partition32(const Tile *t, int r, int c) {
+static int choose_partition32(Tile *t, int r, int c) {
     int x = c * 4, y = r * 4;
     int64_t ssd_parent = src_mode_ssd(t, x, y, 32);
     int64_t ssd_kids = 0;
@@ -2282,7 +3293,39 @@ static int choose_partition32(const Tile *t, int r, int c) {
         for (int dx = 0; dx <= 16; dx += 16)
             ssd_kids += src_mode_ssd(t, x + dx, y + dy, 16);
     int64_t penalty = (int64_t)t->dq_ac * t->dq_ac;
-    return ssd_kids + penalty < ssd_parent ? PARTITION_SPLIT : PARTITION_NONE;
+    int64_t best_ssd = ssd_parent;
+    int best_part = PARTITION_NONE;
+    if (ssd_kids + penalty < best_ssd) {
+        best_ssd = ssd_kids + penalty;
+        best_part = PARTITION_SPLIT;
+    }
+    if (!t->enable_rect) return best_part;
+    /* rect arms: SSD proxy nominates, a real luma D+lambda*R duel
+     * against the proxy-winning square arm decides (mirrors frame.py
+     * _choose_partition32) */
+    int64_t half_pen = penalty >> 1;
+    int64_t ssd_h = src_mode_ssd_wh(t, x, y, 32, 16) +
+                    src_mode_ssd_wh(t, x, y + 16, 32, 16);
+    int64_t ssd_v = src_mode_ssd_wh(t, x, y, 16, 32) +
+                    src_mode_ssd_wh(t, x + 16, y, 16, 32);
+    int64_t ssd_r = ssd_h <= ssd_v ? ssd_h : ssd_v;
+    int part_r = ssd_h <= ssd_v ? 1 : 2;
+    if (ssd_r + half_pen >= best_ssd) return best_part;
+    double lam_pix =
+        (double)((((int64_t)t->dq_ac * t->dq_ac) >> 6) * RDOQ_KNUM) /
+        (RDOQ_KDEN * 128.0);
+    double save_lam = t->cur_lamscale;
+    t->cur_lamscale = 1.0;
+    int64_t d_sq, r_sq, d_re, r_re;
+    try_square_arm_c(t, r, c, best_part == PARTITION_NONE ? 0 : 3, &d_sq,
+                     &r_sq);
+    try_rect_luma_c(t, x, y, part_r, &d_re, &r_re);
+    t->cur_lamscale = save_lam;
+    int hdr = 640;
+    int64_t n_sq = best_part == PARTITION_NONE ? 0 : 3 * hdr;
+    double rd_sq = (double)d_sq + lam_pix * (double)(r_sq + n_sq);
+    double rd_re = (double)d_re + lam_pix * (double)(r_re + hdr);
+    return rd_re < rd_sq ? part_r : best_part;
 }
 
 /* ---- partitions (mirrors frame.py) ---- */
@@ -2350,7 +3393,7 @@ static void encode_partition(Tile *t, int r, int c, int size) {
              * the mi-grid buffers (encoder choice, still conformant) */
             part = PARTITION_SPLIT;
         else if (size == 32 && t->speed <= 9 && t->qindex <= 90) {
-            part = planned_part32(t, r, c);
+            part = t->enable_rect ? -1 : planned_part32(t, r, c);
             if (part < 0) part = choose_partition32(t, r, c);
         }
         else
@@ -2388,6 +3431,16 @@ static void encode_partition(Tile *t, int r, int c, int size) {
         encode_partition(t, r, c + half_mi, sub);
         encode_partition(t, r + half_mi, c, sub);
         encode_partition(t, r + half_mi, c + half_mi, sub);
+    } else if (part == 1) { /* HORZ: two (size x size/2) px blocks */
+        encode_block_rect_c(t, r, c, size, size / 2);
+        if (r + size / 8 < t->mi_rows)
+            encode_block_rect_c(t, r + size / 8, c, size, size / 2);
+        update_part_ctx_rect(t, r, c, size, size, size / 2);
+    } else if (part == 2) { /* VERT */
+        encode_block_rect_c(t, r, c, size / 2, size);
+        if (c + size / 8 < t->mi_cols)
+            encode_block_rect_c(t, r, c + size / 8, size / 2, size);
+        update_part_ctx_rect(t, r, c, size, size / 2, size);
     } else {
         encode_block(t, r, c, size);
         update_part_ctx(t, r, c, size, size);
@@ -2427,11 +3480,15 @@ size_t tile_encode(
     t.pw = t.mi_cols * 4;
     t.ph = t.mi_rows * 4;
     for (int i = 0; i < CDF_N; i++) t.cdf[i] = cdf_ptrs[i];
-    for (int i = 0; i < 4; i++) t.scan[i] = scans[i];
+    for (int i = 0; i < 6; i++) t.scan[i] = scans[i];
     build_rdoq_costs(&t); /* from the INITIAL CDFs, before any coding */
     for (int i = 0; i < 5; i++) t.smw[i] = sm_weights[i];
-    for (int i = 0; i < 7; i++) { t.fh[i] = fhs[i]; t.fw[i] = fws[i]; }
+    for (int i = 0; i < 9; i++) { t.fh[i] = fhs[i]; t.fw[i] = fws[i]; }
     fwd_init(&t);
+    {
+        const char *rs = getenv("OAVIF_RECT");
+        t.enable_rect = !rs || rs[0] == '1'; /* default on */
+    }
     t.dr_deriv = dr_deriv;
     t.plan64 = NULL; t.mode32 = NULL; t.part32 = NULL; t.mode16 = NULL;
     t.plan_nbx = plan_nbx;

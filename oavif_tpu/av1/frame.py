@@ -902,9 +902,9 @@ class TileEncoder:
     # rect RD (planner nomination, RDOQ, VERT, 16x8) builds on this.
 
     _force_rect_test = False
-    # rect HORZ/VERT in the product partition RD. Python-side complete;
-    # default tracks the C mirror so the byte-identical invariant holds.
-    _enable_rect = os.environ.get("OAVIF_RECT", "0") == "1"
+    # rect HORZ/VERT in the product partition RD (default on; both
+    # mirrored encoders implement it — OAVIF_RECT=0 disables)
+    _enable_rect = os.environ.get("OAVIF_RECT", "1") == "1"
 
     def _update_part_ctx_rect(self, r, c, size, sub_w, sub_h):
         n_mi = size // 4
@@ -1274,34 +1274,85 @@ class TileEncoder:
                 cfl_alphas = (rep[7], rep[8])
                 if uv_mode != UV_CFL_PRED:
                     cfl_alphas = (0, 0)
+                for i, p in enumerate((1, 2)):
+                    if uv_mode == UV_CFL_PRED:
+                        prod = cfl_alphas[i] * diff
+                        contrib = np.sign(prod) * (
+                            (np.abs(prod) + 32) >> 6)
+                        predp = np.clip(dc_preds[i] + contrib, 0, hi)
+                    else:
+                        predp = dc_preds[i]
+                    srcp = self.src[p][y : y + bh, x : x + bw]
+                    lvp = self._quantize_rect(srcp - predp, bh, bw, 1)
+                    uv_planes.append((p, lvp, predp))
             else:
-                # per-plane alpha by prediction SSD over the ±16 alphabet
-                # (0 kept = DC); mirror the square policy shape
-                alphas = []
+                # closed-form least-squares alpha + refinement and the
+                # rate-proxy DC-vs-CfL decision (same algorithm as the
+                # square _plan_chroma; mirrored in C)
+                var = int((diff * diff).sum())
+                best_alpha, cfl_preds = [], []
                 for i, p in enumerate((1, 2)):
                     srcp = self.src[p][y : y + bh, x : x + bw]
-                    best_a, best_ssd = 0, None
-                    for a in range(-16, 17):
+                    res = (srcp - dc_preds[i]).astype(np.int64)
+                    cov = int((diff * res).sum())
+                    if var == 0 or cov == 0:
+                        a_est = 0
+                    else:
+                        a_est = (64 * abs(cov) + var // 2) // var
+                        a_est = min(a_est, 16)
+                        if cov < 0:
+                            a_est = -a_est
+                    if a_est == 0:
+                        best_alpha.append(0)
+                        cfl_preds.append(dc_preds[i])
+                        continue
+                    if self.speed <= 6:
+                        cands = [a for a in range(-16, 17) if a]
+                    else:
+                        cands = [a for a in (a_est, a_est - 1, a_est + 1)
+                                 if -16 <= a <= 16]
+                    best = None
+                    for a in cands:
                         prod = a * diff
                         contrib = np.sign(prod) * ((np.abs(prod) + 32) >> 6)
                         predp = np.clip(dc_preds[i] + contrib, 0, hi)
                         ssd = int(((srcp - predp) ** 2).sum())
-                        if best_ssd is None or ssd < best_ssd:
-                            best_a, best_ssd = a, ssd
-                    alphas.append(best_a)
-                if alphas[0] or alphas[1]:
-                    uv_mode = UV_CFL_PRED
-                    cfl_alphas = (alphas[0], alphas[1])
-            for i, p in enumerate((1, 2)):
-                if uv_mode == UV_CFL_PRED:
-                    prod = cfl_alphas[i] * diff
-                    contrib = np.sign(prod) * ((np.abs(prod) + 32) >> 6)
-                    predp = np.clip(dc_preds[i] + contrib, 0, hi)
+                        if best is None or ssd < best[0]:
+                            best = (ssd, a, predp)
+                    best_alpha.append(best[1])
+                    cfl_preds.append(best[2])
+
+                def _rate_proxy(lv):
+                    nz = lv != 0
+                    return int(nz.sum()) + int(np.abs(lv).sum())
+
+                lv_dc = [
+                    self._quantize_rect(
+                        self.src[1 + i][y : y + bh, x : x + bw]
+                        - dc_preds[i], bh, bw, 1)
+                    for i in (0, 1)
+                ]
+                if best_alpha == [0, 0]:
+                    for i, p in enumerate((1, 2)):
+                        uv_planes.append((p, lv_dc[i], dc_preds[i]))
                 else:
-                    predp = dc_preds[i]
-                srcp = self.src[p][y : y + bh, x : x + bw]
-                lvp = self._quantize_rect(srcp - predp, bh, bw, 1)
-                uv_planes.append((p, lvp, predp))
+                    lv_cfl = [
+                        self._quantize_rect(
+                            self.src[1 + i][y : y + bh, x : x + bw]
+                            - cfl_preds[i], bh, bw, 1)
+                        for i in (0, 1)
+                    ]
+                    cost_dc = _rate_proxy(lv_dc[0]) + _rate_proxy(lv_dc[1])
+                    cost_cfl = (_rate_proxy(lv_cfl[0])
+                                + _rate_proxy(lv_cfl[1]) + 4)
+                    if cost_cfl < cost_dc:
+                        uv_mode = UV_CFL_PRED
+                        cfl_alphas = (best_alpha[0], best_alpha[1])
+                        for i, p in enumerate((1, 2)):
+                            uv_planes.append((p, lv_cfl[i], cfl_preds[i]))
+                    else:
+                        for i, p in enumerate((1, 2)):
+                            uv_planes.append((p, lv_dc[i], dc_preds[i]))
 
         skip = not np.any(y_levels) and not any(
             np.any(lv) for _, lv, _ in uv_planes

@@ -497,6 +497,37 @@ def test_rect_rd_full_pipeline_decodes_exact(monkeypatch):
         np.testing.assert_array_equal(a, b[:h, :w], err_msg=f"plane {pi}")
 
 
+def test_rect_c_python_byte_parity():
+    """The C tile encoder mirrors the Python rect path byte-for-byte:
+    same partition duel, same mode ladder, same rect RDOQ, same CfL
+    decision, same symbols."""
+    from oavif_tpu.av1.entropy.fast import tile_encode_native
+    from oavif_tpu.av1.frame import TileEncoder
+    from oavif_tpu.av1.yuv import rgb_to_yuv444
+
+    rng2 = np.random.default_rng(17)
+    h, w = 192, 128
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    base = (120 + 70 * np.sin(yy / 6) * np.cos(xx / 17)
+            + 30 * (np.sin(xx / 3.5) > 0.3))
+    rgb = np.clip(
+        np.stack([base, 0.8 * base + 25, 240 - 0.55 * base], -1)
+        + rng2.normal(0, 7, (h, w, 3)), 0, 255,
+    ).astype(np.uint8)
+    planes = [p.astype(np.int32) for p in rgb_to_yuv444(rgb, 8)]
+    rect_seen = 0
+    for speed, qindex in ((9, 50), (8, 50), (6, 100)):
+        te = TileEncoder([p.copy() for p in planes], qindex, 8, speed)
+        te._enable_rect = True
+        py = te.encode()
+        res = tile_encode_native(planes, qindex, 8, speed, None, 0)
+        if res is None:
+            pytest.skip("native library unavailable")
+        assert res[0] == py, (speed, qindex)
+        rect_seen += sum(1 for b in te.blocks if (b[2] >> 16))
+    assert rect_seen > 0
+
+
 def test_rect_syntax_decodes_exact_levels():
     """What IS proven for the rect slice: the complete rect SYNTAX round-
     trips through the independent decoder — HORZ partition symbols, rect

@@ -678,6 +678,45 @@ class TileEncoder:
         if y_mode is None:
             y_mode, _, _, _ = self._choose_y_mode(r, c, size)
         y_levels_planned = None
+        # device-computed open-loop levels for planned 16-blocks (the
+        # batched device encode stage, device_stage.py): consume when the
+        # open-loop guard holds — recon still tracks source at the
+        # prediction edges, so the source-edge residual the device
+        # transformed is the one worth coding. Exact recon (dequant +
+        # normative inverse of these levels) keeps the stream conformant
+        # regardless.
+        if (size == 16 and self.plan is not None and y_nominee is None
+                and self._dec_mode != 2
+                and self.plan.get("lv16") is not None):
+            i16, j16 = r // 4, c // 4
+            lvmap = self.plan["lv16"]
+            mmask = self.plan["lv16_mask"]
+            if (i16 < mmask.shape[0] and j16 < mmask.shape[1]
+                    and mmask[i16, j16]):
+                ha, hl = y > 0, x > 0
+                a_s, l_s = build_edges(
+                    self.src[0], x, y, 16, 16, ha, hl, self.bitdepth,
+                )
+                pred_s = predict(y_mode, a_s, l_s, 16, 16, ha, hl,
+                                 bitdepth=self.bitdepth)
+                a_r, l_r = build_edges(
+                    self.recon[0], x, y, 16, 16, ha, hl, self.bitdepth,
+                )
+                pred_r = predict(y_mode, a_r, l_r, 16, 16, ha, hl,
+                                 bitdepth=self.bitdepth)
+                # tight guard: consume only where recon-edge and
+                # source-edge predictions agree to ~1/16 LSB/px — the
+                # open-loop residual then IS the closed-loop residual.
+                # A looser guard (1 LSB/px average) measured a 14-point
+                # SSIMULACRA2 collapse on 1/f content at fine quantizers
+                # (the per-block drift compounds through the prediction
+                # chain); at this threshold the consumed blocks are
+                # provably-safe and the rest fall back to the exact
+                # closed-loop path.
+                if int(np.abs(pred_r - pred_s).sum()) <= 16:
+                    y_levels_planned = (
+                        lvmap[i16, j16].astype(np.int64).reshape(16, 16)
+                    )
 
         # cross-probe decision replay (mirrors oav1tile.c: per block
         # [tag, y_depth, tt0..3, uv_mode, a_u, a_v, y_mode])
@@ -2831,6 +2870,41 @@ def _get_planner(tile_planes, bitdepth, nmodes=13, duel_level=0,
 _DEC_CACHE: dict = {}
 
 
+def _attach_device_levels(planner, plan, qindex, bitdepth):
+    """Attach the batched device stage's open-loop 16-grid luma levels
+    to the plan (device_stage.py). One jitted quant step + one packed
+    fetch per probe; the coefficient cache persists across probes."""
+    from .device_stage import DeviceLevels
+    from .encode_tpu import MODE_IDS
+
+    dl = getattr(planner, "_dlv", None)
+    if dl is None:
+        dl = planner._dlv = DeviceLevels(planner, bitdepth)
+    m16 = np.asarray(plan["mode16"])
+    # consume only planner base-mode wins without a directional nominee
+    spec_to_idx = {int(s): i for i, s in enumerate(MODE_IDS[:7])}
+    low = m16 & 0xFF
+    mask = (m16 < 256) & np.isin(low, MODE_IDS[:7])
+    # frame-edge blocks use the decoder's single-edge/128 prediction
+    # formulas the planner only approximates with edge fills — their
+    # device DC values diverge (measured: one wrong DC level shifts a
+    # whole 16x16 patch); keep them on the exact host path
+    mask[0, :] = False
+    mask[:, 0] = False
+    idx = np.zeros_like(m16)
+    for s, i in spec_to_idx.items():
+        idx[low == s] = i
+    pnby2, pnbx2 = planner.psby * 4, planner.psbx * 4
+    modes_pad = np.zeros((pnby2, pnbx2), np.int32)
+    modes_pad[: m16.shape[0], : m16.shape[1]] = np.where(mask, idx, 0)
+    lv, eob = dl.levels(modes_pad, [qindex])
+    n16 = pnbx2
+    plan["lv16"] = lv[0].reshape(pnby2, n16, 256)[
+        : m16.shape[0], : m16.shape[1]
+    ]
+    plan["lv16_mask"] = mask
+
+
 def _get_dec(plan, tile_planes, qindex, speed=9):
     import os
     import weakref
@@ -2871,13 +2945,22 @@ def _encode_one_tile(args):
             # add host runner-up duels at the 16 (<=6) and 32 (<=5) grids
             nmodes = 13 if speed <= 9 else 5
             duel_level = 2 if speed <= 5 else (1 if speed <= 6 else 0)
-            plan = _get_planner(
+            planner = _get_planner(
                 tile_planes, bitdepth, nmodes, duel_level, tile_idx
-            ).plan(qindex, exact=speed <= 4)
+            )
+            plan = planner.plan(qindex, exact=speed <= 4)
+            # batched device encode stage: compute the planned 16-grid's
+            # open-loop levels on device (calibration-gated: the fetch
+            # must beat the host recompute — PARITY.md economics). The
+            # Python coder consumes them; the C coder does not yet, so
+            # the stage only arms on the Python tile path.
+            if plan is not None and os.environ.get("OAVIF_PY_TILE") == "1":
+                from .device_stage import device_levels_enabled
+
+                if device_levels_enabled():
+                    _attach_device_levels(planner, plan, qindex, bitdepth)
         except Exception:
             plan = None
-
-    import os
 
     dec, record = _get_dec(plan, tile_planes, qindex, speed)
 

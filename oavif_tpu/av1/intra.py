@@ -8,7 +8,7 @@ encoder's reconstruction (predictor + inverse-transformed residual) seeds
 the next block's neighbors.
 
 Host reference implementation in NumPy; the batched all-modes TPU
-evaluation used by the RD search lives in oavif_tpu.av1.encode.
+evaluation used by the RD search lives in oavif_tpu.av1.encode_tpu.
 """
 
 from __future__ import annotations

@@ -17,6 +17,8 @@ io.zig:639 force 8-bit RGB scoring).
 
 from __future__ import annotations
 
+import os
+
 from typing import Optional, Tuple
 
 import numpy as np
@@ -248,6 +250,11 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
                         stats=ch_stats)
         if len(planes) > 1 else 0
     )
+    # --tune ssim arms the identity-transform duel in both mirrored
+    # encoders (screen-content tool; measured net-negative on the
+    # SSIMULACRA2 target curve, net-positive under MSE-faithful tuning)
+    if o.tune.value == "ssim":
+        os.environ["OAVIF_IDTX"] = "1"
     payloads, recon_planes, blocks = encode_frame_planes(
         planes,
         qindex,

@@ -316,11 +316,12 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None,
             (8, 8, "dct_dct"), (16, 16, "dct_dct"), (32, 32, "dct_dct"),
             (64, 64, "dct_dct"), (8, 8, "adst_adst"), (16, 16, "adst_adst"),
             (4, 4, "dct_dct"), (32, 16, "dct_dct"), (16, 32, "dct_dct"),
+            (8, 8, "idtx"), (16, 16, "idtx"),
         )
     ]
-    fh_ptrs = (C.POINTER(C.c_double) * 9)(
+    fh_ptrs = (C.POINTER(C.c_double) * 11)(
         *[m[0].ctypes.data_as(C.POINTER(C.c_double)) for m in fmats])
-    fw_ptrs = (C.POINTER(C.c_double) * 9)(
+    fw_ptrs = (C.POINTER(C.c_double) * 11)(
         *[m[1].ctypes.data_as(C.POINTER(C.c_double)) for m in fmats])
 
     plan_arr = None

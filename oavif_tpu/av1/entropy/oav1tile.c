@@ -89,21 +89,22 @@ typedef struct {
     int32_t rc_eob_pt_rect[2][2][11]; /* [0]=128 (nsym 8), [1]=512 (10) */
     int32_t rc_txsz[4][3][3];    /* tx_size depth costs [cat][ctx][depth] */
     const int32_t *smw[5];  /* sm_weights by log2(n)-2: 4,8,16,32,64 */
-    const double *fh[9], *fw[9]; /* dct 8,16,32,64; adst 8,16; dct 4;
-                                    rect dct 32x16 (fh16/fw32), 16x32 */
+    const double *fh[11], *fw[11]; /* dct 8,16,32,64; adst 8,16; dct 4;
+                                      rect dct 32x16, 16x32; idtx 8, 16 */
     /* integer forward-transform matrices (Q12; mirrors transform.py
      * fwd_matrices_int16): int16 fh, TRANSPOSED int16 fw (k-major so
      * stage 2 streams unit-stride), its k-pair-interleaved form for the
      * VNNI kernel, the stage-1 shift, and the exact pow2 scale back to
      * real coefficient units. Integer math => bit-identical to NumPy
      * regardless of summation order. */
-    int16_t fh16[9][64 * 64];
-    int16_t fwT16[9][64 * 64];
-    int32_t fwP[9][32 * 64];
-    int fwd_sa[9];
-    double fwd_inv_scale[9];
+    int16_t fh16[11][64 * 64];
+    int16_t fwT16[11][64 * 64];
+    int32_t fwP[11][32 * 64];
+    int fwd_sa[11];
+    double fwd_inv_scale[11];
     int enable_rect; /* HORZ/VERT 32-node arms (OAVIF_RECT, mirrors
                         frame.py TileEncoder._enable_rect) */
+    int enable_idtx; /* identity-transform duel arm (OAVIF_IDTX) */
     const int32_t *dr_deriv; /* dr_intra_derivative[90] */
     /* device plan (encode_tpu.FramePlanner): sections of one packed
      * int32 buffer; NULL = host searches everything */
@@ -393,13 +394,13 @@ static void quantize_n(const Tile *t, const int32_t *resid, int n, int ptype,
 
 /* matrix dims: fh is MAT_NH x MAT_NH (column/height side), fw is
  * MAT_NW x MAT_NW (row/width side); square entries have NH == NW */
-static const int MAT_NH[9] = {8, 16, 32, 64, 8, 16, 4, 16, 32};
-static const int MAT_NW[9] = {8, 16, 32, 64, 8, 16, 4, 32, 16};
+static const int MAT_NH[11] = {8, 16, 32, 64, 8, 16, 4, 16, 32, 8, 16};
+static const int MAT_NW[11] = {8, 16, 32, 64, 8, 16, 4, 32, 16, 8, 16};
 
 /* Build the Q12 int16 matrices + per-matrix stage-1 shift from the double
  * matrices (identical algorithm to transform.py fwd_matrices_int16). */
 static void fwd_init(Tile *t) {
-    for (int m = 0; m < 9; m++) {
+    for (int m = 0; m < 11; m++) {
         int nh = MAT_NH[m], nw = MAT_NW[m];
         int16_t *fh16 = t->fh16[m];
         int16_t *fwt = t->fwT16[m];
@@ -1290,6 +1291,8 @@ static void dequant_inv_tt(const Tile *t, const int32_t *levels, int tx,
     }
     if (txtype == 0)
         inv_txfm2d_c(resid_out, tx, tx, t->bitdepth);
+    else if (txtype == 2)
+        inv_txfm2d_tt(resid_out, tx, t->bitdepth, 2, 2);
     else
         inv_txfm2d_tt(resid_out, tx, t->bitdepth, 1, 1);
 }
@@ -1415,12 +1418,14 @@ static void encode_coeffs_txb(Tile *t, int plane, int tx, int px, int py,
         txtype_row =
             t->cdf[CDF_INTRA_EXT_TX2] + ((size_t)txs * 13 + y_mode_only) * 6;
         txtype_nsym = 5;
-        txtype_sym = y_txtype ? 2 : 1;
+        /* set2 order {IDTX, DCT, ADST_ADST, ADST_DCT, DCT_ADST} */
+        txtype_sym = y_txtype == 2 ? 0 : (y_txtype ? 2 : 1);
     } else if (plane == 0 && tx <= 8) {
         txtype_row =
             t->cdf[CDF_INTRA_EXT_TX1] + ((size_t)txs * 13 + y_mode_only) * 8;
         txtype_nsym = 7;
-        txtype_sym = y_txtype ? 4 : 1;
+        /* set1 order {IDTX, DCT, V_DCT, H_DCT, ADST_ADST, ...} */
+        txtype_sym = y_txtype == 2 ? 0 : (y_txtype ? 4 : 1);
     }
 
     int32_t out_ctx[2];
@@ -1586,6 +1591,15 @@ void idct_1d_pub(const int64_t *x, int64_t *out, int N);
 
 static void apply_1d_kind(const int64_t *in, int64_t *out, int n, int kind) {
     if (kind == 0) { idct_1d_pub(in, out, n); return; }
+    if (kind == 2) { /* identity (spec 7.13.3: x sqrt2 per odd log size) */
+        for (int i = 0; i < n; i++) {
+            if (n == 4) out[i] = rnd2_t(in[i] * 5793, 12);
+            else if (n == 8) out[i] = in[i] * 2;
+            else if (n == 16) out[i] = rnd2_t(in[i] * 2 * 5793, 12);
+            else out[i] = in[i] * 4;
+        }
+        return;
+    }
     if (n == 4) iadst4_c(in, out);
     else if (n == 8) iadst8_c(in, out);
     else iadst16_c(in, out);
@@ -1885,12 +1899,13 @@ static int encode_luma_txb_c(Tile *t, int px_, int py_, int tx, int y_mode,
     if (forced_tt >= 0) {
         /* replayed decision: quantize under the recorded transform only,
          * no rate estimate (there is no RD comparison to feed) */
-        int use_adst = forced_tt == 1 && (tx == 8 || tx == 16);
-        int fi2 = use_adst ? (tx == 8 ? 4 : 5)
-                           : (tx == 4 ? 6 : log2i(tx) - 3);
+        int tt = (tx == 8 || tx == 16) ? forced_tt : 0;
+        int fi2 = tt == 2 ? (tx == 8 ? 9 : 10)
+                  : tt == 1 ? (tx == 8 ? 4 : 5)
+                            : (tx == 4 ? 6 : log2i(tx) - 3);
         quantize_mat(t, resid, tx, 0, fi2, lv, NULL, NULL, NULL);
         *rate_out = 0;
-        return use_adst ? 1 : 0;
+        return tt;
     }
     int fi = tx == 4 ? 6 : log2i(tx) - 3;
     double e2;
@@ -1903,23 +1918,50 @@ static int encode_luma_txb_c(Tile *t, int px_, int py_, int tx, int y_mode,
         if (ord[si]) nnz++;
     int txtype = 0;
     if ((tx == 8 || tx == 16) && nnz >= 6 && t->speed <= 9) {
-        /* two-way transform RD in the COEFFICIENT domain (same orthogonal
-         * gain both types): no inverse transforms for the loser */
-        int32_t lv_adst[64 * 64];
-        int ai = tx == 8 ? 4 : 5;
-        double e2_a;
-        int eob_a = 0;
-        quantize_mat(t, resid, tx, 0, ai, lv_adst, &e2_a, ord, &eob_a);
-        int64_t rate_a = rate_estimate_scan(t, ord, eob_a, tx, 0);
+        /* three-way transform RD in the COEFFICIENT domain (one shared
+         * gain per size): DCT vs ADST vs IDTX — identity is the
+         * screen-content transform. No inverse for the losers. */
+        int32_t lv_c[64 * 64];
         int shift = DQ_SHIFT_BY_TX[tx];
         double lam =
             (double)((((int64_t)t->dq_ac * t->dq_ac) >> (2 * shift)) *
                      RDOQ_KNUM) /
             (RDOQ_KDEN * 128.0) * t->cur_lamscale;
-        if (e2_a + lam * (double)rate_a < e2 + lam * (double)rate) {
-            txtype = 1;
-            memcpy(lv, lv_adst, (size_t)npx * 4);
-            rate = rate_a;
+        double best_rd = e2 + lam * (double)rate;
+        /* IDTX arms only for --tune ssim (OAVIF_IDTX, exported by
+         * encode.py) on palette-class blocks (<= 8 distinct source
+         * values): under the perceptual default its L2-fair wins lose
+         * on the SSIMULACRA2 target curve (mirrors frame.py) */
+        int n_distinct = 9;
+        if (t->enable_idtx) {
+            n_distinct = 0;
+            uint64_t seen[16] = {0};
+            for (int rr = 0; rr < tx && n_distinct <= 8; rr++)
+                for (int cc = 0; cc < tx; cc++) {
+                    int v = (int)t->src[0][(size_t)(py_ + rr) * t->pw +
+                                           px_ + cc];
+                    if (!(seen[v >> 6] >> (v & 63) & 1)) {
+                        seen[v >> 6] |= (uint64_t)1 << (v & 63);
+                        if (++n_distinct > 8) break;
+                    }
+                }
+        }
+        int ncand = n_distinct <= 8 ? 2 : 1;
+        static const int cand_tt[2] = {1, 2}; /* adst, idtx */
+        for (int k = 0; k < ncand; k++) {
+            int fi_c = cand_tt[k] == 1 ? (tx == 8 ? 4 : 5)
+                                       : (tx == 8 ? 9 : 10);
+            double e2_c;
+            int eob_c = 0;
+            quantize_mat(t, resid, tx, 0, fi_c, lv_c, &e2_c, ord, &eob_c);
+            int64_t rate_c = rate_estimate_scan(t, ord, eob_c, tx, 0);
+            double rd_c = e2_c + lam * (double)rate_c;
+            if (rd_c < best_rd) {
+                best_rd = rd_c;
+                txtype = cand_tt[k];
+                memcpy(lv, lv_c, (size_t)npx * 4);
+                rate = rate_c;
+            }
         }
     }
     *rate_out = rate;
@@ -3483,11 +3525,13 @@ size_t tile_encode(
     for (int i = 0; i < 6; i++) t.scan[i] = scans[i];
     build_rdoq_costs(&t); /* from the INITIAL CDFs, before any coding */
     for (int i = 0; i < 5; i++) t.smw[i] = sm_weights[i];
-    for (int i = 0; i < 9; i++) { t.fh[i] = fhs[i]; t.fw[i] = fws[i]; }
+    for (int i = 0; i < 11; i++) { t.fh[i] = fhs[i]; t.fw[i] = fws[i]; }
     fwd_init(&t);
     {
         const char *rs = getenv("OAVIF_RECT");
         t.enable_rect = !rs || rs[0] == '1'; /* default on */
+        const char *is = getenv("OAVIF_IDTX");
+        t.enable_idtx = is && is[0] == '1';
     }
     t.dr_deriv = dr_deriv;
     t.plan64 = NULL; t.mode32 = NULL; t.part32 = NULL; t.mode16 = NULL;

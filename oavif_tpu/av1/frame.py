@@ -879,7 +879,7 @@ class TileEncoder:
         if self._dec_mode == 1:
             tts = [0, 0, 0, 0]
             for i, j in enumerate(y_jobs[:4]):
-                tts[i] = 1 if j[2] == "adst_adst" else 0
+                tts[i] = {"dct_dct": 0, "adst_adst": 1, "idtx": 2}[j[2]]
             self._dec_out += [
                 (r << 16) | (c << 8) | size, y_depth, *tts,
                 uv_mode, cfl_alphas[0], cfl_alphas[1], y_mode,
@@ -944,6 +944,12 @@ class TileEncoder:
     # rect HORZ/VERT in the product partition RD (default on; both
     # mirrored encoders implement it — OAVIF_RECT=0 disables)
     _enable_rect = os.environ.get("OAVIF_RECT", "1") == "1"
+
+    @property
+    def _idtx_on(self):
+        # --tune ssim arms the identity transform (encode.py exports the
+        # tune choice; both mirrored encoders read the same switch)
+        return os.environ.get("OAVIF_IDTX", "0") == "1"
 
     def _update_part_ctx_rect(self, r, c, size, sub_w, sub_h):
         n_mi = size // 4
@@ -1958,26 +1964,49 @@ class TileEncoder:
             return np.zeros((tx, tx), dtype=np.int64), pred, "dct_dct", 256
         resid = self.src[0][py_ : py_ + tx, px_ : px_ + tx] - pred
         if forced_tt >= 0:
-            use_adst = forced_tt == 1 and tx in (8, 16)
-            tt = "adst_adst" if use_adst else "dct_dct"
+            if tx in (8, 16) and forced_tt == 2:
+                tt = "idtx"
+            elif tx in (8, 16) and forced_tt == 1:
+                tt = "adst_adst"
+            else:
+                tt = "dct_dct"
             return self._quantize(resid, tx, tt, ptype=0), pred, tt, 0
         levels, e2 = self._quantize_rd(resid, tx, ptype=0)
         rate = self._rate_estimate_txb(levels, tx, 0)
         tx_type = "dct_dct"
         if tx in (8, 16) and int((levels != 0).sum()) >= 6 and self.speed <= 9:
-            # two-way transform RD in the COEFFICIENT domain (same
-            # orthogonal gain both types, so SSEs are comparable): no
-            # inverse transform needed for the loser
-            lv_adst, e2_a = self._quantize_rd(resid, tx, "adst_adst")
-            rate_a = self._rate_estimate_txb(lv_adst, tx, 0)
+            # three-way transform RD in the COEFFICIENT domain (the AV1
+            # integer transforms share one gain per size, so SSEs are
+            # comparable): DCT vs ADST vs IDTX — identity is the
+            # screen-content transform (hard edges keep their energy
+            # compact in the pixel basis); no inverse for the losers
             shift = DQ_SHIFT[tx]
             lam = float(
                 ((self.dq_ac * self.dq_ac) >> (2 * shift)) * RDOQ_KNUM
             ) / (RDOQ_KDEN * 128.0) * self._lam_scale
-            if e2_a + lam * float(rate_a) < e2 + lam * float(rate):
-                levels = lv_adst
-                tx_type = "adst_adst"
-                rate = rate_a
+            best_rd = e2 + lam * float(rate)
+            cands = ["adst_adst"]
+            # IDTX (identity transform, the screen-content tool) wins
+            # L2-fairly — measured -8..-17% bytes at iso-q on text — but
+            # per-pixel quantization damages exactly the structures
+            # SSIMULACRA2 weights (posterized gradients, softened glyph
+            # edges: -2..-12 score). Under the default perceptual tune
+            # that trade LOSES on the target-quality curve, so IDTX arms
+            # only for --tune ssim (MSE-faithful tuning), on
+            # palette-class blocks (<= 8 distinct source values).
+            if self._idtx_on:
+                srcb = self.src[0][py_ : py_ + tx, px_ : px_ + tx]
+                if len(np.unique(srcb)) <= 8:
+                    cands.append("idtx")
+            for tt in cands:
+                lv_c, e2_c = self._quantize_rd(resid, tx, tt)
+                rate_c = self._rate_estimate_txb(lv_c, tx, 0)
+                rd_c = e2_c + lam * float(rate_c)
+                if rd_c < best_rd:
+                    best_rd = rd_c
+                    levels = lv_c
+                    tx_type = tt
+                    rate = rate_c
         return levels, pred, tx_type, rate
 
     def _try_luma_depth(self, x: int, y: int, size: int, depth: int,

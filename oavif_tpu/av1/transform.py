@@ -264,6 +264,8 @@ def _inv_matrix_1d(N: int, kind: str = "dct") -> np.ndarray:
     """Linearization of the integer inverse transform (N×N float)."""
     if kind == "dct":
         fn = lambda x: idct_1d(x, N)
+    elif kind == "idtx":
+        fn = lambda x: iidentity_1d(x, N)
     else:
         fn = {4: iadst4_1d, 8: iadst8_1d, 16: iadst16_1d}[N]
     cols = []

@@ -181,6 +181,27 @@ def _pick_cdef(planes, recon_planes, blocks, qindex, bitdepth, visible,
     return _CDEF_CANDS[idx], damping
 
 
+def _detect_screen_content(y_plane, qindex: int) -> bool:
+    """Palette-profitability gate: the fraction of 16x16 luma blocks
+    with <= 8 distinct values. Screen content (text, UI, flat graphics)
+    scores high; photographs with noise score ~0. Threshold 20%.
+
+    OAVIF_PALETTE=0 disables; screen-detected frames route through the
+    Python tile coder until the C runtime mirrors the palette syntax."""
+    if qindex == 0 or os.environ.get("OAVIF_PALETTE", "1") == "0":
+        return False
+    y = np.asarray(y_plane)
+    h, w = y.shape
+    vh, vw = (h // 16) * 16, (w // 16) * 16
+    if vh < 32 or vw < 32:
+        return False
+    blocks = y[:vh, :vw].reshape(vh // 16, 16, vw // 16, 16)
+    blocks = blocks.transpose(0, 2, 1, 3).reshape(-1, 256)
+    srt = np.sort(blocks, axis=1)
+    ndistinct = 1 + (srt[:, 1:] != srt[:, :-1]).sum(axis=1)
+    return float((ndistinct <= 8).mean()) >= 0.20
+
+
 def encode_avif(ctx: EncCtx) -> bytes:
     data, _ = encode_avif_with_recon(ctx)
     return data
@@ -255,6 +276,10 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
     # SSIMULACRA2 target curve, net-positive under MSE-faithful tuning)
     if o.tune.value == "ssim":
         os.environ["OAVIF_IDTX"] = "1"
+    # screen-content gate: enable the frame's palette syntax only when
+    # the luma is palette-shaped (few distinct values over a meaningful
+    # share of 16x16 blocks) — photographic streams stay byte-identical
+    screen_tools = _detect_screen_content(planes[0], qindex)
     payloads, recon_planes, blocks = encode_frame_planes(
         planes,
         qindex,
@@ -264,6 +289,7 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
         tile_rows_log2=trl,
         max_threads=o.max_threads,
         u_ac_delta_q=uv_dq,
+        screen_tools=screen_tools,
     )
     flv = _filter_level(qindex)
     filter_levels = (flv, flv, flv, flv)
@@ -297,6 +323,7 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
         u_ac_delta_q=uv_dq,
         filter_levels=filter_levels,
         enable_cdef=cdef_on,
+        screen_content_tools=screen_tools,
         cdef_damping=cdef_damping,
         cdef_strengths=(cdef_strengths,),
     )

@@ -53,6 +53,10 @@ class _PyShim:
     def bool_q15(self, val: int, f: int) -> None:
         self.enc.encode_bool_q15(val, f)
 
+    def write_literal(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.enc.encode_bool_q15((v >> i) & 1, 16384)
+
     def done(self) -> bytes:
         return self.enc.done()
 
@@ -72,6 +76,10 @@ class _NativeShim:
 
     def bool_q15(self, val: int, f: int) -> None:
         self.enc.bool_q15(val, f)
+
+    def write_literal(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.enc.bool_q15((v >> i) & 1, 16384)
 
     def done(self) -> bytes:
         return self.enc.done()
@@ -125,6 +133,15 @@ def _icdf_cost_rows(rows: np.ndarray, nsym: int) -> np.ndarray:
     return _PROB_COST[np.minimum((p - 1) >> 7, 255)].astype(np.int32)
 
 
+def _icdf_sym_cost_row(row, s: int) -> int:
+    """Bit cost (1/128 units) of symbol s under one adaptive icdf row
+    (same formula as _icdf_cost_rows, evaluated at the row's current
+    state — the palette RD reads live rows; mirrored in C)."""
+    prev = 32768 if s == 0 else int(row[s - 1])
+    p = max(1, prev - int(row[s]))
+    return int(_PROB_COST[min((p - 1) >> 7, 255)])
+
+
 def _adaptive(arr: np.ndarray) -> np.ndarray:
     """ICDF table row(s) → mutable adaptive CDF rows with a trailing
     adaptation-counter column, contiguous uint16 (shared with the native
@@ -170,6 +187,14 @@ class CdfBank:
         # index 3); one uniform array so the native pack stride is fixed.
         self.tx_size = np.zeros((4, 3, 4), dtype=np.uint16)
         self.tx_size[..., :3] = t["tx_size"]
+        # palette (spec 5.11.46-50 defaults)
+        self.palette_y_mode = _adaptive(t["palette_y_mode"])    # (7,3,3)
+        self.palette_uv_mode = _adaptive(t["palette_uv_mode"])  # (2,3)
+        self.palette_y_size = _adaptive(t["palette_y_size"])    # (7,8)
+        self.palette_y_ci = {
+            n: _adaptive(t[f"palette_y_color_index_{n}"])
+            for n in range(2, 9)
+        }
 
 
 @dataclass
@@ -194,7 +219,11 @@ class TileEncoder:
         plan: Optional[dict] = None,  # device plan arrays (encode_tpu)
         u_ac_delta_q: int = 0,
         dec: Optional[dict] = None,  # decision record/replay (see C mirror)
+        screen_tools: bool = False,  # frame allow_screen_content_tools
     ) -> None:
+        self.screen_tools = bool(screen_tools)
+        if self.screen_tools:
+            dec = None  # palette rows are not in the replay schema yet
         self._dec = dec
         self._dec_mode = int(dec["mode"]) if dec else 0
         self._dec_pos = 0
@@ -254,6 +283,9 @@ class TileEncoder:
         self.above_skip = np.zeros(self.mi_cols, dtype=np.uint8)
         self.left_skip = np.zeros(16, dtype=np.uint8)
         self.above_mode = np.full(self.mi_cols, DC_PRED, dtype=np.uint8)
+        # palette context lines: color array (ascending) or None, per mi
+        self.above_pal = [None] * self.mi_cols
+        self.left_pal = [None] * 16
         self.left_mode = np.full(16, DC_PRED, dtype=np.uint8)
         self.above_txw = np.zeros(self.mi_cols, dtype=np.int32)
         self.left_txh = np.zeros(16, dtype=np.int32)
@@ -359,6 +391,7 @@ class TileEncoder:
             self.left_skip[:] = 0
             self.left_mode[:] = DC_PRED
             self.left_txh[:] = 0
+            self.left_pal = [None] * 16
             for ps in self.pstate:
                 ps.left_lvl[:] = 0
                 ps.left_dc[:] = 0
@@ -655,6 +688,163 @@ class TileEncoder:
         rd_re = float(d_re) + lam_pix * float(r_re + hdr)
         return part_r if rd_re < rd_sq else best[1]
 
+    # -- palette (spec 5.11.46-51; screen-content tool) ----------------------
+
+    def _palette_cache(self, r: int, c: int):
+        """Merged sorted cache of the above (same-SB only) and left
+        neighbor palettes (spec get_palette_cache)."""
+        above = self.above_pal[c] if (r & 15) > 0 else None
+        left = self.left_pal[r & 15] if c > 0 else None
+        a = list(above) if above is not None else []
+        l = list(left) if left is not None else []
+        out = []
+        i = j = 0
+        while i < len(a) and j < len(l):
+            if a[i] < l[j]:
+                v = a[i]; i += 1
+            elif l[j] < a[i]:
+                v = l[j]; j += 1
+            else:
+                v = a[i]; i += 1; j += 1
+            if not out or out[-1] != v:
+                out.append(v)
+        for v in a[i:] + l[j:]:
+            if not out or out[-1] != v:
+                out.append(v)
+        return out[:16]
+
+    def _code_palette_colors_y(self, pal, cache):
+        """palette_colors_y (spec 5.11.49): cache reuse bits, then the
+        delta-coded explicit colors with the shrinking bit width."""
+        bd = self.bitdepth
+        pal_set = set(pal)
+        reused = []
+        n_read = 0
+        for v in cache:
+            if n_read >= len(pal):
+                break
+            use = 1 if (v in pal_set and v not in reused) else 0
+            self.enc.bool_q15(use, 16384)  # L(1)
+            if use:
+                reused.append(v)
+                n_read += 1
+        ext = [v for v in pal if v not in reused]
+        if ext:
+            # aom read_palette_colors_y order: first explicit color
+            # L(bd); IF more explicit colors follow: extra-precision
+            # L(2), then (delta-1) at a width that shrinks with
+            # av1_ceil_log2 of the REMAINING range (1<<bd) - color.
+            self.enc.write_literal(ext[0], bd)
+            if len(ext) > 1:
+                min_bits = bd - 3
+
+                def ceil_log2(n):
+                    return (n - 1).bit_length() if n >= 2 else 0
+
+                deltas = [ext[i] - ext[i - 1] - 1
+                          for i in range(1, len(ext))]
+                extra = 3
+                for extra in range(4):
+                    bits = min_bits + extra
+                    ok = True
+                    for i, dlt in enumerate(deltas):
+                        if bits <= 0 or dlt >= (1 << bits):
+                            ok = False
+                            break
+                        bits = min(bits, ceil_log2((1 << bd) - ext[i + 1]))
+                    if ok:
+                        break
+                self.enc.write_literal(extra, 2)
+                bits = min_bits + extra
+                for i, dlt in enumerate(deltas):
+                    self.enc.write_literal(dlt, bits)
+                    bits = min(bits, ceil_log2((1 << bd) - ext[i + 1]))
+
+    @staticmethod
+    def _palette_color_ctx(idx_map, rr, cc, n):
+        """(color_order, ctx) for one index-map position (spec
+        get_palette_color_context)."""
+        scores = [0] * 8
+        if cc > 0:
+            scores[idx_map[rr][cc - 1]] += 2
+        if rr > 0 and cc > 0:
+            scores[idx_map[rr - 1][cc - 1]] += 1
+        if rr > 0:
+            scores[idx_map[rr - 1][cc]] += 2
+        order = list(range(n))
+        sc = scores[:n]
+        for i in range(min(3, n)):
+            mx, mi_ = sc[i], i
+            for j in range(i + 1, n):
+                if sc[j] > mx:
+                    mx, mi_ = sc[j], j
+            if mi_ != i:
+                mo = order[mi_]
+                for k in range(mi_, i, -1):
+                    sc[k] = sc[k - 1]
+                    order[k] = order[k - 1]
+                sc[i] = mx
+                order[i] = mo
+        hash_ = sc[0] * 1 + (sc[1] if n > 1 else 0) * 2 + (
+            sc[2] if n > 2 else 0) * 2
+        lookup = [-1, -1, 0, -1, -1, 4, 3, 2, 1]
+        ctx = lookup[hash_] if 0 <= hash_ < len(lookup) else 0
+        return order, max(ctx, 0)
+
+    def _palette_tokens_y(self, idx_map, h, w, n, emit=True):
+        """Wavefront index-map coding (spec 5.11.50). emit=False returns
+        the CDF bit cost (1/128 units, initial CDFs) for the RD duel."""
+        cost = 0
+        nbits = (n - 1).bit_length()
+        if emit:
+            # first sample: av1_write_uniform (truncated binary over n
+            # values — a plain CeilLog2(n) literal only matches at
+            # powers of two; pinned empirically: n=3/5/6/7 desynced)
+            m = (1 << nbits) - n
+            v = idx_map[0][0]
+            if nbits == 0:
+                pass
+            elif v < m:
+                self.enc.write_literal(v, nbits - 1)
+            else:
+                self.enc.write_literal(m + ((v - m) >> 1), nbits - 1)
+                self.enc.write_literal((v - m) & 1, 1)
+        else:
+            cost += 128 * nbits
+        ci = self.cdf.palette_y_ci[n]
+        for k in range(1, h + w - 1):
+            j0 = min(k, w - 1)
+            j1 = max(0, k - h + 1)
+            for j in range(j0, j1 - 1, -1):
+                rr = k - j
+                order, ctx = self._palette_color_ctx(idx_map, rr, j, n)
+                sym = order.index(idx_map[rr][j])
+                if emit:
+                    self._sym(ci[ctx], sym)
+                else:
+                    cost += _icdf_sym_cost_row(ci[ctx], sym)
+        return cost
+
+    def _try_palette_y(self, x, y, size):
+        """Palette candidate for one block: exact when the block has
+        2..8 distinct luma values. Returns (pal, idx_map, rate_est) or
+        None."""
+        src = self.src[0][y : y + size, x : x + size]
+        vals = np.unique(src)
+        if not (2 <= len(vals) <= 8):
+            return None
+        pal = [int(v) for v in vals]
+        lut = {v: i for i, v in enumerate(pal)}
+        idx_map = [[lut[int(src[rr, cc])] for cc in range(size)]
+                   for rr in range(size)]
+        n = len(pal)
+        # rate estimate: flag+size symbols (~coarse 128*6), colors
+        # (bd + deltas bits), index map (exact CDF cost)
+        rate = 128 * 6 + 128 * self.bitdepth + 128 * (
+            self.bitdepth - 3) * (n - 1)
+        rate += self._palette_tokens_y(idx_map, size, size, n, emit=False)
+        return pal, idx_map, rate
+
     def _encode_block(self, r: int, c: int, size: int) -> None:
         if self.lossless:
             self._encode_block_lossless(r, c, size)
@@ -770,12 +960,40 @@ class TileEncoder:
         else:
             self._lam_scale = 1.0
 
+        # --- palette duel (screen-content frames): an exact-palette
+        # candidate (2..8 distinct luma values) against the normal
+        # depth-0 path by D + lambda*R — palette distortion is ZERO and
+        # its rate is the real CDF cost of the index map ---
+        use_palette = None
+        if (self.screen_tools and 8 <= size <= 64 and rep is None
+                and y_levels_planned is None and can_code_coeffs):
+            cand = self._try_palette_y(x, y, size)
+            if cand is not None:
+                pal_c, idx_map_c, rate_pal = cand
+                tN = self._try_luma_depth(x, y, size, 0, y_mode, ntr, nbl)
+                lam_pix = float(
+                    ((self.dq_ac * self.dq_ac) >> 6) * RDOQ_KNUM
+                ) / (RDOQ_KDEN * 128.0) * self._lam_scale
+                if lam_pix * float(rate_pal) < float(tN[1]) + lam_pix * float(
+                        tN[2]):
+                    use_palette = (pal_c, idx_map_c)
+                    y_mode = DC_PRED
+                    y_nominee = None
+
         # --- luma tx-depth RD: tx == block vs 4-way split (TX_MODE_SELECT).
         # Each candidate runs the real per-txb encode (prediction from the
         # in-progress recon, RDOQ, recon) and is judged by pixel SSE +
         # λ·(CDF rate estimate). depth 1 is tried when the block is coded
         # and the speed preset allows it.
-        if y_levels_planned is not None:
+        if use_palette is not None:
+            pal_c, idx_map_c = use_palette
+            pal_arr = np.asarray(pal_c, dtype=np.int32)
+            y_pred = pal_arr[np.asarray(idx_map_c, dtype=np.int32)]
+            y_levels = np.zeros((tx, tx), dtype=np.int64)
+            y_depth = 0
+            y_jobs = [(y_levels, y_pred, "dct_dct", x, y)]
+            y_recon = np.clip(y_pred, lo, hi)
+        elif y_levels_planned is not None:
             # device plan supplies 32x32 levels at depth 0
             y_pred = plane_pred(0, y_mode)
             y_levels = y_levels_planned.astype(np.int64)
@@ -905,6 +1123,35 @@ class TileEncoder:
             elif uv_mode in MODE_TO_ANGLE and size >= 8:
                 self._sym(self.cdf.angle_delta[uv_mode - 1], 3)  # delta 0
 
+        # palette_mode_info (spec 5.11.46): coded on screen-content
+        # frames for every eligible DC block, then the index map
+        # (palette_tokens precedes read_block_tx_size)
+        pal_ctx_val = None
+        if self.screen_tools and 8 <= size <= 64:
+            bctx = 2 * (size.bit_length() - 4)
+            if y_mode == DC_PRED:
+                pctx = (
+                    (1 if (r > 0 and self.above_pal[c] is not None) else 0)
+                    + (1 if (c > 0 and self.left_pal[lr] is not None)
+                       else 0)
+                )
+                self._sym(self.cdf.palette_y_mode[bctx][pctx],
+                          1 if use_palette else 0)
+                if use_palette:
+                    pal_c = use_palette[0]
+                    self._sym(self.cdf.palette_y_size[bctx],
+                              len(pal_c) - 2)
+                    self._code_palette_colors_y(
+                        pal_c, self._palette_cache(r, c))
+                    pal_ctx_val = pal_c
+            if len(self.planes) > 1 and uv_mode == DC_PRED:
+                self._sym(
+                    self.cdf.palette_uv_mode[1 if use_palette else 0], 0)
+            if use_palette:
+                self._palette_tokens_y(
+                    use_palette[1], size, size, len(use_palette[0]),
+                    emit=True)
+
         # read_block_tx_size: intra blocks code tx_depth after mode info
         # (allowSelect is true even for skip intra blocks)
         if size > 4:
@@ -932,6 +1179,11 @@ class TileEncoder:
         self.left_mode[lr : lr + n_mi] = y_mode
         self.above_txw[c : c + n_mi] = y_tx
         self.left_txh[lr : lr + n_mi] = y_tx
+        if self.screen_tools:
+            for i in range(n_mi):
+                self.above_pal[c + i] = pal_ctx_val
+                if lr + i < 16:
+                    self.left_pal[lr + i] = pal_ctx_val
 
     # -- rectangular blocks (round-4 groundwork; test-gated slice) ---------------
     # The first conformant rect path: PARTITION_HORZ at 32 -> two 32x16
@@ -1429,6 +1681,19 @@ class TileEncoder:
                 self._emit_cfl_alphas(*cfl_alphas)
             elif uv_mode in MODE_TO_ANGLE and min(bw, bh) >= 8:
                 self._sym(self.cdf.angle_delta[uv_mode - 1], 3)
+        # palette_mode_info on screen-content frames: rect blocks are
+        # eligible sizes, we always decline (flags = 0)
+        if self.screen_tools:
+            bctx = (bw.bit_length() - 3) + (bh.bit_length() - 3) - 2
+            if y_mode == DC_PRED:
+                pctx = (
+                    (1 if (r > 0 and self.above_pal[c] is not None) else 0)
+                    + (1 if (c > 0 and self.left_pal[lr] is not None)
+                       else 0)
+                )
+                self._sym(self.cdf.palette_y_mode[bctx][pctx], 0)
+            if len(self.planes) > 1 and uv_mode == DC_PRED:
+                self._sym(self.cdf.palette_uv_mode[0], 0)
         # tx_depth 0 of the rect max tx: cat = sqr_up category, ctx from
         # the rect dims
         cat = {8: 0, 16: 1, 32: 2, 64: 3}[max(bw, bh)]
@@ -1463,6 +1728,12 @@ class TileEncoder:
         self.left_mode[lr : lr + nh] = y_mode
         self.above_txw[c : c + nw] = bw
         self.left_txh[lr : lr + nh] = bh
+        if self.screen_tools:
+            for i in range(nw):
+                self.above_pal[c + i] = None
+            for i in range(nh):
+                if lr + i < 16:
+                    self.left_pal[lr + i] = None
 
     def _encode_coeffs_rect(self, plane, tw, th, px, py, levels2d):
         """Coefficient emission for one rect txb (DCT only; mirrors the
@@ -2962,7 +3233,8 @@ def _store_dec(plan, dec):
 
 def _encode_one_tile(args):
     (tile_planes, qindex, bitdepth, speed, use_tpu_planner,
-     u_ac_delta_q, tile_idx) = args
+     u_ac_delta_q, tile_idx, *rest) = args
+    screen_tools = bool(rest[0]) if rest else False
     plan = None
     # device planning pays off on real frames; for tiny tiles the host
     # search is cheaper than the dispatch + (first-run) compile
@@ -2993,9 +3265,11 @@ def _encode_one_tile(args):
 
     dec, record = _get_dec(plan, tile_planes, qindex, speed)
 
-    if os.environ.get("OAVIF_PY_TILE") != "1":
+    if os.environ.get("OAVIF_PY_TILE") != "1" and not screen_tools:
         # Production path: the whole per-tile serial loop in C
         # (entropy/oav1tile.c), releasing the GIL for tile-thread scaling.
+        # Screen-content frames route through the Python coder until the
+        # C runtime mirrors the palette syntax.
         from .entropy.fast import tile_encode_native
 
         res = tile_encode_native(tile_planes, qindex, bitdepth, speed, plan,
@@ -3006,7 +3280,8 @@ def _encode_one_tile(args):
             return res
 
     te = TileEncoder(tile_planes, qindex, bitdepth, speed, plan=plan,
-                     u_ac_delta_q=u_ac_delta_q, dec=dec)
+                     u_ac_delta_q=u_ac_delta_q, dec=dec,
+                     screen_tools=screen_tools)
     payload = te.encode()
     if record and dec is not None:
         _store_dec(plan, dec)
@@ -3023,6 +3298,7 @@ def encode_frame_planes(
     max_threads: int = 1,
     use_tpu_planner: Optional[bool] = None,
     u_ac_delta_q: int = 0,
+    screen_tools: bool = False,
 ):
     """Encode YUV444 planes → (list of tile payloads, recon planes).
 
@@ -3055,7 +3331,8 @@ def encode_frame_planes(
                 np.ascontiguousarray(p[y0:y1, x0:x1]) for p in planes
             ]
             jobs.append((tile_planes, qindex, bitdepth, speed,
-                         use_tpu_planner, u_ac_delta_q, len(jobs)))
+                         use_tpu_planner, u_ac_delta_q, len(jobs),
+                         screen_tools))
             bounds.append((y0, y1, x0, x1))
 
     if max_threads > 1 and len(jobs) > 1:

@@ -162,6 +162,10 @@ class FrameConfig:
     cdef_damping: int = 3  # 3..6
     # one strength set per 1<<cdef_bits; cdef_bits = 0 -> no per-SB signaling
     cdef_strengths: tuple = ((0, 0, 0, 0),)  # (y_pri, y_sec, uv_pri, uv_sec)
+    # palette (+intrabc syntax, which we always decline): enables the
+    # per-block has_palette_y/uv flags — set only when the encoder
+    # detected screen content so photo streams are byte-unchanged
+    screen_content_tools: bool = False
 
 
 def write_frame_header_bits(cfg: FrameConfig, num_planes: int = 3) -> BitWriter:
@@ -172,10 +176,18 @@ def write_frame_header_bits(cfg: FrameConfig, num_planes: int = 3) -> BitWriter:
     """
     w = BitWriter()
     w.f(0, 1)  # disable_cdf_update
-    w.f(0, 1)  # allow_screen_content_tools (seq forced SELECT → coded)
+    # seq forced SELECT -> the frame codes allow_screen_content_tools
+    w.f(1 if cfg.screen_content_tools else 0, 1)
+    if cfg.screen_content_tools:
+        # seq_force_integer_mv is implicitly SELECT under the reduced
+        # header, and the read is NOT intra-gated (spec 5.9.2) — the
+        # value is then overridden to 1 for intra frames
+        w.f(1, 1)  # force_integer_mv
     # frame_size: from sequence header (no override under reduced header)
     # superres disabled in seq → nothing
     w.f(0, 1)  # render_and_frame_size_different
+    if cfg.screen_content_tools:
+        w.f(0, 1)  # allow_intrabc (superres off -> coded; we decline)
     # tile_info()
     sb_cols = (cfg.width + 63) >> 6
     sb_rows = (cfg.height + 63) >> 6

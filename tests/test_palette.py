@@ -1,0 +1,108 @@
+"""Palette mode (screen-content tool, spec 5.11.46-51): dav1d-exact
+streams and the coding gains it exists for."""
+import os
+
+import numpy as np
+import pytest
+
+
+def _roundtrip(rgb, qindex=60, screen_tools=True, force=False):
+    from oavif_tpu.av1.frame import TileEncoder
+    from oavif_tpu.av1.mux import mux_avif
+    from oavif_tpu.av1.obu import (
+        FrameConfig, SequenceConfig, assemble_av1_stream,
+    )
+    from oavif_tpu.av1.yuv import rgb_to_yuv444
+    from oavif_tpu.io.avif_ctypes import decode_to_yuv
+
+    h, w = rgb.shape[:2]
+    planes = [p.astype(np.int32) for p in rgb_to_yuv444(rgb, 8)]
+    used = [0]
+    te = TileEncoder([p.copy() for p in planes], qindex, 8, 9,
+                     screen_tools=screen_tools)
+    orig = te._try_palette_y
+    def spy(x, y, size):
+        r = orig(x, y, size)
+        if r is None:
+            return None
+        used[0] += 1
+        return (r[0], r[1], 0) if force else r
+    te._try_palette_y = spy
+    payload = te.encode()
+    seq = SequenceConfig(width=w, height=h, bit_depth=8)
+    frame = FrameConfig(width=w, height=h, base_q_idx=qindex,
+                        screen_content_tools=screen_tools)
+    avif = mux_avif(assemble_av1_stream(seq, frame, [payload]), w, h,
+                    bit_depth=8, high_bitdepth=False, cicp=(2, 2, 2))
+    yuv, _, _ = decode_to_yuv(avif)
+    for pi, (ours, dec) in enumerate(zip(te.recon, yuv)):
+        np.testing.assert_array_equal(ours[:h, :w], dec, err_msg=str(pi))
+    return used[0], len(payload), te
+
+
+def test_palette_sizes_2_to_8_exact():
+    """Every palette size decodes bit-exactly: color delta coding with
+    the av1_ceil_log2 shrink, the truncated-binary first index, and the
+    per-size color-index CDF banks."""
+    xx = np.arange(16)[None, :] + np.arange(16)[:, None]
+    for n in range(2, 9):
+        vals = np.linspace(20, 220, n).astype(int)
+        g = vals[xx % n].astype(float)
+        rgb = np.stack([g, g, g], -1).astype(np.uint8)
+        used, _, _ = _roundtrip(rgb, force=True)
+        assert used >= 1, n
+
+
+def test_palette_cache_reuse_exact():
+    """Neighbor palette caches: full reuse, partial reuse (the
+    explicit-color path with and without the extra-precision field),
+    above+left merges, coexistence with rect partitions."""
+    rng = np.random.default_rng(3)
+    vals = np.array([20, 80, 150, 220])
+    gm = vals[rng.integers(0, 4, (8, 8))].repeat(8, 0).repeat(8, 1)
+    rgb = np.stack([gm, 255 - gm, gm // 2 + 40], -1).astype(np.uint8)
+    used, _, _ = _roundtrip(rgb, force=True)
+    assert used >= 4
+
+
+def test_palette_rd_wins_on_screen_content():
+    """The RD duel picks palette on flat-color content and it pays:
+    measured -57..-65% bytes at HIGHER SSIMULACRA2 on the edges class."""
+    yy, xx = np.mgrid[0:128, 0:128]
+    ge = np.where((xx // 37 + yy // 23) % 2 == 0, 205.0, 70.0)
+    ge += np.where((xx + 2 * yy) % 97 < 8, 40.0, 0.0)
+    rgb = np.clip(
+        np.stack([ge, 0.85 * ge + 20, 255 - 0.7 * ge], -1), 0, 255,
+    ).astype(np.uint8)
+    used_p, bytes_p, _ = _roundtrip(rgb, screen_tools=True)
+    assert used_p > 0
+    used_0, bytes_0, _ = _roundtrip(rgb, screen_tools=False)
+    assert used_0 == 0
+    assert bytes_p < bytes_0 * 0.75, (bytes_p, bytes_0)
+
+
+def test_screen_frames_decline_flags_exact():
+    """Screen-content frames code has_palette flags on every eligible
+    DC block (including rect blocks); an all-decline stream is
+    bit-exact too."""
+    rng = np.random.default_rng(7)
+    g = np.clip(
+        128 + 60 * np.sin(np.arange(64)[None, :] / 7)
+        + rng.normal(0, 6, (64, 64)), 0, 255,
+    )
+    rgb = np.stack([g, g * 0.9 + 10, 255 - g * 0.7], -1).astype(np.uint8)
+    used, _, _ = _roundtrip(rgb, screen_tools=True)
+    # noisy content has no palette candidates; flags still code
+    assert used == 0
+
+
+def test_screen_content_detector():
+    from oavif_tpu.av1.encode import _detect_screen_content
+
+    yy, xx = np.mgrid[0:128, 0:128]
+    flat = np.where((xx // 16) % 2 == 0, 40, 200).astype(np.uint8)
+    assert _detect_screen_content(flat, 60)
+    rng = np.random.default_rng(1)
+    noisy = np.clip(128 + rng.normal(0, 20, (128, 128)), 0, 255).astype(
+        np.uint8)
+    assert not _detect_screen_content(noisy, 60)

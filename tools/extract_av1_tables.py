@@ -325,6 +325,79 @@ def main():
     assert txsz[3, 2, 0] == 15965 and txsz[2, 0, 1] == 17588
     out["tx_size"] = txsz[..., :3]  # drop the rodata pad column
 
+    # ---- palette CDFs (spec 5.11.46-50 defaults) ----
+    # anchored by the default_palette_y_size_cdf row-0 values; the
+    # y/uv size tables are contiguous [7][8], the y_mode [7][3] run of
+    # 2-symbol units sits after the uv_mode [2] pair (anchor: the
+    # {31676, 3419, 1261} bsize-ctx row), and the color-index tables
+    # are the only two [7][5][CDF_SIZE(8)]-padded arrays whose unit
+    # pattern is five units each of 2..8 symbols.
+    ysz_off = find_u16_seq(d, icdf([7952, 13000, 18149]))
+    out["palette_y_size"] = take_table(d, ysz_off, (7,), 7, stride=8)[0]
+    out["palette_uv_size"] = take_table(d, ysz_off + 56, (7,), 7, stride=8)[0]
+    ym_off = find_u16_seq(d, icdf([31676]) + [0, 0] + icdf([3419]))
+
+    def take_2sym_run(start, count):
+        # 2-symbol units with tolerated alignment zeros between units
+        vals, i = [], start
+        while len(vals) < count:
+            while d[i] == 0:
+                i += 1
+            v = int(d[i])
+            assert 0 < v < 32768 and d[i + 1] == 0 and d[i + 2] == 0, (i, v)
+            vals.append([v, 0])
+            i += 3
+        return np.asarray(vals, np.uint16)
+
+    out["palette_y_mode"] = take_2sym_run(ym_off, 21).reshape(7, 3, 2)
+    # palette_uv_mode: spec defaults AOM_CDF2(32461), AOM_CDF2(21488).
+    # Row 0's icdf (307) appears as a standalone unit in rodata (u16
+    # 46884); row 1 is not stored contiguously in this libaom build, so
+    # the pair is pinned from the spec constants and validated by the
+    # dav1d round-trip (a wrong value desyncs the arithmetic state —
+    # tests/test_palette.py would fail on the first chroma-DC block).
+    assert find_u16_seq(d, [32768 - 32461, 0, 0]) > 0
+    out["palette_uv_mode"] = np.array(
+        [[32768 - 32461, 0], [32768 - 21488, 0]], np.uint16)
+
+    def find_color_index():
+        want = []
+        for s in range(2, 9):
+            want += [s] * 5
+        hits = []
+        for off in range(0, len(d) - 35 * 9):
+            if not (0 < d[off] < 32768 and d[off + 1] == 0):
+                continue
+            ok = True
+            for u in range(35):
+                o2 = off + u * 9
+                vals = d[o2 : o2 + 9].astype(int)
+                k = 0
+                while k < 8 and 0 < vals[k] < 32768 and (
+                    k == 0 or vals[k] < vals[k - 1]
+                ):
+                    k += 1
+                if k + 1 != want[u] or np.any(vals[k:] != 0):
+                    ok = False
+                    break
+            if ok:
+                hits.append(off)
+        assert len(hits) == 2, hits
+        return hits
+
+    # struct order puts the UV table FIRST in this build's rodata —
+    # pinned empirically: with the first hit as Y, dav1d desyncs on any
+    # mixed index map; swapped, every probe decodes bit-exactly (the Y
+    # size-2 ctx-0 prob is 28710)
+    ci_uv, ci_y = find_color_index()
+    assert 32768 - d[ci_y] == 28710
+    # per-size ragged tables stored as separate keys (each [5][nsym])
+    for tag, base_off in (("y", ci_y), ("uv", ci_uv)):
+        for si, nsym in enumerate(range(2, 9)):
+            out[f"palette_{tag}_color_index_{nsym}"] = take_table(
+                d, base_off + si * 45, (5,), nsym, stride=9
+            )[0]
+
     OUT.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(OUT, **out)
     total = sum(v.size for v in out.values())

@@ -152,7 +152,11 @@ def device_levels_enabled(n_blocks: int = 1024) -> bool:
     work it replaces is ~45 ms/frame; margin for the consume overhead).
     OAVIF_DEVICE_LEVELS=1/0 overrides."""
     global _CALIB
-    env = os.environ.get("OAVIF_DEVICE_LEVELS", "auto")
+    # default OFF: the byte-identical C<->Python invariant holds only
+    # when both coders make the same level choices, and the C runtime
+    # does not consume device levels yet. "1" forces on, "auto" runs
+    # the link calibration (the production-TPU default).
+    env = os.environ.get("OAVIF_DEVICE_LEVELS", "0")
     if env == "1":
         return True
     if env == "0":

@@ -77,6 +77,7 @@ def _build() -> Optional[C.CDLL]:
             _p32, C.c_int, C.c_int,  # plan, plan_nbx, plan_nby
             _p32, _p32,        # blocks_out, n_blocks_out
             _p32, _p32, C.c_int,  # dec_buf, dec_len_io, dec_mode
+            C.c_int,           # screen_tools (palette syntax)
             C.POINTER(C.POINTER(C.c_uint8)),  # out_payload
         ]
         lib.tile_payload_free.argtypes = [C.POINTER(C.c_uint8)]
@@ -243,11 +244,14 @@ _CDF_ORDER = (
     "eob_extra", "coeff_base_eob", "coeff_base", "coeff_br", "dc_sign",
     "cfl_sign", "cfl_alpha", "intra_ext_tx1", "intra_ext_tx2", "tx_size",
     "eob128", "eob512",
+    "pal_y_mode", "pal_uv_mode", "pal_y_size",
+    "pal_y_ci2", "pal_y_ci3", "pal_y_ci4", "pal_y_ci5", "pal_y_ci6",
+    "pal_y_ci7", "pal_y_ci8",
 )
 
 
 def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None,
-                       u_ac_delta_q=0, dec=None):
+                       u_ac_delta_q=0, dec=None, screen_tools=False):
     """Encode one tile entirely in C. Returns (payload bytes, [recon
     planes (h, w) int32]) or None when the native library is unavailable.
 
@@ -276,6 +280,10 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None,
         "eob16": bank.eob_pt[16], "eob64": bank.eob_pt[64],
         "eob256": bank.eob_pt[256], "eob1024": bank.eob_pt[1024],
         "eob128": bank.eob_pt[128], "eob512": bank.eob_pt[512],
+        "pal_y_mode": bank.palette_y_mode,
+        "pal_uv_mode": bank.palette_uv_mode,
+        "pal_y_size": bank.palette_y_size,
+        **{f"pal_y_ci{n}": bank.palette_y_ci[n] for n in range(2, 9)},
         "eob_extra": bank.eob_extra, "coeff_base_eob": bank.coeff_base_eob,
         "coeff_base": bank.coeff_base, "coeff_br": bank.coeff_br,
         "dc_sign": bank.dc_sign,
@@ -373,6 +381,7 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None,
         dec_ptr,
         _i32p(dec_len) if dec_len is not None else C.POINTER(C.c_int32)(),
         dec_mode,
+        1 if screen_tools else 0,
         C.byref(out),
     )
     if dec is not None and dec_mode == 1 and dec_len is not None:

@@ -59,7 +59,10 @@ enum {
     CDF_TXB_SKIP, CDF_EOB_PT16, CDF_EOB_PT64, CDF_EOB_PT256, CDF_EOB_PT1024,
     CDF_EOB_EXTRA, CDF_COEFF_BASE_EOB, CDF_COEFF_BASE, CDF_COEFF_BR,
     CDF_DC_SIGN, CDF_CFL_SIGN, CDF_CFL_ALPHA, CDF_INTRA_EXT_TX1,
-    CDF_INTRA_EXT_TX2, CDF_TX_SIZE, CDF_EOB_PT128, CDF_EOB_PT512, CDF_N
+    CDF_INTRA_EXT_TX2, CDF_TX_SIZE, CDF_EOB_PT128, CDF_EOB_PT512,
+    CDF_PAL_Y_MODE, CDF_PAL_UV_MODE, CDF_PAL_Y_SIZE,
+    CDF_PAL_Y_CI2, CDF_PAL_Y_CI3, CDF_PAL_Y_CI4, CDF_PAL_Y_CI5,
+    CDF_PAL_Y_CI6, CDF_PAL_Y_CI7, CDF_PAL_Y_CI8, CDF_N
 };
 
 enum { UV_CFL_PRED = 13 };
@@ -105,6 +108,13 @@ typedef struct {
     int enable_rect; /* HORZ/VERT 32-node arms (OAVIF_RECT, mirrors
                         frame.py TileEncoder._enable_rect) */
     int enable_idtx; /* identity-transform duel arm (OAVIF_IDTX) */
+    int screen_tools; /* frame allow_screen_content_tools: palette
+                         syntax coded per eligible DC block */
+    /* palette context lines: per-mi neighbor palette (count 0 = none) */
+    uint8_t *above_pal_n;
+    uint16_t *above_pal_c; /* mi_cols * 8 */
+    uint8_t left_pal_n[16];
+    uint16_t left_pal_c[16][8];
     const int32_t *dr_deriv; /* dr_intra_derivative[90] */
     /* device plan (encode_tpu.FramePlanner): sections of one packed
      * int32 buffer; NULL = host searches everything */
@@ -1444,6 +1454,240 @@ static void encode_coeffs_txb(Tile *t, int plane, int tx, int px, int py,
     set_lvl_ctx(t, plane, px, py, tx, out_ctx[0], out_ctx[1]);
 }
 
+/* ---- palette (mirrors frame.py, spec 5.11.46-51) ---- */
+
+void enc_literal(Enc *e, uint32_t v, int n);
+
+static void write_literal_c(Tile *t, uint32_t v, int n) {
+    for (int i = n - 1; i >= 0; i--)
+        enc_bool(t->enc, (v >> i) & 1, 16384);
+}
+
+static int ceil_log2_c(int n) {
+    if (n < 2) return 0;
+    int i = 1, p = 2;
+    while (p < n) { i++; p <<= 1; }
+    return i;
+}
+
+static int palette_bsize_ctx(int bw, int bh) {
+    return (log2i(bw) - 2) + (log2i(bh) - 2) - 2;
+}
+
+/* merged sorted neighbor cache (above only inside the same SB row) */
+static int palette_cache_c(const Tile *t, int r, int c, uint16_t *cache) {
+    const uint16_t *a = NULL, *l = NULL;
+    int an = 0, ln = 0;
+    if ((r & 15) > 0 && t->above_pal_n[c]) {
+        a = t->above_pal_c + (size_t)c * 8;
+        an = t->above_pal_n[c];
+    }
+    if (c > 0 && t->left_pal_n[r & 15]) {
+        l = t->left_pal_c[r & 15];
+        ln = t->left_pal_n[r & 15];
+    }
+    int n = 0, i = 0, j = 0;
+    while (i < an && j < ln) {
+        uint16_t v;
+        if (a[i] < l[j]) v = a[i++];
+        else if (l[j] < a[i]) v = l[j++];
+        else { v = a[i++]; j++; }
+        if (n == 0 || cache[n - 1] != v) cache[n++] = v;
+    }
+    while (i < an) {
+        uint16_t v = a[i++];
+        if (n == 0 || cache[n - 1] != v) cache[n++] = v;
+    }
+    while (j < ln) {
+        uint16_t v = l[j++];
+        if (n == 0 || cache[n - 1] != v) cache[n++] = v;
+    }
+    return n > 16 ? 16 : n;
+}
+
+static void code_palette_colors_y_c(Tile *t, const uint16_t *pal, int npal,
+                                    const uint16_t *cache, int ncache) {
+    int bd = t->bitdepth;
+    uint16_t reused[8];
+    int n_read = 0;
+    for (int i = 0; i < ncache; i++) {
+        if (n_read >= npal) break;
+        int use = 0;
+        for (int k = 0; k < npal && !use; k++)
+            if (pal[k] == cache[i]) {
+                use = 1;
+                for (int m2 = 0; m2 < n_read; m2++)
+                    if (reused[m2] == cache[i]) use = 0;
+            }
+        enc_bool(t->enc, use, 16384);
+        if (use) reused[n_read++] = cache[i];
+    }
+    uint16_t ext[8];
+    int next = 0;
+    for (int k = 0; k < npal; k++) {
+        int re = 0;
+        for (int m2 = 0; m2 < n_read; m2++)
+            if (reused[m2] == pal[k]) re = 1;
+        if (!re) ext[next++] = pal[k];
+    }
+    if (next) {
+        write_literal_c(t, ext[0], bd);
+        if (next > 1) {
+            int min_bits = bd - 3;
+            int extra = 3;
+            for (extra = 0; extra < 4; extra++) {
+                int bits = min_bits + extra;
+                int ok = 1;
+                for (int i = 1; i < next; i++) {
+                    int d = ext[i] - ext[i - 1] - 1;
+                    if (bits <= 0 || d >= (1 << bits)) { ok = 0; break; }
+                    int bl = ceil_log2_c((1 << bd) - ext[i]);
+                    if (bl < bits) bits = bl;
+                }
+                if (ok) break;
+            }
+            write_literal_c(t, extra, 2);
+            int bits = min_bits + extra;
+            for (int i = 1; i < next; i++) {
+                write_literal_c(t, ext[i] - ext[i - 1] - 1, bits);
+                int bl = ceil_log2_c((1 << bd) - ext[i]);
+                if (bl < bits) bits = bl;
+            }
+        }
+    }
+}
+
+/* (color_order, ctx) for one index-map position */
+static int palette_color_ctx_c(const uint8_t *map, int stride, int rr,
+                               int cc, int n, uint8_t *order) {
+    int scores[8] = {0};
+    if (cc > 0) scores[map[rr * stride + cc - 1]] += 2;
+    if (rr > 0 && cc > 0) scores[map[(rr - 1) * stride + cc - 1]] += 1;
+    if (rr > 0) scores[map[(rr - 1) * stride + cc]] += 2;
+    for (int i = 0; i < n; i++) order[i] = (uint8_t)i;
+    int lim = n < 3 ? n : 3;
+    for (int i = 0; i < lim; i++) {
+        int mx = scores[i], mi2 = i;
+        for (int j = i + 1; j < n; j++)
+            if (scores[j] > mx) { mx = scores[j]; mi2 = j; }
+        if (mi2 != i) {
+            uint8_t mo = order[mi2];
+            for (int k = mi2; k > i; k--) {
+                scores[k] = scores[k - 1];
+                order[k] = order[k - 1];
+            }
+            scores[i] = mx;
+            order[i] = mo;
+        }
+    }
+    int hash = scores[0] + (n > 1 ? scores[1] : 0) * 2 +
+               (n > 2 ? scores[2] : 0) * 2;
+    static const int lookup[9] = {-1, -1, 0, -1, -1, 4, 3, 2, 1};
+    int ctx = (hash >= 0 && hash <= 8) ? lookup[hash] : 0;
+    return ctx < 0 ? 0 : ctx;
+}
+
+/* wavefront index-map coding; emit=0 returns the CDF bit cost (live
+ * rows, mirrors frame.py _palette_tokens_y) */
+static int64_t palette_tokens_y_c(Tile *t, const uint8_t *map, int hh,
+                                  int ww, int n, int emit) {
+    int64_t cost = 0;
+    int nbits = ceil_log2_c(n);
+    uint16_t *ci = t->cdf[CDF_PAL_Y_CI2 + (n - 2)];
+    int stride_cdf = n + 1; /* nsym values incl trailing 0, + counter */
+    if (emit) {
+        /* av1_write_uniform: truncated binary over n values */
+        int m2 = (1 << nbits) - n;
+        int v = map[0];
+        if (nbits > 0) {
+            if (v < m2) write_literal_c(t, v, nbits - 1);
+            else {
+                write_literal_c(t, m2 + ((v - m2) >> 1), nbits - 1);
+                write_literal_c(t, (v - m2) & 1, 1);
+            }
+        }
+    } else {
+        cost += 128 * nbits;
+    }
+    uint8_t order[8];
+    for (int k = 1; k < hh + ww - 1; k++) {
+        int j0 = k < ww - 1 ? k : ww - 1;
+        int j1 = k - hh + 1 > 0 ? k - hh + 1 : 0;
+        for (int j = j0; j >= j1; j--) {
+            int rr = k - j;
+            int ctx = palette_color_ctx_c(map, ww, rr, j, n, order);
+            int sym = 0;
+            while (order[sym] != map[rr * ww + j]) sym++;
+            uint16_t *row = ci + (size_t)ctx * stride_cdf;
+            if (emit) {
+                enc_symbol_adapt(t->enc, row, n, sym);
+            } else {
+                int prev = sym == 0 ? 32768 : row[sym - 1];
+                int p = prev - row[sym];
+                if (p < 1) p = 1;
+                cost += PROB_COST[((p - 1) >> 7) < 255 ? ((p - 1) >> 7)
+                                                       : 255];
+            }
+        }
+    }
+    return cost;
+}
+
+/* exact-palette candidate: 2..8 distinct source values. Returns npal
+ * (0 = none), fills pal + map, and rate_out (mirrors _try_palette_y) */
+static int try_palette_y_c(Tile *t, int x, int y, int size, uint16_t *pal,
+                           uint8_t *map, int64_t *rate_out) {
+    uint16_t vals[9];
+    int n = 0;
+    for (int rr = 0; rr < size && n <= 8; rr++)
+        for (int cc = 0; cc < size; cc++) {
+            uint16_t v =
+                (uint16_t)t->src[0][(size_t)(y + rr) * t->pw + x + cc];
+            int found = 0;
+            for (int k = 0; k < n; k++)
+                if (vals[k] == v) { found = 1; break; }
+            if (!found) {
+                if (n >= 8) { n = 9; break; }
+                /* insertion sort ascending */
+                int k = n++;
+                while (k > 0 && vals[k - 1] > v) {
+                    vals[k] = vals[k - 1];
+                    k--;
+                }
+                vals[k] = v;
+            }
+        }
+    if (n < 2 || n > 8) return 0;
+    for (int k = 0; k < n; k++) pal[k] = vals[k];
+    for (int rr = 0; rr < size; rr++)
+        for (int cc = 0; cc < size; cc++) {
+            uint16_t v =
+                (uint16_t)t->src[0][(size_t)(y + rr) * t->pw + x + cc];
+            int k = 0;
+            while (pal[k] != v) k++;
+            map[rr * size + cc] = (uint8_t)k;
+        }
+    int64_t rate = 128 * 6 + 128 * t->bitdepth +
+                   (int64_t)128 * (t->bitdepth - 3) * (n - 1);
+    rate += palette_tokens_y_c(t, map, size, size, n, 0);
+    *rate_out = rate;
+    return n;
+}
+
+static void set_pal_ctx(Tile *t, int r, int c, int nw_mi, int nh_mi,
+                        const uint16_t *pal, int npal) {
+    for (int i = 0; i < nw_mi; i++) {
+        t->above_pal_n[c + i] = (uint8_t)npal;
+        for (int k = 0; k < npal; k++)
+            t->above_pal_c[(size_t)(c + i) * 8 + k] = pal[k];
+    }
+    for (int i = 0; i < nh_mi && (r & 15) + i < 16; i++) {
+        t->left_pal_n[(r & 15) + i] = (uint8_t)npal;
+        for (int k = 0; k < npal; k++)
+            t->left_pal_c[(r & 15) + i][k] = pal[k];
+    }
+}
+
 /* ---- block encode (mirrors frame.py _encode_block) ---- */
 
 static int choose_y_mode(const Tile *t, int r, int c, int size,
@@ -2610,6 +2854,20 @@ static void encode_block_rect_c(Tile *t, int r, int c, int bw, int bh) {
                              7, 3);
         }
     }
+    /* palette_mode_info on screen-content frames: rect blocks are
+     * eligible sizes; we always decline (mirrors frame.py) */
+    if (t->screen_tools) {
+        int bctx = palette_bsize_ctx(bw, bh);
+        if (y_mode == DC_PRED) {
+            int pctx = ((r > 0 && t->above_pal_n[c]) ? 1 : 0) +
+                       ((c > 0 && t->left_pal_n[lr]) ? 1 : 0);
+            enc_symbol_adapt(
+                t->enc, t->cdf[CDF_PAL_Y_MODE] + ((size_t)bctx * 3 + pctx) * 3,
+                2, 0);
+        }
+        if (nplanes > 1 && uv_mode == DC_PRED)
+            enc_symbol_adapt(t->enc, t->cdf[CDF_PAL_UV_MODE], 2, 0);
+    }
     /* tx_depth 0 of the rect max tx (cat = sqr_up category) */
     {
         int mx = bw > bh ? bw : bh;
@@ -2669,6 +2927,7 @@ static void encode_block_rect_c(Tile *t, int r, int c, int bw, int bh) {
         t->left_mode[lr + i] = (uint8_t)y_mode;
         t->left_txh[lr + i] = bh;
     }
+    if (t->screen_tools) set_pal_ctx(t, r, c, nw, nh, NULL, 0);
 }
 
 /* device-plan lookups (mirror frame.py _planned_*) */
@@ -2801,6 +3060,36 @@ static void encode_block(Tile *t, int r, int c, int size) {
     int32_t *preds = (int32_t *)malloc((size_t)nplanes * npx * 4);
     int32_t *levels = (int32_t *)malloc((size_t)nplanes * npx * 4);
 
+    /* --- palette duel (screen-content frames; mirrors frame.py): an
+     * exact-palette candidate against the normal depth-0 path --- */
+    int use_palette = 0, npal = 0;
+    static _Thread_local uint16_t pal_colors[8];
+    static _Thread_local uint8_t pal_map[64 * 64];
+    if (t->screen_tools && size >= 8 && size <= 64 && !rep_on && can_code) {
+        int64_t rate_pal;
+        int cand = try_palette_y_c(t, x, y, size, pal_colors, pal_map,
+                                   &rate_pal);
+        if (cand) {
+            static _Thread_local int32_t lvN[64 * 64], prN[64 * 64],
+                recN[64 * 64];
+            int ttN[4];
+            int64_t dN, rN;
+            try_luma_depth_c(t, x, y, size, 0, y_mode, ntr0, nbl0,
+                             can_code, NULL, lvN, prN, ttN, recN, &dN,
+                             &rN);
+            double lam_pix =
+                (double)(((int64_t)t->dq_ac * t->dq_ac >> 6) * RDOQ_KNUM) /
+                (RDOQ_KDEN * 128.0) * t->cur_lamscale;
+            if (lam_pix * (double)rate_pal <
+                (double)dN + lam_pix * (double)rN) {
+                use_palette = 1;
+                npal = cand;
+                y_mode = DC_PRED;
+                y_nominee = -1;
+            }
+        }
+    }
+
     /* --- luma tx-depth RD: tx == block vs 4-way split (mirrors
      * frame.py). Each candidate runs the real per-txb encode; judged by
      * pixel SSE + λ·(CDF rate estimate + tx_depth symbol cost). --- */
@@ -2808,7 +3097,15 @@ static void encode_block(Tile *t, int r, int c, int size) {
     int y_depth = 0;
     int y_txtypes[4] = {0, 0, 0, 0};
     static _Thread_local int32_t y_recon[64 * 64];
-    {
+    if (use_palette) {
+        /* palette prediction is exact; zero residual, depth 0 */
+        memset(levels, 0, (size_t)npx * 4);
+        for (int i = 0; i < npx; i++) {
+            int32_t v = pal_colors[pal_map[i]];
+            preds[i] = v;
+            y_recon[i] = v < 0 ? 0 : (v > hi ? hi : v);
+        }
+    } else {
         static _Thread_local int32_t lv_a[64 * 64], pr_a[64 * 64];
         static _Thread_local int32_t lv_b[64 * 64], pr_b[64 * 64];
         static _Thread_local int32_t rec_b[64 * 64];
@@ -3169,6 +3466,34 @@ static void encode_block(Tile *t, int r, int c, int size) {
         }
     }
 
+    /* palette_mode_info + index map (mirrors frame.py; spec
+     * palette_tokens precedes read_block_tx_size) */
+    if (t->screen_tools && size >= 8 && size <= 64) {
+        int bctx = palette_bsize_ctx(size, size);
+        if (y_mode == DC_PRED) {
+            int pctx = ((r > 0 && t->above_pal_n[c]) ? 1 : 0) +
+                       ((c > 0 && t->left_pal_n[lr]) ? 1 : 0);
+            enc_symbol_adapt(
+                t->enc, t->cdf[CDF_PAL_Y_MODE] + ((size_t)bctx * 3 + pctx) * 3,
+                2, use_palette);
+            if (use_palette) {
+                enc_symbol_adapt(t->enc,
+                                 t->cdf[CDF_PAL_Y_SIZE] + (size_t)bctx * 8,
+                                 7, npal - 2);
+                uint16_t cache[18];
+                int nc = palette_cache_c(t, r, c, cache);
+                code_palette_colors_y_c(t, pal_colors, npal, cache, nc);
+            }
+        }
+        if (nplanes > 1 && uv_mode == DC_PRED)
+            enc_symbol_adapt(
+                t->enc,
+                t->cdf[CDF_PAL_UV_MODE] + (size_t)(use_palette ? 1 : 0) * 3,
+                2, 0);
+        if (use_palette)
+            palette_tokens_y_c(t, pal_map, size, size, npal, 1);
+    }
+
     /* read_block_tx_size: intra blocks code tx_depth after mode info
      * (allowSelect is true even for skip intra blocks) */
     if (size > 4) {
@@ -3254,6 +3579,9 @@ static void encode_block(Tile *t, int r, int c, int size) {
         t->above_txw[c + i] = y_tx;
         t->left_txh[lr + i] = y_tx;
     }
+    if (t->screen_tools)
+        set_pal_ctx(t, r, c, n_mi, n_mi, pal_colors,
+                    use_palette ? npal : 0);
 }
 
 /* ---- partition RD decision (mirrors frame.py) ---- */
@@ -3504,6 +3832,7 @@ size_t tile_encode(
     const int32_t *plan, int plan_nbx, int plan_nby,
     int32_t *blocks_out, int32_t *n_blocks_out, /* optional geometry export */
     int32_t *dec_buf, int32_t *dec_len_io, int dec_mode, /* decision reuse */
+    int screen_tools,                 /* palette syntax (frame header) */
     uint8_t **out_payload)            /* malloc'd; caller frees */
 {
     Tile t;
@@ -3549,7 +3878,9 @@ size_t tile_encode(
     t.dec_buf = dec_buf;
     t.dec_pos = 0;
     t.dec_cap = dec_buf && dec_len_io ? *dec_len_io : 0;
-    t.dec_mode = dec_buf ? dec_mode : 0;
+    /* palette rows are not in the replay schema yet (mirrors frame.py) */
+    t.dec_mode = (dec_buf && !screen_tools) ? dec_mode : 0;
+    t.screen_tools = screen_tools;
 
     /* padded src (edge-replicated) + zeroed recon */
     for (int p = 0; p < nplanes; p++) {
@@ -3568,6 +3899,8 @@ size_t tile_encode(
     t.above_mode = (uint8_t *)malloc(t.mi_cols);
     memset(t.above_mode, DC_PRED, t.mi_cols);
     t.above_txw = (int32_t *)calloc(t.mi_cols, 4);
+    t.above_pal_n = (uint8_t *)calloc(t.mi_cols, 1);
+    t.above_pal_c = (uint16_t *)calloc((size_t)t.mi_cols * 8, 2);
     for (int p = 0; p < nplanes; p++) {
         t.above_lvl[p] = (int32_t *)calloc(t.mi_cols, 4);
         t.above_dc[p] = (int32_t *)calloc(t.mi_cols, 4);
@@ -3604,6 +3937,7 @@ size_t tile_encode(
         memset(t.left_skip, 0, 16);
         memset(t.left_mode, DC_PRED, 16);
         memset(t.left_txh, 0, sizeof(t.left_txh));
+        memset(t.left_pal_n, 0, sizeof(t.left_pal_n));
         for (int p = 0; p < nplanes; p++) {
             memset(t.left_lvl[p], 0, sizeof(t.left_lvl[p]));
             memset(t.left_dc[p], 0, sizeof(t.left_dc[p]));
@@ -3631,6 +3965,8 @@ size_t tile_encode(
     free(t.above_skip);
     free(t.above_mode);
     free(t.above_txw);
+    free(t.above_pal_n);
+    free(t.above_pal_c);
     if (n_blocks_out) *n_blocks_out = t.n_blocks;
     if (dec_len_io && dec_mode == 1) *dec_len_io = t.dec_pos;
     return n;

@@ -3265,15 +3265,14 @@ def _encode_one_tile(args):
 
     dec, record = _get_dec(plan, tile_planes, qindex, speed)
 
-    if os.environ.get("OAVIF_PY_TILE") != "1" and not screen_tools:
+    if os.environ.get("OAVIF_PY_TILE") != "1":
         # Production path: the whole per-tile serial loop in C
         # (entropy/oav1tile.c), releasing the GIL for tile-thread scaling.
-        # Screen-content frames route through the Python coder until the
-        # C runtime mirrors the palette syntax.
         from .entropy.fast import tile_encode_native
 
         res = tile_encode_native(tile_planes, qindex, bitdepth, speed, plan,
-                                 u_ac_delta_q, dec=dec)
+                                 u_ac_delta_q, dec=dec,
+                                 screen_tools=screen_tools)
         if res is not None:
             if record and dec is not None:
                 _store_dec(plan, dec)

@@ -96,6 +96,30 @@ def test_screen_frames_decline_flags_exact():
     assert used == 0
 
 
+def test_palette_c_python_byte_parity():
+    """The C tile encoder mirrors the palette path byte-for-byte: the
+    duel, cache reuse, color deltas, index-map contexts and the decline
+    flags on non-palette/rect blocks."""
+    from oavif_tpu.av1.entropy.fast import tile_encode_native
+    from oavif_tpu.av1.frame import TileEncoder
+    from oavif_tpu.av1.yuv import rgb_to_yuv444
+
+    rng = np.random.default_rng(3)
+    vals = np.array([20, 80, 150, 220])
+    gm = vals[rng.integers(0, 4, (8, 8))].repeat(8, 0).repeat(8, 1)
+    rgb = np.stack([gm, 255 - gm, gm // 2 + 40], -1).astype(np.uint8)
+    planes = [p.astype(np.int32) for p in rgb_to_yuv444(rgb, 8)]
+    for qi, sp in ((40, 9), (80, 6)):
+        te = TileEncoder([p.copy() for p in planes], qi, 8, sp,
+                         screen_tools=True)
+        py = te.encode()
+        res = tile_encode_native(planes, qi, 8, sp, None, 0,
+                                 screen_tools=True)
+        if res is None:
+            pytest.skip("native library unavailable")
+        assert res[0] == py, (qi, sp)
+
+
 def test_screen_content_detector():
     from oavif_tpu.av1.encode import _detect_screen_content
 

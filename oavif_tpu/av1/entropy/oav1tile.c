@@ -3065,7 +3065,25 @@ static void encode_block(Tile *t, int r, int c, int size) {
     int use_palette = 0, npal = 0;
     static _Thread_local uint16_t pal_colors[8];
     static _Thread_local uint8_t pal_map[64 * 64];
-    if (t->screen_tools && size >= 8 && size <= 64 && !rep_on && can_code) {
+    if (t->screen_tools && size >= 8 && size <= 64 && rep_on &&
+        rep_depth == 9 && can_code) {
+        /* replayed palette decision (depth slot 9): the candidate is
+         * deterministic from the source; only the duel is skipped */
+        int64_t rate_pal;
+        int cand = try_palette_y_c(t, x, y, size, pal_colors, pal_map,
+                                   &rate_pal);
+        if (cand) {
+            use_palette = 1;
+            npal = cand;
+            y_mode = DC_PRED;
+            y_nominee = -1;
+        } else {
+            rep_on = 0;
+            t->dec_mode = 0;
+        }
+    }
+    if (t->screen_tools && size >= 8 && size <= 64 && !rep_on &&
+        !use_palette && can_code) {
         int64_t rate_pal;
         int cand = try_palette_y_c(t, x, y, size, pal_colors, pal_map,
                                    &rate_pal);
@@ -3409,7 +3427,7 @@ static void encode_block(Tile *t, int r, int c, int size) {
         int32_t *dd = t->dec_buf + t->dec_pos;
         t->dec_pos += 10;
         dd[0] = dec_tag;
-        dd[1] = y_depth;
+        dd[1] = use_palette ? 9 : y_depth;
         dd[2] = y_txtypes[0]; dd[3] = y_txtypes[1];
         dd[4] = y_txtypes[2]; dd[5] = y_txtypes[3];
         dd[6] = uv_mode; dd[7] = alpha_u; dd[8] = alpha_v;
@@ -3878,8 +3896,7 @@ size_t tile_encode(
     t.dec_buf = dec_buf;
     t.dec_pos = 0;
     t.dec_cap = dec_buf && dec_len_io ? *dec_len_io : 0;
-    /* palette rows are not in the replay schema yet (mirrors frame.py) */
-    t.dec_mode = (dec_buf && !screen_tools) ? dec_mode : 0;
+    t.dec_mode = dec_buf ? dec_mode : 0;
     t.screen_tools = screen_tools;
 
     /* padded src (edge-replicated) + zeroed recon */

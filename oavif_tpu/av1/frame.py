@@ -222,8 +222,6 @@ class TileEncoder:
         screen_tools: bool = False,  # frame allow_screen_content_tools
     ) -> None:
         self.screen_tools = bool(screen_tools)
-        if self.screen_tools:
-            dec = None  # palette rows are not in the replay schema yet
         self._dec = dec
         self._dec_mode = int(dec["mode"]) if dec else 0
         self._dec_pos = 0
@@ -965,20 +963,35 @@ class TileEncoder:
         # depth-0 path by D + lambda*R — palette distortion is ZERO and
         # its rate is the real CDF cost of the index map ---
         use_palette = None
-        if (self.screen_tools and 8 <= size <= 64 and rep is None
+        if (self.screen_tools and 8 <= size <= 64
                 and y_levels_planned is None and can_code_coeffs):
-            cand = self._try_palette_y(x, y, size)
-            if cand is not None:
-                pal_c, idx_map_c, rate_pal = cand
-                tN = self._try_luma_depth(x, y, size, 0, y_mode, ntr, nbl)
-                lam_pix = float(
-                    ((self.dq_ac * self.dq_ac) >> 6) * RDOQ_KNUM
-                ) / (RDOQ_KDEN * 128.0) * self._lam_scale
-                if lam_pix * float(rate_pal) < float(tN[1]) + lam_pix * float(
-                        tN[2]):
-                    use_palette = (pal_c, idx_map_c)
-                    y_mode = DC_PRED
-                    y_nominee = None
+            if rep is not None:
+                # replayed palette decision (depth slot 9 marks it): the
+                # candidate is deterministic from the source, so only
+                # the duel is skipped
+                if rep[1] == 9:
+                    cand = self._try_palette_y(x, y, size)
+                    if cand is not None:
+                        use_palette = (cand[0], cand[1])
+                        y_mode = DC_PRED
+                        y_nominee = None
+                    else:
+                        rep = None
+                        self._dec_mode = 0
+            else:
+                cand = self._try_palette_y(x, y, size)
+                if cand is not None:
+                    pal_c, idx_map_c, rate_pal = cand
+                    tN = self._try_luma_depth(x, y, size, 0, y_mode, ntr,
+                                              nbl)
+                    lam_pix = float(
+                        ((self.dq_ac * self.dq_ac) >> 6) * RDOQ_KNUM
+                    ) / (RDOQ_KDEN * 128.0) * self._lam_scale
+                    if lam_pix * float(rate_pal) < float(tN[1]) + (
+                            lam_pix * float(tN[2])):
+                        use_palette = (pal_c, idx_map_c)
+                        y_mode = DC_PRED
+                        y_nominee = None
 
         # --- luma tx-depth RD: tx == block vs 4-way split (TX_MODE_SELECT).
         # Each candidate runs the real per-txb encode (prediction from the
@@ -1099,7 +1112,8 @@ class TileEncoder:
             for i, j in enumerate(y_jobs[:4]):
                 tts[i] = {"dct_dct": 0, "adst_adst": 1, "idtx": 2}[j[2]]
             self._dec_out += [
-                (r << 16) | (c << 8) | size, y_depth, *tts,
+                (r << 16) | (c << 8) | size,
+                9 if use_palette is not None else y_depth, *tts,
                 uv_mode, cfl_alphas[0], cfl_alphas[1], y_mode,
             ]
         self.blocks.append((r, c, size, 1 if skip else 0, y_tx))

@@ -164,6 +164,12 @@ def _pick_cdef(planes, recon_planes, blocks, qindex, bitdepth, visible,
     default, 1/4 at speeds 6-7, every block at <= 5)."""
     from .entropy.fast import cdef_search_native
 
+    if speed >= 10:
+        # leanest preset: no CDEF search — a fixed qindex-keyed strength
+        # (encoder freedom; the recon applies exactly what the header
+        # signals). Measured part of the >=4x ladder wall spread.
+        idx = 0 if qindex < 24 else (2 if qindex < 96 else 4)
+        return _CDEF_CANDS[idx], min(6, 3 + (qindex >> 6))
     sample_log2 = 2 if speed >= 8 else (1 if speed >= 6 else 0)
     damping = min(6, 3 + (qindex >> 6))
     ph, pw = recon_planes[0].shape

@@ -2161,7 +2161,8 @@ static int encode_luma_txb_c(Tile *t, int px_, int py_, int tx, int y_mode,
     for (int si = 0; si < eob; si++)
         if (ord[si]) nnz++;
     int txtype = 0;
-    if ((tx == 8 || tx == 16) && nnz >= 6 && t->speed <= 9) {
+    int nnz_gate = t->speed <= 4 ? 1 : 6;
+    if ((tx == 8 || tx == 16) && nnz >= nnz_gate && t->speed <= 9) {
         /* three-way transform RD in the COEFFICIENT domain (one shared
          * gain per size): DCT vs ADST vs IDTX — identity is the
          * screen-content transform. No inverse for the losers. */
@@ -3698,22 +3699,35 @@ static int choose_partition32(Tile *t, int r, int c) {
                     src_mode_ssd_wh(t, x + 16, y, 16, 32);
     int64_t ssd_r = ssd_h <= ssd_v ? ssd_h : ssd_v;
     int part_r = ssd_h <= ssd_v ? 1 : 2;
-    if (ssd_r + half_pen >= best_ssd) return best_part;
+    /* quality speeds (<= 4) duel BOTH rect orientations with real RD
+     * unconditionally (mirrors frame.py) */
+    int exhaustive = t->speed <= 4;
+    if (!exhaustive && ssd_r + half_pen >= best_ssd) return best_part;
     double lam_pix =
         (double)((((int64_t)t->dq_ac * t->dq_ac) >> 6) * RDOQ_KNUM) /
         (RDOQ_KDEN * 128.0);
     double save_lam = t->cur_lamscale;
     t->cur_lamscale = 1.0;
-    int64_t d_sq, r_sq, d_re, r_re;
+    int64_t d_sq, r_sq;
     try_square_arm_c(t, r, c, best_part == PARTITION_NONE ? 0 : 3, &d_sq,
                      &r_sq);
-    try_rect_luma_c(t, x, y, part_r, &d_re, &r_re);
-    t->cur_lamscale = save_lam;
+    int arms[2] = {part_r, part_r == 1 ? 2 : 1};
+    int narms = exhaustive ? 2 : 1;
     int hdr = 640;
     int64_t n_sq = best_part == PARTITION_NONE ? 0 : 3 * hdr;
-    double rd_sq = (double)d_sq + lam_pix * (double)(r_sq + n_sq);
-    double rd_re = (double)d_re + lam_pix * (double)(r_re + hdr);
-    return rd_re < rd_sq ? part_r : best_part;
+    double rd_best = (double)d_sq + lam_pix * (double)(r_sq + n_sq);
+    int pick = best_part;
+    for (int a = 0; a < narms; a++) {
+        int64_t d_re, r_re;
+        try_rect_luma_c(t, x, y, arms[a], &d_re, &r_re);
+        double rd_re = (double)d_re + lam_pix * (double)(r_re + hdr);
+        if (rd_re < rd_best) {
+            rd_best = rd_re;
+            pick = arms[a];
+        }
+    }
+    t->cur_lamscale = save_lam;
+    return pick;
 }
 
 /* ---- partitions (mirrors frame.py) ---- */

@@ -665,7 +665,10 @@ class TileEncoder:
         ssd_v = (self._src_mode_ssd(x, y, 16, 32)
                  + self._src_mode_ssd(x + 16, y, 16, 32))
         ssd_r, part_r = (ssd_h, 1) if ssd_h <= ssd_v else (ssd_v, 2)
-        if ssd_r + half_pen >= best[0]:
+        # quality speeds (<= 4) duel BOTH rect orientations with real RD
+        # unconditionally; the default requires the SSD nomination margin
+        exhaustive = self.speed <= 4
+        if not exhaustive and ssd_r + half_pen >= best[0]:
             return best[1]
         lam_pix = float(
             ((self.dq_ac * self.dq_ac) >> 6) * RDOQ_KNUM
@@ -674,7 +677,10 @@ class TileEncoder:
         self._lam_scale = 1.0
         try:
             d_sq, r_sq = self._try_square_arm(r, c, best[1])
-            d_re, r_re = self._try_rect_luma(x, y, part_r)
+            arms = [(part_r, self._try_rect_luma(x, y, part_r))]
+            if exhaustive:
+                other = 2 if part_r == 1 else 1
+                arms.append((other, self._try_rect_luma(x, y, other)))
         finally:
             self._lam_scale = save_lam
         # header premium: each extra skip/mode/tx set ~5 bits; rect pays
@@ -682,9 +688,14 @@ class TileEncoder:
         # partition symbols (already proxied by the SSD penalty)
         hdr = 640
         n_sq = 0 if best[1] == PARTITION_NONE else 3 * hdr
-        rd_sq = float(d_sq) + lam_pix * float(r_sq + n_sq)
-        rd_re = float(d_re) + lam_pix * float(r_re + hdr)
-        return part_r if rd_re < rd_sq else best[1]
+        rd_best = float(d_sq) + lam_pix * float(r_sq + n_sq)
+        pick = best[1]
+        for part_c, (d_re, r_re) in arms:
+            rd_re = float(d_re) + lam_pix * float(r_re + hdr)
+            if rd_re < rd_best:
+                rd_best = rd_re
+                pick = part_c
+        return pick
 
     # -- palette (spec 5.11.46-51; screen-content tool) ----------------------
 
@@ -2259,7 +2270,9 @@ class TileEncoder:
         levels, e2 = self._quantize_rd(resid, tx, ptype=0)
         rate = self._rate_estimate_txb(levels, tx, 0)
         tx_type = "dct_dct"
-        if tx in (8, 16) and int((levels != 0).sum()) >= 6 and self.speed <= 9:
+        nnz_gate = 1 if self.speed <= 4 else 6
+        if (tx in (8, 16) and int((levels != 0).sum()) >= nnz_gate
+                and self.speed <= 9):
             # three-way transform RD in the COEFFICIENT domain (the AV1
             # integer transforms share one gain per size, so SSEs are
             # comparable): DCT vs ADST vs IDTX — identity is the
@@ -3252,7 +3265,7 @@ def _encode_one_tile(args):
     plan = None
     # device planning pays off on real frames; for tiny tiles the host
     # search is cheaper than the dispatch + (first-run) compile
-    if (use_tpu_planner and qindex > 0
+    if (use_tpu_planner and qindex > 0 and speed <= 9
             and np.asarray(tile_planes[0]).size >= 256 * 256):
         try:
             # mode breadth by speed: 5 base modes at 10, 7 + directional

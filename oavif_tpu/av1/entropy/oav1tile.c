@@ -19,9 +19,49 @@
 #include <stdlib.h>
 #include <string.h>
 #include <math.h>
+#include <time.h>
 #if defined(__AVX512VNNI__) && defined(__AVX512VL__)
 #include <immintrin.h>
 #endif
+
+/* ---- OAVIF_PROF=1: per-stage wall accumulation, dumped to stderr at
+ * the end of every tile_encode call. Scope-exit timers (gcc cleanup)
+ * so early returns are counted; nested stages overlap (LUMA_TRIAL
+ * contains QUANT/RATE/INV). Zero-cost-ish when the env is unset. ---- */
+enum {
+    PROF_BLOCK, PROF_LUMA_TRIAL, PROF_QUANT, PROF_RATE, PROF_INV,
+    PROF_PREDICT, PROF_MODE, PROF_PART, PROF_PAL, PROF_RECT,
+    PROF_RECT_BLK, PROF_NSLOT
+};
+static const char *const PROF_NAMES[PROF_NSLOT] = {
+    "block", "luma_trial", "quant_rdoq", "rate_est", "inv_recon",
+    "predict", "mode_choose", "part_ssd", "palette", "rect_duel",
+    "rect_block"};
+static _Thread_local double prof_acc[PROF_NSLOT];
+static _Thread_local int64_t prof_cnt[PROF_NSLOT];
+static int prof_enabled = -1;
+static inline double prof_now(void) {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return (double)ts.tv_sec + 1e-9 * (double)ts.tv_nsec;
+}
+static void prof_scope_end(const double *v) {
+    if (prof_enabled > 0) prof_acc[(int)v[1]] += prof_now() - v[0];
+}
+#define PROF_SCOPE(slot)                                               \
+    double _prof_v[2] __attribute__((cleanup(prof_scope_end))) = {     \
+        prof_enabled > 0 ? (prof_cnt[slot]++, prof_now()) : 0.0,       \
+        (double)(slot)}
+static void prof_dump(void) {
+    fprintf(stderr, "OAVIF_PROF");
+    for (int i = 0; i < PROF_NSLOT; i++) {
+        fprintf(stderr, " %s=%.1fms/%lld", PROF_NAMES[i],
+                prof_acc[i] * 1e3, (long long)prof_cnt[i]);
+        prof_acc[i] = 0.0;
+        prof_cnt[i] = 0;
+    }
+    fprintf(stderr, "\n");
+}
 
 /* from oav1ec.c (compiled into the same shared object) */
 typedef struct Enc Enc;
@@ -310,6 +350,7 @@ static void pred_directional(const Edges *e, int mode, int angle_delta,
 
 static void predict(const Tile *t, const Edges *e, int mode, int w, int h,
                     int have_above, int have_left, int32_t *out) {
+    PROF_SCOPE(PROF_PREDICT);
     const int64_t *a = e->above + 1;
     const int64_t *l = e->left + 1;
     int64_t corner = e->above[0];
@@ -741,6 +782,7 @@ static int rdoq_eobpt_cost(const Rdoq *q, int e) {
 static void quantize_mat(const Tile *t, const int32_t *resid, int n,
                          int ptype, int fi, int32_t *levels, double *e2_out,
                          int64_t *ord_out, int *eob_out) {
+    PROF_SCOPE(PROF_QUANT);
     /* Q12 integer forward transform (mirrors transform.py
      * fwd_txfm2d_int exactly — integer ops are order-independent, so the
      * VNNI kernels and NumPy agree bit-for-bit). */
@@ -970,6 +1012,7 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
 static void quantize_rect(const Tile *t, const int32_t *resid, int tw,
                           int th, int ptype, int32_t *levels,
                           double *e2_out, int64_t *ord_out, int *eob_out) {
+    PROF_SCOPE(PROF_QUANT);
     int fi = tw > th ? 7 : 8;
     int16_t r16[32 * 32];
     int32_t bp1[16 * 32];
@@ -1175,6 +1218,7 @@ static void quantize_rect(const Tile *t, const int32_t *resid, int tw,
  * pels-thresholded shift and the bd+8 conformance clamp */
 static void dequant_inv_rect(const Tile *t, const int32_t *levels, int tw,
                              int th, int ptype, int32_t *resid_out) {
+    PROF_SCOPE(PROF_INV);
     int pels = tw * th;
     int shift = (pels > 256) + (pels > 1024);
     int64_t cl = ((int64_t)1 << (t->bitdepth + 7)) - 1;
@@ -1193,6 +1237,7 @@ static void dequant_inv_rect(const Tile *t, const int32_t *levels, int tw,
  * _rate_estimate_rect_txb) */
 static int64_t rate_estimate_rect(const Tile *t, const int32_t *levels,
                                   int tw, int th, int ptype) {
+    PROF_SCOPE(PROF_RATE);
     int n_coded = tw * th;
     const int32_t *scan = t->scan[tw > th ? 4 : 5];
     int lo_i = log2i(tw < th ? tw : th), hi_i = log2i(tw > th ? tw : th);
@@ -1291,6 +1336,7 @@ static int64_t rate_estimate_rect(const Tile *t, const int32_t *levels,
 /* dequant + normative inverse transform (frame.py _dequant_inv) */
 static void dequant_inv_tt(const Tile *t, const int32_t *levels, int tx,
                            int txtype, int ptype, int32_t *resid_out) {
+    PROF_SCOPE(PROF_INV);
     int shift = DQ_SHIFT_BY_TX[tx];
     for (int i = 0; i < tx * tx; i++) {
         int64_t lv = levels[i];
@@ -1637,6 +1683,7 @@ static int64_t palette_tokens_y_c(Tile *t, const uint8_t *map, int hh,
  * (0 = none), fills pal + map, and rate_out (mirrors _try_palette_y) */
 static int try_palette_y_c(Tile *t, int x, int y, int size, uint16_t *pal,
                            uint8_t *map, int64_t *rate_out) {
+    PROF_SCOPE(PROF_PAL);
     uint16_t vals[9];
     int n = 0;
     for (int rr = 0; rr < size && n <= 8; rr++)
@@ -1693,6 +1740,7 @@ static void set_pal_ctx(Tile *t, int r, int c, int nw_mi, int nh_mi,
 static int choose_y_mode(const Tile *t, int r, int c, int size,
                          const Edges *e, int have_above, int have_left,
                          int32_t *pred_scratch) {
+    PROF_SCOPE(PROF_MODE);
     int x = c * 4, y = r * 4;
     const int32_t *src = t->src[0];
     int cands[13] = {DC_PRED, V_PRED, H_PRED, SMOOTH_PRED, PAETH_PRED,
@@ -2015,6 +2063,7 @@ static void txb_edge_counts(int size, int tx, int ti, int tj, int ntr_blk,
  * usually has these straight out of quantize_mat */
 static int64_t rate_estimate_scan(const Tile *t, const int64_t *ofl, int eob,
                                   int tx, int ptype) {
+    PROF_SCOPE(PROF_RATE);
     int cw = tx < 32 ? tx : 32;
     int n_coded = cw * cw;
     const int32_t *scan = t->scan[log2i(cw) - 2];
@@ -2222,6 +2271,7 @@ static int try_luma_depth_c(Tile *t, int x, int y, int size, int depth,
                             int32_t *pred_out, int *txtypes,
                             int32_t *recon_out /* (size,size) */,
                             int64_t *dist_out, int64_t *rate_out) {
+    PROF_SCOPE(PROF_LUMA_TRIAL);
     int btx = size < 64 ? size : 64;
     int tx = btx >> depth;
     int n = size / tx;
@@ -2423,6 +2473,7 @@ static int rect_mode_and_levels_c(Tile *t, int x, int y, int bw, int bh,
  * _try_rect_luma): both sub-blocks sequentially, recon restored */
 static void try_rect_luma_c(Tile *t, int x, int y, int part,
                             int64_t *dist_out, int64_t *rate_out) {
+    PROF_SCOPE(PROF_RECT);
     int bw = part == 1 ? 32 : 16, bh = part == 1 ? 16 : 32;
     int hi = (1 << t->bitdepth) - 1;
     int32_t saved[32 * 32];
@@ -2468,6 +2519,7 @@ static void try_rect_luma_c(Tile *t, int x, int y, int part,
  * _try_square_arm): depth-0 tx, per-block pred-SSD modes, recon restored */
 static void try_square_arm_c(Tile *t, int r, int c, int part,
                              int64_t *dist_out, int64_t *rate_out) {
+    PROF_SCOPE(PROF_RECT);
     int x = c * 4, y = r * 4;
     int32_t saved[32 * 32];
     int32_t *rec = t->recon[0];
@@ -2522,6 +2574,7 @@ static void update_part_ctx_rect(Tile *t, int r, int c, int size, int sub_w,
 
 /* one rect block (mirrors frame.py _encode_block_rect) */
 static void encode_block_rect_c(Tile *t, int r, int c, int bw, int bh) {
+    PROF_SCOPE(PROF_RECT_BLK);
     int x = c * 4, y = r * 4;
     int lr = r & 15;
     int hi = (1 << t->bitdepth) - 1;
@@ -2977,6 +3030,7 @@ static int tx_ctx_c(const Tile *t, int r, int c, int btx) {
 }
 
 static void encode_block(Tile *t, int r, int c, int size) {
+    PROF_SCOPE(PROF_BLOCK);
     int x = c * 4, y = r * 4;
     int n_mi = size / 4;
     int lr = r & 15;
@@ -3606,6 +3660,7 @@ static void encode_block(Tile *t, int r, int c, int size) {
 /* ---- partition RD decision (mirrors frame.py) ---- */
 
 static int64_t src_mode_ssd_wh(const Tile *t, int x, int y, int w, int h) {
+    PROF_SCOPE(PROF_PART);
     Edges e;
     int ha = y > 0, hl = x > 0;
     build_edges_buf(t, t->src[0], x, y, w, h, ha, hl, &e);
@@ -3867,6 +3922,10 @@ size_t tile_encode(
     int screen_tools,                 /* palette syntax (frame header) */
     uint8_t **out_payload)            /* malloc'd; caller frees */
 {
+    if (prof_enabled < 0) {
+        const char *pe = getenv("OAVIF_PROF");
+        prof_enabled = pe && pe[0] == '1';
+    }
     Tile t;
     memset(&t, 0, sizeof(t));
     t.w = w; t.h = h;
@@ -4000,6 +4059,7 @@ size_t tile_encode(
     free(t.above_pal_c);
     if (n_blocks_out) *n_blocks_out = t.n_blocks;
     if (dec_len_io && dec_mode == 1) *dec_len_io = t.dec_pos;
+    if (prof_enabled > 0) prof_dump();
     return n;
 }
 

@@ -31,12 +31,13 @@
 enum {
     PROF_BLOCK, PROF_LUMA_TRIAL, PROF_QUANT, PROF_RATE, PROF_INV,
     PROF_PREDICT, PROF_MODE, PROF_PART, PROF_PAL, PROF_RECT,
-    PROF_RECT_BLK, PROF_NSLOT
+    PROF_RECT_BLK, PROF_QFWD, PROF_QSETUP, PROF_QRDOQ, PROF_QE2,
+    PROF_NSLOT
 };
 static const char *const PROF_NAMES[PROF_NSLOT] = {
     "block", "luma_trial", "quant_rdoq", "rate_est", "inv_recon",
     "predict", "mode_choose", "part_ssd", "palette", "rect_duel",
-    "rect_block"};
+    "rect_block", "q_fwd", "q_setup", "q_rdoq", "q_e2"};
 static _Thread_local double prof_acc[PROF_NSLOT];
 static _Thread_local int64_t prof_cnt[PROF_NSLOT];
 static int prof_enabled = -1;
@@ -582,6 +583,106 @@ static void mm_i16_pairs(const int16_t *A, const int32_t *Bp, int n,
     }
 }
 
+/* ---- elementwise float64 vector helpers for the quantizer ----
+ * Per-element IEEE double ops only (abs/mul/div/floor/convert): a lane
+ * computes exactly what the scalar expression computes, so results are
+ * bit-identical to the NumPy mirror regardless of vector width. All
+ * ACCUMULATIONS stay scalar-sequential at the call sites (float sum
+ * order is part of the C<->Python parity contract). */
+#if defined(__AVX512F__) && defined(__AVX512DQ__)
+#define OAV1_F64_VEC 1
+#endif
+
+/* a_out[i] = fabs((double)v[i]) * scale */
+static inline void vabs_scale_f64(const int32_t *v, int cnt, double scale,
+                                  double *a_out) {
+    int i = 0;
+#if OAV1_F64_VEC
+    const __m512d vs = _mm512_set1_pd(scale);
+    const __m512d mask = _mm512_castsi512_pd(
+        _mm512_set1_epi64((int64_t)0x7fffffffffffffffLL));
+    for (; i + 8 <= cnt; i += 8) {
+        __m512d d = _mm512_cvtepi32_pd(
+            _mm256_loadu_si256((const __m256i *)(v + i)));
+        _mm512_storeu_pd(a_out + i,
+                         _mm512_mul_pd(_mm512_and_pd(d, mask), vs));
+    }
+#endif
+    for (; i < cnt; i++) a_out[i] = fabs((double)v[i]) * scale;
+}
+
+/* l[i] = (int64)floor(a[i] * up / dq + 0.5) */
+static inline void vquant_f64(const double *a, int cnt, double up, double dq,
+                              int64_t *l) {
+    int i = 0;
+#if OAV1_F64_VEC
+    const __m512d vu = _mm512_set1_pd(up);
+    const __m512d vd = _mm512_set1_pd(dq);
+    const __m512d vh = _mm512_set1_pd(0.5);
+    for (; i + 8 <= cnt; i += 8) {
+        __m512d x = _mm512_div_pd(
+            _mm512_mul_pd(_mm512_loadu_pd(a + i), vu), vd);
+        x = _mm512_roundscale_pd(_mm512_add_pd(x, vh),
+                                 _MM_FROUND_TO_NEG_INF | _MM_FROUND_NO_EXC);
+        _mm512_storeu_si512((void *)(l + i), _mm512_cvttpd_epi64(x));
+    }
+#endif
+    for (; i < cnt; i++)
+        l[i] = (int64_t)floor(a[i] * up / dq + 0.5);
+}
+
+/* t[i] = e*e with e = a[i] - (double)((l[i]*dq) >> shift); l[i] >= 0 */
+static inline void verr2_terms_f64(const double *a, const int64_t *l,
+                                   int cnt, int64_t dq, int shift,
+                                   double *t) {
+    int i = 0;
+#if OAV1_F64_VEC
+    const __m512i vdq = _mm512_set1_epi64(dq);
+    for (; i + 8 <= cnt; i += 8) {
+        __m512i p = _mm512_srli_epi64(
+            _mm512_mullo_epi64(_mm512_loadu_si512((const void *)(l + i)),
+                               vdq),
+            shift);
+        __m512d e = _mm512_sub_pd(_mm512_loadu_pd(a + i),
+                                  _mm512_cvtepi64_pd(p));
+        _mm512_storeu_pd(t + i, _mm512_mul_pd(e, e));
+    }
+#endif
+    for (; i < cnt; i++) {
+        double e = a[i] - (double)((l[i] * dq) >> shift);
+        t[i] = e * e;
+    }
+}
+
+/* t[i] = a[i] * a[i] */
+static inline void vsq_terms_f64(const double *a, int cnt, double *t) {
+    int i = 0;
+#if OAV1_F64_VEC
+    for (; i + 8 <= cnt; i += 8) {
+        __m512d x = _mm512_loadu_pd(a + i);
+        _mm512_storeu_pd(t + i, _mm512_mul_pd(x, x));
+    }
+#endif
+    for (; i < cnt; i++) t[i] = a[i] * a[i];
+}
+
+/* quantizer reconstruction error: sum of (a - dequant(level))^2 over the
+ * coded region + passthrough energy past eob. Terms are computed
+ * vectorized; the SUM stays sequential in scan order (parity contract
+ * with the NumPy mirror's `e2 += e * e` loop). Requires eob >= 1. */
+static double e2_scan_f64(int64_t dq_dc, int64_t dq_ac, int shift,
+                          const double *a_scan, const int64_t *ord, int eob,
+                          int n_coded) {
+    double tsq[64 * 64];
+    verr2_terms_f64(a_scan, ord, eob, dq_ac, shift, tsq);
+    double e0 = a_scan[0] - (double)((ord[0] * dq_dc) >> shift);
+    tsq[0] = e0 * e0;
+    vsq_terms_f64(a_scan + eob, n_coded - eob, tsq + eob);
+    double e2 = 0.0;
+    for (int si = 0; si < n_coded; si++) e2 += tsq[si];
+    return e2;
+}
+
 /* RDOQ rate model: bit costs in 1/128-bit units at 1/256 probability
  * resolution. This table is generated from frame.py's _PROB_COST
  * expression — the two must stay identical for byte parity. */
@@ -791,6 +892,7 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
     int32_t st1[64 * 64];
     int16_t tmp16[64 * 64];
     int32_t out32[64 * 64];
+    double _pq0 = prof_enabled > 0 ? prof_now() : 0.0;
     for (int i = 0; i < n * n; i++) r16[i] = (int16_t)resid[i];
     for (int kp = 0; kp < n / 2; kp++) {
         const int16_t *r0 = r16 + (size_t)(2 * kp) * n, *r1 = r0 + n;
@@ -805,6 +907,7 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
     for (int i = 0; i < n * n; i++)
         tmp16[i] = (int16_t)((st1[i] + rnd) >> sa);
     mm_i16_pairs(tmp16, t->fwP[fi], n, out32);
+    if (prof_enabled > 0) { prof_acc[PROF_QFWD] += prof_now() - _pq0; prof_cnt[PROF_QFWD]++; _pq0 = prof_now(); }
     double inv_scale = t->fwd_inv_scale[fi];
     int shift = DQ_SHIFT_BY_TX[n];
     /* per-element (v * (1<<shift)) / dq in that op order — one rounding,
@@ -826,11 +929,10 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
     double a_nat[32 * 32];
     int sg_nat[32 * 32];
     for (int r = 0; r < cw; r++)
-        for (int c = 0; c < cw; c++) {
-            int32_t v = out32[(size_t)r * n + c];
-            a_nat[r * cw + c] = fabs((double)v) * inv_scale;
-            sg_nat[r * cw + c] = v < 0 ? -1 : 1;
-        }
+        vabs_scale_f64(out32 + (size_t)r * n, cw, inv_scale, a_nat + r * cw);
+    for (int r = 0; r < cw; r++)
+        for (int c = 0; c < cw; c++)
+            sg_nat[r * cw + c] = out32[(size_t)r * n + c] < 0 ? -1 : 1;
 
     /* magnitudes gathered to scan order once; every later use is then a
      * unit-stride stream (AV1 scans always put DC at si = 0, so the dq
@@ -838,24 +940,26 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
     double a_scan[1024];
     for (int si = 0; si < n_coded; si++) a_scan[si] = a_nat[scan[si]];
 
-    /* initial round-half levels, scan order (vectorizable: the eob scan
-     * is split out of the arithmetic loop) */
+    /* initial round-half levels, scan order: AC vectorized, DC redone
+     * scalar with its own quantizer */
     int64_t ord[1024];
+    vquant_f64(a_scan, n_coded, up, dq_ac, ord);
     ord[0] = (int64_t)floor(a_scan[0] * up / dq_dc + 0.5);
-    for (int si = 1; si < n_coded; si++)
-        ord[si] = (int64_t)floor(a_scan[si] * up / dq_ac + 0.5);
     int eob = 0;
     for (int si = n_coded - 1; si >= 0; si--)
         if (ord[si]) { eob = si + 1; break; }
     if (eob == 0) {
         if (e2_out) {
+            double tsq[1024];
+            vsq_terms_f64(a_scan, n_coded, tsq);
             double e2 = 0.0;
-            for (int si = 0; si < n_coded; si++) e2 += a_scan[si] * a_scan[si];
+            for (int si = 0; si < n_coded; si++) e2 += tsq[si];
             *e2_out = e2;
         }
         if (eob_out) *eob_out = 0;
         return;
     }
+    if (prof_enabled > 0) { prof_acc[PROF_QSETUP] += prof_now() - _pq0; prof_cnt[PROF_QSETUP]++; _pq0 = prof_now(); }
 
     if (t->speed >= 10) {
         /* speed 10: plain round-half quantization, no RDOQ passes */
@@ -867,17 +971,9 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
         }
         if (ord_out) memcpy(ord_out, ord, (size_t)eob * 8);
         if (eob_out) *eob_out = eob;
-        if (e2_out) {
-            double e2 = 0.0;
-            for (int si = 0; si < eob; si++) {
-                int64_t dq = si == 0 ? t->dq_dc : dqa_i;
-                double e = a_scan[si] - (double)((ord[si] * dq) >> shift);
-                e2 += e * e;
-            }
-            for (int si = eob; si < n_coded; si++)
-                e2 += a_scan[si] * a_scan[si];
-            *e2_out = e2;
-        }
+        if (e2_out)
+            *e2_out = e2_scan_f64(t->dq_dc, dqa_i, shift, a_scan, ord, eob,
+                                  n_coded);
         return;
     }
     Rdoq q;
@@ -972,12 +1068,11 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
              * When dD >= lam*6144 the decrement cannot win, so skipping
              * the context + cost evaluations changes NOTHING (no Python
              * mirror needed — outcomes are identical by this bound). */
-            double derr = ERR2(si, lvl - 1) - ERR2(si, lvl);
-            if (derr >= lam * 6144.0) continue;
+            double ek = ERR2(si, lvl), ed = ERR2(si, lvl - 1);
+            if (ed - ek >= lam * 6144.0) continue;
             int bctx = rdoq_base_ctx(&q, si);
-            if (ERR2(si, lvl - 1) +
-                    lam * (double)rdoq_int_cost(&q, lvl - 1, bctx, si) <
-                ERR2(si, lvl) + lam * (double)rdoq_int_cost(&q, lvl, bctx, si)) {
+            if (ed + lam * (double)rdoq_int_cost(&q, lvl - 1, bctx, si) <
+                ek + lam * (double)rdoq_int_cost(&q, lvl, bctx, si)) {
                 ord[si] = lvl - 1;
                 q.pad[q.pos_r[si] * W + q.pos_c[si]] =
                     (lvl - 1) < 127 ? (int)(lvl - 1) : 127;
@@ -985,6 +1080,7 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
         }
     }
 
+    if (prof_enabled > 0) { prof_acc[PROF_QRDOQ] += prof_now() - _pq0; prof_cnt[PROF_QRDOQ]++; _pq0 = prof_now(); }
     for (int si = 0; si < eob; si++) {
         if (!ord[si]) continue;
         int pos = scan[si];
@@ -994,14 +1090,9 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
     if (ord_out) memcpy(ord_out, ord, (size_t)eob * 8);
     if (eob_out) *eob_out = eob;
     if (e2_out) {
-        double e2 = 0.0;
-        for (int si = 0; si < eob; si++) {
-            int64_t dq = si == 0 ? t->dq_dc : dqa_i;
-            double e = a_scan[si] - (double)((ord[si] * dq) >> shift);
-            e2 += e * e;
-        }
-        for (int si = eob; si < n_coded; si++) e2 += a_scan[si] * a_scan[si];
-        *e2_out = e2;
+        *e2_out = e2_scan_f64(t->dq_dc, dqa_i, shift, a_scan, ord, eob,
+                              n_coded);
+        if (prof_enabled > 0) { prof_acc[PROF_QE2] += prof_now() - _pq0; prof_cnt[PROF_QE2]++; }
     }
 }
 
@@ -1050,25 +1141,23 @@ static void quantize_rect(const Tile *t, const int32_t *resid, int tw,
 
     double a_nat[32 * 32];
     int sg_nat[32 * 32];
-    for (int i = 0; i < npx; i++) {
-        int32_t v = out32[i];
-        a_nat[i] = fabs((double)v) * inv_scale;
-        sg_nat[i] = v < 0 ? -1 : 1;
-    }
+    vabs_scale_f64(out32, npx, inv_scale, a_nat);
+    for (int i = 0; i < npx; i++) sg_nat[i] = out32[i] < 0 ? -1 : 1;
     double a_scan[1024];
     for (int si = 0; si < n_coded; si++) a_scan[si] = a_nat[scan[si]];
 
     int64_t ord[1024];
+    vquant_f64(a_scan, n_coded, up, dq_ac, ord);
     ord[0] = (int64_t)floor(a_scan[0] * up / dq_dc + 0.5);
-    for (int si = 1; si < n_coded; si++)
-        ord[si] = (int64_t)floor(a_scan[si] * up / dq_ac + 0.5);
     int eob = 0;
     for (int si = n_coded - 1; si >= 0; si--)
         if (ord[si]) { eob = si + 1; break; }
     if (eob == 0) {
         if (e2_out) {
+            double tsq[1024];
+            vsq_terms_f64(a_scan, n_coded, tsq);
             double e2 = 0.0;
-            for (int si = 0; si < n_coded; si++) e2 += a_scan[si] * a_scan[si];
+            for (int si = 0; si < n_coded; si++) e2 += tsq[si];
             *e2_out = e2;
         }
         if (eob_out) *eob_out = 0;
@@ -1083,17 +1172,9 @@ static void quantize_rect(const Tile *t, const int32_t *resid, int tw,
         }
         if (ord_out) memcpy(ord_out, ord, (size_t)eob * 8);
         if (eob_out) *eob_out = eob;
-        if (e2_out) {
-            double e2 = 0.0;
-            for (int si = 0; si < eob; si++) {
-                int64_t dq = si == 0 ? t->dq_dc : dqa_i;
-                double e = a_scan[si] - (double)((ord[si] * dq) >> shift);
-                e2 += e * e;
-            }
-            for (int si = eob; si < n_coded; si++)
-                e2 += a_scan[si] * a_scan[si];
-            *e2_out = e2;
-        }
+        if (e2_out)
+            *e2_out = e2_scan_f64(t->dq_dc, dqa_i, shift, a_scan, ord, eob,
+                                  n_coded);
         return;
     }
     Rdoq q;
@@ -1181,12 +1262,11 @@ static void quantize_rect(const Tile *t, const int32_t *resid, int tw,
         for (si = eob - 2; si >= 0; si--) {
             lvl = ord[si];
             if (lvl == 0) continue;
-            double derr = ERR2R(si, lvl - 1) - ERR2R(si, lvl);
-            if (derr >= lam * 6144.0) continue; /* provably losing */
+            double ek = ERR2R(si, lvl), ed = ERR2R(si, lvl - 1);
+            if (ed - ek >= lam * 6144.0) continue; /* provably losing */
             int bctx = rdoq_base_ctx(&q, si);
-            if (ERR2R(si, lvl - 1) +
-                    lam * (double)rdoq_int_cost(&q, lvl - 1, bctx, si) <
-                ERR2R(si, lvl) + lam * (double)rdoq_int_cost(&q, lvl, bctx, si)) {
+            if (ed + lam * (double)rdoq_int_cost(&q, lvl - 1, bctx, si) <
+                ek + lam * (double)rdoq_int_cost(&q, lvl, bctx, si)) {
                 ord[si] = lvl - 1;
                 q.pad[q.pos_r[si] * W + q.pos_c[si]] =
                     (lvl - 1) < 127 ? (int)(lvl - 1) : 127;
@@ -1201,16 +1281,9 @@ static void quantize_rect(const Tile *t, const int32_t *resid, int tw,
     }
     if (ord_out) memcpy(ord_out, ord, (size_t)eob * 8);
     if (eob_out) *eob_out = eob;
-    if (e2_out) {
-        double e2 = 0.0;
-        for (int si = 0; si < eob; si++) {
-            int64_t dq = si == 0 ? t->dq_dc : dqa_i;
-            double e = a_scan[si] - (double)((ord[si] * dq) >> shift);
-            e2 += e * e;
-        }
-        for (int si = eob; si < n_coded; si++) e2 += a_scan[si] * a_scan[si];
-        *e2_out = e2;
-    }
+    if (e2_out)
+        *e2_out = e2_scan_f64(t->dq_dc, dqa_i, shift, a_scan, ord, eob,
+                              n_coded);
 #undef ERR2R
 }
 

@@ -146,6 +146,17 @@ def run(argv: List[str]) -> int:
 
 
 def main() -> None:
+    # Restore standard JAX_PLATFORMS semantics: the axon TPU site-hook
+    # ignores the env var, so a harness run asking for CPU would
+    # otherwise initialize the TPU tunnel (and inherit its stalls).
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
     sys.exit(run(sys.argv[1:]))
 
 

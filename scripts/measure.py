@@ -132,7 +132,27 @@ FIELDS = ["Image", "Original Bytes", "Final Bytes", "Savings Bytes",
           "Savings %", "Encoding Time (ms)", "Passes", "Status", "Error"]
 
 
+def _apply_jax_platform_env():
+    """Restore standard JAX_PLATFORMS semantics: the axon TPU site-hook
+    ignores the env var, so a subprocess harness run asking for CPU would
+    otherwise initialize the TPU tunnel (and hang on tunnel stalls). The
+    env var is the operator's explicit intent — honor it before any
+    backend initialization."""
+    import os
+
+    want = os.environ.get("JAX_PLATFORMS")
+    if not want:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", want)
+    except Exception:
+        pass
+
+
 def main(argv=None):
+    _apply_jax_platform_env()
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("images_dir")
     ap.add_argument("oavif_path",

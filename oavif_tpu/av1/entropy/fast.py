@@ -251,7 +251,8 @@ _CDF_ORDER = (
 
 
 def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None,
-                       u_ac_delta_q=0, dec=None, screen_tools=False):
+                       u_ac_delta_q=0, dec=None, screen_tools=False,
+                       filter_intra=False):
     """Encode one tile entirely in C. Returns (payload bytes, [recon
     planes (h, w) int32]) or None when the native library is unavailable.
 
@@ -262,6 +263,8 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None,
     lib = get_lib()
     if lib is None:
         return None
+    if filter_intra and not getattr(lib, "_has_filter_intra", False):
+        return None  # C mirror pending; Python path carries the tool
 
     from ..consts import coeff_q_ctx
     from ..frame import CdfBank

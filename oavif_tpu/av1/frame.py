@@ -83,7 +83,7 @@ class _NativeShim:
 
     def done(self) -> bytes:
         return self.enc.done()
-from .intra import build_edges, predict
+from .intra import FILTER_BASE, FILTER_TO_DIR, build_edges, predict
 from .tables import TABLES, ac_q, dc_q
 from .transform import INV_ROW_SHIFT, fwd_txfm2d_int, inv_txfm2d
 
@@ -99,6 +99,10 @@ _PARTITION_NSYM = {8: 4, 16: 10, 32: 10, 64: 10}
 _PART_CTX_BYTE = {4: 31, 8: 30, 16: 28, 32: 24, 64: 16, 128: 0}
 
 _TXS_CTX = {4: 0, 8: 1, 16: 2, 32: 3, 64: 4}
+
+# BLOCK_SIZES_ALL index rows of the use_filter_intra CDF bank: square
+# sizes and the two rect sizes the product path codes
+_FI_BSIZE_IDX = {4: 0, 8: 3, 16: 6, 32: 9, (16, 32): 7, (32, 16): 8}
 
 _EOB_PT_NSYM = {16: 5, 32: 6, 64: 7, 128: 8, 256: 9, 512: 10, 1024: 11}
 _EOB_PT_KEY = {16: "eob_pt_16", 32: "eob_pt_32", 64: "eob_pt_64",
@@ -195,6 +199,9 @@ class CdfBank:
             n: _adaptive(t[f"palette_y_color_index_{n}"])
             for n in range(2, 9)
         }
+        # filter intra (spec 5.11.24): use bit per BLOCK_SIZES_ALL + mode
+        self.filter_intra_use = _adaptive(t["filter_intra_use"])  # (22, 3)
+        self.filter_intra_mode = _adaptive(t["filter_intra_mode"])  # (6,)
 
 
 @dataclass
@@ -220,8 +227,10 @@ class TileEncoder:
         u_ac_delta_q: int = 0,
         dec: Optional[dict] = None,  # decision record/replay (see C mirror)
         screen_tools: bool = False,  # frame allow_screen_content_tools
+        filter_intra: bool = False,  # seq enable_filter_intra
     ) -> None:
         self.screen_tools = bool(screen_tools)
+        self.filter_intra = bool(filter_intra)
         self._dec = dec
         self._dec_mode = int(dec["mode"]) if dec else 0
         self._dec_pos = 0
@@ -1065,6 +1074,49 @@ class TileEncoder:
                     pre0 = tB
                 else:
                     pre0 = tA
+            # filter-intra duel (spec 7.11.2.3 recursive filter): when
+            # the incumbent is DC on an eligible (<= 32) block, nominate
+            # the best of the 5 filter modes by prediction SSD; the
+            # nominee earns a real D + lambda*R trial only when it beats
+            # DC's prediction SSD by > 10% (flat content stays free).
+            force_fi = getattr(self, "_force_fi_test", None)
+            if (self.filter_intra and size <= 32 and force_fi is not None):
+                y_mode = FILTER_BASE + int(force_fi)
+            elif (self.filter_intra and size <= 32 and y_mode == DC_PRED
+                    and self.speed <= 9):
+                above_b, left_b = build_edges(
+                    self.recon[0], x, y, tx, tx, have_above, have_left,
+                    self.bitdepth, num_top_right=ntr, num_bottom_left=nbl,
+                )
+                srcb = self.src[0][y : y + tx, x : x + tx].astype(np.int64)
+                pred_dc = predict(DC_PRED, above_b, left_b, tx, tx,
+                                  have_above, have_left,
+                                  bitdepth=self.bitdepth)
+                ssd_dc = int(((srcb - pred_dc) ** 2).sum())
+                fi_best, fi_ssd = -1, 0
+                for fi in range(5):
+                    pf = predict(FILTER_BASE + fi, above_b, left_b, tx, tx,
+                                 have_above, have_left,
+                                 bitdepth=self.bitdepth)
+                    s = int(((srcb - pf) ** 2).sum())
+                    if fi_best < 0 or s < fi_ssd:
+                        fi_best, fi_ssd = fi, s
+                if 10 * fi_ssd < 9 * ssd_dc:
+                    if pre0 is None:
+                        pre0 = self._try_luma_depth(x, y, size, 0, y_mode,
+                                                    ntr, nbl)
+                    tF = self._try_luma_depth(
+                        x, y, size, 0, FILTER_BASE + fi_best, ntr, nbl)
+                    lam_pix = float(
+                        ((self.dq_ac * self.dq_ac) >> 6) * RDOQ_KNUM
+                    ) / (RDOQ_KDEN * 128.0) * self._lam_scale
+                    # +300 rate units ~ the filter_intra_mode symbol the
+                    # filter side pays (both sides pay the use flag)
+                    rd_d = float(pre0[1]) + lam_pix * float(pre0[2])
+                    rd_f = float(tF[1]) + lam_pix * float(tF[2] + 300)
+                    if rd_f < rd_d:
+                        y_mode = FILTER_BASE + fi_best
+                        pre0 = tF
             depth_cands = [0]
             # speed 9 keeps the split trial only for <=16 blocks (cheap,
             # where most splits land); lower speeds try every size;
@@ -1133,16 +1185,19 @@ class TileEncoder:
         skip_ctx = int(self.above_skip[c]) + int(self.left_skip[lr])
         self._sym(self.cdf.skip[skip_ctx], 1 if skip else 0)
 
+        # filter-intra blocks code YMode = DC_PRED + the filter fields
+        fi_mode = (y_mode - FILTER_BASE) if y_mode >= FILTER_BASE else None
+        sym_y = DC_PRED if fi_mode is not None else y_mode
         actx = INTRA_MODE_CONTEXT[int(self.above_mode[c])] if r > 0 else 0
         lctx = INTRA_MODE_CONTEXT[int(self.left_mode[lr])] if c > 0 else 0
-        self._sym(self.cdf.kf_y[actx][lctx], y_mode)
-        if y_mode in MODE_TO_ANGLE and size >= 8:
-            self._sym(self.cdf.angle_delta[y_mode - 1], 3)  # delta 0
+        self._sym(self.cdf.kf_y[actx][lctx], sym_y)
+        if sym_y in MODE_TO_ANGLE and size >= 8:
+            self._sym(self.cdf.angle_delta[sym_y - 1], 3)  # delta 0
 
         if len(self.planes) > 1:
             cfl_allowed = size <= 32
             uv_cdfs = self.cdf.uv_mode_cfl if cfl_allowed else self.cdf.uv_mode
-            self._sym(uv_cdfs[y_mode], uv_mode)
+            self._sym(uv_cdfs[sym_y], uv_mode)
             if uv_mode == UV_CFL_PRED:
                 self._emit_cfl_alphas(*cfl_alphas)
             elif uv_mode in MODE_TO_ANGLE and size >= 8:
@@ -1154,7 +1209,7 @@ class TileEncoder:
         pal_ctx_val = None
         if self.screen_tools and 8 <= size <= 64:
             bctx = 2 * (size.bit_length() - 4)
-            if y_mode == DC_PRED:
+            if sym_y == DC_PRED:
                 pctx = (
                     (1 if (r > 0 and self.above_pal[c] is not None) else 0)
                     + (1 if (c > 0 and self.left_pal[lr] is not None)
@@ -1177,18 +1232,32 @@ class TileEncoder:
                     use_palette[1], size, size, len(use_palette[0]),
                     emit=True)
 
+        # filter_intra_mode_info (spec 5.11.24): after palette_mode_info,
+        # before read_block_tx_size; coded for DC blocks <= 32 with no
+        # palette when the sequence enables the tool
+        if (self.filter_intra and size <= 32 and sym_y == DC_PRED
+                and use_palette is None):
+            bsi = _FI_BSIZE_IDX[size]
+            self._sym(self.cdf.filter_intra_use[bsi],
+                      0 if fi_mode is None else 1)
+            if fi_mode is not None:
+                self._sym(self.cdf.filter_intra_mode, fi_mode)
+
         # read_block_tx_size: intra blocks code tx_depth after mode info
         # (allowSelect is true even for skip intra blocks)
         if size > 4:
             self._emit_tx_depth(r, c, size, y_depth)
 
         # --- residual coding + recon ---
+        # tx-type syntax indexes its CDF row by the intra DIRECTION: the
+        # spec maps filter-intra blocks via Filter_Intra_Mode_To_Intra_Dir
+        txdir = FILTER_TO_DIR[fi_mode] if fi_mode is not None else y_mode
         for plane, tx, px, py, levels, pred, tt in plane_jobs:
             if skip:
                 self._set_lvl_ctx(plane, px, py, tx, 0, 0)
                 recon_block = pred
             else:
-                self._encode_coeffs(plane, tx, px, py, levels, size, y_mode, tt)
+                self._encode_coeffs(plane, tx, px, py, levels, size, txdir, tt)
                 resid = self._dequant_inv(levels, tx, tt,
                                           ptype=0 if plane == 0 else 1)
                 recon_block = pred + resid
@@ -1200,8 +1269,8 @@ class TileEncoder:
         # --- context updates ---
         self.above_skip[c : c + n_mi] = 1 if skip else 0
         self.left_skip[lr : lr + n_mi] = 1 if skip else 0
-        self.above_mode[c : c + n_mi] = y_mode
-        self.left_mode[lr : lr + n_mi] = y_mode
+        self.above_mode[c : c + n_mi] = sym_y
+        self.left_mode[lr : lr + n_mi] = sym_y
         self.above_txw[c : c + n_mi] = y_tx
         self.left_txh[lr : lr + n_mi] = y_tx
         if self.screen_tools:
@@ -1719,6 +1788,10 @@ class TileEncoder:
                 self._sym(self.cdf.palette_y_mode[bctx][pctx], 0)
             if len(self.planes) > 1 and uv_mode == DC_PRED:
                 self._sym(self.cdf.palette_uv_mode[0], 0)
+        # filter_intra_mode_info: rect DC blocks <= 32 are eligible and
+        # must code the use flag; the rect path always declines
+        if (self.filter_intra and max(bw, bh) <= 32 and y_mode == DC_PRED):
+            self._sym(self.cdf.filter_intra_use[_FI_BSIZE_IDX[(bw, bh)]], 0)
         # tx_depth 0 of the rect max tx: cat = sqr_up category, ctx from
         # the rect dims
         cat = {8: 0, 16: 1, 32: 2, 64: 3}[max(bw, bh)]
@@ -3262,6 +3335,7 @@ def _encode_one_tile(args):
     (tile_planes, qindex, bitdepth, speed, use_tpu_planner,
      u_ac_delta_q, tile_idx, *rest) = args
     screen_tools = bool(rest[0]) if rest else False
+    filter_intra = bool(rest[1]) if len(rest) > 1 else False
     plan = None
     # device planning pays off on real frames; for tiny tiles the host
     # search is cheaper than the dispatch + (first-run) compile
@@ -3299,7 +3373,8 @@ def _encode_one_tile(args):
 
         res = tile_encode_native(tile_planes, qindex, bitdepth, speed, plan,
                                  u_ac_delta_q, dec=dec,
-                                 screen_tools=screen_tools)
+                                 screen_tools=screen_tools,
+                                 filter_intra=filter_intra)
         if res is not None:
             if record and dec is not None:
                 _store_dec(plan, dec)
@@ -3307,7 +3382,7 @@ def _encode_one_tile(args):
 
     te = TileEncoder(tile_planes, qindex, bitdepth, speed, plan=plan,
                      u_ac_delta_q=u_ac_delta_q, dec=dec,
-                     screen_tools=screen_tools)
+                     screen_tools=screen_tools, filter_intra=filter_intra)
     payload = te.encode()
     if record and dec is not None:
         _store_dec(plan, dec)
@@ -3325,6 +3400,7 @@ def encode_frame_planes(
     use_tpu_planner: Optional[bool] = None,
     u_ac_delta_q: int = 0,
     screen_tools: bool = False,
+    filter_intra: bool = False,
 ):
     """Encode YUV444 planes → (list of tile payloads, recon planes).
 
@@ -3358,7 +3434,7 @@ def encode_frame_planes(
             ]
             jobs.append((tile_planes, qindex, bitdepth, speed,
                          use_tpu_planner, u_ac_delta_q, len(jobs),
-                         screen_tools))
+                         screen_tools, filter_intra))
             bounds.append((y0, y1, x0, x1))
 
     if max_threads > 1 and len(jobs) > 1:

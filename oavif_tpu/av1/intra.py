@@ -94,7 +94,14 @@ def predict(
     angle_delta: int = 0,
     bitdepth: int = 8,
 ) -> np.ndarray:
-    """Predict a w×h block from neighbor arrays. Returns (h, w) int32."""
+    """Predict a w×h block from neighbor arrays. Returns (h, w) int32.
+
+    mode >= FILTER_BASE encodes a filter-intra block (mode - FILTER_BASE
+    is the filter_intra_mode); syntax-wise those blocks are DC_PRED."""
+    if mode >= FILTER_BASE:
+        return predict_filter_intra(
+            mode - FILTER_BASE, above, left, w, h, bitdepth
+        )
     a = above[1 : 1 + w + h].astype(np.int64)
     l = left[1 : 1 + w + h].astype(np.int64)
     corner = int(above[0])
@@ -212,3 +219,57 @@ def _predict_directional(mode, a, l, corner, w, h, angle_delta):
                 v = left_m1[base_y + 1] * (32 - shift) + left_m1[base_y + 2] * shift
             out[r, c] = (v + 16) >> 5
     return out
+
+
+# ---- filter intra (spec 7.11.2.3 recursive intra prediction) ----------------
+# 5 modes; the block is predicted in 4x2 patches in raster order, each
+# patch's 8 outputs a 7-tap combination of the patch's above row (4 + the
+# corner) and left column (2), where interior patches consume previously
+# predicted pixels. Taps from av1_tables.npz (filter_intra_taps, every
+# row sums to 16 = unit DC gain); rounding is signed round-half to
+# match the reference decoder exactly.
+
+FILTER_INTRA_MODES = 5
+# internal y_mode encoding of a filter-intra block: FILTER_BASE + mode
+# (real y modes are 0..12; the syntax codes DC_PRED + the filter fields)
+FILTER_BASE = 16
+# filter_intra_mode -> intra direction used by tx-type syntax
+# (spec Filter_Intra_Mode_To_Intra_Dir): DC, V, H, D157, DC — note the
+# PAETH-shaped filter maps back to DC for transform-set purposes
+FILTER_TO_DIR = (0, 1, 2, 6, 0)
+
+
+def predict_filter_intra(
+    mode: int,
+    above: np.ndarray,
+    left: np.ndarray,
+    w: int,
+    h: int,
+    bitdepth: int = 8,
+) -> np.ndarray:
+    """Recursive filter-intra prediction of a w×h block. Returns (h, w)."""
+    taps = TABLES["filter_intra_taps"][mode][:, :7].astype(np.int64)  # (8,7)
+    buf = np.zeros((h + 1, w + 1), dtype=np.int64)
+    buf[0, 0] = int(above[0])  # corner
+    buf[0, 1 : 1 + w] = above[1 : 1 + w]
+    buf[1 : 1 + h, 0] = left[1 : 1 + h]
+    hi = (1 << bitdepth) - 1
+    for r in range(1, h + 1, 2):
+        for c in range(1, w + 1, 4):
+            p = np.array(
+                [
+                    buf[r - 1, c - 1],
+                    buf[r - 1, c],
+                    buf[r - 1, c + 1],
+                    buf[r - 1, c + 2],
+                    buf[r - 1, c + 3],
+                    buf[r, c - 1],
+                    buf[r + 1, c - 1],
+                ],
+                dtype=np.int64,
+            )
+            v = taps @ p  # the 8 patch outputs have no interdependency
+            # Round2Signed at INTRA_FILTER_SCALE_BITS = 4
+            v = np.where(v >= 0, (v + 8) >> 4, -((-v + 8) >> 4))
+            buf[r : r + 2, c : c + 4] = np.clip(v, 0, hi).reshape(2, 4)
+    return buf[1:, 1:].astype(np.int32)

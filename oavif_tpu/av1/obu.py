@@ -89,6 +89,7 @@ class SequenceConfig:
     matrix_coefficients: int = 2
     color_range: int = 1  # full range (oracle backend uses full too)
     enable_cdef: bool = False
+    enable_filter_intra: bool = False
 
 
 def _choose_level(width: int, height: int) -> int:
@@ -120,7 +121,7 @@ def write_sequence_header(cfg: SequenceConfig) -> bytes:
     w.f(cfg.width - 1, 16)
     w.f(cfg.height - 1, 16)
     w.f(0, 1)  # use_128x128_superblock → 64x64 SBs
-    w.f(0, 1)  # enable_filter_intra
+    w.f(1 if cfg.enable_filter_intra else 0, 1)  # enable_filter_intra
     w.f(0, 1)  # enable_intra_edge_filter
     w.f(0, 1)  # enable_superres
     w.f(1 if cfg.enable_cdef else 0, 1)  # enable_cdef

@@ -93,6 +93,31 @@ def take_table(d, start, shape, nsym, stride=None):
     return arr.reshape(tuple(shape) + (nsym,)), start + count * stride
 
 
+def load_rodata_bytes() -> np.ndarray:
+    with tempfile.NamedTemporaryFile(suffix=".bin") as f:
+        subprocess.run(
+            ["objcopy", "-O", "binary", "--only-section=.rodata", LIBAOM, f.name],
+            check=True,
+        )
+        return np.fromfile(f.name, dtype=np.uint8).copy()
+
+
+def find_filter_intra_taps(rod8: np.ndarray) -> np.ndarray:
+    s = rod8.astype(np.int32)
+    cs = np.concatenate([[0], np.cumsum(s)])
+    row16 = (cs[8:] - cs[:-8]) == 16
+    for off in range(len(rod8) - 320):
+        if not row16[off]:
+            continue
+        if rod8[off] != -6:  # anchor the canonical first row
+            continue
+        if all(row16[off + 8 * k] for k in range(40)):
+            v = rod8[off : off + 320]
+            if v.max() <= 20 and v.min() >= -20:
+                return v.reshape(5, 8, 8).astype(np.int8)
+    raise AssertionError("filter-intra taps not found")
+
+
 def find_u16_seq(d, seq):
     seq = np.asarray(seq, dtype="<u2")
     # naive scan with early filter on first element
@@ -397,6 +422,43 @@ def main():
             out[f"palette_{tag}_color_index_{nsym}"] = take_table(
                 d, base_off + si * 45, (5,), nsym, stride=9
             )[0]
+
+    # ---- filter-intra (spec 7.11.2.3 recursive filter + its two CDFs) ----
+    # Taps: the only int8 [5][8][8] block in rodata whose every row of 8
+    # sums to 16 (unit DC gain of the recursive filter). Row = one of the
+    # 8 output pixels of a 4x2 patch; columns = refs p0..p6 + a zero pad.
+    rod8 = load_rodata_bytes().view(np.int8)
+    taps = find_filter_intra_taps(rod8)
+    assert list(taps[0, 0]) == [-6, 10, 0, 0, 0, 12, 0, 0]  # anchor
+    out["filter_intra_taps"] = taps
+    # use_filter_intra CDF2 per block size: located by the exact probs of
+    # the ten square/2:1 allowed sizes (4x4..32x32) stored as consecutive
+    # 3-slot units; the 4:1 sizes follow after one uniform entry. The
+    # disallowed sizes (>32) never code the symbol, so their rows are
+    # pinned to the uniform 16384 (values validated end-to-end by the
+    # dav1d conformance probes like every other CDF here).
+    use_probs10 = [4621, 6743, 5893, 7866, 12551, 9394, 12408, 14301,
+                   12756, 22343]
+    ufi_off = find_u16_seq(
+        d, sum([[32768 - p, 0, 0] for p in use_probs10], [])
+    )
+    probs41 = [32768 - int(d[ufi_off + 32 + 3 * k]) for k in range(4)]
+    assert probs41 == [12770, 10368, 20229, 18101], probs41  # 4x16..32x8
+    ufi = np.full(22, 16384, dtype=np.int64)
+    ufi[0:10] = use_probs10
+    ufi[16:20] = probs41
+    out["filter_intra_use"] = np.stack(
+        [(32768 - ufi).astype(np.uint16), np.zeros(22, dtype=np.uint16)],
+        axis=1,
+    )  # [22][2] icdf units
+    # filter_intra_mode CDF5: the unit [23819, 19992, 15557, 3210] appears
+    # byte-identically in BOTH libaom (whole file) and libdav1d .rodata —
+    # probs (8949, 12776, 17211, 29558).
+    fim = [23819, 19992, 15557, 3210]
+    whole = np.fromfile(LIBAOM, dtype=np.uint8)
+    pat = np.array(fim, dtype="<u2").tobytes()
+    assert bytes(whole).find(pat) >= 0, "filter_intra_mode unit not found"
+    out["filter_intra_mode"] = np.array(fim + [0], dtype=np.uint16)
 
     OUT.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(OUT, **out)

@@ -286,6 +286,14 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
     # the luma is palette-shaped (few distinct values over a meaningful
     # share of 16x16 blocks) — photographic streams stay byte-identical
     screen_tools = _detect_screen_content(planes[0], qindex)
+    # filter-intra (recursive filter prediction): RD-dueled per block in
+    # both mirrored encoders; enabling the sequence flag costs one binary
+    # symbol per eligible DC block, so it arms only at quality speeds
+    # where the duel can pay it back (OAVIF_FILTER_INTRA=0/1 overrides)
+    fi_env = os.environ.get("OAVIF_FILTER_INTRA")
+    filter_intra = (
+        fi_env != "0" if fi_env is not None else o.speed <= 8
+    ) and qindex > 0
     payloads, recon_planes, blocks = encode_frame_planes(
         planes,
         qindex,
@@ -296,6 +304,7 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
         max_threads=o.max_threads,
         u_ac_delta_q=uv_dq,
         screen_tools=screen_tools,
+        filter_intra=filter_intra,
     )
     flv = _filter_level(qindex)
     filter_levels = (flv, flv, flv, flv)
@@ -322,6 +331,7 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
         transfer_characteristics=o.transfer_characteristics,
         matrix_coefficients=o.matrix_coefficients,
         enable_cdef=cdef_on,
+        enable_filter_intra=filter_intra,
     )
     frame = FrameConfig(
         width=w, height=h, base_q_idx=qindex,

@@ -78,6 +78,8 @@ def _build() -> Optional[C.CDLL]:
             _p32, _p32,        # blocks_out, n_blocks_out
             _p32, _p32, C.c_int,  # dec_buf, dec_len_io, dec_mode
             C.c_int,           # screen_tools (palette syntax)
+            C.c_int,           # filter_intra (seq enable_filter_intra)
+            _p32,              # fi_taps [5][8][8]
             C.POINTER(C.POINTER(C.c_uint8)),  # out_payload
         ]
         lib.tile_payload_free.argtypes = [C.POINTER(C.c_uint8)]
@@ -144,6 +146,21 @@ def get_lib() -> Optional[C.CDLL]:
 
 def _u16p(arr: np.ndarray):
     return arr.ctypes.data_as(C.POINTER(C.c_uint16))
+
+
+_fi_taps_cache = None
+
+
+def _fi_taps_arr() -> np.ndarray:
+    """filter-intra taps [5][8][8] as contiguous int32 (av1_tables.npz)."""
+    global _fi_taps_cache
+    if _fi_taps_cache is None:
+        from ..tables import TABLES
+
+        _fi_taps_cache = np.ascontiguousarray(
+            TABLES["filter_intra_taps"].reshape(-1), dtype=np.int32
+        )
+    return _fi_taps_cache
 
 
 def _i32p(arr: np.ndarray):
@@ -247,6 +264,7 @@ _CDF_ORDER = (
     "pal_y_mode", "pal_uv_mode", "pal_y_size",
     "pal_y_ci2", "pal_y_ci3", "pal_y_ci4", "pal_y_ci5", "pal_y_ci6",
     "pal_y_ci7", "pal_y_ci8",
+    "fi_use", "fi_mode",
 )
 
 
@@ -263,8 +281,6 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None,
     lib = get_lib()
     if lib is None:
         return None
-    if filter_intra and not getattr(lib, "_has_filter_intra", False):
-        return None  # C mirror pending; Python path carries the tool
 
     from ..consts import coeff_q_ctx
     from ..frame import CdfBank
@@ -294,6 +310,8 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None,
         "intra_ext_tx1": bank.intra_ext_tx1,
         "intra_ext_tx2": bank.intra_ext_tx2,
         "tx_size": bank.tx_size,
+        "fi_use": bank.filter_intra_use,
+        "fi_mode": bank.filter_intra_mode,
     }
     cdf_arrs = [np.ascontiguousarray(cdfs[k], dtype=np.uint16) for k in _CDF_ORDER]
     cdf_ptrs = (C.POINTER(C.c_uint16) * len(cdf_arrs))(*[_u16p(a) for a in cdf_arrs])
@@ -385,6 +403,8 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None,
         _i32p(dec_len) if dec_len is not None else C.POINTER(C.c_int32)(),
         dec_mode,
         1 if screen_tools else 0,
+        1 if filter_intra else 0,
+        _i32p(_fi_taps_arr()),
         C.byref(out),
     )
     if dec is not None and dec_mode == 1 and dec_len is not None:

@@ -91,6 +91,11 @@ enum {
 static const int INTRA_MODE_CONTEXT[13] = {0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0};
 static const int MODE_ANGLE[13] = {0, 90, 180, 45, 135, 113, 157, 203, 67,
                                    0, 0, 0, 0};
+/* filter-intra (spec 7.11.2.3): internal y_mode FILTER_BASE+mode; the
+ * syntax codes DC_PRED + use/mode fields (mirrors intra.py FILTER_BASE) */
+enum { FILTER_BASE = 16 };
+static const int FIMODE_TO_DIR[5] = {DC_PRED, V_PRED, H_PRED, D157_PRED,
+                                     DC_PRED};
 enum { PARTITION_NONE = 0, PARTITION_SPLIT = 3 };
 
 /* CDF pointer pack order (must match fast.py CDF_ORDER) */
@@ -103,7 +108,8 @@ enum {
     CDF_INTRA_EXT_TX2, CDF_TX_SIZE, CDF_EOB_PT128, CDF_EOB_PT512,
     CDF_PAL_Y_MODE, CDF_PAL_UV_MODE, CDF_PAL_Y_SIZE,
     CDF_PAL_Y_CI2, CDF_PAL_Y_CI3, CDF_PAL_Y_CI4, CDF_PAL_Y_CI5,
-    CDF_PAL_Y_CI6, CDF_PAL_Y_CI7, CDF_PAL_Y_CI8, CDF_N
+    CDF_PAL_Y_CI6, CDF_PAL_Y_CI7, CDF_PAL_Y_CI8,
+    CDF_FI_USE, CDF_FI_MODE, CDF_N
 };
 
 enum { UV_CFL_PRED = 13 };
@@ -151,6 +157,9 @@ typedef struct {
     int enable_idtx; /* identity-transform duel arm (OAVIF_IDTX) */
     int screen_tools; /* frame allow_screen_content_tools: palette
                          syntax coded per eligible DC block */
+    int filter_intra; /* seq enable_filter_intra: use flag coded per
+                         eligible DC block <= 32 */
+    const int32_t *fi_taps; /* filter-intra taps [5][8][8] (av1_tables) */
     /* palette context lines: per-mi neighbor palette (count 0 = none) */
     uint8_t *above_pal_n;
     uint16_t *above_pal_c; /* mi_cols * 8 */
@@ -349,9 +358,49 @@ static void pred_directional(const Edges *e, int mode, int angle_delta,
         }
 }
 
+/* spec 7.11.2.3 recursive filter prediction: 4x2 patches in raster
+ * order, each output a 7-tap combination of the patch's above row (4 +
+ * corner) and left column (2); interior patches consume previously
+ * predicted pixels. Round2Signed at scale 4 (mirrors intra.py). */
+static void pred_filter_intra(const Tile *t, const Edges *e, int fimode,
+                              int w, int h, int32_t *out) {
+    const int32_t *taps = t->fi_taps + (size_t)fimode * 64;
+    int hi = (1 << t->bitdepth) - 1;
+    int64_t buf[33 * 33]; /* (h+1) x (w+1); blocks cap at 32 */
+    int W = w + 1;
+    buf[0] = e->above[0];
+    for (int c = 0; c < w; c++) buf[1 + c] = e->above[1 + c];
+    for (int r = 0; r < h; r++) buf[(size_t)(r + 1) * W] = e->left[1 + r];
+    for (int r = 1; r <= h; r += 2)
+        for (int c = 1; c <= w; c += 4) {
+            const int64_t p[7] = {
+                buf[(size_t)(r - 1) * W + c - 1], buf[(size_t)(r - 1) * W + c],
+                buf[(size_t)(r - 1) * W + c + 1],
+                buf[(size_t)(r - 1) * W + c + 2],
+                buf[(size_t)(r - 1) * W + c + 3],
+                buf[(size_t)r * W + c - 1], buf[(size_t)(r + 1) * W + c - 1],
+            };
+            for (int k = 0; k < 8; k++) {
+                int64_t v = 0;
+                for (int j = 0; j < 7; j++) v += (int64_t)taps[k * 8 + j] * p[j];
+                v = v >= 0 ? (v + 8) >> 4 : -((-v + 8) >> 4);
+                if (v < 0) v = 0;
+                if (v > hi) v = hi;
+                buf[(size_t)(r + (k >> 2)) * W + c + (k & 3)] = v;
+            }
+        }
+    for (int r = 0; r < h; r++)
+        for (int c = 0; c < w; c++)
+            out[r * w + c] = (int32_t)buf[(size_t)(r + 1) * W + c + 1];
+}
+
 static void predict(const Tile *t, const Edges *e, int mode, int w, int h,
                     int have_above, int have_left, int32_t *out) {
     PROF_SCOPE(PROF_PREDICT);
+    if (mode >= FILTER_BASE) {
+        pred_filter_intra(t, e, mode - FILTER_BASE, w, h, out);
+        return;
+    }
     const int64_t *a = e->above + 1;
     const int64_t *l = e->left + 1;
     int64_t corner = e->above[0];
@@ -2995,6 +3044,14 @@ static void encode_block_rect_c(Tile *t, int r, int c, int bw, int bh) {
         if (nplanes > 1 && uv_mode == DC_PRED)
             enc_symbol_adapt(t->enc, t->cdf[CDF_PAL_UV_MODE], 2, 0);
     }
+    /* filter_intra_mode_info: rect DC blocks <= 32 are eligible and must
+     * code the use flag; the rect path always declines (mirrors
+     * frame.py; rows 7/8 = BLOCK_16X32/BLOCK_32X16) */
+    if (t->filter_intra && y_mode == DC_PRED && bw <= 32 && bh <= 32) {
+        int fi_row = bw == 16 ? 7 : 8;
+        enc_symbol_adapt(t->enc, t->cdf[CDF_FI_USE] + (size_t)fi_row * 3, 2,
+                         0);
+    }
     /* tx_depth 0 of the rect max tx (cat = sqr_up category) */
     {
         int mx = bw > bh ? bw : bh;
@@ -3304,6 +3361,59 @@ static void encode_block(Tile *t, int r, int c, int size) {
                 }
             }
         }
+        /* filter-intra duel (mirrors frame.py): the best-of-5 SSD
+         * nominee vs the INCUMBENT's prediction (filter intra codes as
+         * DC + flag, so it can replace any winner); the nominee earns a
+         * real D + lambda*R trial only when it beats the incumbent's
+         * SSD by > 10%. +300 rate units ~ the filter_intra_mode symbol. */
+        if (t->filter_intra && size <= 32 && t->speed <= 9) {
+            const int32_t *srcp0 = t->src[0];
+            predict(t, &ey, y_mode, size, size, have_above0, have_left0,
+                    pred_scratch);
+            int64_t ssd_dc = 0;
+            for (int rr = 0; rr < size; rr++)
+                for (int cc = 0; cc < size; cc++) {
+                    int64_t d = srcp0[(size_t)(y + rr) * t->pw + x + cc] -
+                                pred_scratch[rr * size + cc];
+                    ssd_dc += d * d;
+                }
+            int fi_best = -1;
+            int64_t fi_ssd = 0;
+            for (int fi2 = 0; fi2 < 5; fi2++) {
+                predict(t, &ey, FILTER_BASE + fi2, size, size, have_above0,
+                        have_left0, pred_scratch);
+                int64_t s = 0;
+                for (int rr = 0; rr < size; rr++)
+                    for (int cc = 0; cc < size; cc++) {
+                        int64_t d =
+                            srcp0[(size_t)(y + rr) * t->pw + x + cc] -
+                            pred_scratch[rr * size + cc];
+                        s += d * d;
+                    }
+                if (fi_best < 0 || s < fi_ssd) {
+                    fi_best = fi2;
+                    fi_ssd = s;
+                }
+            }
+            if (10 * fi_ssd < 9 * ssd_dc) {
+                int64_t dF = 0, rF = 0;
+                if (try_luma_depth_c(t, x, y, size, 0, FILTER_BASE + fi_best,
+                                     ntr0, nbl0, can_code, NULL, lv_b, pr_b,
+                                     tt_b, rec_b, &dF, &rF)) {
+                    double rdD = (double)d0 + lam_pix * (double)r0;
+                    double rdF = (double)dF + lam_pix * (double)(rF + 300);
+                    if (rdF < rdD) {
+                        y_mode = FILTER_BASE + fi_best;
+                        d0 = dF;
+                        r0 = rF;
+                        memcpy(lv_a, lv_b, (size_t)npx * 4);
+                        memcpy(pr_a, pr_b, (size_t)npx * 4);
+                        memcpy(y_recon, rec_b, (size_t)npx * 4);
+                        memcpy(tt_a, tt_b, sizeof(tt_b));
+                    }
+                }
+            }
+        }
         if (can_code && btx >= 8 && t->speed <= 9 &&
             (t->speed <= 8 || btx <= 16) &&
             (t->speed <= 5 ||
@@ -3570,23 +3680,26 @@ static void encode_block(Tile *t, int r, int c, int size) {
     int skip_ctx = t->above_skip[c] + t->left_skip[lr];
     enc_symbol_adapt(t->enc, t->cdf[CDF_SKIP] + (size_t)skip_ctx * 3, 2, skip);
 
+    /* filter-intra blocks code YMode = DC_PRED + the filter fields */
+    int fi_blk = y_mode >= FILTER_BASE ? y_mode - FILTER_BASE : -1;
+    int sym_y = fi_blk >= 0 ? DC_PRED : y_mode;
     int actx = r > 0 ? INTRA_MODE_CONTEXT[t->above_mode[c]] : 0;
     int lctx = c > 0 ? INTRA_MODE_CONTEXT[t->left_mode[lr]] : 0;
     enc_symbol_adapt(t->enc,
                      t->cdf[CDF_KF_Y] + ((size_t)actx * 5 + lctx) * 14, 13,
-                     y_mode);
-    if (MODE_ANGLE[y_mode] && size >= 8)
+                     sym_y);
+    if (MODE_ANGLE[sym_y] && size >= 8)
         enc_symbol_adapt(t->enc,
-                         t->cdf[CDF_ANGLE_DELTA] + (size_t)(y_mode - 1) * 8, 7,
+                         t->cdf[CDF_ANGLE_DELTA] + (size_t)(sym_y - 1) * 8, 7,
                          3); /* delta 0 */
     if (nplanes > 1) {
         int cfl_allowed = size <= 32;
         if (cfl_allowed)
             enc_symbol_adapt(
-                t->enc, t->cdf[CDF_UV_MODE_CFL] + (size_t)y_mode * 15, 14,
+                t->enc, t->cdf[CDF_UV_MODE_CFL] + (size_t)sym_y * 15, 14,
                 uv_mode);
         else
-            enc_symbol_adapt(t->enc, t->cdf[CDF_UV_MODE] + (size_t)y_mode * 14,
+            enc_symbol_adapt(t->enc, t->cdf[CDF_UV_MODE] + (size_t)sym_y * 14,
                              13, uv_mode);
         if (uv_mode == UV_CFL_PRED) {
             /* cfl_alphas(): joint sign, then per-plane alphabet index */
@@ -3616,7 +3729,7 @@ static void encode_block(Tile *t, int r, int c, int size) {
      * palette_tokens precedes read_block_tx_size) */
     if (t->screen_tools && size >= 8 && size <= 64) {
         int bctx = palette_bsize_ctx(size, size);
-        if (y_mode == DC_PRED) {
+        if (sym_y == DC_PRED) {
             int pctx = ((r > 0 && t->above_pal_n[c]) ? 1 : 0) +
                        ((c > 0 && t->left_pal_n[lr]) ? 1 : 0);
             enc_symbol_adapt(
@@ -3640,6 +3753,17 @@ static void encode_block(Tile *t, int r, int c, int size) {
             palette_tokens_y_c(t, pal_map, size, size, npal, 1);
     }
 
+    /* filter_intra_mode_info (spec 5.11.24): after palette_mode_info,
+     * before read_block_tx_size (mirrors frame.py) */
+    if (t->filter_intra && size <= 32 && sym_y == DC_PRED && !use_palette) {
+        static const int FI_BSI[33] = {[4] = 0, [8] = 3, [16] = 6, [32] = 9};
+        enc_symbol_adapt(t->enc,
+                         t->cdf[CDF_FI_USE] + (size_t)FI_BSI[size] * 3, 2,
+                         fi_blk >= 0);
+        if (fi_blk >= 0)
+            enc_symbol_adapt(t->enc, t->cdf[CDF_FI_MODE], 5, fi_blk);
+    }
+
     /* read_block_tx_size: intra blocks code tx_depth after mode info
      * (allowSelect is true even for skip intra blocks) */
     if (size > 4) {
@@ -3650,7 +3774,10 @@ static void encode_block(Tile *t, int r, int c, int size) {
                          cat == 0 ? 2 : 3, y_depth);
     }
 
-    /* residual coding + recon */
+    /* residual coding + recon. The tx-type syntax indexes its CDF row by
+     * the intra DIRECTION (Filter_Intra_Mode_To_Intra_Dir for filter
+     * blocks; mirrors frame.py). */
+    int txdir = fi_blk >= 0 ? FIMODE_TO_DIR[fi_blk] : y_mode;
     for (int plane = 0; plane < nplanes; plane++) {
         if (plane == 0) {
             /* luma: per-txb coeffs in raster order; recon = trial recon */
@@ -3666,7 +3793,7 @@ static void encode_block(Tile *t, int r, int c, int size) {
                         encode_coeffs_txb(
                             t, 0, ytx, px_, py_,
                             levels + (size_t)idx * ytx * ytx, size,
-                            y_mode | (y_txtypes[idx] << 8));
+                            txdir | (y_txtypes[idx] << 8));
                     }
                 }
             int32_t *rec = t->recon[0];
@@ -3702,7 +3829,7 @@ static void encode_block(Tile *t, int r, int c, int size) {
                         v < 0 ? 0 : (v > hi ? hi : v);
                 }
         } else {
-            encode_coeffs_txb(t, plane, tx, x, y, lv, size, y_mode);
+            encode_coeffs_txb(t, plane, tx, x, y, lv, size, txdir);
             int32_t resid[64 * 64];
             dequant_inv_tt(t, lv, tx, 0, 1, resid);
             for (int rr = 0; rr < tx; rr++)
@@ -3716,12 +3843,12 @@ static void encode_block(Tile *t, int r, int c, int size) {
     free(preds);
     free(levels);
 
-    /* context updates */
+    /* context updates (filter blocks store their syntax mode, DC) */
     for (int i = 0; i < n_mi; i++) {
         t->above_skip[c + i] = skip;
         t->left_skip[lr + i] = skip;
-        t->above_mode[c + i] = (uint8_t)y_mode;
-        t->left_mode[lr + i] = (uint8_t)y_mode;
+        t->above_mode[c + i] = (uint8_t)sym_y;
+        t->left_mode[lr + i] = (uint8_t)sym_y;
         t->above_txw[c + i] = y_tx;
         t->left_txh[lr + i] = y_tx;
     }
@@ -3993,6 +4120,8 @@ size_t tile_encode(
     int32_t *blocks_out, int32_t *n_blocks_out, /* optional geometry export */
     int32_t *dec_buf, int32_t *dec_len_io, int dec_mode, /* decision reuse */
     int screen_tools,                 /* palette syntax (frame header) */
+    int filter_intra,                 /* seq enable_filter_intra */
+    const int32_t *fi_taps,           /* filter-intra taps [5][8][8] */
     uint8_t **out_payload)            /* malloc'd; caller frees */
 {
     if (prof_enabled < 0) {
@@ -4044,6 +4173,8 @@ size_t tile_encode(
     t.dec_cap = dec_buf && dec_len_io ? *dec_len_io : 0;
     t.dec_mode = dec_buf ? dec_mode : 0;
     t.screen_tools = screen_tools;
+    t.filter_intra = filter_intra && fi_taps != NULL;
+    t.fi_taps = fi_taps;
 
     /* padded src (edge-replicated) + zeroed recon */
     for (int p = 0; p < nplanes; p++) {

@@ -1074,25 +1074,25 @@ class TileEncoder:
                     pre0 = tB
                 else:
                     pre0 = tA
-            # filter-intra duel (spec 7.11.2.3 recursive filter): when
-            # the incumbent is DC on an eligible (<= 32) block, nominate
-            # the best of the 5 filter modes by prediction SSD; the
-            # nominee earns a real D + lambda*R trial only when it beats
-            # DC's prediction SSD by > 10% (flat content stays free).
+            # filter-intra duel (spec 7.11.2.3 recursive filter): on an
+            # eligible (<= 32) block, nominate the best of the 5 filter
+            # modes by prediction SSD against the INCUMBENT's prediction
+            # (filter intra is coded as DC + flag, so it can replace any
+            # winner); the nominee earns a real D + lambda*R trial only
+            # when it beats the incumbent's SSD by > 10%.
             force_fi = getattr(self, "_force_fi_test", None)
             if (self.filter_intra and size <= 32 and force_fi is not None):
                 y_mode = FILTER_BASE + int(force_fi)
-            elif (self.filter_intra and size <= 32 and y_mode == DC_PRED
-                    and self.speed <= 9):
+            elif (self.filter_intra and size <= 32 and self.speed <= 9):
                 above_b, left_b = build_edges(
                     self.recon[0], x, y, tx, tx, have_above, have_left,
                     self.bitdepth, num_top_right=ntr, num_bottom_left=nbl,
                 )
                 srcb = self.src[0][y : y + tx, x : x + tx].astype(np.int64)
-                pred_dc = predict(DC_PRED, above_b, left_b, tx, tx,
-                                  have_above, have_left,
-                                  bitdepth=self.bitdepth)
-                ssd_dc = int(((srcb - pred_dc) ** 2).sum())
+                pred_inc = predict(y_mode, above_b, left_b, tx, tx,
+                                   have_above, have_left,
+                                   bitdepth=self.bitdepth)
+                ssd_inc = int(((srcb - pred_inc) ** 2).sum())
                 fi_best, fi_ssd = -1, 0
                 for fi in range(5):
                     pf = predict(FILTER_BASE + fi, above_b, left_b, tx, tx,
@@ -1101,7 +1101,7 @@ class TileEncoder:
                     s = int(((srcb - pf) ** 2).sum())
                     if fi_best < 0 or s < fi_ssd:
                         fi_best, fi_ssd = fi, s
-                if 10 * fi_ssd < 9 * ssd_dc:
+                if 10 * fi_ssd < 9 * ssd_inc:
                     if pre0 is None:
                         pre0 = self._try_luma_depth(x, y, size, 0, y_mode,
                                                     ntr, nbl)
@@ -1111,7 +1111,9 @@ class TileEncoder:
                         ((self.dq_ac * self.dq_ac) >> 6) * RDOQ_KNUM
                     ) / (RDOQ_KDEN * 128.0) * self._lam_scale
                     # +300 rate units ~ the filter_intra_mode symbol the
-                    # filter side pays (both sides pay the use flag)
+                    # filter side pays (both sides pay the use flag; a
+                    # non-DC incumbent's rarer kf_y symbol roughly funds
+                    # the flag the filter side adds)
                     rd_d = float(pre0[1]) + lam_pix * float(pre0[2])
                     rd_f = float(tF[1]) + lam_pix * float(tF[2] + 300)
                     if rd_f < rd_d:

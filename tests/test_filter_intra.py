@@ -146,6 +146,61 @@ def test_natural_duel_wins_and_helps():
     assert total >= 0  # informational; exactness is the hard assert
 
 
+def test_c_python_byte_parity():
+    """The C tile encoder mirrors the filter-intra path byte-for-byte:
+    the SSD-screened duel, the use/mode symbols, the
+    Filter_Intra_Mode_To_Intra_Dir tx-type rows, and the decline flags
+    on eligible non-filter blocks."""
+    from oavif_tpu.av1.entropy.fast import tile_encode_native
+    from oavif_tpu.av1.frame import TileEncoder
+
+    yy, xx = np.mgrid[0:128, 0:128].astype(np.float64)
+    g = np.clip(
+        60 + 90 * ((xx + yy) / 254.0) ** 1.5
+        + 8 * np.sin(xx / 11) * np.cos(yy / 13), 0, 255,
+    )
+    planes = [np.round(g).astype(np.int32),
+              np.clip(np.round(g * 0.6 + 50), 0, 255).astype(np.int32),
+              np.clip(np.round(255 - g * 0.4), 0, 255).astype(np.int32)]
+    for qi, sp in ((60, 9), (140, 8), (80, 6)):
+        te = TileEncoder([p.copy() for p in planes], qi, 8, sp,
+                         filter_intra=True)
+        py = te.encode()
+        res = tile_encode_native(planes, qi, 8, sp, None, 0,
+                                 filter_intra=True)
+        if res is None:
+            pytest.skip("native library unavailable")
+        assert res[0] == py, (qi, sp)
+        for i in range(3):
+            np.testing.assert_array_equal(te.recon[i], res[1][i])
+
+
+def test_replay_cycle_parity():
+    """Record/replay with filter-intra modes in the record: the replayed
+    probe (different q) stays byte-identical between C and Python."""
+    from oavif_tpu.av1.entropy.fast import tile_encode_native
+    from oavif_tpu.av1.frame import TileEncoder
+
+    yy, xx = np.mgrid[0:96, 0:96].astype(np.float64)
+    g = np.clip(60 + 90 * ((xx + yy) / 190.0) ** 1.5, 0, 255)
+    planes = [np.round(g).astype(np.int32),
+              np.full((96, 96), 120, np.int32),
+              np.full((96, 96), 130, np.int32)]
+    dec = {"mode": 1, "buf": np.zeros(4096, dtype=np.int32), "len": 4096}
+    r1 = tile_encode_native(planes, 60, 8, 9, None, 0, dec=dec,
+                            filter_intra=True)
+    if r1 is None:
+        pytest.skip("native library unavailable")
+    rep_c = {"mode": 2, "buf": dec["buf"], "len": dec["len"]}
+    r2 = tile_encode_native(planes, 64, 8, 9, None, 0, dec=rep_c,
+                            filter_intra=True)
+    te = TileEncoder(
+        [p.copy() for p in planes], 64, 8, 9, filter_intra=True,
+        dec={"mode": 2, "buf": dec["buf"].copy(), "len": dec["len"]},
+    )
+    assert te.encode() == r2[0]
+
+
 def test_predictor_unit_dc_gain():
     """Every tap row sums to 16 (unit DC gain): a flat edge predicts
     flat for all 5 modes at both depths."""

@@ -199,7 +199,23 @@ def _install_stage_timers():
     return acc
 
 
+def _apply_jax_platform_env():
+    """The axon TPU site-hook ignores JAX_PLATFORMS; honor it (the
+    driver's global env says axon, so this is a no-op there — it exists
+    so a dev can force CPU without inheriting tunnel stalls)."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if not want:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", want)
+    except Exception:
+        pass
+
+
 def main():
+    _apply_jax_platform_env()
     size = int(os.environ.get("BENCH_SIZE", "512"))
     images = {
         "sinusoid": _img_sinusoid(size, size),

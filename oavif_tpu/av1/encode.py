@@ -311,6 +311,20 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
     if flv:
         loop_filter_frame(recon_planes, blocks, filter_levels,
                           bitdepth=out_depth, visible=(h, w))
+    # loop restoration (Wiener) arms at the quality presets: the unit
+    # syntax lives in the tile stream, so a restoring frame re-packs the
+    # tile (cheap: recorded block decisions replay). Requires the
+    # single-tile layout — restoration units are frame-level while our
+    # per-tile coders reset the subexp refs per tile (spec decode_tile).
+    lr_env = os.environ.get("OAVIF_LR")
+    lr_armed = (
+        (lr_env != "0" if lr_env is not None else o.speed <= 6)
+        and qindex > 0 and len(planes) == 3 and tcl == 0 and trl == 0
+        and min(h, w) >= 64
+    )
+    deblk_planes = (
+        [p.copy() for p in recon_planes] if lr_armed else None
+    )
     cdef_on = qindex > 0 and len(planes) == 3
     cdef_strengths = (0, 0, 0, 0)
     cdef_damping = min(6, 3 + (qindex >> 6))
@@ -323,6 +337,33 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
                        out_depth)
     recon_planes = [p[:h, :w] for p in recon_planes]
 
+    lr_types = None
+    lr_taps = None
+    if lr_armed:
+        from .frame import RDOQ_KDEN, RDOQ_KNUM
+        from .restoration import apply_wiener, search_wiener
+        from .tables import ac_q
+
+        dq_ac = ac_q(qindex, out_depth)
+        lam_pix = float(((dq_ac * dq_ac) >> 6) * RDOQ_KNUM) / (
+            RDOQ_KDEN * 128.0)
+        deblk_vis = [p[:h, :w] for p in deblk_planes]
+        lr_types, lr_taps = search_wiener(
+            planes, recon_planes, deblk_vis, h, w, out_depth, lam_pix)
+        if lr_types is not None:
+            lr_cfg = {"types": lr_types, "unit_shift": 2,
+                      "wiener": lr_taps}
+            payloads, _, _ = encode_frame_planes(
+                planes, qindex, bitdepth=out_depth, speed=o.speed,
+                tile_cols_log2=tcl, tile_rows_log2=trl,
+                max_threads=o.max_threads, u_ac_delta_q=uv_dq,
+                screen_tools=screen_tools, filter_intra=filter_intra,
+                lr=lr_cfg,
+            )
+            recon_planes = apply_wiener(
+                recon_planes, deblk_vis, h, w, lr_types, 2, lr_taps,
+                out_depth)
+
     seq = SequenceConfig(
         width=w,
         height=h,
@@ -332,6 +373,7 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
         matrix_coefficients=o.matrix_coefficients,
         enable_cdef=cdef_on,
         enable_filter_intra=filter_intra,
+        enable_restoration=lr_types is not None,
     )
     frame = FrameConfig(
         width=w, height=h, base_q_idx=qindex,
@@ -342,6 +384,8 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
         screen_content_tools=screen_tools,
         cdef_damping=cdef_damping,
         cdef_strengths=(cdef_strengths,),
+        enable_restoration=lr_types is not None,
+        lr_types=lr_types if lr_types is not None else (0, 0, 0),
     )
     av1 = assemble_av1_stream(seq, frame, payloads)
 

@@ -270,7 +270,7 @@ _CDF_ORDER = (
 
 def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None,
                        u_ac_delta_q=0, dec=None, screen_tools=False,
-                       filter_intra=False):
+                       filter_intra=False, lr=None):
     """Encode one tile entirely in C. Returns (payload bytes, [recon
     planes (h, w) int32]) or None when the native library is unavailable.
 
@@ -280,6 +280,11 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None,
     """
     lib = get_lib()
     if lib is None:
+        return None
+    if lr is not None:
+        # loop-restoration passes route through the Python tile coder
+        # until the C runtime mirrors the LR unit syntax (byte-identical
+        # either way; the LR pass replays recorded decisions)
         return None
 
     from ..consts import coeff_q_ctx

@@ -100,6 +100,19 @@ _PART_CTX_BYTE = {4: 31, 8: 30, 16: 28, 32: 24, 64: 16, 128: 0}
 
 _TXS_CTX = {4: 0, 8: 1, 16: 2, 32: 3, 64: 4}
 
+
+def _recenter(r: int, v: int) -> int:
+    """Forward of the spec's inverse_recenter: fold v around the
+    reference r so small |v - r| codes short. Parity carries the side:
+    v >= r codes even, v < r codes odd (inverse_recenter's odd branch
+    subtracts). Verified by exhaustive round-trip in
+    tests/test_restoration.py."""
+    if v > 2 * r:
+        return v
+    if v >= r:
+        return 2 * (v - r)
+    return 2 * (r - v) - 1
+
 # BLOCK_SIZES_ALL index rows of the use_filter_intra CDF bank: square
 # sizes and the two rect sizes the product path codes
 _FI_BSIZE_IDX = {4: 0, 8: 3, 16: 6, 32: 9, (16, 32): 7, (32, 16): 8}
@@ -202,6 +215,11 @@ class CdfBank:
         # filter intra (spec 5.11.24): use bit per BLOCK_SIZES_ALL + mode
         self.filter_intra_use = _adaptive(t["filter_intra_use"])  # (22, 3)
         self.filter_intra_mode = _adaptive(t["filter_intra_mode"])  # (6,)
+        # loop restoration (spec 5.11.32): per-RU restoration_type CDFs
+        if "wiener_restore" in t:
+            self.wiener_restore = _adaptive(t["wiener_restore"])  # (3,)
+            self.sgrproj_restore = _adaptive(t["sgrproj_restore"])
+            self.switchable_restore = _adaptive(t["switchable_restore"])
 
 
 @dataclass
@@ -228,9 +246,18 @@ class TileEncoder:
         dec: Optional[dict] = None,  # decision record/replay (see C mirror)
         screen_tools: bool = False,  # frame allow_screen_content_tools
         filter_intra: bool = False,  # seq enable_filter_intra
+        lr: Optional[dict] = None,   # loop restoration (see _emit_lr)
     ) -> None:
         self.screen_tools = bool(screen_tools)
         self.filter_intra = bool(filter_intra)
+        # loop restoration config: {"types": (t0,t1,t2) coded
+        # FrameRestorationType per plane, "unit_shift": 0..2,
+        # "wiener": {plane: [[6-tap list or None] per unitCol] per
+        # unitRow}}. The tile must span the frame (1-tile requirement —
+        # RU coordinates are frame-level).
+        self.lr = lr
+        # per-pass/tap subexp refs (spec RefLrWiener), reset per tile
+        self._lr_ref = None
         self._dec = dec
         self._dec_mode = int(dec["mode"]) if dec else 0
         self._dec_pos = 0
@@ -393,6 +420,11 @@ class TileEncoder:
             self._dec["len"] = n
 
     def encode(self) -> bytes:
+        if self.lr:
+            self._lr_ref = {
+                p: [[3, -7, 15], [3, -7, 15]]
+                for p in range(len(self.planes))
+            }
         for sb_r in range(self.sb_rows):
             self.left_part[:] = 0
             self.left_skip[:] = 0
@@ -403,9 +435,93 @@ class TileEncoder:
                 ps.left_lvl[:] = 0
                 ps.left_dc[:] = 0
             for sb_c in range(self.sb_cols):
+                if self.lr:
+                    self._emit_lr(sb_r * 16, sb_c * 16)
                 self._encode_partition(sb_r * 16, sb_c * 16, 64)
         self._dec_flush()
         return self.enc.done()
+
+    # -- loop restoration syntax (spec 5.11.31 read_lr) -----------------------
+
+    def _emit_lr(self, r: int, c: int) -> None:
+        """Code the restoration units whose top-left lands in this SB
+        (spec read_lr at the superblock root, before the partition)."""
+        types = self.lr["types"]
+        shift = self.lr["unit_shift"]
+        for plane in range(len(self.planes)):
+            if types[plane] == 0:
+                continue
+            unit = 256 >> (2 - shift)  # 4:4:4: chroma size == luma size
+            urows = max((self.h + (unit >> 1)) // unit, 1)
+            ucols = max((self.w + (unit >> 1)) // unit, 1)
+            ur0 = (r * 4 + unit - 1) // unit
+            ur1 = min(urows, ((r + 16) * 4 + unit - 1) // unit)
+            uc0 = (c * 4 + unit - 1) // unit
+            uc1 = min(ucols, ((c + 16) * 4 + unit - 1) // unit)
+            for ur in range(ur0, ur1):
+                for uc in range(uc0, uc1):
+                    self._emit_lr_unit(plane, ur, uc)
+
+    def _emit_lr_unit(self, plane: int, ur: int, uc: int) -> None:
+        taps = self.lr["wiener"].get(plane)
+        taps = taps[ur][uc] if taps is not None else None
+        assert self.lr["types"][plane] == 2, "WIENER only"
+        self._sym(self.cdf.wiener_restore, 1 if taps is not None else 0)
+        if taps is None:
+            return
+        # wiener_filter_coefficients (spec 5.11.33): vertical pass then
+        # horizontal pass, 3 signed taps each, subexp-ref coded. Chroma
+        # planes never code tap 0 (firstCoeff = 1; the outermost tap is
+        # implicitly 0, i.e. a 5-tap filter).
+        mins, maxs, ks = (-5, -23, -17), (10, 8, 46), (1, 2, 3)
+        j0 = 0 if plane == 0 else 1
+        for p2 in range(2):
+            ref = self._lr_ref[plane][p2]
+            for j in range(j0, 3):
+                v = int(taps[p2 * 3 + j])
+                self._enc_signed_subexp_ref(
+                    mins[j], maxs[j] + 1, ks[j], ref[j], v
+                )
+                ref[j] = v
+
+    def _enc_signed_subexp_ref(self, low, high, k, ref, v):
+        self._enc_unsigned_subexp_ref(high - low, k, ref - low, v - low)
+
+    def _enc_unsigned_subexp_ref(self, mx, k, r, v):
+        if (r << 1) <= mx:
+            self._enc_subexp_bool(mx, k, _recenter(r, v))
+        else:
+            self._enc_subexp_bool(mx, k, _recenter(mx - 1 - r, mx - 1 - v))
+
+    def _enc_subexp_bool(self, num_syms, k, v):
+        i = 0
+        mk = 0
+        while True:
+            b2 = k + i - 1 if i else k
+            a = 1 << b2
+            if num_syms <= mk + 3 * a:
+                self._enc_uniform_bool(num_syms - mk, v - mk)
+                return
+            if v >= mk + a:
+                self.enc.bool_q15(1, 16384)
+                i += 1
+                mk += a
+            else:
+                self.enc.bool_q15(0, 16384)
+                self.enc.write_literal(v - mk, b2)
+                return
+
+    def _enc_uniform_bool(self, n, v):
+        """ns(n) with equiprobable bool bits (spec 4.10.7 semantics)."""
+        if n <= 1:
+            return
+        w = n.bit_length()
+        m = (1 << w) - n
+        if v < m:
+            self.enc.write_literal(v, w - 1)
+        else:
+            self.enc.write_literal((v + m) >> 1, w - 1)
+            self.enc.write_literal((v + m) & 1, 1)
 
     # -- partitions -----------------------------------------------------------
 
@@ -3338,6 +3454,7 @@ def _encode_one_tile(args):
      u_ac_delta_q, tile_idx, *rest) = args
     screen_tools = bool(rest[0]) if rest else False
     filter_intra = bool(rest[1]) if len(rest) > 1 else False
+    lr = rest[2] if len(rest) > 2 else None
     plan = None
     # device planning pays off on real frames; for tiny tiles the host
     # search is cheaper than the dispatch + (first-run) compile
@@ -3376,7 +3493,7 @@ def _encode_one_tile(args):
         res = tile_encode_native(tile_planes, qindex, bitdepth, speed, plan,
                                  u_ac_delta_q, dec=dec,
                                  screen_tools=screen_tools,
-                                 filter_intra=filter_intra)
+                                 filter_intra=filter_intra, lr=lr)
         if res is not None:
             if record and dec is not None:
                 _store_dec(plan, dec)
@@ -3384,7 +3501,8 @@ def _encode_one_tile(args):
 
     te = TileEncoder(tile_planes, qindex, bitdepth, speed, plan=plan,
                      u_ac_delta_q=u_ac_delta_q, dec=dec,
-                     screen_tools=screen_tools, filter_intra=filter_intra)
+                     screen_tools=screen_tools, filter_intra=filter_intra,
+                     lr=lr)
     payload = te.encode()
     if record and dec is not None:
         _store_dec(plan, dec)
@@ -3403,6 +3521,7 @@ def encode_frame_planes(
     u_ac_delta_q: int = 0,
     screen_tools: bool = False,
     filter_intra: bool = False,
+    lr=None,
 ):
     """Encode YUV444 planes → (list of tile payloads, recon planes).
 
@@ -3436,7 +3555,7 @@ def encode_frame_planes(
             ]
             jobs.append((tile_planes, qindex, bitdepth, speed,
                          use_tpu_planner, u_ac_delta_q, len(jobs),
-                         screen_tools, filter_intra))
+                         screen_tools, filter_intra, lr))
             bounds.append((y0, y1, x0, x1))
 
     if max_threads > 1 and len(jobs) > 1:

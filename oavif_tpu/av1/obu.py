@@ -90,6 +90,7 @@ class SequenceConfig:
     color_range: int = 1  # full range (oracle backend uses full too)
     enable_cdef: bool = False
     enable_filter_intra: bool = False
+    enable_restoration: bool = False
 
 
 def _choose_level(width: int, height: int) -> int:
@@ -125,7 +126,7 @@ def write_sequence_header(cfg: SequenceConfig) -> bytes:
     w.f(0, 1)  # enable_intra_edge_filter
     w.f(0, 1)  # enable_superres
     w.f(1 if cfg.enable_cdef else 0, 1)  # enable_cdef
-    w.f(0, 1)  # enable_restoration
+    w.f(1 if cfg.enable_restoration else 0, 1)  # enable_restoration
     # color_config()
     w.f(1 if cfg.bit_depth == 10 else 0, 1)  # high_bitdepth
     if cfg.seq_profile != 1:
@@ -167,6 +168,14 @@ class FrameConfig:
     # per-block has_palette_y/uv flags — set only when the encoder
     # detected screen content so photo streams are byte-unchanged
     screen_content_tools: bool = False
+    # loop restoration (spec 5.9.20 lr_params): per-plane
+    # FrameRestorationType coded values (0 NONE, 1 SWITCHABLE, 2 WIENER,
+    # 3 SGRPROJ) and the luma unit-size shift (256 >> (2 - shift)).
+    # enable_restoration must mirror the sequence header's bit; when set,
+    # the three f(2) type fields code even if all NONE.
+    enable_restoration: bool = False
+    lr_types: tuple = (0, 0, 0)
+    lr_unit_shift: int = 2  # unit size 256
 
 
 def write_frame_header_bits(cfg: FrameConfig, num_planes: int = 3) -> BitWriter:
@@ -237,7 +246,20 @@ def write_frame_header_bits(cfg: FrameConfig, num_planes: int = 3) -> BitWriter:
             if num_planes > 1:
                 w.f(uv_pri, 4)
                 w.f(3 if uv_sec == 4 else uv_sec, 2)
-    # lr_params: seq disabled → nothing
+    # lr_params (spec 5.9.20): coded only when the sequence enables
+    # restoration (AllLossless/intrabc never hold here). The per-plane
+    # coded value IS the Remap_Lr_Type index.
+    if cfg.enable_restoration and not coded_lossless:
+        for t in cfg.lr_types[:num_planes]:
+            w.f(t, 2)
+        if any(cfg.lr_types[:num_planes]):
+            # 64x64 superblocks: lr_unit_shift + optional extra bit
+            if cfg.lr_unit_shift == 0:
+                w.f(0, 1)
+            else:
+                w.f(1, 1)
+                w.f(1 if cfg.lr_unit_shift == 2 else 0, 1)
+            # 4:4:4 (no subsampling): no lr_uv_shift bit
     # read_tx_mode: CodedLossless → ONLY_4X4 implicit, no bit
     if not coded_lossless:
         w.f(1, 1)  # tx_mode_select = 1 → TX_MODE_SELECT (per-block tx RD)

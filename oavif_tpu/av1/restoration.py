@@ -1,0 +1,376 @@
+"""AV1 loop restoration — Wiener filter (spec 7.17), normative decode +
+encoder-side tap search.
+
+The reference gets loop restoration from libaom behind
+avifEncoderAddImage (reference src/io.zig:629-632); here both sides are
+from scratch:
+
+  * `apply_wiener` replicates the decoder's filter bit-exactly (validated
+    against dav1d in tests/test_conformance.py): 7-tap separable integer
+    convolution, horizontal pass into a clamped intermediate then
+    vertical (spec 7.17.4), with the stripe-boundary source selection of
+    get_source_sample (spec 7.17.3) — rows outside the current 64-row
+    stripe come from the *deblocked pre-CDEF* frame, limited to 2 rows
+    beyond the stripe edge and duplicated outward, while in-stripe rows
+    read the CDEF output. Stripes start at -8 (boundaries at 56, 120, …).
+
+  * `search_wiener` is encoder freedom: per restoration unit it solves
+    the separable Wiener-Hopf normal equations (7x7 auto/cross
+    correlation statistics, alternating vertical/horizontal least
+    squares under the symmetric + unit-DC-gain constraints), quantizes
+    to the coded tap grid, and keeps the unit only when the measured SSE
+    gain beats the syntax cost at the frame's lambda.
+
+Only RESTORE_WIENER ships (frame types NONE/WIENER); SGRPROJ/SWITCHABLE
+syntax constants exist in the coder but the search never selects them.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+FILTER_BITS = 7
+# coded tap bounds / subexp k / mid (refs), per tap position 0..2
+WIENER_TAPS_MIN = (-5, -23, -17)
+WIENER_TAPS_MAX = (10, 8, 46)
+WIENER_TAPS_K = (1, 2, 3)
+WIENER_TAPS_MID = (3, -7, 15)
+
+
+def unit_size(unit_shift: int) -> int:
+    return 256 >> (2 - unit_shift)
+
+
+def count_units(frame_size: int, size: int) -> int:
+    return max((frame_size + (size >> 1)) // size, 1)
+
+
+def _coeffs7(t0: int, t1: int, t2: int) -> np.ndarray:
+    c = 128 - 2 * (t0 + t1 + t2)
+    return np.array([t0, t1, t2, c, t2, t1, t0], dtype=np.int32)
+
+
+def _band_rows(y0: int, y1: int):
+    """Split output rows [y0, y1) at the 64-row stripe boundaries
+    (stripe k covers rows [64k-8, 64k+56) — first boundary at 56).
+    Yields (r0, r1, stripe_start, stripe_end) with inclusive stripe
+    bounds as the spec's StripeStartY/StripeEndY."""
+    y = y0
+    while y < y1:
+        k = (y + 8) // 64
+        ss = 64 * k - 8
+        se = ss + 63
+        r1 = min(y1, se + 1)
+        yield y, r1, ss, se
+        y = r1
+
+
+def _gather_rows(cdef: np.ndarray, deblk: np.ndarray, rows: np.ndarray,
+                 ss: int, se: int, h: int) -> np.ndarray:
+    """get_source_sample row selection for a vector of source rows:
+    clamp to the visible frame, then rows outside [ss, se] read the
+    deblocked frame at most 2 rows past the stripe edge."""
+    r = np.clip(rows, 0, h - 1)
+    out = cdef[r]
+    above = r < ss
+    below = r > se
+    if above.any():
+        out[above] = deblk[np.maximum(ss - 2, r[above])]
+    if below.any():
+        out[below] = deblk[np.minimum(se + 2, r[below])]
+    return out
+
+
+def wiener_unit(cdef: np.ndarray, deblk: np.ndarray, vis_h: int, vis_w: int,
+                x0: int, x1: int, y0: int, y1: int,
+                vtaps, htaps, bitdepth: int,
+                out: np.ndarray) -> None:
+    """Filter one restoration unit [y0,y1)x[x0,x1) into `out` (spec
+    7.17.4 wienerFilter, all integer)."""
+    round0, round1 = 3, 11  # 12-bit would be 5/9; we code 8/10 only
+    offset = 1 << (bitdepth + FILTER_BITS - round0 - 1)
+    limit = (1 << (bitdepth + 1 + FILTER_BITS - round0)) - 1
+    vf = _coeffs7(*vtaps)
+    hf = _coeffs7(*htaps)
+    w = x1 - x0
+    cols = np.clip(np.arange(x0 - 3, x1 + 3), 0, vis_w - 1)
+    for r0, r1, ss, se in _band_rows(y0, y1):
+        h = r1 - r0
+        rows = np.arange(r0 - 3, r1 + 3)
+        src = _gather_rows(cdef, deblk, rows, ss, se, vis_h)[:, cols]
+        src = src.astype(np.int32, copy=False)
+        # horizontal pass -> clamped intermediate (h+6, w)
+        s = np.zeros((h + 6, w), dtype=np.int32)
+        for t in range(7):
+            if hf[t]:
+                s += hf[t] * src[:, t : t + w]
+        inter = np.clip((s + (1 << (round0 - 1))) >> round0,
+                        -offset, limit - offset)
+        # vertical pass
+        s2 = np.zeros((h, w), dtype=np.int32)
+        for t in range(7):
+            if vf[t]:
+                s2 += vf[t] * inter[t : t + h]
+        v = (s2 + (1 << (round1 - 1))) >> round1
+        out[r0:r1, x0:x1] = np.clip(v, 0, (1 << bitdepth) - 1)
+
+
+def unit_row_bounds(ur: int, urows: int, size: int, vis_h: int):
+    """Vertical pixel extent a restoration-unit row governs. The unit
+    grid is shifted UP by RESTORATION_UNIT_OFFSET=8 so each 64-row
+    filtering stripe falls entirely inside one unit row (boundaries at
+    56, 120, ... — empirically pinned against both system decoders in
+    tests/test_restoration.py); the first row absorbs the offset and
+    the last extends to the frame edge."""
+    y0 = 0 if ur == 0 else ur * size - 8
+    y1 = vis_h if ur + 1 >= urows else (ur + 1) * size - 8
+    return y0, min(y1, vis_h)
+
+
+def apply_wiener(cdef_planes: List[np.ndarray],
+                 deblk_planes: List[np.ndarray],
+                 vis_h: int, vis_w: int,
+                 lr_types, unit_shift: int, wiener_taps: dict,
+                 bitdepth: int) -> List[np.ndarray]:
+    """Normative loop-restoration output: LrFrame = CDEF frame with each
+    WIENER-flagged unit refiltered. `wiener_taps[plane][ur][uc]` is None
+    or a 6-list (vertical t0..t2, horizontal t0..t2)."""
+    size = unit_size(unit_shift)
+    out_planes = []
+    for p, cdef in enumerate(cdef_planes):
+        out = cdef[:vis_h, :vis_w].copy()
+        if lr_types[p] == 0 or wiener_taps.get(p) is None:
+            out_planes.append(out)
+            continue
+        deblk = deblk_planes[p]
+        urows = count_units(vis_h, size)
+        ucols = count_units(vis_w, size)
+        grid = wiener_taps[p]
+        for ur in range(urows):
+            y0, y1 = unit_row_bounds(ur, urows, size, vis_h)
+            for uc in range(ucols):
+                taps = grid[ur][uc]
+                if taps is None:
+                    continue
+                x0 = uc * size
+                x1 = (uc + 1) * size if uc + 1 < ucols else vis_w
+                wiener_unit(cdef[:vis_h, :vis_w], deblk[:vis_h, :vis_w],
+                            vis_h, vis_w, x0, x1, y0, y1,
+                            taps[0:3], taps[3:6], bitdepth, out)
+        out_planes.append(out)
+    return out_planes
+
+
+# ---------------------------------------------------------------------------
+# encoder-side tap search (encoder freedom; nothing here is normative)
+# ---------------------------------------------------------------------------
+
+
+def _solve_constrained(A: np.ndarray, b: np.ndarray) -> Optional[np.ndarray]:
+    """Minimize fᵀAf − 2bᵀf over symmetric unit-gain 7-taps
+    f = [a,b,c, 1−2(a+b+c), c,b,a]; returns the full 7-vector."""
+    B = np.zeros((7, 3))
+    for j in range(3):
+        B[j, j] = 1.0
+        B[6 - j, j] = 1.0
+        B[3, j] = -2.0
+    f0 = np.zeros(7)
+    f0[3] = 1.0
+    M = B.T @ A @ B
+    rhs = B.T @ (b - A @ f0)
+    try:
+        p = np.linalg.solve(M + 1e-8 * np.eye(3), rhs)
+    except np.linalg.LinAlgError:
+        return None
+    return f0 + B @ p
+
+
+def solve_wiener_taps(src: np.ndarray, deg: np.ndarray,
+                      chroma: bool = False, iters: int = 6):
+    """Alternating separable Wiener solve on one unit. `src`/`deg` are
+    the source and degraded (post-CDEF) unit at equal shape. Returns
+    (vtaps, htaps) as coded int 3-tuples, or None if degenerate."""
+    h, w = deg.shape
+    if h < 16 or w < 16:
+        return None
+    # interior windows only (no boundary modeling in the stats)
+    ys = np.arange(3, h - 3)
+    xs = np.arange(3, w - 3)
+    if ys.size < 8 or xs.size < 8:
+        return None
+    # subsample for cost: stride 2 on both axes keeps the normal
+    # equations well-conditioned and quarters the GEMM
+    ys = ys[::2]
+    xs = xs[::2]
+    d = deg.astype(np.float32)
+    X = np.empty((49, ys.size * xs.size), dtype=np.float32)
+    k = 0
+    for dy in range(-3, 4):
+        for dx in range(-3, 4):
+            X[k] = d[np.ix_(ys + dy, xs + dx)].ravel()
+            k += 1
+    tgt = src.astype(np.float32)[np.ix_(ys, xs)].ravel()
+    n = float(tgt.size)
+    H = (X @ X.T) / n
+    M = (X @ tgt) / n
+    Hm = H.reshape(7, 7, 7, 7)  # [vi, hi, vj, hj]
+    Mm = M.reshape(7, 7)
+    vf = np.zeros(7)
+    vf[3] = 1.0
+    hf = vf.copy()
+    for _ in range(iters):
+        # fix hf, solve vf
+        A = np.einsum("k,l,ikjl->ij", hf, hf, Hm)
+        b = Mm @ hf
+        nv = _solve_constrained(A, b)
+        if nv is None:
+            return None
+        vf = nv
+        # fix vf, solve hf
+        A = np.einsum("i,j,ikjl->kl", vf, vf, Hm)
+        b = vf @ Mm
+        nh = _solve_constrained(A, b)
+        if nh is None:
+            return None
+        hf = nh
+
+    def quant(f):
+        t = []
+        for j in range(3):
+            lo, hi = WIENER_TAPS_MIN[j], WIENER_TAPS_MAX[j]
+            if chroma and j == 0:
+                t.append(0)
+                continue
+            t.append(int(np.clip(round(f[j] * 128.0), lo, hi)))
+        return tuple(t)
+
+    vt, ht = quant(vf), quant(hf)
+    if chroma:
+        vt = (0, vt[1], vt[2])
+        ht = (0, ht[1], ht[2])
+    return vt, ht
+
+
+def _subexp_bits(mx: int, k: int, r: int, v: int) -> int:
+    """Exact bit count of the encoder's subexp-with-ref coding."""
+    if (r << 1) <= mx:
+        from .frame import _recenter
+
+        vv = _recenter(r, v)
+    else:
+        from .frame import _recenter
+
+        vv = _recenter(mx - 1 - r, mx - 1 - v)
+    bits = 0
+    i = 0
+    mk = 0
+    while True:
+        b2 = k + i - 1 if i else k
+        a = 1 << b2
+        if mx <= mk + 3 * a:
+            n = mx - mk
+            if n > 1:
+                w = n.bit_length()
+                m = (1 << w) - n
+                bits += (w - 1) if (vv - mk) < m else w
+            return bits
+        bits += 1
+        if vv >= mk + a:
+            i += 1
+            mk += a
+        else:
+            return bits + b2
+
+
+def taps_bits(taps, refs, chroma: bool) -> int:
+    """Syntax bits for one unit's coded taps given the running refs."""
+    bits = 0
+    j0 = 1 if chroma else 0
+    for p2 in range(2):
+        for j in range(j0, 3):
+            lo = WIENER_TAPS_MIN[j]
+            hi = WIENER_TAPS_MAX[j] + 1
+            bits += _subexp_bits(hi - lo, WIENER_TAPS_K[j],
+                                 refs[p2][j] - lo, taps[p2 * 3 + j] - lo)
+    return bits
+
+
+def search_wiener(src_planes: List[np.ndarray],
+                  cdef_planes: List[np.ndarray],
+                  deblk_planes: List[np.ndarray],
+                  vis_h: int, vis_w: int, bitdepth: int,
+                  lam_pix: float, unit_shift: int = 2,
+                  planes: Optional[range] = None):
+    """Per-unit Wiener decision for the frame. Returns (lr_types,
+    wiener_taps) in the encoder's config format, or (None, None) when no
+    unit pays for itself. lam_pix is in SSE-per-rate-unit (128 units per
+    bit, the block RD convention)."""
+    size = unit_size(unit_shift)
+    urows = count_units(vis_h, size)
+    ucols = count_units(vis_w, size)
+    lr_types = [0, 0, 0][: len(src_planes)]
+    taps_cfg: dict = {}
+    for p in range(len(src_planes)):
+        chroma = p > 0
+        src = src_planes[p][:vis_h, :vis_w]
+        cdef = cdef_planes[p][:vis_h, :vis_w]
+        deblk = deblk_planes[p][:vis_h, :vis_w]
+        grid = [[None] * ucols for _ in range(urows)]
+        any_on = False
+        refs = [list(WIENER_TAPS_MID), list(WIENER_TAPS_MID)]
+        for ur in range(urows):
+            y0, y1 = unit_row_bounds(ur, urows, size, vis_h)
+            for uc in range(ucols):
+                x0 = uc * size
+                x1 = (uc + 1) * size if uc + 1 < ucols else vis_w
+                s = src[y0:y1, x0:x1]
+                dg = cdef[y0:y1, x0:x1]
+                base_sse = float(
+                    np.square(s.astype(np.int64) - dg).sum()
+                )
+                if base_sse == 0.0:
+                    continue
+                sol = solve_wiener_taps(s, dg, chroma=chroma)
+                if sol is None:
+                    continue
+                vt, ht = sol
+                taps6 = list(vt) + list(ht)
+                trial = dg.copy()
+                wiener_unit(cdef, deblk, vis_h, vis_w, x0, x1, y0, y1,
+                            vt, ht, bitdepth,
+                            _FullWriter(trial, y0, x0))
+                sse = float(
+                    np.square(s.astype(np.int64) - trial).sum()
+                )
+                bits = 1 + taps_bits(taps6, refs, chroma)
+                if base_sse - sse > lam_pix * 128.0 * bits:
+                    grid[ur][uc] = taps6
+                    any_on = True
+                    for p2 in range(2):
+                        for j in range(3):
+                            refs[p2][j] = taps6[p2 * 3 + j]
+        if any_on:
+            lr_types[p] = 2
+            taps_cfg[p] = grid
+    if not any(lr_types):
+        return None, None
+    return tuple(lr_types), taps_cfg
+
+
+class _FullWriter:
+    """Adapter: wiener_unit writes out[y, x] in frame coordinates; this
+    view redirects them into a unit-local buffer."""
+
+    def __init__(self, buf: np.ndarray, y0: int, x0: int) -> None:
+        self.buf = buf
+        self.y0 = y0
+        self.x0 = x0
+
+    def __setitem__(self, key, value):
+        ys, xs = key
+        self.buf[
+            ys.start - self.y0 : ys.stop - self.y0,
+            xs.start - self.x0 : xs.stop - self.x0,
+        ] = value

@@ -1,0 +1,186 @@
+"""Loop restoration (Wiener) conformance: our syntax + filter vs dav1d.
+
+Every stream here is crafted through the Python tile coder with an
+explicit LR config, muxed, decoded by the system dav1d (via libavif),
+and compared bit-exactly against our own reconstruction run through
+oavif_tpu.av1.restoration.apply_wiener — the same decode==recon
+invariant the rest of the toolset is held to (SURVEY.md §4a).
+Reference behavior: libaom's loop restoration behind
+avifEncoderAddImage (reference src/io.zig:629-632).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from oavif_tpu.av1 import frame as frame_mod
+from oavif_tpu.av1.frame import TileEncoder
+from oavif_tpu.av1.mux import mux_avif
+from oavif_tpu.av1.obu import FrameConfig, SequenceConfig, assemble_av1_stream
+from oavif_tpu.av1.restoration import apply_wiener, count_units, unit_size
+
+
+def _dav1d():
+    from oavif_tpu.io.avif_ctypes import decode_to_yuv
+
+    return decode_to_yuv
+
+
+def _noise_planes(h, w, seed=11, bitdepth=8, amp=60):
+    rng = np.random.default_rng(seed)
+    mid = 1 << (bitdepth - 1)
+    base = np.linspace(-amp, amp, w, dtype=np.float64)
+    out = []
+    for p in range(3):
+        pl = (mid + base[None, :] * ((p % 2) * 2 - 1)
+              + rng.integers(-amp, amp, (h, w)))
+        out.append(np.clip(pl, 0, (1 << bitdepth) - 1).astype(np.int32))
+    return out
+
+
+def _roundtrip(planes, lr, qindex=60, bitdepth=8, unit_shift=2,
+               cdef=None, flv=0):
+    """Encode with the LR config; return (dav1d planes, our LR recon)."""
+    h, w = planes[0].shape
+    te = TileEncoder([p.copy() for p in planes], qindex, bitdepth, 9, lr=lr)
+    payload = te.encode()
+    recon = [r.copy() for r in te.recon]
+    if flv:
+        from oavif_tpu.av1.loopfilter import loop_filter_frame
+
+        loop_filter_frame(recon, te.blocks, (flv, flv, flv, flv),
+                          bitdepth=bitdepth, visible=(h, w))
+    deblk = [r.copy() for r in recon]
+    if cdef is not None:
+        from oavif_tpu.av1.cdef import cdef_frame
+
+        cdef_frame(recon, te.blocks, cdef[0], cdef[1], bitdepth)
+    out = apply_wiener(recon, deblk, h, w, lr["types"], lr["unit_shift"],
+                       lr["wiener"], bitdepth)
+    seq = SequenceConfig(width=w, height=h, bit_depth=bitdepth,
+                         enable_restoration=True,
+                         enable_cdef=cdef is not None)
+    fr = FrameConfig(
+        width=w, height=h, base_q_idx=qindex,
+        enable_restoration=True, lr_types=lr["types"],
+        lr_unit_shift=lr["unit_shift"],
+        filter_levels=(flv, flv, flv, flv),
+        enable_cdef=cdef is not None,
+        cdef_damping=cdef[1] if cdef else 3,
+        cdef_strengths=(cdef[0],) if cdef else ((0, 0, 0, 0),),
+    )
+    data = mux_avif(assemble_av1_stream(seq, fr, [payload]), w, h,
+                    bit_depth=bitdepth, high_bitdepth=bitdepth == 10)
+    dec, _, _ = _dav1d()(data)
+    return dec, out
+
+
+def test_lr_identity_taps_decode_exact():
+    """use_wiener=1 with (0,0,0) taps is the identity filter: validates
+    the restoration-type CDF + subexp coding with zero filter risk."""
+    planes = _noise_planes(32, 32)
+    lr = {"types": (2, 0, 0), "unit_shift": 2,
+          "wiener": {0: [[[0, 0, 0, 0, 0, 0]]]}}
+    dec, ours = _roundtrip(planes, lr)
+    for i in range(3):
+        np.testing.assert_array_equal(dec[i], ours[i])
+
+
+def test_lr_wiener_single_stripe_exact():
+    """48-row frame sits inside the first 56-row stripe: pure 7-tap
+    separable filter semantics, no boundary logic."""
+    planes = _noise_planes(48, 48, seed=5)
+    lr = {"types": (2, 0, 0), "unit_shift": 2,
+          "wiener": {0: [[[3, -7, 15, 3, -7, 15]]]}}
+    dec, ours = _roundtrip(planes, lr)
+    for i in range(3):
+        np.testing.assert_array_equal(dec[i], ours[i])
+
+
+def test_lr_wiener_extreme_taps_exact():
+    """Tap bounds exercise the long subexp paths both directions."""
+    planes = _noise_planes(48, 48, seed=6)
+    lr = {"types": (2, 0, 0), "unit_shift": 2,
+          "wiener": {0: [[[-5, -23, -17, 10, 8, 46]]]}}
+    dec, ours = _roundtrip(planes, lr)
+    for i in range(3):
+        np.testing.assert_array_equal(dec[i], ours[i])
+
+
+def test_lr_wiener_stripe_boundaries_and_cdef_exact():
+    """192x160 frame, 64px units (3x3 RU grid), CDEF on: out-of-stripe
+    support rows must come from the PRE-CDEF deblocked frame, limited to
+    2 rows past the stripe edge — the spec get_source_sample sandwich."""
+    planes = _noise_planes(160, 192, seed=7)
+    size = unit_size(0)
+    urows, ucols = count_units(160, size), count_units(192, size)
+    rng = np.random.default_rng(3)
+    grid = []
+    for ur in range(urows):
+        row = []
+        for uc in range(ucols):
+            if (ur + uc) % 3 == 2:
+                row.append(None)  # use_wiener=0 units interleaved
+            else:
+                row.append([int(rng.integers(-5, 11)),
+                            int(rng.integers(-23, 9)),
+                            int(rng.integers(-17, 47)),
+                            int(rng.integers(-5, 11)),
+                            int(rng.integers(-23, 9)),
+                            int(rng.integers(-17, 47))])
+        grid.append(row)
+    lr = {"types": (2, 0, 0), "unit_shift": 0, "wiener": {0: grid}}
+    dec, ours = _roundtrip(planes, lr, qindex=70,
+                           cdef=((4, 2, 4, 2), 3), flv=8)
+    for i in range(3):
+        np.testing.assert_array_equal(dec[i], ours[i])
+
+
+def test_lr_wiener_chroma_5tap_exact():
+    """Chroma units never code tap 0 (firstCoeff=1): 5-tap filters on
+    all three planes, distinct taps, with deblocking on."""
+    planes = _noise_planes(96, 80, seed=9)
+    lr = {
+        "types": (2, 2, 2),
+        "unit_shift": 2,
+        "wiener": {
+            0: [[[2, -5, 20, -1, 3, 30]]],
+            1: [[[0, -9, 25, 0, 4, 18]]],
+            2: [[[0, 6, 12, 0, -11, 40]]],
+        },
+    }
+    dec, ours = _roundtrip(planes, lr, qindex=80, flv=6)
+    for i in range(3):
+        np.testing.assert_array_equal(dec[i], ours[i])
+
+
+def test_lr_wiener_10bit_exact():
+    planes = _noise_planes(64, 64, seed=13, bitdepth=10, amp=240)
+    lr = {"types": (2, 0, 0), "unit_shift": 2,
+          "wiener": {0: [[[3, -7, 15, -2, 4, 28]]]}}
+    dec, ours = _roundtrip(planes, lr, qindex=90, bitdepth=10)
+    for i in range(3):
+        np.testing.assert_array_equal(dec[i], ours[i])
+
+
+def test_lr_search_improves_sse():
+    """Encoder-side tap solve: on quantization-degraded content the
+    searched Wiener filter must reduce SSE vs the unfiltered recon
+    whenever it elects to restore (it restores on this content)."""
+    from oavif_tpu.av1.restoration import search_wiener
+
+    planes = _noise_planes(128, 128, seed=21, amp=40)
+    te = TileEncoder([p.copy() for p in planes], 150, 8, 9)
+    te.encode()
+    recon = [r[:128, :128].copy() for r in te.recon]
+    deblk = [r.copy() for r in recon]
+    types, taps = search_wiener(planes, recon, deblk, 128, 128, 8,
+                                lam_pix=1.0)
+    assert types is not None and types[0] == 2
+    out = apply_wiener(recon, deblk, 128, 128, types, 2, taps, 8)
+    sse0 = sum(float(np.square(p[:128, :128].astype(np.int64) - r).sum())
+               for p, r in zip(planes, recon))
+    sse1 = sum(float(np.square(p[:128, :128].astype(np.int64) - o).sum())
+               for p, o in zip(planes, out))
+    assert sse1 < sse0

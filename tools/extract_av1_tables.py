@@ -460,6 +460,22 @@ def main():
     assert bytes(whole).find(pat) >= 0, "filter_intra_mode unit not found"
     out["filter_intra_mode"] = np.array(fim + [0], dtype=np.uint16)
 
+    # ---- loop restoration (spec 5.11.31-32 read_lr defaults) ----
+    # These three tiny CDFs are not locatable by structural signature:
+    # libaom's copies hide among thousands of 3-u16 false matches and
+    # libdav1d compiles them as IMMEDIATE stores in dav1d_cdf_init
+    # (disassembly: `mov $0x52ce,%edi` -> [cdf+0x1508] restore_wiener,
+    # `mov $0x3e29,%r10d` -> [+0x150c] restore_sgrproj, and a 4-byte
+    # rodata load at .rodata+0x10604 -> [+0x1500] restore_switchable).
+    # Values recovered from that disassembly and validated end-to-end:
+    # streams coding these symbols decode bit-exactly through BOTH
+    # system decoders (dav1d and libaom) in tests/test_restoration.py.
+    out["wiener_restore"] = np.array([32768 - 11570, 0], dtype=np.uint16)
+    out["sgrproj_restore"] = np.array([32768 - 16855, 0], dtype=np.uint16)
+    out["switchable_restore"] = np.array(
+        [32768 - 9413, 32768 - 22581, 0], dtype=np.uint16
+    )
+
     OUT.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(OUT, **out)
     total = sum(v.size for v in out.values())

@@ -80,6 +80,7 @@ def _build() -> Optional[C.CDLL]:
             C.c_int,           # screen_tools (palette syntax)
             C.c_int,           # filter_intra (seq enable_filter_intra)
             _p32,              # fi_taps [5][8][8]
+            _p32,              # lr_cfg (loop restoration) or NULL
             C.POINTER(C.POINTER(C.c_uint8)),  # out_payload
         ]
         lib.tile_payload_free.argtypes = [C.POINTER(C.c_uint8)]
@@ -264,7 +265,7 @@ _CDF_ORDER = (
     "pal_y_mode", "pal_uv_mode", "pal_y_size",
     "pal_y_ci2", "pal_y_ci3", "pal_y_ci4", "pal_y_ci5", "pal_y_ci6",
     "pal_y_ci7", "pal_y_ci8",
-    "fi_use", "fi_mode",
+    "fi_use", "fi_mode", "wiener_restore",
 )
 
 
@@ -280,11 +281,6 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None,
     """
     lib = get_lib()
     if lib is None:
-        return None
-    if lr is not None:
-        # loop-restoration passes route through the Python tile coder
-        # until the C runtime mirrors the LR unit syntax (byte-identical
-        # either way; the LR pass replays recorded decisions)
         return None
 
     from ..consts import coeff_q_ctx
@@ -317,6 +313,7 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None,
         "tx_size": bank.tx_size,
         "fi_use": bank.filter_intra_use,
         "fi_mode": bank.filter_intra_mode,
+        "wiener_restore": bank.wiener_restore,
     }
     cdf_arrs = [np.ascontiguousarray(cdfs[k], dtype=np.uint16) for k in _CDF_ORDER]
     cdf_ptrs = (C.POINTER(C.c_uint16) * len(cdf_arrs))(*[_u16p(a) for a in cdf_arrs])
@@ -394,6 +391,29 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None,
         dec_mode = int(dec["mode"])
         dec_ptr = _i32p(dec["buf"])
         dec_len = np.array([int(dec["len"])], dtype=np.int32)
+    # loop restoration unit pack: [types[3], unit_shift, urows, ucols,
+    # per plane urows*ucols x (use, v0,v1,v2, h0,h1,h2)] (see oav1tile.c)
+    lr_ptr = C.POINTER(C.c_int32)()
+    lr_arr = None
+    if lr is not None:
+        from ..restoration import count_units, unit_size
+
+        usz = unit_size(int(lr["unit_shift"]))
+        urows, ucols = count_units(h, usz), count_units(w, usz)
+        types3 = [int(lr["types"][p]) if p < len(lr["types"]) else 0
+                  for p in range(3)]
+        vals = types3 + [int(lr["unit_shift"]), urows, ucols]
+        for p in range(3):
+            grid = lr["wiener"].get(p) if types3[p] else None
+            for ur in range(urows):
+                for uc in range(ucols):
+                    taps = grid[ur][uc] if grid is not None else None
+                    if taps is None:
+                        vals += [0, 0, 0, 0, 0, 0, 0]
+                    else:
+                        vals += [1] + [int(x) for x in taps]
+        lr_arr = np.asarray(vals, dtype=np.int32)
+        lr_ptr = _i32p(lr_arr)
     n = lib.tile_encode(
         src_ptrs, recon_ptrs,
         nplanes, w, h, bitdepth, speed, qindex,
@@ -410,6 +430,7 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None,
         1 if screen_tools else 0,
         1 if filter_intra else 0,
         _i32p(_fi_taps_arr()),
+        lr_ptr,
         C.byref(out),
     )
     if dec is not None and dec_mode == 1 and dec_len is not None:

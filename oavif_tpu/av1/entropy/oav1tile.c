@@ -109,7 +109,7 @@ enum {
     CDF_PAL_Y_MODE, CDF_PAL_UV_MODE, CDF_PAL_Y_SIZE,
     CDF_PAL_Y_CI2, CDF_PAL_Y_CI3, CDF_PAL_Y_CI4, CDF_PAL_Y_CI5,
     CDF_PAL_Y_CI6, CDF_PAL_Y_CI7, CDF_PAL_Y_CI8,
-    CDF_FI_USE, CDF_FI_MODE, CDF_N
+    CDF_FI_USE, CDF_FI_MODE, CDF_WIENER, CDF_N
 };
 
 enum { UV_CFL_PRED = 13 };
@@ -160,6 +160,13 @@ typedef struct {
     int filter_intra; /* seq enable_filter_intra: use flag coded per
                          eligible DC block <= 32 */
     const int32_t *fi_taps; /* filter-intra taps [5][8][8] (av1_tables) */
+    /* loop restoration (spec 5.11.31-33; mirrors frame.py _emit_lr):
+     * lr_cfg = [types[3], unit_shift, urows, ucols, then per plane
+     * urows*ucols entries of 7 ints: use, v0,v1,v2, h0,h1,h2].
+     * NULL = restoration off. lr_ref = running subexp refs per
+     * (plane, pass, tap), reset to Wiener_Taps_Mid per tile. */
+    const int32_t *lr_cfg;
+    int lr_ref[3][2][3];
     /* palette context lines: per-mi neighbor palette (count 0 = none) */
     uint8_t *above_pal_n;
     uint16_t *above_pal_c; /* mi_cols * 8 */
@@ -4104,6 +4111,97 @@ static void encode_partition(Tile *t, int r, int c, int size) {
     }
 }
 
+/* ---- loop restoration unit syntax (spec 5.11.31-33) ----
+ * Mirrors frame.py TileEncoder._emit_lr: WIENER-or-NONE per unit, taps
+ * coded signed-subexp against running refs. Byte-identity with the
+ * Python coder is pinned by tests/test_restoration.py. */
+
+static int lr_recenter(int r, int v) {
+    /* forward of the spec's inverse_recenter: v >= r codes even */
+    if (v > 2 * r) return v;
+    if (v >= r) return 2 * (v - r);
+    return 2 * (r - v) - 1;
+}
+
+static void lr_enc_subexp(Tile *t, int num_syms, int k, int v) {
+    int i = 0, mk = 0;
+    for (;;) {
+        int b2 = i ? k + i - 1 : k;
+        int a = 1 << b2;
+        if (num_syms <= mk + 3 * a) {
+            int n = num_syms - mk, vv = v - mk;
+            if (n <= 1) return;
+            int w = 32 - __builtin_clz((unsigned)n);
+            int m = (1 << w) - n;
+            if (vv < m) {
+                enc_literal(t->enc, (uint32_t)vv, w - 1);
+            } else {
+                enc_literal(t->enc, (uint32_t)((vv + m) >> 1), w - 1);
+                enc_literal(t->enc, (uint32_t)((vv + m) & 1), 1);
+            }
+            return;
+        }
+        if (v >= mk + a) {
+            enc_bool(t->enc, 1, 16384);
+            i++;
+            mk += a;
+        } else {
+            enc_bool(t->enc, 0, 16384);
+            enc_literal(t->enc, (uint32_t)(v - mk), b2);
+            return;
+        }
+    }
+}
+
+static void lr_enc_signed_subexp(Tile *t, int low, int high, int k, int ref,
+                                 int v) {
+    int mx = high - low, r = ref - low, vv = v - low;
+    if ((r << 1) <= mx)
+        lr_enc_subexp(t, mx, k, lr_recenter(r, vv));
+    else
+        lr_enc_subexp(t, mx, k, lr_recenter(mx - 1 - r, mx - 1 - vv));
+}
+
+static const int LR_TAPS_MIN[3] = {-5, -23, -17};
+static const int LR_TAPS_MAX[3] = {10, 8, 46};
+static const int LR_TAPS_K[3] = {1, 2, 3};
+
+static void emit_lr_unit(Tile *t, int plane, const int32_t *e) {
+    int use = e[0] != 0;
+    enc_symbol_adapt(t->enc, t->cdf[CDF_WIENER], 2, use);
+    if (!use) return;
+    int j0 = plane ? 1 : 0; /* chroma: firstCoeff=1, tap0 implicit 0 */
+    for (int p2 = 0; p2 < 2; p2++) {
+        int *ref = t->lr_ref[plane][p2];
+        for (int j = j0; j < 3; j++) {
+            int v = e[1 + p2 * 3 + j];
+            lr_enc_signed_subexp(t, LR_TAPS_MIN[j], LR_TAPS_MAX[j] + 1,
+                                 LR_TAPS_K[j], ref[j], v);
+            ref[j] = v;
+        }
+    }
+}
+
+static void emit_lr(Tile *t, int r, int c) {
+    const int32_t *cfg = t->lr_cfg;
+    int shift = cfg[3], urows = cfg[4], ucols = cfg[5];
+    int unit = 256 >> (2 - shift);
+    const int32_t *units = cfg + 6;
+    for (int plane = 0; plane < t->nplanes; plane++) {
+        if (cfg[plane] == 0) continue;
+        int ur0 = (r * 4 + unit - 1) / unit;
+        int ur1 = ((r + 16) * 4 + unit - 1) / unit;
+        int uc0 = (c * 4 + unit - 1) / unit;
+        int uc1 = ((c + 16) * 4 + unit - 1) / unit;
+        if (ur1 > urows) ur1 = urows;
+        if (uc1 > ucols) uc1 = ucols;
+        const int32_t *pg = units + (size_t)plane * urows * ucols * 7;
+        for (int ur = ur0; ur < ur1; ur++)
+            for (int uc = uc0; uc < uc1; uc++)
+                emit_lr_unit(t, plane, pg + ((size_t)ur * ucols + uc) * 7);
+    }
+}
+
 /* ---- public entry ---- */
 
 size_t tile_encode(
@@ -4122,6 +4220,7 @@ size_t tile_encode(
     int screen_tools,                 /* palette syntax (frame header) */
     int filter_intra,                 /* seq enable_filter_intra */
     const int32_t *fi_taps,           /* filter-intra taps [5][8][8] */
+    const int32_t *lr_cfg,            /* loop restoration units, or NULL */
     uint8_t **out_payload)            /* malloc'd; caller frees */
 {
     if (prof_enabled < 0) {
@@ -4175,6 +4274,13 @@ size_t tile_encode(
     t.screen_tools = screen_tools;
     t.filter_intra = filter_intra && fi_taps != NULL;
     t.fi_taps = fi_taps;
+    t.lr_cfg = lr_cfg;
+    for (int p = 0; p < 3; p++)
+        for (int p2 = 0; p2 < 2; p2++) {
+            t.lr_ref[p][p2][0] = 3;  /* Wiener_Taps_Mid */
+            t.lr_ref[p][p2][1] = -7;
+            t.lr_ref[p][p2][2] = 15;
+        }
 
     /* padded src (edge-replicated) + zeroed recon */
     for (int p = 0; p < nplanes; p++) {
@@ -4236,8 +4342,10 @@ size_t tile_encode(
             memset(t.left_lvl[p], 0, sizeof(t.left_lvl[p]));
             memset(t.left_dc[p], 0, sizeof(t.left_dc[p]));
         }
-        for (int sb_c = 0; sb_c < t.sb_cols; sb_c++)
+        for (int sb_c = 0; sb_c < t.sb_cols; sb_c++) {
+            if (t.lr_cfg) emit_lr(&t, sb_r * 16, sb_c * 16);
             encode_partition(&t, sb_r * 16, sb_c * 16, 64);
+        }
     }
 
     uint8_t *payload;

@@ -164,6 +164,83 @@ def test_lr_wiener_10bit_exact():
         np.testing.assert_array_equal(dec[i], ours[i])
 
 
+def test_lr_c_python_byte_identity():
+    """The C tile coder mirrors the LR unit syntax byte-for-byte
+    (subexp refs, chroma firstCoeff, unit iteration)."""
+    from oavif_tpu.av1.entropy.fast import get_lib, tile_encode_native
+
+    if get_lib() is None:
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(9)
+    h, w = 160, 192
+    planes = [np.asarray(128 + rng.integers(-70, 70, (h, w)), np.int32)
+              for _ in range(3)]
+    size = unit_size(0)
+    urows, ucols = count_units(h, size), count_units(w, size)
+    grid = {}
+    for p in range(3):
+        g = []
+        for ur in range(urows):
+            row = []
+            for uc in range(ucols):
+                if (ur + uc + p) % 3 == 0:
+                    row.append(None)
+                    continue
+                t6 = [int(rng.integers(-5, 11)), int(rng.integers(-23, 9)),
+                      int(rng.integers(-17, 47)), int(rng.integers(-5, 11)),
+                      int(rng.integers(-23, 9)), int(rng.integers(-17, 47))]
+                if p:
+                    t6[0] = t6[3] = 0
+                row.append(t6)
+            g.append(row)
+        grid[p] = g
+    lr = {"types": (2, 2, 2), "unit_shift": 0, "wiener": grid}
+    for q in (40, 120):
+        te = TileEncoder([p.copy() for p in planes], q, 8, 9, lr=lr)
+        py = te.encode()
+        res = tile_encode_native([p.copy() for p in planes], q, 8, 9,
+                                 None, 0, lr=lr)
+        assert res is not None
+        assert res[0] == py
+        for a, b in zip(res[1], te.recon):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_lr_product_path_decodes_exact():
+    """encode_avif_with_recon with LR armed: shipped bytes decode
+    (dav1d) to exactly the recon the TQ loop scored."""
+    import os
+    import types as pytypes
+
+    from oavif_tpu.av1.encode import encode_avif_with_recon
+    from oavif_tpu.av1.yuv import yuv444_to_rgb
+
+    rng = np.random.default_rng(5)
+    x = np.linspace(0, 6, 160)
+    img = np.clip(
+        128 + 60 * np.sin(x[None, :] * 3 + x[:, None] * 2)[..., None]
+        * np.ones(3) + rng.normal(0, 12, (160, 160, 3)), 0, 255
+    ).astype(np.uint8)
+    src = pytypes.SimpleNamespace(data=img, channels=3, hbd=False, icc=None)
+    o_env = os.environ.get("OAVIF_LR")
+    os.environ["OAVIF_LR"] = "1"
+    try:
+        from oavif_tpu.options import EncOptions
+
+        o = EncOptions()
+        o.speed = 6
+        ctx = pytypes.SimpleNamespace(o=o, src=src, q=70)
+        data, recon = encode_avif_with_recon(ctx)
+    finally:
+        if o_env is None:
+            os.environ.pop("OAVIF_LR", None)
+        else:
+            os.environ["OAVIF_LR"] = o_env
+    yuv, depth, _ = _dav1d()(data)
+    dec_rgb = yuv444_to_rgb([p for p in yuv], bitdepth=depth)
+    np.testing.assert_array_equal(dec_rgb, recon)
+
+
 def test_lr_search_improves_sse():
     """Encoder-side tap solve: on quantization-degraded content the
     searched Wiener filter must reduce SSE vs the unfiltered recon

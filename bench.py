@@ -35,6 +35,8 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -214,7 +216,41 @@ def _apply_jax_platform_env():
         pass
 
 
+def _guard_backend():
+    """The axon TPU is reached through a tunnel that can stall or be
+    down when the bench runs; jax.devices() then either raises after
+    ~12 minutes or HANGS. A benchmark that crashes records nothing —
+    probe the backend in a SUBPROCESS with a hard timeout before this
+    process ever imports jax, and fall back to the CPU backend (the
+    host C encode/metric path is the shipped default on this host
+    anyway; only the planner moves). The JSON records which ran."""
+    budget = float(os.environ.get("OAVIF_BENCH_BACKEND_PROBE_S", "120"))
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print(jax.default_backend())"],
+            capture_output=True, timeout=budget, text=True,
+        )
+        if r.returncode == 0 and r.stdout.strip():
+            return r.stdout.strip().splitlines()[-1]
+        reason = f"probe rc={r.returncode}"
+    except subprocess.TimeoutExpired:
+        reason = f"probe hang >{budget:.0f}s"
+    sys.stderr.write(f"bench: jax backend unavailable ({reason}); "
+                     "falling back to CPU\n")
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+        jax.devices()
+        return "cpu-fallback"
+    except Exception:
+        os.environ["OAVIF_TPU_PLANNER"] = "0"
+        return "none"
+
+
 def main():
+    backend = _guard_backend()
     _apply_jax_platform_env()
     size = int(os.environ.get("BENCH_SIZE", "512"))
     images = {
@@ -308,6 +344,7 @@ def main():
                 "unit": "MP/s",
                 "vs_baseline": round(ours_mps / base_mps, 3) if base_mps else None,
                 "detail": {
+                    "jax_backend": backend,
                     "ours_total_s": round(ours_total_s, 3),
                     "ours_stage_split_s": {
                         k: round(v, 3) for k, v in sorted(stage_acc.items())

@@ -92,8 +92,9 @@ from .transform import INV_ROW_SHIFT, fwd_txfm2d_int, inv_txfm2d
 DQ_SHIFT = {4: 0, 8: 0, 16: 0, 32: 1, 64: 2}
 
 _PARTITION_CDF_KEY = {8: "partition_w8", 16: "partition_w16",
-                      32: "partition_w32", 64: "partition_w64"}
-_PARTITION_NSYM = {8: 4, 16: 10, 32: 10, 64: 10}
+                      32: "partition_w32", 64: "partition_w64",
+                      128: "partition_w128"}
+_PARTITION_NSYM = {8: 4, 16: 10, 32: 10, 64: 10, 128: 8}
 
 # partition context lookup: above/left byte per block width/height in px
 _PART_CTX_BYTE = {4: 31, 8: 30, 16: 28, 32: 24, 64: 16, 128: 0}
@@ -178,7 +179,8 @@ class CdfBank:
     def __init__(self, qctx: int) -> None:
         t = TABLES
         self.partition = {
-            w: _adaptive(t[_PARTITION_CDF_KEY[w]]) for w in (8, 16, 32, 64)
+            w: _adaptive(t[_PARTITION_CDF_KEY[w]])
+            for w in (8, 16, 32, 64, 128)
         }
         self.skip = _adaptive(t["skip"])
         self.kf_y = _adaptive(t["kf_y_mode"])
@@ -247,7 +249,13 @@ class TileEncoder:
         screen_tools: bool = False,  # frame allow_screen_content_tools
         filter_intra: bool = False,  # seq enable_filter_intra
         lr: Optional[dict] = None,   # loop restoration (see _emit_lr)
+        sb128: bool = False,         # seq use_128x128_superblock
     ) -> None:
+        if qindex == 0:
+            sb128 = False  # lossless path stays on the 64px grid
+        self.sb128 = bool(sb128)
+        self.sbn = 32 if sb128 else 16  # superblock height/width in mi
+        self._lm = self.sbn - 1         # left-context index mask
         self.screen_tools = bool(screen_tools)
         self.filter_intra = bool(filter_intra)
         # loop restoration config: {"types": (t0,t1,t2) coded
@@ -272,8 +280,8 @@ class TileEncoder:
         self.w, self.h = w, h
         self.mi_cols = 2 * ((w + 7) >> 3)
         self.mi_rows = 2 * ((h + 7) >> 3)
-        self.sb_cols = (self.mi_cols + 15) >> 4
-        self.sb_rows = (self.mi_rows + 15) >> 4
+        self.sb_cols = (self.mi_cols + self.sbn - 1) // self.sbn
+        self.sb_rows = (self.mi_rows + self.sbn - 1) // self.sbn
 
         from .entropy.fast import NativeEncoder, get_lib
 
@@ -311,24 +319,25 @@ class TileEncoder:
             buf[h:, :] = buf[h - 1 : h, :]
             self.src.append(buf)
 
-        # context lines
+        # context lines (left lines span one superblock column: sbn mi)
+        sbn = self.sbn
         self.above_part = np.zeros(self.mi_cols, dtype=np.uint8)
-        self.left_part = np.zeros(16, dtype=np.uint8)
+        self.left_part = np.zeros(sbn, dtype=np.uint8)
         self.above_skip = np.zeros(self.mi_cols, dtype=np.uint8)
-        self.left_skip = np.zeros(16, dtype=np.uint8)
+        self.left_skip = np.zeros(sbn, dtype=np.uint8)
         self.above_mode = np.full(self.mi_cols, DC_PRED, dtype=np.uint8)
         # palette context lines: color array (ascending) or None, per mi
         self.above_pal = [None] * self.mi_cols
-        self.left_pal = [None] * 16
-        self.left_mode = np.full(16, DC_PRED, dtype=np.uint8)
+        self.left_pal = [None] * sbn
+        self.left_mode = np.full(sbn, DC_PRED, dtype=np.uint8)
         self.above_txw = np.zeros(self.mi_cols, dtype=np.int32)
-        self.left_txh = np.zeros(16, dtype=np.int32)
+        self.left_txh = np.zeros(sbn, dtype=np.int32)
         self.pstate = [
             PlaneState(
                 above_lvl=np.zeros(self.mi_cols, dtype=np.int32),
-                left_lvl=np.zeros(16, dtype=np.int32),
+                left_lvl=np.zeros(sbn, dtype=np.int32),
                 above_dc=np.zeros(self.mi_cols, dtype=np.int32),
-                left_dc=np.zeros(16, dtype=np.int32),
+                left_dc=np.zeros(sbn, dtype=np.int32),
             )
             for _ in planes
         ]
@@ -371,7 +380,7 @@ class TileEncoder:
         superblock root the above-right SB must exist."""
         size = n_mi
         rr, cc = r, c
-        while size < 16:
+        while size < self.sbn:
             parent = size * 2
             top = (rr % parent) < size
             left = (cc % parent) < size
@@ -380,12 +389,12 @@ class TileEncoder:
             if not top:
                 return False  # BR child
             size = parent  # TR child: ask the parent
-        return rr > 0 and ((cc | 15) + 1) < self.mi_cols
+        return rr > 0 and ((cc | self._lm) + 1) < self.mi_cols
 
     def _has_bottom_left(self, r: int, c: int, n_mi: int) -> bool:
         size = n_mi
         rr, cc = r, c
-        while size < 16:
+        while size < self.sbn:
             parent = size * 2
             top = (rr % parent) < size
             left = (cc % parent) < size
@@ -430,14 +439,15 @@ class TileEncoder:
             self.left_skip[:] = 0
             self.left_mode[:] = DC_PRED
             self.left_txh[:] = 0
-            self.left_pal = [None] * 16
+            self.left_pal = [None] * self.sbn
             for ps in self.pstate:
                 ps.left_lvl[:] = 0
                 ps.left_dc[:] = 0
             for sb_c in range(self.sb_cols):
                 if self.lr:
-                    self._emit_lr(sb_r * 16, sb_c * 16)
-                self._encode_partition(sb_r * 16, sb_c * 16, 64)
+                    self._emit_lr(sb_r * self.sbn, sb_c * self.sbn)
+                self._encode_partition(sb_r * self.sbn, sb_c * self.sbn,
+                                       self.sbn * 4)
         self._dec_flush()
         return self.enc.done()
 
@@ -455,9 +465,9 @@ class TileEncoder:
             urows = max((self.h + (unit >> 1)) // unit, 1)
             ucols = max((self.w + (unit >> 1)) // unit, 1)
             ur0 = (r * 4 + unit - 1) // unit
-            ur1 = min(urows, ((r + 16) * 4 + unit - 1) // unit)
+            ur1 = min(urows, ((r + self.sbn) * 4 + unit - 1) // unit)
             uc0 = (c * 4 + unit - 1) // unit
-            uc1 = min(ucols, ((c + 16) * 4 + unit - 1) // unit)
+            uc1 = min(ucols, ((c + self.sbn) * 4 + unit - 1) // unit)
             for ur in range(ur0, ur1):
                 for uc in range(uc0, uc1):
                     self._emit_lr_unit(plane, ur, uc)
@@ -526,16 +536,16 @@ class TileEncoder:
     # -- partitions -----------------------------------------------------------
 
     def _partition_ctx(self, r: int, c: int, size: int) -> int:
-        bsl = {8: 0, 16: 1, 32: 2, 64: 3}[size]
+        bsl = {8: 0, 16: 1, 32: 2, 64: 3, 128: 4}[size]
         above = (int(self.above_part[c]) >> bsl) & 1
-        left = (int(self.left_part[r & 15]) >> bsl) & 1
+        left = (int(self.left_part[r & self._lm]) >> bsl) & 1
         return left * 2 + above
 
     def _update_part_ctx(self, r: int, c: int, size: int, sub: int) -> None:
         n_mi = size // 4
         byte = _PART_CTX_BYTE[sub]
         self.above_part[c : c + n_mi] = byte
-        self.left_part[(r & 15) : (r & 15) + n_mi] = byte
+        self.left_part[(r & self._lm) : (r & self._lm) + n_mi] = byte
 
     def _partition_bool_icdf(self, cdf: list, size: int, members) -> int:
         """Derived psplit for split_or_horz / split_or_vert (spec): the sum
@@ -560,6 +570,18 @@ class TileEncoder:
         if has_rows and has_cols:
             if self.lossless:
                 part = PARTITION_SPLIT
+            elif size == 128:
+                # 128 root (sb128 frames): NONE only when the whole
+                # region is near-flat AND fits the mi grid (hanging
+                # blocks force SPLIT, the 32/64 convention)
+                if (r + 32 <= self.mi_rows and c + 32 <= self.mi_cols
+                        and not self._force_sb128_none_test):
+                    part = self._choose_partition128(r, c)
+                elif self._force_sb128_none_test and (
+                        r + 32 <= self.mi_rows and c + 32 <= self.mi_cols):
+                    part = PARTITION_NONE
+                else:
+                    part = PARTITION_SPLIT
             elif (size == 64 and r + 16 <= self.mi_rows
                   and c + 16 <= self.mi_cols):
                 part = self._planned_part64(r, c)
@@ -753,6 +775,19 @@ class TileEncoder:
                 return PARTITION_SPLIT
         return PARTITION_NONE
 
+    _force_sb128_none_test = False  # test hook: force NONE at every root
+
+    def _choose_partition128(self, r: int, c: int) -> int:
+        """NONE at the 128 root saves the four 64-level partition symbols
+        plus their mode/skip sets; it pays only on near-flat superblocks
+        (no CfL above 32, DC-only 128 prediction). Mirrored in C."""
+        x, y = c * 4, r * 4
+        flat_gate = 128 * 128 * self.dq_ac * self.dq_ac // 64
+        for p in range(len(self.planes)):
+            if self._src_dc_ssd(p, x, y, 128) > flat_gate:
+                return PARTITION_SPLIT
+        return PARTITION_NONE
+
     def _src_dc_ssd(self, plane: int, x: int, y: int, size: int) -> int:
         above, left = build_edges(
             self.src[plane], x, y, size, size, y > 0, x > 0, self.bitdepth,
@@ -828,7 +863,7 @@ class TileEncoder:
         """Merged sorted cache of the above (same-SB only) and left
         neighbor palettes (spec get_palette_cache)."""
         above = self.above_pal[c] if (r & 15) > 0 else None
-        left = self.left_pal[r & 15] if c > 0 else None
+        left = self.left_pal[r & self._lm] if c > 0 else None
         a = list(above) if above is not None else []
         l = list(left) if left is not None else []
         out = []
@@ -985,7 +1020,7 @@ class TileEncoder:
             return
         x, y = c * 4, r * 4
         n_mi = size // 4
-        lr = r & 15
+        lr = r & self._lm
 
         # Device plan supplies the mode decision (source-edge search on
         # the TPU); levels still derive from recon-edge prediction
@@ -1000,7 +1035,13 @@ class TileEncoder:
             y_nominee = (y_mode >> 8) - 1
             y_mode = y_mode & 255
         if y_mode is None:
-            y_mode, _, _, _ = self._choose_y_mode(r, c, size)
+            if size == 128:
+                # 128 roots arrive only through the near-flat gate: DC
+                # is the one whole-block mode worth coding there (and
+                # SMOOTH weights stop at 64)
+                y_mode = DC_PRED
+            else:
+                y_mode, _, _, _ = self._choose_y_mode(r, c, size)
         y_levels_planned = None
         # device-computed open-loop levels for planned 16-blocks (the
         # batched device encode stage, device_stage.py): consume when the
@@ -1239,8 +1280,8 @@ class TileEncoder:
             # speed 9 keeps the split trial only for <=16 blocks (cheap,
             # where most splits land); lower speeds try every size;
             # speed 10 skips the trial entirely
-            if can_code_coeffs and tx >= 8 and self.speed <= 9 and (
-                self.speed <= 8 or tx <= 16
+            if can_code_coeffs and tx >= 8 and size <= 64 and (
+                self.speed <= 9 and (self.speed <= 8 or tx <= 16)
             ):
                 depth_cands.append(1)
             best = None
@@ -1285,6 +1326,16 @@ class TileEncoder:
                 forced=(rep[6], rep[7], rep[8]) if rep is not None else None,
             )
             plane_jobs += [j + ("dct_dct",) for j in uv_jobs]
+        if size == 128:
+            # spec residual(): blocks wider/taller than 64 code their
+            # transform blocks in 64x64 CHUNKS with the planes
+            # interleaved per chunk (Y chunk txbs, then U, then V, then
+            # the next chunk) — not plane-major like <= 64 blocks
+            plane_jobs = [
+                j for cy in (0, 64) for cx in (0, 64)
+                for j in plane_jobs
+                if (j[3] - y) // 64 * 64 == cy and (j[2] - x) // 64 * 64 == cx
+            ]
 
         skip = not any(np.any(lv) for _, _, _, _, lv, _, _ in plane_jobs)
         assert not (skip and y_depth), "skip block must be depth 0"
@@ -1394,7 +1445,7 @@ class TileEncoder:
         if self.screen_tools:
             for i in range(n_mi):
                 self.above_pal[c + i] = pal_ctx_val
-                if lr + i < 16:
+                if lr + i < self.sbn:
                     self.left_pal[lr + i] = pal_ctx_val
 
     # -- rectangular blocks (round-4 groundwork; test-gated slice) ---------------
@@ -1418,7 +1469,7 @@ class TileEncoder:
     def _update_part_ctx_rect(self, r, c, size, sub_w, sub_h):
         n_mi = size // 4
         self.above_part[c : c + n_mi] = _PART_CTX_BYTE[sub_w]
-        self.left_part[(r & 15) : (r & 15) + n_mi] = _PART_CTX_BYTE[sub_h]
+        self.left_part[(r & self._lm) : (r & self._lm) + n_mi] = _PART_CTX_BYTE[sub_h]
 
     @staticmethod
     def _rect_dq_shift(th, tw):
@@ -1673,9 +1724,9 @@ class TileEncoder:
         ps = self.pstate[plane]
         mi_c, mi_r = px // 4, py // 4
         ps.above_lvl[mi_c : mi_c + tw // 4] = cul
-        ps.left_lvl[(mi_r & 15) : (mi_r & 15) + th // 4] = cul
+        ps.left_lvl[(mi_r & self._lm) : (mi_r & self._lm) + th // 4] = cul
         ps.above_dc[mi_c : mi_c + tw // 4] = dc_cat
-        ps.left_dc[(mi_r & 15) : (mi_r & 15) + th // 4] = dc_cat
+        ps.left_dc[(mi_r & self._lm) : (mi_r & self._lm) + th // 4] = dc_cat
 
     def _dc_sign_ctx_rect(self, plane, px, py, tw, th):
         ps = self.pstate[plane]
@@ -1683,7 +1734,7 @@ class TileEncoder:
         cats = np.concatenate(
             [
                 ps.above_dc[mi_c : mi_c + tw // 4],
-                ps.left_dc[(mi_r & 15) : (mi_r & 15) + th // 4],
+                ps.left_dc[(mi_r & self._lm) : (mi_r & self._lm) + th // 4],
             ]
         )
         bal = int((cats == 2).sum()) - int((cats == 1).sum())
@@ -1708,7 +1759,7 @@ class TileEncoder:
         from .consts import H_PRED as H_PRED_
 
         x, y = c * 4, r * 4
-        lr = r & 15
+        lr = r & self._lm
         lo, hi = 0, (1 << self.bitdepth) - 1
         have_above, have_left = y > 0, x > 0
 
@@ -1948,7 +1999,7 @@ class TileEncoder:
             for i in range(nw):
                 self.above_pal[c + i] = None
             for i in range(nh):
-                if lr + i < 16:
+                if lr + i < self.sbn:
                     self.left_pal[lr + i] = None
 
     def _encode_coeffs_rect(self, plane, tw, th, px, py, levels2d):
@@ -1969,7 +2020,7 @@ class TileEncoder:
             mi_c, mi_r = px // 4, py // 4
             above_nz = np.any(ps.above_lvl[mi_c : mi_c + tw // 4] != 0)
             left_nz = np.any(
-                ps.left_lvl[(mi_r & 15) : (mi_r & 15) + th // 4] != 0
+                ps.left_lvl[(mi_r & self._lm) : (mi_r & self._lm) + th // 4] != 0
             )
             ctx = 7 + int(above_nz) + int(left_nz)  # tx dims == block dims
 
@@ -2112,7 +2163,7 @@ class TileEncoder:
         left = 0
         for i in range(n):
             top |= int(ps.above_lvl[mi_c + i])
-            left |= int(ps.left_lvl[(mi_r & 15) + i])
+            left |= int(ps.left_lvl[(mi_r & self._lm) + i])
         top &= 63
         left &= 63
         mx = min(top | left, 4)
@@ -2128,7 +2179,7 @@ class TileEncoder:
 
         assert size == 4
         x, y = c * 4, r * 4
-        lr = r & 15
+        lr = r & self._lm
         nplanes = len(self.planes)
         y_mode, _, _, _ = self._choose_y_mode(r, c, size)
 
@@ -2217,8 +2268,8 @@ class TileEncoder:
             lo, hi = 0, (1 << self.bitdepth) - 1
             jobs = []
             for p in (1, 2):
-                for sy in (0, 32):
-                    for sx in (0, 32):
+                for sy in range(0, size, 32):
+                    for sx in range(0, size, 32):
                         px_, py_ = x + sx, y + sy
                         ha, hl = py_ > 0, px_ > 0
                         above, left = build_edges(
@@ -2393,14 +2444,14 @@ class TileEncoder:
 
     # -- luma tx-depth RD ---------------------------------------------------------
 
-    _TX_CAT = {8: 0, 16: 1, 32: 2, 64: 3}
+    _TX_CAT = {8: 0, 16: 1, 32: 2, 64: 3, 128: 3}
 
     def _tx_ctx(self, r: int, c: int, btx: int) -> int:
         """tx_depth cdf ctx: (aboveTxW >= maxTxW) + (leftTxH >= maxTxH);
         unavailable neighbors contribute 0 (dav1d get_tx_ctx with the -1
         reset)."""
         above = int(self.above_txw[c]) if r > 0 else 0
-        left = int(self.left_txh[r & 15]) if c > 0 else 0
+        left = int(self.left_txh[r & self._lm]) if c > 0 else 0
         return (1 if above >= btx else 0) + (1 if left >= btx else 0)
 
     def _tx_size_row(self, size: int, ctx: int):
@@ -3109,14 +3160,17 @@ class TileEncoder:
 
     def _txb_skip_ctx(self, plane: int, px: int, py: int, tx: int, bsize: int) -> int:
         if plane == 0:
-            if tx == min(bsize, 64):
+            # ctx 0 iff the tx covers the whole block; a 128 block's
+            # TX_64X64 units take the neighbor-derived ctx (dav1d
+            # get_coef_skip_ctx compares block dims, not the 64 cap)
+            if tx == bsize:
                 return 0
             return self._txb_skip_ctx_sub(plane, px, py, tx)
         ps = self.pstate[plane]
         mi_c, mi_r = px // 4, py // 4
         n = tx // 4
         above_nz = np.any(ps.above_lvl[mi_c : mi_c + n] != 0)
-        left_nz = np.any(ps.left_lvl[(mi_r & 15) : (mi_r & 15) + n] != 0)
+        left_nz = np.any(ps.left_lvl[(mi_r & self._lm) : (mi_r & self._lm) + n] != 0)
         offset = 7 if tx == bsize else 10
         return offset + int(above_nz) + int(left_nz)
 
@@ -3127,7 +3181,7 @@ class TileEncoder:
         cats = np.concatenate(
             [
                 ps.above_dc[mi_c : mi_c + n],
-                ps.left_dc[(mi_r & 15) : (mi_r & 15) + n],
+                ps.left_dc[(mi_r & self._lm) : (mi_r & self._lm) + n],
             ]
         )
         bal = int((cats == 2).sum()) - int((cats == 1).sum())
@@ -3144,9 +3198,9 @@ class TileEncoder:
         mi_c, mi_r = px // 4, py // 4
         n = tx // 4
         ps.above_lvl[mi_c : mi_c + n] = cul
-        ps.left_lvl[(mi_r & 15) : (mi_r & 15) + n] = cul
+        ps.left_lvl[(mi_r & self._lm) : (mi_r & self._lm) + n] = cul
         ps.above_dc[mi_c : mi_c + n] = dc_cat
-        ps.left_dc[(mi_r & 15) : (mi_r & 15) + n] = dc_cat
+        ps.left_dc[(mi_r & self._lm) : (mi_r & self._lm) + n] = dc_cat
 
     # intra tx-set symbol index per type (validated by decoder probes):
     # set2 (tx16): {IDTX, DCT_DCT, ADST_ADST, ADST_DCT, DCT_ADST}

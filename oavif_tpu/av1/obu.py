@@ -91,6 +91,7 @@ class SequenceConfig:
     enable_cdef: bool = False
     enable_filter_intra: bool = False
     enable_restoration: bool = False
+    use_128x128_superblock: bool = False
 
 
 def _choose_level(width: int, height: int) -> int:
@@ -121,7 +122,7 @@ def write_sequence_header(cfg: SequenceConfig) -> bytes:
     w.f(15, 4)  # frame_height_bits_minus_1
     w.f(cfg.width - 1, 16)
     w.f(cfg.height - 1, 16)
-    w.f(0, 1)  # use_128x128_superblock → 64x64 SBs
+    w.f(1 if cfg.use_128x128_superblock else 0, 1)  # superblock size
     w.f(1 if cfg.enable_filter_intra else 0, 1)  # enable_filter_intra
     w.f(0, 1)  # enable_intra_edge_filter
     w.f(0, 1)  # enable_superres
@@ -176,6 +177,9 @@ class FrameConfig:
     enable_restoration: bool = False
     lr_types: tuple = (0, 0, 0)
     lr_unit_shift: int = 2  # unit size 256
+    # mirrors the sequence header's superblock-size bit (lr_params and
+    # future sb-dependent fields key off it)
+    use_128x128_superblock: bool = False
 
 
 def write_frame_header_bits(cfg: FrameConfig, num_planes: int = 3) -> BitWriter:
@@ -198,10 +202,12 @@ def write_frame_header_bits(cfg: FrameConfig, num_planes: int = 3) -> BitWriter:
     w.f(0, 1)  # render_and_frame_size_different
     if cfg.screen_content_tools:
         w.f(0, 1)  # allow_intrabc (superres off -> coded; we decline)
-    # tile_info()
-    sb_cols = (cfg.width + 63) >> 6
-    sb_rows = (cfg.height + 63) >> 6
-    _write_tile_info(w, sb_cols, sb_rows, cfg.tile_cols_log2, cfg.tile_rows_log2)
+    # tile_info(): superblock units follow the sequence's SB size
+    sb_px_log2 = 7 if cfg.use_128x128_superblock else 6
+    sb_cols = (cfg.width + (1 << sb_px_log2) - 1) >> sb_px_log2
+    sb_rows = (cfg.height + (1 << sb_px_log2) - 1) >> sb_px_log2
+    _write_tile_info(w, sb_cols, sb_rows, cfg.tile_cols_log2,
+                     cfg.tile_rows_log2, sb_px_log2)
     # quantization_params()
     w.f(cfg.base_q_idx, 8)
     w.f(0, 1)  # DeltaQYDc coded flag
@@ -253,8 +259,10 @@ def write_frame_header_bits(cfg: FrameConfig, num_planes: int = 3) -> BitWriter:
         for t in cfg.lr_types[:num_planes]:
             w.f(t, 2)
         if any(cfg.lr_types[:num_planes]):
-            # 64x64 superblocks: lr_unit_shift + optional extra bit
-            if cfg.lr_unit_shift == 0:
+            if cfg.use_128x128_superblock:
+                # 128 SBs: shift in {1, 2}, one bit (spec lr_params)
+                w.f(cfg.lr_unit_shift - 1, 1)
+            elif cfg.lr_unit_shift == 0:
                 w.f(0, 1)
             else:
                 w.f(1, 1)
@@ -323,11 +331,12 @@ def clamp_tile_log2s(
 
 
 def _write_tile_info(
-    w: BitWriter, sb_cols: int, sb_rows: int, tile_cols_log2: int, tile_rows_log2: int
+    w: BitWriter, sb_cols: int, sb_rows: int, tile_cols_log2: int,
+    tile_rows_log2: int, sb_px_log2: int = 6,
 ) -> None:
     """Uniform tile spacing (spec tile_info)."""
-    max_tile_width_sb = 4096 >> 6
-    max_tile_area_sb = (4096 * 2304) >> (6 + 6)
+    max_tile_width_sb = 4096 >> sb_px_log2
+    max_tile_area_sb = (4096 * 2304) >> (2 * sb_px_log2)
     min_log2_tile_cols = _tile_log2(max_tile_width_sb, sb_cols)
     max_log2_tile_cols = _tile_log2(1, min(sb_cols, 64))
     max_log2_tile_rows = _tile_log2(1, min(sb_rows, 64))

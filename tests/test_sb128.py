@@ -1,0 +1,99 @@
+"""128x128 superblock conformance: partition tree, chunked residual
+order, and the flat-gate NONE policy, bit-exact vs dav1d.
+
+The reference gets 128px superblocks from libaom behind
+avifEncoderAddImage (reference src/io.zig:629-632); our sequence can
+choose either SB size (use_128x128_superblock). Key normative facts
+pinned here (each desyncs if wrong):
+
+  * blocks wider/taller than 64 code their residual in 64x64 CHUNKS
+    with the planes interleaved per chunk (spec residual()), not
+    plane-major;
+  * the luma all-zero (txb_skip) context is 0 only when the tx covers
+    the WHOLE block — a 128 block's TX_64X64 units take the
+    neighbor-derived context;
+  * tile_info's superblock units follow the sequence SB size (the
+    64-based count desyncs single-SB-row/col frames).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from oavif_tpu.av1.frame import TileEncoder
+from oavif_tpu.av1.mux import mux_avif
+from oavif_tpu.av1.obu import FrameConfig, SequenceConfig, assemble_av1_stream
+
+
+def _roundtrip(planes, q, force_none=False, bd=8):
+    from oavif_tpu.io.avif_ctypes import decode_to_yuv
+
+    h, w = planes[0].shape
+    te = TileEncoder([p.copy() for p in planes], q, bd, 9, sb128=True)
+    if force_none:
+        te._force_sb128_none_test = True
+    payload = te.encode()
+    seq = SequenceConfig(width=w, height=h, bit_depth=bd,
+                         use_128x128_superblock=True)
+    fr = FrameConfig(width=w, height=h, base_q_idx=q,
+                     use_128x128_superblock=True)
+    data = mux_avif(assemble_av1_stream(seq, fr, [payload]), w, h,
+                    bit_depth=bd, high_bitdepth=bd == 10)
+    dec, _, _ = decode_to_yuv(data)
+    for i in range(3):
+        np.testing.assert_array_equal(dec[i], te.recon[i][:h, :w])
+    return te
+
+
+def test_sb128_none_with_coefficients_all_shapes():
+    """Forced 128-NONE roots with nonzero coefficients in every plane,
+    across single/multi SB-row/col frames (the tile_info trap)."""
+    for h, w in ((128, 128), (128, 256), (256, 128), (256, 256)):
+        yy = np.mgrid[0:h, 0:w][0]
+        planes = [np.asarray(100 + yy // 8, np.int32)] * 3
+        te = _roundtrip(planes, 60, force_none=True)
+        assert sum(1 for b in te.blocks if b[2] == 128) == (h // 128) * (
+            w // 128)
+
+
+def test_sb128_partial_superblocks():
+    """Frames not multiple of 128: hanging roots split (the 32/64
+    convention extended), split_or_horz/vert derived bools at 128."""
+    rng = np.random.default_rng(4)
+    for h, w in ((200, 136), (160, 320), (192, 192)):
+        planes = [np.asarray(128 + rng.integers(-50, 50, (h, w)), np.int32)
+                  for _ in range(3)]
+        _roundtrip(planes, 80)
+
+
+def test_sb128_flat_gate_selects_none_organically():
+    """The product policy: a flat half yields 128-NONE roots, the noisy
+    half splits; the whole stream decodes exactly."""
+    rng = np.random.default_rng(4)
+    planes = [np.asarray(128 + rng.integers(-70, 70, (256, 256)), np.int32)
+              for _ in range(3)]
+    for p in range(3):
+        planes[p][:, :128] = 90 + p * 5
+    te = _roundtrip(planes, 100)
+    n128 = sum(1 for b in te.blocks if b[2] == 128)
+    assert n128 >= 1
+
+
+def test_sb128_10bit():
+    yy = np.mgrid[0:256, 0:256][0]
+    planes = [np.asarray(400 + yy // 8 + p * 30, np.int32) for p in range(3)]
+    _roundtrip(planes, 90, force_none=True, bd=10)
+
+
+def test_sb128_deep_split_content_matches_sb64_quality():
+    """A full-noise sb128 frame splits every root to the normal 64 tree:
+    recon must equal content-wise what the sb64 encoding produces (same
+    block decisions; only the partition root differs)."""
+    rng = np.random.default_rng(11)
+    planes = [np.asarray(128 + rng.integers(-70, 70, (256, 256)), np.int32)
+              for _ in range(3)]
+    te128 = _roundtrip(planes, 60)
+    te64 = TileEncoder([p.copy() for p in planes], 60, 8, 9)
+    te64.encode()
+    for a, b in zip(te128.recon, te64.recon):
+        np.testing.assert_array_equal(a, b)

@@ -294,6 +294,14 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
     filter_intra = (
         fi_env != "0" if fi_env is not None else o.speed <= 8
     ) and qindex > 0
+    # 128px superblocks: near-free on busy content (one extra root
+    # symbol per SB) and up to -4% bytes where flat 128 regions pass the
+    # two-gate duel (measured: fractal/text at coarse q). Default on for
+    # frames that fit at least one full 128 SB; OAVIF_SB128 overrides.
+    sb_env = os.environ.get("OAVIF_SB128")
+    sb128 = (
+        sb_env != "0" if sb_env is not None else True
+    ) and qindex > 0 and min(h, w) >= 128 and tcl == 0 and trl == 0
     payloads, recon_planes, blocks = encode_frame_planes(
         planes,
         qindex,
@@ -305,6 +313,7 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
         u_ac_delta_q=uv_dq,
         screen_tools=screen_tools,
         filter_intra=filter_intra,
+        sb128=sb128,
     )
     flv = _filter_level(qindex)
     filter_levels = (flv, flv, flv, flv)
@@ -358,7 +367,7 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
                 tile_cols_log2=tcl, tile_rows_log2=trl,
                 max_threads=o.max_threads, u_ac_delta_q=uv_dq,
                 screen_tools=screen_tools, filter_intra=filter_intra,
-                lr=lr_cfg,
+                lr=lr_cfg, sb128=sb128,
             )
             recon_planes = apply_wiener(
                 recon_planes, deblk_vis, h, w, lr_types, 2, lr_taps,
@@ -374,6 +383,7 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
         enable_cdef=cdef_on,
         enable_filter_intra=filter_intra,
         enable_restoration=lr_types is not None,
+        use_128x128_superblock=sb128,
     )
     frame = FrameConfig(
         width=w, height=h, base_q_idx=qindex,
@@ -386,6 +396,7 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
         cdef_strengths=(cdef_strengths,),
         enable_restoration=lr_types is not None,
         lr_types=lr_types if lr_types is not None else (0, 0, 0),
+        use_128x128_superblock=sb128,
     )
     av1 = assemble_av1_stream(seq, frame, payloads)
 

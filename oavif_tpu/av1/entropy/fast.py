@@ -81,6 +81,7 @@ def _build() -> Optional[C.CDLL]:
             C.c_int,           # filter_intra (seq enable_filter_intra)
             _p32,              # fi_taps [5][8][8]
             _p32,              # lr_cfg (loop restoration) or NULL
+            C.c_int,           # sb128 (seq use_128x128_superblock)
             C.POINTER(C.POINTER(C.c_uint8)),  # out_payload
         ]
         lib.tile_payload_free.argtypes = [C.POINTER(C.c_uint8)]
@@ -265,13 +266,13 @@ _CDF_ORDER = (
     "pal_y_mode", "pal_uv_mode", "pal_y_size",
     "pal_y_ci2", "pal_y_ci3", "pal_y_ci4", "pal_y_ci5", "pal_y_ci6",
     "pal_y_ci7", "pal_y_ci8",
-    "fi_use", "fi_mode", "wiener_restore",
+    "fi_use", "fi_mode", "wiener_restore", "part128",
 )
 
 
 def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None,
                        u_ac_delta_q=0, dec=None, screen_tools=False,
-                       filter_intra=False, lr=None):
+                       filter_intra=False, lr=None, sb128=False):
     """Encode one tile entirely in C. Returns (payload bytes, [recon
     planes (h, w) int32]) or None when the native library is unavailable.
 
@@ -314,6 +315,7 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None,
         "fi_use": bank.filter_intra_use,
         "fi_mode": bank.filter_intra_mode,
         "wiener_restore": bank.wiener_restore,
+        "part128": bank.partition[128],
     }
     cdf_arrs = [np.ascontiguousarray(cdfs[k], dtype=np.uint16) for k in _CDF_ORDER]
     cdf_ptrs = (C.POINTER(C.c_uint16) * len(cdf_arrs))(*[_u16p(a) for a in cdf_arrs])
@@ -431,6 +433,7 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None,
         1 if filter_intra else 0,
         _i32p(_fi_taps_arr()),
         lr_ptr,
+        1 if sb128 else 0,
         C.byref(out),
     )
     if dec is not None and dec_mode == 1 and dec_len is not None:

@@ -109,7 +109,7 @@ enum {
     CDF_PAL_Y_MODE, CDF_PAL_UV_MODE, CDF_PAL_Y_SIZE,
     CDF_PAL_Y_CI2, CDF_PAL_Y_CI3, CDF_PAL_Y_CI4, CDF_PAL_Y_CI5,
     CDF_PAL_Y_CI6, CDF_PAL_Y_CI7, CDF_PAL_Y_CI8,
-    CDF_FI_USE, CDF_FI_MODE, CDF_WIENER, CDF_N
+    CDF_FI_USE, CDF_FI_MODE, CDF_WIENER, CDF_PART_W128, CDF_N
 };
 
 enum { UV_CFL_PRED = 13 };
@@ -123,6 +123,7 @@ typedef struct {
     int nplanes;
     int bitdepth, speed;
     int qindex;
+    int sb128, sbn, lmask; /* superblock size: 128px mode, mi per SB */
     int dq_dc, dq_ac;
     int dq_ac_uv; /* chroma AC dq (u_ac_delta_q applied) */
     int32_t *src[3];        /* padded (ph, pw) */
@@ -170,8 +171,8 @@ typedef struct {
     /* palette context lines: per-mi neighbor palette (count 0 = none) */
     uint8_t *above_pal_n;
     uint16_t *above_pal_c; /* mi_cols * 8 */
-    uint8_t left_pal_n[16];
-    uint16_t left_pal_c[16][8];
+    uint8_t left_pal_n[32];
+    uint16_t left_pal_c[32][8];
     const int32_t *dr_deriv; /* dr_intra_derivative[90] */
     /* device plan (encode_tpu.FramePlanner): sections of one packed
      * int32 buffer; NULL = host searches everything */
@@ -191,14 +192,14 @@ typedef struct {
     int dec_pos, dec_cap, dec_mode;
     /* context lines */
     uint8_t *above_part, *above_skip, *above_mode;
-    uint8_t left_part[16], left_skip[16], left_mode[16];
+    uint8_t left_part[32], left_skip[32], left_mode[32];
     int32_t *above_txw; /* chosen luma tx width px, per mi col */
-    int32_t left_txh[16];
+    int32_t left_txh[32];
     /* variance-adaptive λ (mirrors frame.py _mean_var/_lam_scale) */
     double mean_var;
     double cur_lamscale;
     int32_t *above_lvl[3], *above_dc[3];
-    int32_t left_lvl[3][16], left_dc[3][16];
+    int32_t left_lvl[3][32], left_dc[3][32];
 } Tile;
 
 static inline int imin(int a, int b) { return a < b ? a : b; }
@@ -1502,7 +1503,10 @@ static const int SKIP_CTX_TABLE[5][5] = {
 static int txb_skip_ctx(const Tile *t, int plane, int px, int py, int tx,
                         int bsize) {
     if (plane == 0) {
-        if (tx == (bsize < 64 ? bsize : 64)) return 0;
+        /* ctx 0 iff the tx covers the whole block; a 128 block's
+         * TX_64X64 units take the neighbor-derived ctx (mirrors
+         * frame.py _txb_skip_ctx after the sb128 fix) */
+        if (tx == bsize) return 0;
         /* luma txb smaller than its block: OR-combine the 4x4 level
          * contexts over the txb extent (mirrors frame.py
          * _txb_skip_ctx_sub) */
@@ -1511,7 +1515,7 @@ static int txb_skip_ctx(const Tile *t, int plane, int px, int py, int tx,
         int top = 0, left = 0;
         for (int i = 0; i < nn; i++) {
             top |= t->above_lvl[0][mi_c0 + i];
-            left |= t->left_lvl[0][(mi_r0 & 15) + i];
+            left |= t->left_lvl[0][(mi_r0 & t->lmask) + i];
         }
         top &= 63;
         left &= 63;
@@ -1525,7 +1529,7 @@ static int txb_skip_ctx(const Tile *t, int plane, int px, int py, int tx,
     int above_nz = 0, left_nz = 0;
     for (int i = 0; i < n; i++) {
         if (t->above_lvl[plane][mi_c + i]) above_nz = 1;
-        if (t->left_lvl[plane][((mi_r & 15) + i)]) left_nz = 1;
+        if (t->left_lvl[plane][((mi_r & t->lmask) + i)]) left_nz = 1;
     }
     int offset = tx == bsize ? 7 : 10;
     return offset + above_nz + left_nz;
@@ -1537,7 +1541,7 @@ static int dc_sign_ctx(const Tile *t, int plane, int px, int py, int tx) {
     int bal = 0;
     for (int i = 0; i < n; i++) {
         int32_t c1 = t->above_dc[plane][mi_c + i];
-        int32_t c2 = t->left_dc[plane][(mi_r & 15) + i];
+        int32_t c2 = t->left_dc[plane][(mi_r & t->lmask) + i];
         bal += (c1 == 2) - (c1 == 1) + (c2 == 2) - (c2 == 1);
     }
     return bal < 0 ? 1 : (bal > 0 ? 2 : 0);
@@ -1549,9 +1553,9 @@ static void set_lvl_ctx(Tile *t, int plane, int px, int py, int tx, int cul,
     int n = tx / 4;
     for (int i = 0; i < n; i++) {
         t->above_lvl[plane][mi_c + i] = cul;
-        t->left_lvl[plane][(mi_r & 15) + i] = cul;
+        t->left_lvl[plane][(mi_r & t->lmask) + i] = cul;
         t->above_dc[plane][mi_c + i] = dc_cat;
-        t->left_dc[plane][(mi_r & 15) + i] = dc_cat;
+        t->left_dc[plane][(mi_r & t->lmask) + i] = dc_cat;
     }
 }
 
@@ -1657,9 +1661,9 @@ static int palette_cache_c(const Tile *t, int r, int c, uint16_t *cache) {
         a = t->above_pal_c + (size_t)c * 8;
         an = t->above_pal_n[c];
     }
-    if (c > 0 && t->left_pal_n[r & 15]) {
-        l = t->left_pal_c[r & 15];
-        ln = t->left_pal_n[r & 15];
+    if (c > 0 && t->left_pal_n[r & t->lmask]) {
+        l = t->left_pal_c[r & t->lmask];
+        ln = t->left_pal_n[r & t->lmask];
     }
     int n = 0, i = 0, j = 0;
     while (i < an && j < ln) {
@@ -1857,10 +1861,10 @@ static void set_pal_ctx(Tile *t, int r, int c, int nw_mi, int nh_mi,
         for (int k = 0; k < npal; k++)
             t->above_pal_c[(size_t)(c + i) * 8 + k] = pal[k];
     }
-    for (int i = 0; i < nh_mi && (r & 15) + i < 16; i++) {
-        t->left_pal_n[(r & 15) + i] = (uint8_t)npal;
+    for (int i = 0; i < nh_mi && (r & t->lmask) + i < t->sbn; i++) {
+        t->left_pal_n[(r & t->lmask) + i] = (uint8_t)npal;
         for (int k = 0; k < npal; k++)
-            t->left_pal_c[(r & 15) + i][k] = pal[k];
+            t->left_pal_c[(r & t->lmask) + i][k] = pal[k];
     }
 }
 
@@ -2080,7 +2084,7 @@ static void encode_coeffs_txb(Tile *t, int plane, int tx, int px, int py,
 
 static void encode_block_lossless(Tile *t, int r, int c) {
     int x = c * 4, y = r * 4;
-    int lr = r & 15;
+    int lr = r & t->lmask;
     int nplanes = t->nplanes;
     int ntr0, nbl0;
     edge_counts(t, r, c, 4, &ntr0, &nbl0);
@@ -2494,8 +2498,8 @@ static void set_lvl_ctx_rect(Tile *t, int plane, int px, int py, int tw,
         t->above_dc[plane][mi_c + i] = dc_cat;
     }
     for (int i = 0; i < th / 4; i++) {
-        t->left_lvl[plane][(mi_r & 15) + i] = cul;
-        t->left_dc[plane][(mi_r & 15) + i] = dc_cat;
+        t->left_lvl[plane][(mi_r & t->lmask) + i] = cul;
+        t->left_dc[plane][(mi_r & t->lmask) + i] = dc_cat;
     }
 }
 
@@ -2508,7 +2512,7 @@ static int dc_sign_ctx_rect(const Tile *t, int plane, int px, int py,
         bal += (c1 == 2) - (c1 == 1);
     }
     for (int i = 0; i < th / 4; i++) {
-        int32_t c2 = t->left_dc[plane][(mi_r & 15) + i];
+        int32_t c2 = t->left_dc[plane][(mi_r & t->lmask) + i];
         bal += (c2 == 2) - (c2 == 1);
     }
     return bal < 0 ? 1 : (bal > 0 ? 2 : 0);
@@ -2528,7 +2532,7 @@ static void encode_coeffs_rect_c(Tile *t, int plane, int tw, int th, int px,
         for (int i = 0; i < tw / 4; i++)
             if (t->above_lvl[plane][mi_c + i]) above_nz = 1;
         for (int i = 0; i < th / 4; i++)
-            if (t->left_lvl[plane][(mi_r & 15) + i]) left_nz = 1;
+            if (t->left_lvl[plane][(mi_r & t->lmask) + i]) left_nz = 1;
         ctx = 7 + above_nz + left_nz; /* tx dims == block dims */
     }
     int sctx = dc_sign_ctx_rect(t, plane, px, py, tw, th);
@@ -2697,7 +2701,7 @@ static void update_part_ctx_rect(Tile *t, int r, int c, int size, int sub_w,
     int n_mi = size / 4;
     for (int i = 0; i < n_mi; i++) {
         t->above_part[c + i] = PART_CTX_BYTE_FWD[sub_w];
-        t->left_part[(r & 15) + i] = PART_CTX_BYTE_FWD[sub_h];
+        t->left_part[(r & t->lmask) + i] = PART_CTX_BYTE_FWD[sub_h];
     }
 }
 
@@ -2705,7 +2709,7 @@ static void update_part_ctx_rect(Tile *t, int r, int c, int size, int sub_w,
 static void encode_block_rect_c(Tile *t, int r, int c, int bw, int bh) {
     PROF_SCOPE(PROF_RECT_BLK);
     int x = c * 4, y = r * 4;
-    int lr = r & 15;
+    int lr = r & t->lmask;
     int hi = (1 << t->bitdepth) - 1;
     int npx = bw * bh;
     int nplanes = t->nplanes;
@@ -3162,7 +3166,7 @@ static int planned_mode(const Tile *t, int r, int c, int size) {
 
 static int tx_ctx_c(const Tile *t, int r, int c, int btx) {
     int above = r > 0 ? t->above_txw[c] : 0;
-    int left = c > 0 ? t->left_txh[r & 15] : 0;
+    int left = c > 0 ? t->left_txh[r & t->lmask] : 0;
     return (above >= btx ? 1 : 0) + (left >= btx ? 1 : 0);
 }
 
@@ -3170,7 +3174,7 @@ static void encode_block(Tile *t, int r, int c, int size) {
     PROF_SCOPE(PROF_BLOCK);
     int x = c * 4, y = r * 4;
     int n_mi = size / 4;
-    int lr = r & 15;
+    int lr = r & t->lmask;
     int nplanes = t->nplanes;
 
     int block_idx = -1;
@@ -3992,16 +3996,251 @@ static int choose_partition32(Tile *t, int r, int c) {
     return pick;
 }
 
+/* ---- 128x128 blocks (sb128 roots; mirrors frame.py size==128) ----
+ * Reached only through the near-flat partition gate: DC luma mode at
+ * depth 0 (four TX_64X64 units), DC chroma (sixteen TX_32X32), and the
+ * spec residual() CHUNK order: 64x64 chunks with planes interleaved
+ * per chunk. Byte-identical to the Python coder
+ * (tests/test_sb128.py). */
+
+static void encode_block_128(Tile *t, int r, int c) {
+    PROF_SCOPE(PROF_BLOCK);
+    int x = c * 4, y = r * 4;
+    int lr = r & t->lmask;
+    int nplanes = t->nplanes;
+    int hi = (1 << t->bitdepth) - 1;
+    enum { SZ = 128, NPX = 128 * 128 };
+
+    int block_idx = -1;
+    if (t->blocks_out) {
+        block_idx = t->n_blocks++;
+        t->blocks_out[block_idx * 5] = r;
+        t->blocks_out[block_idx * 5 + 1] = c;
+        t->blocks_out[block_idx * 5 + 2] = SZ;
+        t->blocks_out[block_idx * 5 + 3] = 0;
+        t->blocks_out[block_idx * 5 + 4] = 64;
+    }
+
+    /* per-block lambda scale (mirrors frame.py) */
+    if (t->mean_var > 0.0) {
+        int64_t s1 = 0, s2 = 0;
+        const int32_t *srcp = t->src[0];
+        for (int rr = 0; rr < SZ; rr++)
+            for (int cc = 0; cc < SZ; cc++) {
+                int64_t v = srcp[(size_t)(y + rr) * t->pw + x + cc];
+                s1 += v;
+                s2 += v * v;
+            }
+        int64_t n_ = (int64_t)SZ * SZ;
+        double var_b = (double)(n_ * s2 - s1 * s1) / (double)(n_ * n_);
+        double sc = sqrt((var_b + 16.0) / (t->mean_var + 16.0));
+        if (sc < 0.25) sc = 0.25;
+        if (sc > 4.0) sc = 4.0;
+        t->cur_lamscale = sc;
+    } else {
+        t->cur_lamscale = 1.0;
+    }
+
+    int dec_tag = (r << 16) | (c << 8) | SZ;
+    if (t->dec_mode == 2) {
+        /* every 128 decision is forced (DC, depth 0): consume the row */
+        if (t->dec_pos + 10 <= t->dec_cap &&
+            t->dec_buf[t->dec_pos] == dec_tag)
+            t->dec_pos += 10;
+        else
+            t->dec_mode = 0;
+    }
+
+    /* luma: four TX_64X64 units, DC-predicted sequentially from recon */
+    static _Thread_local int32_t lv128[4][64 * 64];
+    static _Thread_local int32_t pr64[64 * 64], resid64[64 * 64];
+    int skip = 1;
+    int unz[4] = {0, 0, 0, 0};
+    for (int ti = 0; ti < 2; ti++)
+        for (int tj = 0; tj < 2; tj++) {
+            int idx = ti * 2 + tj;
+            int px_ = x + tj * 64, py_ = y + ti * 64;
+            Edges e;
+            build_edges_buf(t, t->recon[0], px_, py_, 64, 64, py_ > 0,
+                            px_ > 0, &e);
+            predict(t, &e, DC_PRED, 64, 64, py_ > 0, px_ > 0, pr64);
+            if (plane_levels_c(t, 0, px_, py_, 64, 1, pr64, lv128[idx]))
+                skip = 0;
+            int lnz = 0;
+            for (int i = 0; i < 64 * 64; i++)
+                if (lv128[idx][i]) { lnz = 1; break; }
+            unz[idx] = lnz;
+            if (lnz) dequant_inv_tt(t, lv128[idx], 64, 0, 0, resid64);
+            int32_t *rec = t->recon[0];
+            for (int rr = 0; rr < 64; rr++)
+                for (int cc = 0; cc < 64; cc++) {
+                    int32_t v = pr64[rr * 64 + cc] +
+                                (lnz ? resid64[rr * 64 + cc] : 0);
+                    rec[(size_t)(py_ + rr) * t->pw + px_ + cc] =
+                        v < 0 ? 0 : (v > hi ? hi : v);
+                }
+        }
+
+    /* chroma: sixteen TX_32X32 per plane, DC, raster (prediction order
+     * is raster per plane; only the SYMBOL order is chunked) */
+    static _Thread_local int32_t uvlv128[2][16][32 * 32];
+    if (nplanes > 1) {
+        static _Thread_local int32_t pr32[32 * 32], resid32[32 * 32];
+        for (int p = 0; p < 2; p++) {
+            int pi = 1 + p, ti = 0;
+            for (int sy = 0; sy < SZ; sy += 32)
+                for (int sx = 0; sx < SZ; sx += 32, ti++) {
+                    int px_ = x + sx, py_ = y + sy;
+                    Edges e;
+                    build_edges_buf(t, t->recon[pi], px_, py_, 32, 32,
+                                    py_ > 0, px_ > 0, &e);
+                    predict(t, &e, DC_PRED, 32, 32, py_ > 0, px_ > 0, pr32);
+                    if (plane_levels_c(t, pi, px_, py_, 32, 1, pr32,
+                                       uvlv128[p][ti]))
+                        skip = 0;
+                    int lnz = 0;
+                    for (int i = 0; i < 32 * 32; i++)
+                        if (uvlv128[p][ti][i]) { lnz = 1; break; }
+                    if (lnz)
+                        dequant_inv_tt(t, uvlv128[p][ti], 32, 0, 1, resid32);
+                    int32_t *rec = t->recon[pi];
+                    for (int rr = 0; rr < 32; rr++)
+                        for (int cc = 0; cc < 32; cc++) {
+                            int32_t v = pr32[rr * 32 + cc] +
+                                        (lnz ? resid32[rr * 32 + cc] : 0);
+                            rec[(size_t)(py_ + rr) * t->pw + px_ + cc] =
+                                v < 0 ? 0 : (v > hi ? hi : v);
+                        }
+                }
+        }
+    }
+
+    if (t->dec_mode == 1 && t->dec_buf && t->dec_pos + 10 <= t->dec_cap) {
+        int32_t *dd = t->dec_buf + t->dec_pos;
+        t->dec_pos += 10;
+        dd[0] = dec_tag;
+        dd[1] = 0; dd[2] = 0; dd[3] = 0; dd[4] = 0; dd[5] = 0;
+        dd[6] = DC_PRED; dd[7] = 0; dd[8] = 0; dd[9] = DC_PRED;
+    }
+    if (block_idx >= 0) t->blocks_out[block_idx * 5 + 3] = skip;
+
+    /* --- symbols: skip, modes, tx depth --- */
+    int skip_ctx = t->above_skip[c] + t->left_skip[lr];
+    enc_symbol_adapt(t->enc, t->cdf[CDF_SKIP] + (size_t)skip_ctx * 3, 2, skip);
+    int actx = r > 0 ? INTRA_MODE_CONTEXT[t->above_mode[c]] : 0;
+    int lctx = c > 0 ? INTRA_MODE_CONTEXT[t->left_mode[lr]] : 0;
+    enc_symbol_adapt(t->enc,
+                     t->cdf[CDF_KF_Y] + ((size_t)actx * 5 + lctx) * 14, 13,
+                     DC_PRED);
+    if (nplanes > 1)
+        enc_symbol_adapt(t->enc,
+                         t->cdf[CDF_UV_MODE] + (size_t)DC_PRED * 14, 13,
+                         DC_PRED);
+    /* read_block_tx_size: cat 3 (max square tx 64, same as 64 blocks) */
+    {
+        int tctx = tx_ctx_c(t, r, c, 64);
+        enc_symbol_adapt(t->enc,
+                         t->cdf[CDF_TX_SIZE] + ((size_t)3 * 3 + tctx) * 4, 3,
+                         0);
+    }
+
+    /* residual: 64x64 chunks, planes interleaved per chunk (spec
+     * residual() for blocks wider/taller than 64) */
+    for (int ti = 0; ti < 2; ti++)
+        for (int tj = 0; tj < 2; tj++) {
+            int idx = ti * 2 + tj;
+            int px_ = x + tj * 64, py_ = y + ti * 64;
+            if (skip)
+                set_lvl_ctx(t, 0, px_, py_, 64, 0, 0);
+            else
+                encode_coeffs_txb(t, 0, 64, px_, py_, lv128[idx], SZ,
+                                  DC_PRED);
+            for (int plane = 1; plane < nplanes; plane++)
+                for (int cy = 0; cy < 2; cy++)
+                    for (int cx = 0; cx < 2; cx++) {
+                        int qx = px_ + cx * 32, qy = py_ + cy * 32;
+                        /* raster index within the plane's 4x4 grid */
+                        int ci = ((ti * 2 + cy) * 4) + (tj * 2 + cx);
+                        if (skip)
+                            set_lvl_ctx(t, plane, qx, qy, 32, 0, 0);
+                        else
+                            encode_coeffs_txb(t, plane, 32, qx, qy,
+                                              uvlv128[plane - 1][ci], SZ,
+                                              DC_PRED);
+                    }
+        }
+
+    /* context updates */
+    for (int i = 0; i < 32; i++) {
+        t->above_skip[c + i] = skip;
+        t->left_skip[lr + i] = skip;
+        t->above_mode[c + i] = DC_PRED;
+        t->left_mode[lr + i] = DC_PRED;
+        t->above_txw[c + i] = 64;
+        t->left_txh[lr + i] = 64;
+    }
+    if (t->screen_tools)
+        set_pal_ctx(t, r, c, 32, 32, NULL, 0);
+}
+
+static int choose_partition128(Tile *t, int r, int c) {
+    /* near-flat gate (mirrors frame.py _choose_partition128): DC-SSD of
+     * every plane over the 128 region under the quantization floor */
+    int x = c * 4, y = r * 4;
+    int64_t flat_gate =
+        (int64_t)128 * 128 * t->dq_ac * t->dq_ac / 64;
+    int64_t ssd_parent = 0;
+    for (int p = 0; p < t->nplanes; p++) {
+        /* DC prediction value from source edges (spec DC semantics) */
+        const int32_t *src = t->src[p];
+        int have_a = y > 0, have_l = x > 0;
+        int64_t sum = 0;
+        int cnt = 0;
+        if (have_a) {
+            for (int i = 0; i < 128; i++)
+                sum += src[(size_t)(y - 1) * t->pw + x + i];
+            cnt += 128;
+        }
+        if (have_l) {
+            for (int i = 0; i < 128; i++)
+                sum += src[(size_t)(y + i) * t->pw + x - 1];
+            cnt += 128;
+        }
+        int32_t dc = cnt ? (int32_t)((sum + cnt / 2) / cnt)
+                         : (1 << (t->bitdepth - 1));
+        int64_t ssd = 0;
+        for (int rr = 0; rr < 128; rr++)
+            for (int cc = 0; cc < 128; cc++) {
+                int64_t d = src[(size_t)(y + rr) * t->pw + x + cc] - dc;
+                ssd += d * d;
+            }
+        if (ssd > flat_gate) return PARTITION_SPLIT;
+        if (p == 0) ssd_parent = ssd;
+    }
+    /* gate (b): the DC parent must not lose much to the four
+     * 64-quadrant best-mode predictions (mirrors frame.py) */
+    {
+        int64_t ssd_kids = 0;
+        for (int dy = 0; dy < 128; dy += 64)
+            for (int dx = 0; dx < 128; dx += 64)
+                ssd_kids += src_mode_ssd_wh(t, x + dx, y + dy, 64, 64);
+        int64_t penalty = (int64_t)16 * t->dq_ac * t->dq_ac;
+        if (ssd_parent > ssd_kids + penalty) return PARTITION_SPLIT;
+    }
+    return PARTITION_NONE;
+}
+
 /* ---- partitions (mirrors frame.py) ---- */
 
-static const uint8_t PART_CTX_BYTE[65] = {
-    [4] = 31, [8] = 30, [16] = 28, [32] = 24, [64] = 16};
+static const uint8_t PART_CTX_BYTE[129] = {
+    [4] = 31, [8] = 30, [16] = 28, [32] = 24, [64] = 16, [128] = 0};
 
 static int partition_ctx(const Tile *t, int r, int c, int size) {
-    static const int BSL[65] = {[8] = 0, [16] = 1, [32] = 2, [64] = 3};
+    static const int BSL[129] = {[8] = 0, [16] = 1, [32] = 2, [64] = 3,
+                                 [128] = 4};
     int bsl = BSL[size];
     int above = (t->above_part[c] >> bsl) & 1;
-    int left = (t->left_part[r & 15] >> bsl) & 1;
+    int left = (t->left_part[r & t->lmask] >> bsl) & 1;
     return left * 2 + above;
 }
 
@@ -4010,7 +4249,7 @@ static void update_part_ctx(Tile *t, int r, int c, int size, int sub) {
     uint8_t byte = PART_CTX_BYTE[sub];
     for (int i = 0; i < n_mi; i++) {
         t->above_part[c + i] = byte;
-        t->left_part[(r & 15) + i] = byte;
+        t->left_part[(r & t->lmask) + i] = byte;
     }
 }
 
@@ -4033,16 +4272,25 @@ static void encode_partition(Tile *t, int r, int c, int size) {
     int half_mi = size / 8;
     int has_rows = (r + half_mi) < t->mi_rows;
     int has_cols = (c + half_mi) < t->mi_cols;
-    static const int PART_NSYM[65] = {[8] = 4, [16] = 10, [32] = 10, [64] = 10};
+    static const int PART_NSYM[129] = {[8] = 4, [16] = 10, [32] = 10,
+                                       [64] = 10, [128] = 8};
     int cdf_idx = size == 8 ? CDF_PART_W8
                   : size == 16 ? CDF_PART_W16
-                  : size == 32 ? CDF_PART_W32 : CDF_PART_W64;
+                  : size == 32 ? CDF_PART_W32
+                  : size == 64 ? CDF_PART_W64 : CDF_PART_W128;
     int nsym = PART_NSYM[size];
 
     int part;
     if (has_rows && has_cols) {
         if (t->qindex == 0)
             part = PARTITION_SPLIT; /* lossless: descend to 4x4 blocks */
+        else if (size == 128) {
+            /* sb128 root: NONE only when near-flat AND inside the mi
+             * grid (hanging roots split, the 32/64 convention) */
+            part = (r + 32 <= t->mi_rows && c + 32 <= t->mi_cols)
+                       ? choose_partition128(t, r, c)
+                       : PARTITION_SPLIT;
+        }
         else if (size == 64 && r + 16 <= t->mi_rows &&
                  c + 16 <= t->mi_cols) {
             part = planned_part64(t, r, c);
@@ -4087,7 +4335,7 @@ static void encode_partition(Tile *t, int r, int c, int size) {
                     if (r + dr < t->mi_rows && c + dc < t->mi_cols) {
                         encode_block_lossless(t, r + dr, c + dc);
                         t->above_part[c + dc] = PART_CTX_BYTE[4];
-                        t->left_part[(r + dr) & 15] = PART_CTX_BYTE[4];
+                        t->left_part[(r + dr) & t->lmask] = PART_CTX_BYTE[4];
                     }
             return;
         }
@@ -4105,6 +4353,9 @@ static void encode_partition(Tile *t, int r, int c, int size) {
         if (c + size / 8 < t->mi_cols)
             encode_block_rect_c(t, r, c + size / 8, size / 2, size);
         update_part_ctx_rect(t, r, c, size, size / 2, size);
+    } else if (size == 128) {
+        encode_block_128(t, r, c);
+        update_part_ctx(t, r, c, size, size);
     } else {
         encode_block(t, r, c, size);
         update_part_ctx(t, r, c, size, size);
@@ -4190,9 +4441,9 @@ static void emit_lr(Tile *t, int r, int c) {
     for (int plane = 0; plane < t->nplanes; plane++) {
         if (cfg[plane] == 0) continue;
         int ur0 = (r * 4 + unit - 1) / unit;
-        int ur1 = ((r + 16) * 4 + unit - 1) / unit;
+        int ur1 = ((r + t->sbn) * 4 + unit - 1) / unit;
         int uc0 = (c * 4 + unit - 1) / unit;
-        int uc1 = ((c + 16) * 4 + unit - 1) / unit;
+        int uc1 = ((c + t->sbn) * 4 + unit - 1) / unit;
         if (ur1 > urows) ur1 = urows;
         if (uc1 > ucols) uc1 = ucols;
         const int32_t *pg = units + (size_t)plane * urows * ucols * 7;
@@ -4221,6 +4472,7 @@ size_t tile_encode(
     int filter_intra,                 /* seq enable_filter_intra */
     const int32_t *fi_taps,           /* filter-intra taps [5][8][8] */
     const int32_t *lr_cfg,            /* loop restoration units, or NULL */
+    int sb128,                        /* seq use_128x128_superblock */
     uint8_t **out_payload)            /* malloc'd; caller frees */
 {
     if (prof_enabled < 0) {
@@ -4238,8 +4490,11 @@ size_t tile_encode(
     t.dq_ac_uv = dq_ac_uv;
     t.mi_cols = 2 * ((w + 7) >> 3);
     t.mi_rows = 2 * ((h + 7) >> 3);
-    t.sb_cols = (t.mi_cols + 15) >> 4;
-    t.sb_rows = (t.mi_rows + 15) >> 4;
+    t.sb128 = sb128 && qindex != 0; /* lossless stays on the 64 grid */
+    t.sbn = t.sb128 ? 32 : 16;
+    t.lmask = t.sbn - 1;
+    t.sb_cols = (t.mi_cols + t.sbn - 1) / t.sbn;
+    t.sb_rows = (t.mi_rows + t.sbn - 1) / t.sbn;
     t.pw = t.mi_cols * 4;
     t.ph = t.mi_rows * 4;
     for (int i = 0; i < CDF_N; i++) t.cdf[i] = cdf_ptrs[i];
@@ -4333,9 +4588,9 @@ size_t tile_encode(
 
     t.enc = enc_new();
     for (int sb_r = 0; sb_r < t.sb_rows; sb_r++) {
-        memset(t.left_part, 0, 16);
-        memset(t.left_skip, 0, 16);
-        memset(t.left_mode, DC_PRED, 16);
+        memset(t.left_part, 0, sizeof(t.left_part));
+        memset(t.left_skip, 0, sizeof(t.left_skip));
+        memset(t.left_mode, DC_PRED, sizeof(t.left_mode));
         memset(t.left_txh, 0, sizeof(t.left_txh));
         memset(t.left_pal_n, 0, sizeof(t.left_pal_n));
         for (int p = 0; p < nplanes; p++) {
@@ -4343,8 +4598,8 @@ size_t tile_encode(
             memset(t.left_dc[p], 0, sizeof(t.left_dc[p]));
         }
         for (int sb_c = 0; sb_c < t.sb_cols; sb_c++) {
-            if (t.lr_cfg) emit_lr(&t, sb_r * 16, sb_c * 16);
-            encode_partition(&t, sb_r * 16, sb_c * 16, 64);
+            if (t.lr_cfg) emit_lr(&t, sb_r * t.sbn, sb_c * t.sbn);
+            encode_partition(&t, sb_r * t.sbn, sb_c * t.sbn, t.sbn * 4);
         }
     }
 
@@ -4585,12 +4840,15 @@ void loop_filter_frame_c(int32_t *const *planes, int nplanes, int w, int h,
         for (int k = txh / 4; k < nh; k += txh / 4)
             for (int i = 0; i < nw; i++)
                 start_h[(size_t)(r+k) * mi_cols + c + i] = 1;
-        if (bw == 64)
+        /* internal chroma tx edges: chroma tx caps at 32px, so blocks
+         * wider/taller than 32 have chroma edges every 8 mi (one for 64
+         * blocks, three for 128) */
+        for (int k = 8; k < nw; k += 8)
             for (int i = 0; i < nh; i++)
-                start_v_uv[(size_t)(r+i) * mi_cols + c + 8] = 1;
-        if (bh == 64)
+                start_v_uv[(size_t)(r+i) * mi_cols + c + k] = 1;
+        for (int k = 8; k < nh; k += 8)
             for (int i = 0; i < nw; i++)
-                start_h_uv[(size_t)(r+8) * mi_cols + c + i] = 1;
+                start_h_uv[(size_t)(r+k) * mi_cols + c + i] = 1;
     }
 
     for (int pi = 0; pi < nplanes; pi++) {

@@ -780,12 +780,25 @@ class TileEncoder:
     def _choose_partition128(self, r: int, c: int) -> int:
         """NONE at the 128 root saves the four 64-level partition symbols
         plus their mode/skip sets; it pays only on near-flat superblocks
-        (no CfL above 32, DC-only 128 prediction). Mirrored in C."""
+        (no CfL above 32, DC-only 128 prediction). Two gates, mirrored in
+        C: (a) every plane's whole-region DC residual is near the
+        quantization floor, and (b) the DC parent does not lose much to
+        the four 64-quadrant best-mode predictions (kills the coarse-q
+        false positives where the dq^2-scaled flat gate passes anything
+        - measured +15% bytes on the mixed class before this duel)."""
         x, y = c * 4, r * 4
         flat_gate = 128 * 128 * self.dq_ac * self.dq_ac // 64
         for p in range(len(self.planes)):
             if self._src_dc_ssd(p, x, y, 128) > flat_gate:
                 return PARTITION_SPLIT
+        ssd_parent = self._src_dc_ssd(0, x, y, 128)
+        ssd_kids = 0
+        for dy in (0, 64):
+            for dx in (0, 64):
+                ssd_kids += self._src_mode_ssd(x + dx, y + dy, 64)
+        penalty = 16 * self.dq_ac * self.dq_ac
+        if ssd_parent > ssd_kids + penalty:
+            return PARTITION_SPLIT
         return PARTITION_NONE
 
     def _src_dc_ssd(self, plane: int, x: int, y: int, size: int) -> int:
@@ -3509,6 +3522,7 @@ def _encode_one_tile(args):
     screen_tools = bool(rest[0]) if rest else False
     filter_intra = bool(rest[1]) if len(rest) > 1 else False
     lr = rest[2] if len(rest) > 2 else None
+    sb128 = bool(rest[3]) if len(rest) > 3 else False
     plan = None
     # device planning pays off on real frames; for tiny tiles the host
     # search is cheaper than the dispatch + (first-run) compile
@@ -3547,7 +3561,8 @@ def _encode_one_tile(args):
         res = tile_encode_native(tile_planes, qindex, bitdepth, speed, plan,
                                  u_ac_delta_q, dec=dec,
                                  screen_tools=screen_tools,
-                                 filter_intra=filter_intra, lr=lr)
+                                 filter_intra=filter_intra, lr=lr,
+                                 sb128=sb128)
         if res is not None:
             if record and dec is not None:
                 _store_dec(plan, dec)
@@ -3556,7 +3571,7 @@ def _encode_one_tile(args):
     te = TileEncoder(tile_planes, qindex, bitdepth, speed, plan=plan,
                      u_ac_delta_q=u_ac_delta_q, dec=dec,
                      screen_tools=screen_tools, filter_intra=filter_intra,
-                     lr=lr)
+                     lr=lr, sb128=sb128)
     payload = te.encode()
     if record and dec is not None:
         _store_dec(plan, dec)
@@ -3576,6 +3591,7 @@ def encode_frame_planes(
     screen_tools: bool = False,
     filter_intra: bool = False,
     lr=None,
+    sb128: bool = False,
 ):
     """Encode YUV444 planes → (list of tile payloads, recon planes).
 
@@ -3609,7 +3625,7 @@ def encode_frame_planes(
             ]
             jobs.append((tile_planes, qindex, bitdepth, speed,
                          use_tpu_planner, u_ac_delta_q, len(jobs),
-                         screen_tools, filter_intra, lr))
+                         screen_tools, filter_intra, lr, sb128))
             bounds.append((y0, y1, x0, x1))
 
     if max_threads > 1 and len(jobs) > 1:

@@ -223,10 +223,13 @@ def loop_filter_frame(
             start_v[r : r + nh, c + k] = True
         for k in range(txh // 4, nh, txh // 4):
             start_h[r + k, c : c + nw] = True
-        if bw == 64:
-            start_v_uv[r : r + nh, c + 8] = True
-        if bh == 64:
-            start_h_uv[r + 8, c : c + nw] = True
+        # internal chroma tx edges: chroma tx caps at 32px, so blocks
+        # wider/taller than 32 have chroma edges every 8 mi (one for 64
+        # blocks, three for 128)
+        for k in range(8, nw, 8):
+            start_v_uv[r : r + nh, c + k] = True
+        for k in range(8, nh, 8):
+            start_h_uv[r + k, c : c + nw] = True
 
     for pi, plane in enumerate(planes):
         level_v = levels[0] if pi == 0 else levels[1 + pi]

@@ -19,6 +19,7 @@ pinned here (each desyncs if wrong):
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from oavif_tpu.av1.frame import TileEncoder
 from oavif_tpu.av1.mux import mux_avif
@@ -83,6 +84,89 @@ def test_sb128_10bit():
     yy = np.mgrid[0:256, 0:256][0]
     planes = [np.asarray(400 + yy // 8 + p * 30, np.int32) for p in range(3)]
     _roundtrip(planes, 90, force_none=True, bd=10)
+
+
+def test_sb128_loop_filter_and_cdef_exact():
+    """A coded 128-NONE block through the full in-loop sandwich: the
+    chroma tx caps at 32, so a 128 block has THREE internal chroma LF
+    edges per direction (the 64-block rule hardcoded one — regression
+    pinned here)."""
+    from oavif_tpu.io.avif_ctypes import decode_to_yuv
+    from oavif_tpu.av1.cdef import cdef_frame
+    from oavif_tpu.av1.frame import encode_frame_planes
+    from oavif_tpu.av1.loopfilter import loop_filter_frame
+
+    rgb = np.full((128, 128, 3), 120, np.uint8)
+    rgb[64:, :, 0] = 180
+    from oavif_tpu.av1.yuv import rgb_to_yuv444
+
+    planes = rgb_to_yuv444(rgb, bitdepth=8)
+    payloads, recon, blocks = encode_frame_planes(
+        planes, 152, speed=9, sb128=True, use_tpu_planner=False)
+    assert any(b[2] == 128 for b in blocks)
+    loop_filter_frame(recon, blocks, (12, 12, 12, 12), bitdepth=8,
+                      visible=(128, 128))
+    cdef_frame(recon, blocks, (4, 2, 4, 2), 3, 8)
+    recon = [p[:128, :128] for p in recon]
+    seq = SequenceConfig(width=128, height=128, use_128x128_superblock=True,
+                         enable_cdef=True)
+    fr = FrameConfig(width=128, height=128, base_q_idx=152,
+                     filter_levels=(12, 12, 12, 12), enable_cdef=True,
+                     cdef_damping=3, cdef_strengths=((4, 2, 4, 2),),
+                     use_128x128_superblock=True)
+    data = mux_avif(assemble_av1_stream(seq, fr, payloads), 128, 128)
+    dec, _, _ = decode_to_yuv(data)
+    for i in range(3):
+        np.testing.assert_array_equal(dec[i], recon[i])
+
+
+def test_sb128_c_python_byte_identity():
+    """Both mirrored coders produce identical sb128 streams, including
+    the two-gate 128 partition duel."""
+    from oavif_tpu.av1.entropy.fast import get_lib, tile_encode_native
+
+    if get_lib() is None:
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(4)
+    noisy = [np.asarray(128 + rng.integers(-70, 70, (256, 256)), np.int32)
+             for _ in range(3)]
+    mix = [n.copy() for n in noisy]
+    for p in range(3):
+        mix[p][:, :128] = 90 + p * 5
+    for q in (60, 110, 152):
+        te = TileEncoder([p.copy() for p in mix], q, 8, 9, sb128=True)
+        py = te.encode()
+        res = tile_encode_native([p.copy() for p in mix], q, 8, 9,
+                                 None, 0, sb128=True)
+        assert res is not None and res[0] == py
+        for a, b in zip(res[1], te.recon):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_sb128_product_path_decodes_exact():
+    """encode_avif_with_recon with the sb128 default: shipped bytes
+    decode (dav1d) to exactly the scored recon."""
+    import types as pytypes
+
+    from oavif_tpu.av1.encode import encode_avif_with_recon
+    from oavif_tpu.av1.yuv import yuv444_to_rgb
+    from oavif_tpu.io.avif_ctypes import decode_to_yuv
+    from oavif_tpu.options import EncOptions
+
+    rng = np.random.default_rng(8)
+    yy = np.mgrid[0:256, 0:256][0]
+    img = np.clip(
+        110 + yy[..., None] // 16 * np.ones(3)
+        + rng.normal(0, 3, (256, 256, 3)), 0, 255
+    ).astype(np.uint8)
+    src = pytypes.SimpleNamespace(data=img, channels=3, hbd=False, icc=None)
+    o = EncOptions()
+    o.tenbit = 0
+    ctx = pytypes.SimpleNamespace(o=o, src=src, q=55)
+    data, recon = encode_avif_with_recon(ctx)
+    yuv, depth, _ = decode_to_yuv(data)
+    dec_rgb = yuv444_to_rgb([p for p in yuv], bitdepth=depth)
+    np.testing.assert_array_equal(dec_rgb, recon)
 
 
 def test_sb128_deep_split_content_matches_sb64_quality():

@@ -142,3 +142,36 @@ def test_planner_shape_bucketing_plan_equality():
     want = ET.unpack_plan(packed, nby, nbx)
     for k in want:
         np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+
+def test_sharded_loop_restoration_halo_exact():
+    """Width-sharded Wiener restoration: the 7-tap horizontal support
+    crosses shard boundaries via ppermute halos; the output must equal
+    the host filter bit-for-bit (encode-side ICI, SURVEY §2c)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from jax.sharding import Mesh
+
+    from oavif_tpu.av1.restoration import (
+        apply_wiener, count_units, unit_size,
+    )
+    from oavif_tpu.av1.restoration_sharded import apply_wiener_sharded
+
+    rng = np.random.default_rng(7)
+    h, w = 200, 512
+    cdef = [np.asarray(128 + rng.integers(-80, 80, (h, w)), np.int32)
+            for _ in range(3)]
+    deblk = [np.asarray(c + rng.integers(-4, 5, (h, w)), np.int32)
+             for c in cdef]
+    taps = {0: (3, -7, 15, -2, 4, 28), 1: (0, -9, 25, 0, 4, 18), 2: None}
+    mesh = Mesh(np.array(jax.devices()[:4]), ("tile",))
+    out_sh = apply_wiener_sharded(cdef, deblk, h, w, taps, 8, mesh,
+                                  axis="tile")
+    size = unit_size(2)
+    ur, uc = count_units(h, size), count_units(w, size)
+    grids = {p: [[list(taps[p])] * uc for _ in range(ur)]
+             for p in taps if taps[p]}
+    types = tuple(2 if taps[p] else 0 for p in range(3))
+    out_ref = apply_wiener(cdef, deblk, h, w, types, 2, grids, 8)
+    for p in range(3):
+        np.testing.assert_array_equal(out_sh[p], out_ref[p])

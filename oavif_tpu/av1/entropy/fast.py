@@ -397,6 +397,10 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None,
     # per plane urows*ucols x (use, v0,v1,v2, h0,h1,h2)] (see oav1tile.c)
     lr_ptr = C.POINTER(C.c_int32)()
     lr_arr = None
+    if lr is not None and any(int(t) == 3 for t in lr["types"]):
+        # SGRPROJ units route through the Python tile coder until the C
+        # runtime mirrors the self-guided syntax
+        return None
     if lr is not None:
         from ..restoration import count_units, unit_size
 

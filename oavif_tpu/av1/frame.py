@@ -434,6 +434,12 @@ class TileEncoder:
                 p: [[3, -7, 15], [3, -7, 15]]
                 for p in range(len(self.planes))
             }
+            # SGRPROJ xqd refs (Sgrproj_Xqd_Mid = {-32, 32}; the 32 was
+            # pinned empirically against dav1d — a 31 mid decodes every
+            # coded xqd[1] one high), reset per tile
+            self._lr_sgr_ref = {
+                p: [-32, 32] for p in range(len(self.planes))
+            }
         for sb_r in range(self.sb_rows):
             self.left_part[:] = 0
             self.left_skip[:] = 0
@@ -473,9 +479,12 @@ class TileEncoder:
                     self._emit_lr_unit(plane, ur, uc)
 
     def _emit_lr_unit(self, plane: int, ur: int, uc: int) -> None:
-        taps = self.lr["wiener"].get(plane)
+        if self.lr["types"][plane] == 3:
+            self._emit_sgr_unit(plane, ur, uc)
+            return
+        taps = self.lr.get("wiener", {}).get(plane)
         taps = taps[ur][uc] if taps is not None else None
-        assert self.lr["types"][plane] == 2, "WIENER only"
+        assert self.lr["types"][plane] == 2, "WIENER or SGRPROJ"
         self._sym(self.cdf.wiener_restore, 1 if taps is not None else 0)
         if taps is None:
             return
@@ -493,6 +502,36 @@ class TileEncoder:
                     mins[j], maxs[j] + 1, ks[j], ref[j], v
                 )
                 ref[j] = v
+
+    def _emit_sgr_unit(self, plane: int, ur: int, uc: int) -> None:
+        """SGRPROJ restoration unit (spec 5.11.34 read_sgrproj_filter):
+        use bool, 4-bit set index, per-pass projection weight xqd coded
+        signed-subexp against running refs. A pass with radius 0 codes
+        no weight: xqd[0] = 0 / xqd[1] = Clip3(-32, 95, 128 - xqd[0])
+        (always 95 for legal xqd[0]) — and the REFS take those values."""
+        from .restoration import SGR_PARAMS
+
+        entry = self.lr.get("sgrproj", {}).get(plane)
+        entry = entry[ur][uc] if entry is not None else None
+        self._sym(self.cdf.sgrproj_restore, 1 if entry is not None else 0)
+        if entry is None:
+            return
+        set_idx, w0, w1 = entry
+        self.enc.write_literal(set_idx, 4)
+        r0, _, r1, _ = SGR_PARAMS[set_idx]
+        ref = self._lr_sgr_ref[plane]
+        if r0:
+            self._enc_signed_subexp_ref(-96, 32, 4, ref[0], int(w0))
+            ref[0] = int(w0)
+        else:
+            assert w0 == 0
+            ref[0] = 0
+        if r1:
+            self._enc_signed_subexp_ref(-32, 96, 4, ref[1], int(w1))
+            ref[1] = int(w1)
+        else:
+            assert w1 == 95
+            ref[1] = 95
 
     def _enc_signed_subexp_ref(self, low, high, k, ref, v):
         self._enc_unsigned_subexp_ref(high - low, k, ref - low, v - low)

@@ -164,6 +164,193 @@ def apply_wiener(cdef_planes: List[np.ndarray],
 
 
 # ---------------------------------------------------------------------------
+# self-guided restoration (SGRPROJ, spec 7.17.3)
+# ---------------------------------------------------------------------------
+
+# Sgr_Params[set] = (r0, e0, r1, e1); radii gate which xqd weights are
+# coded. The filter itself consumes only the PRECOMPUTED strengths
+# s = ((1<<20) + n^2 e / 2) / (n^2 e), taken verbatim from libdav1d's
+# table at .rodata+0x21940 (pass-0/pass-1 per set) — deriving s from a
+# misremembered e is how the first draft picked up a +-1 bias.
+SGR_PARAMS = (
+    (2, 12, 1, 4), (2, 15, 1, 6), (2, 18, 1, 8), (2, 21, 1, 9),
+    (2, 24, 1, 10), (2, 29, 1, 11), (2, 36, 1, 12), (2, 45, 1, 13),
+    (2, 56, 1, 14), (2, 68, 1, 15), (0, 0, 1, 5), (0, 0, 1, 8),
+    (0, 0, 1, 11), (0, 0, 1, 14), (2, 30, 0, 0), (2, 75, 0, 0),
+)
+# (s0, s1) strengths per set, pinned EMPIRICALLY against dav1d decodes
+# (tests/test_restoration.py sweeps every set): s0 matches libdav1d's
+# table; the two-pass s1 values come from the spec e1 column
+# {4,6,9,12,14,18,24,32,40,48} (the dav1d table's second column fits
+# the one-pass sets 10-13 but NOT the two-pass sets - 863 vs the
+# decode-fitting 270 on set 9).
+def _s(n2e):
+    return ((1 << 20) + n2e // 2) // n2e
+
+
+SGR_S = (
+    (140, _s(81 * 4)), (112, _s(81 * 6)), (93, _s(81 * 9)),
+    (80, _s(81 * 12)), (70, _s(81 * 14)), (58, _s(81 * 18)),
+    (47, _s(81 * 24)), (37, _s(81 * 32)), (30, _s(81 * 40)),
+    (25, _s(81 * 48)), (0, 2589), (0, 1618), (0, 1177), (0, 925),
+    (56, 0), (22, 0),
+)
+
+SGRPROJ_SGR_BITS = 8
+SGRPROJ_RECIP_BITS = 12
+SGRPROJ_MTABLE_BITS = 20
+SGRPROJ_RST_BITS = 4
+SGRPROJ_PRJ_BITS = 7
+
+
+def _sgr_box_filter(ext: np.ndarray, h: int, w: int, r: int, s: int,
+                    bitdepth: int, pass0_fast: bool) -> np.ndarray:
+    """One box-filter pass over a (h+6, w+6) extended source window
+    (offset 3,3 = unit origin). Returns flt (h, w) at the << RST_BITS
+    scale. `pass0_fast` enables the r=2 every-other-row A/B grid with
+    the 5/6 // 3/4 cross sums (spec 7.17.3)."""
+    n = (2 * r + 1) * (2 * r + 1)
+    one_over_n = ((1 << SGRPROJ_RECIP_BITS) + n // 2) // n
+    e = ext.astype(np.int64)
+    # box sums over (2r+1)^2 windows centered at grid (i, j) for
+    # i, j in [-1, h] x [-1, w]: integral images over the extension
+    ii = np.zeros((ext.shape[0] + 1, ext.shape[1] + 1), np.int64)
+    ii2 = np.zeros_like(ii)
+    np.cumsum(np.cumsum(e, 0), 1, out=ii[1:, 1:])
+    np.cumsum(np.cumsum(e * e, 0), 1, out=ii2[1:, 1:])
+
+    def box(iiX, i0, i1, j0, j1):
+        # sums over ext rows [i0, i1) cols [j0, j1), vectorized grids
+        return (iiX[i1[:, None], j1[None, :]] - iiX[i0[:, None], j1[None, :]]
+                - iiX[i1[:, None], j0[None, :]] + iiX[i0[:, None], j0[None, :]])
+
+    gi = np.arange(-1, h + 1) + 3  # grid rows in ext coords
+    gj = np.arange(-1, w + 1) + 3
+    b_sum = box(ii, gi - r, gi + r + 1, gj - r, gj + r + 1)
+    a_sum = box(ii2, gi - r, gi + r + 1, gj - r, gj + r + 1)
+    shift2 = 2 * (bitdepth - 8)
+    d = (a_sum + (1 << shift2 >> 1)) >> shift2 if shift2 else a_sum
+    c2 = (b_sum + (1 << (bitdepth - 8) >> 1)) >> (bitdepth - 8) \
+        if bitdepth > 8 else b_sum
+    p = np.maximum(0, d * n - c2 * c2)
+    z = (p * s + (1 << (SGRPROJ_MTABLE_BITS - 1))) >> SGRPROJ_MTABLE_BITS
+    a2 = np.where(
+        z >= 255, 256,
+        np.where(z == 0, 1, ((z << SGRPROJ_SGR_BITS) + z // 2) // (z + 1)))
+    b2 = (((1 << SGRPROJ_SGR_BITS) - a2) * b_sum * one_over_n
+          + (1 << (SGRPROJ_RECIP_BITS - 1))) >> SGRPROJ_RECIP_BITS
+    # A/B indexed [i+1][j+1] for i in [-1, h]
+    A, B = a2, b2
+    src = e[3 : 3 + h, 3 : 3 + w]
+    flt = np.zeros((h, w), np.int64)
+    for i in range(h):
+        if pass0_fast and not (i & 1):
+            # even rows: 5/6 cross-sum of the ODD A/B grid rows i-1, i+1
+            # (the r=2 pass computes A/B every other row STARTING AT -1,
+            # pinned against dav1d: the even-grid variant leaves a ±1
+            # bias under strong eps)
+            ar = (5 * (A[i, 0:w] + A[i, 2 : w + 2]
+                       + A[i + 2, 0:w] + A[i + 2, 2 : w + 2])
+                  + 6 * (A[i, 1 : w + 1] + A[i + 2, 1 : w + 1]))
+            br = (5 * (B[i, 0:w] + B[i, 2 : w + 2]
+                       + B[i + 2, 0:w] + B[i + 2, 2 : w + 2])
+                  + 6 * (B[i, 1 : w + 1] + B[i + 2, 1 : w + 1]))
+            shift = 5  # weight sum 32
+        elif pass0_fast:
+            # odd rows sit ON the A/B grid: 3-tap {5,6,5} of the own row
+            ar = (5 * (A[i + 1, 0:w] + A[i + 1, 2 : w + 2])
+                  + 6 * A[i + 1, 1 : w + 1])
+            br = (5 * (B[i + 1, 0:w] + B[i + 1, 2 : w + 2])
+                  + 6 * B[i + 1, 1 : w + 1])
+            shift = 4  # weight sum 16
+        else:
+            # r=1 pass: full 3x3 cross sum, weights 3 corners / 4 edges+c
+            ar = (3 * (A[i, 0:w] + A[i, 2 : w + 2]
+                       + A[i + 2, 0:w] + A[i + 2, 2 : w + 2])
+                  + 4 * (A[i, 1 : w + 1] + A[i + 2, 1 : w + 1]
+                         + A[i + 1, 0:w] + A[i + 1, 2 : w + 2]
+                         + A[i + 1, 1 : w + 1]))
+            br = (3 * (B[i, 0:w] + B[i, 2 : w + 2]
+                       + B[i + 2, 0:w] + B[i + 2, 2 : w + 2])
+                  + 4 * (B[i, 1 : w + 1] + B[i + 2, 1 : w + 1]
+                         + B[i + 1, 0:w] + B[i + 1, 2 : w + 2]
+                         + B[i + 1, 1 : w + 1]))
+            shift = 5
+        flt[i] = (ar * src[i] + br
+                  + (1 << (SGRPROJ_SGR_BITS + shift
+                           - SGRPROJ_RST_BITS - 1))) >> (
+            SGRPROJ_SGR_BITS + shift - SGRPROJ_RST_BITS)
+    return flt
+
+
+def sgrproj_unit(cdef: np.ndarray, deblk: np.ndarray, vis_h: int,
+                 vis_w: int, x0: int, x1: int, y0: int, y1: int,
+                 set_idx: int, w0: int, w1: int, bitdepth: int,
+                 out: np.ndarray) -> None:
+    """Self-guided restoration of one unit (spec 7.17.3), stripe-banded
+    like the Wiener path."""
+    r0, _, r1, _ = SGR_PARAMS[set_idx]
+    s0, s1 = SGR_S[set_idx]
+    w = x1 - x0
+    cols = np.clip(np.arange(x0 - 3, x1 + 3), 0, vis_w - 1)
+    for b0, b1, ss, se in _band_rows(y0, y1):
+        h = b1 - b0
+        rows = np.arange(b0 - 3, b1 + 3)
+        ext = _gather_rows(cdef, deblk, rows, ss, se, vis_h)[:, cols]
+        src = ext[3 : 3 + h, 3 : 3 + w].astype(np.int64)
+        u = src << SGRPROJ_RST_BITS
+        flt0 = _sgr_box_filter(ext, h, w, r0, s0, bitdepth, True) \
+            if r0 else u
+        flt1 = _sgr_box_filter(ext, h, w, r1, s1, bitdepth, False) \
+            if r1 else u
+        # effective projection weights (libaom av1_decode_xq; pinned
+        # empirically: a one-pass r0==0 unit applies 128 - xqd[1] to the
+        # r=1 filter, NOT xqd[1] - the coded value is the complement)
+        if r0 == 0:
+            xq0, xq1 = 0, (1 << SGRPROJ_PRJ_BITS) - w1
+        elif r1 == 0:
+            xq0, xq1 = w0, 0
+        else:
+            xq0, xq1 = w0, w1
+        v = (u << SGRPROJ_PRJ_BITS) + xq0 * (flt0 - u) + xq1 * (flt1 - u)
+        sh = SGRPROJ_PRJ_BITS + SGRPROJ_RST_BITS
+        res = (v + (1 << (sh - 1))) >> sh
+        out[b0:b1, x0:x1] = np.clip(res, 0, (1 << bitdepth) - 1)
+
+
+def apply_sgrproj(cdef_planes: List[np.ndarray],
+                  deblk_planes: List[np.ndarray],
+                  vis_h: int, vis_w: int, lr_types, unit_shift: int,
+                  sgr_grids: dict, bitdepth: int) -> List[np.ndarray]:
+    """LrFrame for SGRPROJ-type planes. sgr_grids[plane][ur][uc] is None
+    or (set_idx, xqd0, xqd1)."""
+    size = unit_size(unit_shift)
+    out_planes = []
+    for p, cdef in enumerate(cdef_planes):
+        out = cdef[:vis_h, :vis_w].copy()
+        if lr_types[p] != 3 or sgr_grids.get(p) is None:
+            out_planes.append(out)
+            continue
+        deblk = deblk_planes[p]
+        urows = count_units(vis_h, size)
+        ucols = count_units(vis_w, size)
+        grid = sgr_grids[p]
+        for ur in range(urows):
+            y0, y1 = unit_row_bounds(ur, urows, size, vis_h)
+            for uc in range(ucols):
+                entry = grid[ur][uc]
+                if entry is None:
+                    continue
+                x0 = uc * size
+                x1 = (uc + 1) * size if uc + 1 < ucols else vis_w
+                sgrproj_unit(cdef[:vis_h, :vis_w], deblk[:vis_h, :vis_w],
+                             vis_h, vis_w, x0, x1, y0, y1,
+                             entry[0], entry[1], entry[2], bitdepth, out)
+        out_planes.append(out)
+    return out_planes
+
+
+# ---------------------------------------------------------------------------
 # encoder-side tap search (encoder freedom; nothing here is normative)
 # ---------------------------------------------------------------------------
 

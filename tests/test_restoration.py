@@ -241,6 +241,65 @@ def test_lr_product_path_decodes_exact():
     np.testing.assert_array_equal(dec_rgb, recon)
 
 
+def _sgr_roundtrip(planes, set_idx, w0, w1, q=60):
+    from oavif_tpu.av1.restoration import apply_sgrproj
+
+    n_h, n_w = planes[0].shape
+    lr = {"types": (3, 0, 0), "unit_shift": 2,
+          "sgrproj": {0: [[(set_idx, w0, w1)]]}}
+    te = TileEncoder([p.copy() for p in planes], q, 8, 9, lr=lr)
+    payload = te.encode()
+    seq = SequenceConfig(width=n_w, height=n_h, enable_restoration=True)
+    fr = FrameConfig(width=n_w, height=n_h, base_q_idx=q,
+                     enable_restoration=True, lr_types=(3, 0, 0),
+                     lr_unit_shift=2)
+    data = mux_avif(assemble_av1_stream(seq, fr, [payload]), n_w, n_h)
+    dec, _, _ = _dav1d()(data)
+    recon = [r.copy() for r in te.recon]
+    ours = apply_sgrproj(recon, [r.copy() for r in recon], n_h, n_w,
+                         (3, 0, 0), 2, {0: [[(set_idx, w0, w1)]]}, 8)
+    for i in (1, 2):
+        np.testing.assert_array_equal(dec[i], te.recon[i][:n_h, :n_w])
+    return dec[0].astype(int), ours[0]
+
+
+def test_sgrproj_exact_sets_decode_exact():
+    """SGRPROJ units (spec 5.11.34 + 7.17.3): syntax (4-bit set, subexp
+    xqd with mid {-32, 32}, radius-gated weights) and the self-guided
+    filter, bit-exact vs dav1d for the parameter sets whose strengths
+    are pinned (box stats, x_by_x mapping, 5/6 and 3/4 cross-sums,
+    av1_decode_xq's complemented one-pass weight)."""
+    rng = np.random.default_rng(3)
+    planes = [np.asarray(128 + rng.integers(-60, 60, (48, 48)), np.int32)
+              for _ in range(3)]
+    exact_sets = (0, 1, 6, 7, 10, 11, 12, 13, 14, 15)
+    for s in exact_sets:
+        from oavif_tpu.av1.restoration import SGR_PARAMS
+
+        r0, _, r1, _ = SGR_PARAMS[s]
+        w0 = -33 if r0 else 0
+        w1 = 52 if r1 else 95
+        dec, ours = _sgr_roundtrip(planes, s, w0, w1)
+        np.testing.assert_array_equal(dec, ours, err_msg=f"set {s}")
+
+
+def test_sgrproj_remaining_sets_within_one_lsb():
+    """Two-pass sets 2-5/8/9 carry a residual +-1-LSB deviation on a
+    small pixel fraction (the pass-interaction epsilon is still open —
+    SGRPROJ stays out of the product search until they are exact).
+    This pins the bound so a regression is visible."""
+    rng = np.random.default_rng(3)
+    planes = [np.asarray(128 + rng.integers(-60, 60, (48, 48)), np.int32)
+              for _ in range(3)]
+    for s in (2, 3, 4, 5, 8, 9):
+        dec, ours = _sgr_roundtrip(planes, s, -33, 52)
+        d = np.abs(dec - ours)
+        assert d.max() <= 1, f"set {s}: max {d.max()}"
+        assert np.count_nonzero(d) <= 16, (
+            f"set {s}: {np.count_nonzero(d)} deviating pixels"
+        )
+
+
 def test_lr_search_improves_sse():
     """Encoder-side tap solve: on quantization-degraded content the
     searched Wiener filter must reduce SSE vs the unfiltered recon

@@ -178,22 +178,16 @@ SGR_PARAMS = (
     (2, 56, 1, 14), (2, 68, 1, 15), (0, 0, 1, 5), (0, 0, 1, 8),
     (0, 0, 1, 11), (0, 0, 1, 14), (2, 30, 0, 0), (2, 75, 0, 0),
 )
-# (s0, s1) strengths per set, pinned EMPIRICALLY against dav1d decodes
-# (tests/test_restoration.py sweeps every set): s0 matches libdav1d's
-# table; the two-pass s1 values come from the spec e1 column
-# {4,6,9,12,14,18,24,32,40,48} (the dav1d table's second column fits
-# the one-pass sets 10-13 but NOT the two-pass sets - 863 vs the
-# decode-fitting 270 on set 9).
-def _s(n2e):
-    return ((1 << 20) + n2e // 2) // n2e
-
-
+# (s0, s1) strengths per set: libdav1d's precomputed table verbatim
+# (.rodata+0x21940). An earlier draft replaced the two-pass s1 column
+# with spec-e1-derived values because the COMBINE was wrong (see
+# av1_decode_xq below) and the wrong weights made the wrong strengths
+# fit better; with the complemented weight the dav1d table zeroes every
+# set (zero-interval fits on two content seeds).
 SGR_S = (
-    (140, _s(81 * 4)), (112, _s(81 * 6)), (93, _s(81 * 9)),
-    (80, _s(81 * 12)), (70, _s(81 * 14)), (58, _s(81 * 18)),
-    (47, _s(81 * 24)), (37, _s(81 * 32)), (30, _s(81 * 40)),
-    (25, _s(81 * 48)), (0, 2589), (0, 1618), (0, 1177), (0, 925),
-    (56, 0), (22, 0),
+    (140, 3236), (112, 2158), (93, 1618), (80, 1438), (70, 1295),
+    (58, 1177), (47, 1079), (37, 996), (30, 925), (25, 863),
+    (0, 2589), (0, 1618), (0, 1177), (0, 925), (56, 0), (22, 0),
 )
 
 SGRPROJ_SGR_BITS = 8
@@ -303,15 +297,16 @@ def sgrproj_unit(cdef: np.ndarray, deblk: np.ndarray, vis_h: int,
             if r0 else u
         flt1 = _sgr_box_filter(ext, h, w, r1, s1, bitdepth, False) \
             if r1 else u
-        # effective projection weights (libaom av1_decode_xq; pinned
-        # empirically: a one-pass r0==0 unit applies 128 - xqd[1] to the
-        # r=1 filter, NOT xqd[1] - the coded value is the complement)
+        # effective projection weights (libaom av1_decode_xq, pinned
+        # empirically via isolation probes): the r=1 filter weight is
+        # the COMPLEMENT 128 - xq0 - xqd[1] whenever pass 1 runs - the
+        # coded xqd[1] ends up weighting the unfiltered sample
         if r0 == 0:
             xq0, xq1 = 0, (1 << SGRPROJ_PRJ_BITS) - w1
         elif r1 == 0:
             xq0, xq1 = w0, 0
         else:
-            xq0, xq1 = w0, w1
+            xq0, xq1 = w0, (1 << SGRPROJ_PRJ_BITS) - w0 - w1
         v = (u << SGRPROJ_PRJ_BITS) + xq0 * (flt0 - u) + xq1 * (flt1 - u)
         sh = SGRPROJ_PRJ_BITS + SGRPROJ_RST_BITS
         res = (v + (1 << (sh - 1))) >> sh

@@ -347,21 +347,36 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
     recon_planes = [p[:h, :w] for p in recon_planes]
 
     lr_types = None
-    lr_taps = None
     if lr_armed:
         from .frame import RDOQ_KDEN, RDOQ_KNUM
-        from .restoration import apply_wiener, search_wiener
+        from .restoration import (SGR_SETS_FULL, SGR_SETS_REDUCED,
+                                  apply_restoration, search_restoration,
+                                  search_wiener)
         from .tables import ac_q
 
         dq_ac = ac_q(qindex, out_depth)
         lam_pix = float(((dq_ac * dq_ac) >> 6) * RDOQ_KNUM) / (
             RDOQ_KDEN * 128.0)
         deblk_vis = [p[:h, :w] for p in deblk_planes]
-        lr_types, lr_taps = search_wiener(
-            planes, recon_planes, deblk_vis, h, w, out_depth, lam_pix)
+        # SGRPROJ joins the search at the slower presets (the joint
+        # search prices ~10x the Wiener-only solve: box-filter bases
+        # per candidate strength); OAVIF_SGR=1/0 forces it on/off
+        sgr_env = os.environ.get("OAVIF_SGR")
+        sgr_on = (sgr_env != "0" if sgr_env is not None
+                  else o.speed <= 5)
+        if sgr_on:
+            sets = SGR_SETS_FULL if o.speed <= 4 else SGR_SETS_REDUCED
+            lr_types, lr_wiener, lr_sgr = search_restoration(
+                planes, recon_planes, deblk_vis, h, w, out_depth,
+                lam_pix, sgr_sets=sets)
+        else:
+            lr_types, lr_wiener = search_wiener(
+                planes, recon_planes, deblk_vis, h, w, out_depth,
+                lam_pix)
+            lr_sgr = None
         if lr_types is not None:
             lr_cfg = {"types": lr_types, "unit_shift": 2,
-                      "wiener": lr_taps}
+                      "wiener": lr_wiener or {}, "sgrproj": lr_sgr or {}}
             payloads, _, _ = encode_frame_planes(
                 planes, qindex, bitdepth=out_depth, speed=o.speed,
                 tile_cols_log2=tcl, tile_rows_log2=trl,
@@ -369,9 +384,9 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
                 screen_tools=screen_tools, filter_intra=filter_intra,
                 lr=lr_cfg, sb128=sb128,
             )
-            recon_planes = apply_wiener(
-                recon_planes, deblk_vis, h, w, lr_types, 2, lr_taps,
-                out_depth)
+            recon_planes = apply_restoration(
+                recon_planes, deblk_vis, h, w, lr_types, 2, lr_wiener,
+                lr_sgr, out_depth)
 
     seq = SequenceConfig(
         width=w,

@@ -267,6 +267,7 @@ _CDF_ORDER = (
     "pal_y_ci2", "pal_y_ci3", "pal_y_ci4", "pal_y_ci5", "pal_y_ci6",
     "pal_y_ci7", "pal_y_ci8",
     "fi_use", "fi_mode", "wiener_restore", "part128",
+    "sgrproj_restore", "switchable_restore",
 )
 
 
@@ -316,6 +317,8 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None,
         "fi_mode": bank.filter_intra_mode,
         "wiener_restore": bank.wiener_restore,
         "part128": bank.partition[128],
+        "sgrproj_restore": bank.sgrproj_restore,
+        "switchable_restore": bank.switchable_restore,
     }
     cdf_arrs = [np.ascontiguousarray(cdfs[k], dtype=np.uint16) for k in _CDF_ORDER]
     cdf_ptrs = (C.POINTER(C.c_uint16) * len(cdf_arrs))(*[_u16p(a) for a in cdf_arrs])
@@ -394,13 +397,10 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None,
         dec_ptr = _i32p(dec["buf"])
         dec_len = np.array([int(dec["len"])], dtype=np.int32)
     # loop restoration unit pack: [types[3], unit_shift, urows, ucols,
-    # per plane urows*ucols x (use, v0,v1,v2, h0,h1,h2)] (see oav1tile.c)
+    # per plane urows*ucols x 7 ints keyed by [0] = unit kind
+    # (0 none / 1 wiener taps6 / 2 sgr set,xqd0,xqd1)] (see oav1tile.c)
     lr_ptr = C.POINTER(C.c_int32)()
     lr_arr = None
-    if lr is not None and any(int(t) == 3 for t in lr["types"]):
-        # SGRPROJ units route through the Python tile coder until the C
-        # runtime mirrors the self-guided syntax
-        return None
     if lr is not None:
         from ..restoration import count_units, unit_size
 
@@ -410,14 +410,19 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None,
                   for p in range(3)]
         vals = types3 + [int(lr["unit_shift"]), urows, ucols]
         for p in range(3):
-            grid = lr["wiener"].get(p) if types3[p] else None
+            wg = lr.get("wiener", {}).get(p) if types3[p] else None
+            sg = lr.get("sgrproj", {}).get(p) if types3[p] else None
             for ur in range(urows):
                 for uc in range(ucols):
-                    taps = grid[ur][uc] if grid is not None else None
-                    if taps is None:
-                        vals += [0, 0, 0, 0, 0, 0, 0]
-                    else:
+                    taps = wg[ur][uc] if wg is not None else None
+                    entry = sg[ur][uc] if sg is not None else None
+                    if taps is not None:
                         vals += [1] + [int(x) for x in taps]
+                    elif entry is not None:
+                        vals += [2, int(entry[0]), int(entry[1]),
+                                 int(entry[2]), 0, 0, 0]
+                    else:
+                        vals += [0, 0, 0, 0, 0, 0, 0]
         lr_arr = np.asarray(vals, dtype=np.int32)
         lr_ptr = _i32p(lr_arr)
     n = lib.tile_encode(

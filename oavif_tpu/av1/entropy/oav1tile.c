@@ -109,7 +109,8 @@ enum {
     CDF_PAL_Y_MODE, CDF_PAL_UV_MODE, CDF_PAL_Y_SIZE,
     CDF_PAL_Y_CI2, CDF_PAL_Y_CI3, CDF_PAL_Y_CI4, CDF_PAL_Y_CI5,
     CDF_PAL_Y_CI6, CDF_PAL_Y_CI7, CDF_PAL_Y_CI8,
-    CDF_FI_USE, CDF_FI_MODE, CDF_WIENER, CDF_PART_W128, CDF_N
+    CDF_FI_USE, CDF_FI_MODE, CDF_WIENER, CDF_PART_W128,
+    CDF_SGR, CDF_SWITCHABLE, CDF_N
 };
 
 enum { UV_CFL_PRED = 13 };
@@ -161,13 +162,17 @@ typedef struct {
     int filter_intra; /* seq enable_filter_intra: use flag coded per
                          eligible DC block <= 32 */
     const int32_t *fi_taps; /* filter-intra taps [5][8][8] (av1_tables) */
-    /* loop restoration (spec 5.11.31-33; mirrors frame.py _emit_lr):
-     * lr_cfg = [types[3], unit_shift, urows, ucols, then per plane
-     * urows*ucols entries of 7 ints: use, v0,v1,v2, h0,h1,h2].
-     * NULL = restoration off. lr_ref = running subexp refs per
-     * (plane, pass, tap), reset to Wiener_Taps_Mid per tile. */
+    /* loop restoration (spec 5.11.31-34; mirrors frame.py _emit_lr):
+     * lr_cfg = [types[3] (coded frame type: 0 none / 1 switchable /
+     * 2 wiener / 3 sgrproj), unit_shift, urows, ucols, then per plane
+     * urows*ucols entries of 7 ints keyed by [0] = unit kind
+     * (0 none, 1 wiener, 2 sgr): wiener -> v0,v1,v2, h0,h1,h2;
+     * sgr -> set, xqd0, xqd1, pad*3. NULL = restoration off.
+     * lr_ref = running Wiener subexp refs per (plane, pass, tap),
+     * reset to Wiener_Taps_Mid per tile. */
     const int32_t *lr_cfg;
     int lr_ref[3][2][3];
+    int lr_sgr_ref[3][2];   /* SGRPROJ xqd refs, mid {-32, 31} */
     /* palette context lines: per-mi neighbor palette (count 0 = none) */
     uint8_t *above_pal_n;
     uint16_t *above_pal_c; /* mi_cols * 8 */
@@ -4362,10 +4367,12 @@ static void encode_partition(Tile *t, int r, int c, int size) {
     }
 }
 
-/* ---- loop restoration unit syntax (spec 5.11.31-33) ----
- * Mirrors frame.py TileEncoder._emit_lr: WIENER-or-NONE per unit, taps
- * coded signed-subexp against running refs. Byte-identity with the
- * Python coder is pinned by tests/test_restoration.py. */
+/* ---- loop restoration unit syntax (spec 5.11.31-34) ----
+ * Mirrors frame.py TileEncoder._emit_lr: per-unit WIENER / SGRPROJ /
+ * NONE under the frame's restoration type (incl. SWITCHABLE's 3-ary
+ * type symbol), params coded signed-subexp against running refs.
+ * Byte-identity with the Python coder is pinned by
+ * tests/test_restoration.py. */
 
 static int lr_recenter(int r, int v) {
     /* forward of the spec's inverse_recenter: v >= r codes even */
@@ -4417,19 +4424,56 @@ static const int LR_TAPS_MIN[3] = {-5, -23, -17};
 static const int LR_TAPS_MAX[3] = {10, 8, 46};
 static const int LR_TAPS_K[3] = {1, 2, 3};
 
-static void emit_lr_unit(Tile *t, int plane, const int32_t *e) {
-    int use = e[0] != 0;
-    enc_symbol_adapt(t->enc, t->cdf[CDF_WIENER], 2, use);
-    if (!use) return;
+static void emit_wiener_params(Tile *t, int plane, const int32_t *taps6) {
     int j0 = plane ? 1 : 0; /* chroma: firstCoeff=1, tap0 implicit 0 */
     for (int p2 = 0; p2 < 2; p2++) {
         int *ref = t->lr_ref[plane][p2];
         for (int j = j0; j < 3; j++) {
-            int v = e[1 + p2 * 3 + j];
+            int v = taps6[p2 * 3 + j];
             lr_enc_signed_subexp(t, LR_TAPS_MIN[j], LR_TAPS_MAX[j] + 1,
                                  LR_TAPS_K[j], ref[j], v);
             ref[j] = v;
         }
+    }
+}
+
+/* per-set pass radii gates (av1_sgr_params r0/r1 != 0) */
+static const uint8_t SGR_HAS_R0[16] = {1,1,1,1,1,1,1,1,1,1,0,0,0,0,1,1};
+static const uint8_t SGR_HAS_R1[16] = {1,1,1,1,1,1,1,1,1,1,1,1,1,1,0,0};
+
+static void emit_sgr_params(Tile *t, int plane, const int32_t *e) {
+    /* spec 5.11.34 read_sgrproj_filter: 4-bit set index, radius-gated
+     * xqd subexp vs running refs; a radius-0 pass codes nothing and
+     * pins the ref (0 for pass 0, 95 for pass 1). */
+    int set = e[1], w0 = e[2], w1 = e[3];
+    enc_literal(t->enc, (uint32_t)set, 4);
+    int *ref = t->lr_sgr_ref[plane];
+    if (SGR_HAS_R0[set]) {
+        lr_enc_signed_subexp(t, -96, 32, 4, ref[0], w0);
+        ref[0] = w0;
+    } else {
+        ref[0] = 0;
+    }
+    if (SGR_HAS_R1[set]) {
+        lr_enc_signed_subexp(t, -32, 96, 4, ref[1], w1);
+        ref[1] = w1;
+    } else {
+        ref[1] = 95;
+    }
+}
+
+static void emit_lr_unit(Tile *t, int plane, int ftype, const int32_t *e) {
+    int kind = e[0]; /* 0 none, 1 wiener, 2 sgr */
+    if (ftype == 1) { /* SWITCHABLE: 3-ary restoration type per unit */
+        enc_symbol_adapt(t->enc, t->cdf[CDF_SWITCHABLE], 3, kind);
+        if (kind == 1) emit_wiener_params(t, plane, e + 1);
+        else if (kind == 2) emit_sgr_params(t, plane, e);
+    } else if (ftype == 3) { /* SGRPROJ frame type: use bool */
+        enc_symbol_adapt(t->enc, t->cdf[CDF_SGR], 2, kind == 2);
+        if (kind == 2) emit_sgr_params(t, plane, e);
+    } else { /* WIENER frame type: use bool */
+        enc_symbol_adapt(t->enc, t->cdf[CDF_WIENER], 2, kind == 1);
+        if (kind == 1) emit_wiener_params(t, plane, e + 1);
     }
 }
 
@@ -4449,7 +4493,8 @@ static void emit_lr(Tile *t, int r, int c) {
         const int32_t *pg = units + (size_t)plane * urows * ucols * 7;
         for (int ur = ur0; ur < ur1; ur++)
             for (int uc = uc0; uc < uc1; uc++)
-                emit_lr_unit(t, plane, pg + ((size_t)ur * ucols + uc) * 7);
+                emit_lr_unit(t, plane, cfg[plane],
+                             pg + ((size_t)ur * ucols + uc) * 7);
     }
 }
 
@@ -4530,12 +4575,15 @@ size_t tile_encode(
     t.filter_intra = filter_intra && fi_taps != NULL;
     t.fi_taps = fi_taps;
     t.lr_cfg = lr_cfg;
-    for (int p = 0; p < 3; p++)
+    for (int p = 0; p < 3; p++) {
         for (int p2 = 0; p2 < 2; p2++) {
             t.lr_ref[p][p2][0] = 3;  /* Wiener_Taps_Mid */
             t.lr_ref[p][p2][1] = -7;
             t.lr_ref[p][p2][2] = 15;
         }
+        t.lr_sgr_ref[p][0] = -32; /* C-truncated xqd range midpoints */
+        t.lr_sgr_ref[p][1] = 31;
+    }
 
     /* padded src (edge-replicated) + zeroed recon */
     for (int p = 0; p < nplanes; p++) {

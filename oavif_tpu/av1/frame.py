@@ -434,11 +434,15 @@ class TileEncoder:
                 p: [[3, -7, 15], [3, -7, 15]]
                 for p in range(len(self.planes))
             }
-            # SGRPROJ xqd refs (Sgrproj_Xqd_Mid = {-32, 32}; the 32 was
-            # pinned empirically against dav1d — a 31 mid decodes every
-            # coded xqd[1] one high), reset per tile
+            # SGRPROJ xqd refs: Sgrproj_Xqd_Mid = {-32, 31} — C-truncated
+            # midpoints (-96+31)/2 and (-32+95)/2 (libaom
+            # set_default_sgrproj). A 32 mid makes BOTH system decoders
+            # read every xqd[1] one LOW (effective xq1 = 129 - w1), which
+            # is invisible except at rounding-boundary pixels — that was
+            # the long-standing ±1 "z-plateau" artifact, root-caused by
+            # multi-weight window intersection + libaom arbitration.
             self._lr_sgr_ref = {
-                p: [-32, 32] for p in range(len(self.planes))
+                p: [-32, 31] for p in range(len(self.planes))
             }
         for sb_r in range(self.sb_rows):
             self.left_part[:] = 0
@@ -479,15 +483,35 @@ class TileEncoder:
                     self._emit_lr_unit(plane, ur, uc)
 
     def _emit_lr_unit(self, plane: int, ur: int, uc: int) -> None:
-        if self.lr["types"][plane] == 3:
-            self._emit_sgr_unit(plane, ur, uc)
-            return
+        """read_lr_unit (spec 5.11.32): the frame restoration type picks
+        the flag alphabet — WIENER(2)/SGRPROJ(3) code a use bool,
+        SWITCHABLE(1) codes the unit's type with the 3-ary
+        switchable_restore CDF — then the params for the chosen kind."""
+        ftype = self.lr["types"][plane]
         taps = self.lr.get("wiener", {}).get(plane)
         taps = taps[ur][uc] if taps is not None else None
-        assert self.lr["types"][plane] == 2, "WIENER or SGRPROJ"
-        self._sym(self.cdf.wiener_restore, 1 if taps is not None else 0)
-        if taps is None:
+        entry = self.lr.get("sgrproj", {}).get(plane)
+        entry = entry[ur][uc] if entry is not None else None
+        if ftype == 1:
+            kind = 1 if taps is not None else (2 if entry is not None else 0)
+            self._sym(self.cdf.switchable_restore, kind)
+            if kind == 1:
+                self._emit_wiener_params(plane, taps)
+            elif kind == 2:
+                self._emit_sgr_params(plane, entry)
             return
+        if ftype == 3:
+            self._sym(self.cdf.sgrproj_restore,
+                      1 if entry is not None else 0)
+            if entry is not None:
+                self._emit_sgr_params(plane, entry)
+            return
+        assert ftype == 2, "WIENER, SGRPROJ or SWITCHABLE"
+        self._sym(self.cdf.wiener_restore, 1 if taps is not None else 0)
+        if taps is not None:
+            self._emit_wiener_params(plane, taps)
+
+    def _emit_wiener_params(self, plane: int, taps) -> None:
         # wiener_filter_coefficients (spec 5.11.33): vertical pass then
         # horizontal pass, 3 signed taps each, subexp-ref coded. Chroma
         # planes never code tap 0 (firstCoeff = 1; the outermost tap is
@@ -503,19 +527,14 @@ class TileEncoder:
                 )
                 ref[j] = v
 
-    def _emit_sgr_unit(self, plane: int, ur: int, uc: int) -> None:
-        """SGRPROJ restoration unit (spec 5.11.34 read_sgrproj_filter):
-        use bool, 4-bit set index, per-pass projection weight xqd coded
-        signed-subexp against running refs. A pass with radius 0 codes
-        no weight: xqd[0] = 0 / xqd[1] = Clip3(-32, 95, 128 - xqd[0])
-        (always 95 for legal xqd[0]) — and the REFS take those values."""
+    def _emit_sgr_params(self, plane: int, entry) -> None:
+        """SGRPROJ params (spec 5.11.34 read_sgrproj_filter): 4-bit set
+        index, per-pass projection weight xqd coded signed-subexp
+        against running refs. A pass with radius 0 codes no weight:
+        xqd[0] = 0 / xqd[1] = Clip3(-32, 95, 128 - xqd[0]) (always 95
+        for legal xqd[0]) — and the REFS take those values."""
         from .restoration import SGR_PARAMS
 
-        entry = self.lr.get("sgrproj", {}).get(plane)
-        entry = entry[ur][uc] if entry is not None else None
-        self._sym(self.cdf.sgrproj_restore, 1 if entry is not None else 0)
-        if entry is None:
-            return
         set_idx, w0, w1 = entry
         self.enc.write_literal(set_idx, 4)
         r0, _, r1, _ = SGR_PARAMS[set_idx]

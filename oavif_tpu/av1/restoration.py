@@ -21,8 +21,10 @@ from scratch:
     to the coded tap grid, and keeps the unit only when the measured SSE
     gain beats the syntax cost at the frame's lambda.
 
-Only RESTORE_WIENER ships (frame types NONE/WIENER); SGRPROJ/SWITCHABLE
-syntax constants exist in the coder but the search never selects them.
+The full restoration toolset ships: WIENER, SGRPROJ (`sgrproj_unit` +
+`search_sgrproj_unit`, bit-exact vs BOTH system decoders across the
+whole coded weight space) and per-unit SWITCHABLE
+(`search_restoration` / `apply_restoration`).
 """
 
 from __future__ import annotations
@@ -197,17 +199,12 @@ SGRPROJ_RST_BITS = 4
 SGRPROJ_PRJ_BITS = 7
 
 
-def _sgr_box_filter(ext: np.ndarray, h: int, w: int, r: int, s: int,
-                    bitdepth: int, pass0_fast: bool) -> np.ndarray:
-    """One box-filter pass over a (h+6, w+6) extended source window
-    (offset 3,3 = unit origin). Returns flt (h, w) at the << RST_BITS
-    scale. `pass0_fast` enables the r=2 every-other-row A/B grid with
-    the 5/6 // 3/4 cross sums (spec 7.17.3)."""
-    n = (2 * r + 1) * (2 * r + 1)
-    one_over_n = ((1 << SGRPROJ_RECIP_BITS) + n // 2) // n
+def _sgr_box_sums(ext: np.ndarray, h: int, w: int, r: int):
+    """Box sums (and squared sums) over (2r+1)^2 windows centered at
+    grid (i, j) for i, j in [-1, h] x [-1, w], via integral images over
+    the (h+6, w+6) extension. Strength-independent — the search shares
+    one pair across every candidate set with this radius."""
     e = ext.astype(np.int64)
-    # box sums over (2r+1)^2 windows centered at grid (i, j) for
-    # i, j in [-1, h] x [-1, w]: integral images over the extension
     ii = np.zeros((ext.shape[0] + 1, ext.shape[1] + 1), np.int64)
     ii2 = np.zeros_like(ii)
     np.cumsum(np.cumsum(e, 0), 1, out=ii[1:, 1:])
@@ -222,6 +219,21 @@ def _sgr_box_filter(ext: np.ndarray, h: int, w: int, r: int, s: int,
     gj = np.arange(-1, w + 1) + 3
     b_sum = box(ii, gi - r, gi + r + 1, gj - r, gj + r + 1)
     a_sum = box(ii2, gi - r, gi + r + 1, gj - r, gj + r + 1)
+    return b_sum, a_sum
+
+
+def _sgr_box_filter(ext: np.ndarray, h: int, w: int, r: int, s: int,
+                    bitdepth: int, pass0_fast: bool,
+                    sums=None) -> np.ndarray:
+    """One box-filter pass over a (h+6, w+6) extended source window
+    (offset 3,3 = unit origin). Returns flt (h, w) at the << RST_BITS
+    scale. `pass0_fast` enables the r=2 every-other-row A/B grid with
+    the 5/6 // 3/4 cross sums (spec 7.17.3). `sums` short-circuits
+    the radius-dependent box sums (from _sgr_box_sums)."""
+    n = (2 * r + 1) * (2 * r + 1)
+    one_over_n = ((1 << SGRPROJ_RECIP_BITS) + n // 2) // n
+    e = ext.astype(np.int64)
+    b_sum, a_sum = sums if sums is not None else _sgr_box_sums(ext, h, w, r)
     shift2 = 2 * (bitdepth - 8)
     d = (a_sum + (1 << shift2 >> 1)) >> shift2 if shift2 else a_sum
     c2 = (b_sum + (1 << (bitdepth - 8) >> 1)) >> (bitdepth - 8) \
@@ -233,48 +245,46 @@ def _sgr_box_filter(ext: np.ndarray, h: int, w: int, r: int, s: int,
         np.where(z == 0, 1, ((z << SGRPROJ_SGR_BITS) + z // 2) // (z + 1)))
     b2 = (((1 << SGRPROJ_SGR_BITS) - a2) * b_sum * one_over_n
           + (1 << (SGRPROJ_RECIP_BITS - 1))) >> SGRPROJ_RECIP_BITS
-    # A/B indexed [i+1][j+1] for i in [-1, h]
+    # A/B indexed [i+1][j+1] for i in [-1, h]; cross-sums vectorized
+    # over all output rows at once (the search runs this per candidate
+    # strength — the original per-row loop priced a 16-set sweep out)
     A, B = a2, b2
     src = e[3 : 3 + h, 3 : 3 + w]
-    flt = np.zeros((h, w), np.int64)
-    for i in range(h):
-        if pass0_fast and not (i & 1):
-            # even rows: 5/6 cross-sum of the ODD A/B grid rows i-1, i+1
-            # (the r=2 pass computes A/B every other row STARTING AT -1,
-            # pinned against dav1d: the even-grid variant leaves a ±1
-            # bias under strong eps)
-            ar = (5 * (A[i, 0:w] + A[i, 2 : w + 2]
-                       + A[i + 2, 0:w] + A[i + 2, 2 : w + 2])
-                  + 6 * (A[i, 1 : w + 1] + A[i + 2, 1 : w + 1]))
-            br = (5 * (B[i, 0:w] + B[i, 2 : w + 2]
-                       + B[i + 2, 0:w] + B[i + 2, 2 : w + 2])
-                  + 6 * (B[i, 1 : w + 1] + B[i + 2, 1 : w + 1]))
-            shift = 5  # weight sum 32
-        elif pass0_fast:
-            # odd rows sit ON the A/B grid: 3-tap {5,6,5} of the own row
-            ar = (5 * (A[i + 1, 0:w] + A[i + 1, 2 : w + 2])
-                  + 6 * A[i + 1, 1 : w + 1])
-            br = (5 * (B[i + 1, 0:w] + B[i + 1, 2 : w + 2])
-                  + 6 * B[i + 1, 1 : w + 1])
-            shift = 4  # weight sum 16
-        else:
-            # r=1 pass: full 3x3 cross sum, weights 3 corners / 4 edges+c
-            ar = (3 * (A[i, 0:w] + A[i, 2 : w + 2]
-                       + A[i + 2, 0:w] + A[i + 2, 2 : w + 2])
-                  + 4 * (A[i, 1 : w + 1] + A[i + 2, 1 : w + 1]
-                         + A[i + 1, 0:w] + A[i + 1, 2 : w + 2]
-                         + A[i + 1, 1 : w + 1]))
-            br = (3 * (B[i, 0:w] + B[i, 2 : w + 2]
-                       + B[i + 2, 0:w] + B[i + 2, 2 : w + 2])
-                  + 4 * (B[i, 1 : w + 1] + B[i + 2, 1 : w + 1]
-                         + B[i + 1, 0:w] + B[i + 1, 2 : w + 2]
-                         + B[i + 1, 1 : w + 1]))
-            shift = 5
-        flt[i] = (ar * src[i] + br
-                  + (1 << (SGRPROJ_SGR_BITS + shift
-                           - SGRPROJ_RST_BITS - 1))) >> (
-            SGRPROJ_SGR_BITS + shift - SGRPROJ_RST_BITS)
-    return flt
+    ar = np.empty((h, w), np.int64)
+    br = np.empty_like(ar)
+    shift = np.empty((h, 1), np.int64)
+    if pass0_fast:
+        # even rows: 5/6 cross-sum of the ODD A/B grid rows i-1, i+1
+        # (the r=2 pass computes A/B every other row STARTING AT -1,
+        # pinned against dav1d: the even-grid variant leaves a ±1
+        # bias under strong eps)
+        ie = np.arange(0, h, 2)
+        for G, out in ((A, ar), (B, br)):
+            out[ie] = (5 * (G[np.ix_(ie, range(w))]
+                            + G[np.ix_(ie, range(2, w + 2))]
+                            + G[np.ix_(ie + 2, range(w))]
+                            + G[np.ix_(ie + 2, range(2, w + 2))])
+                       + 6 * (G[np.ix_(ie, range(1, w + 1))]
+                              + G[np.ix_(ie + 2, range(1, w + 1))]))
+        shift[ie] = 5  # weight sum 32
+        # odd rows sit ON the A/B grid: 3-tap {5,6,5} of the own row
+        io = np.arange(1, h, 2)
+        for G, out in ((A, ar), (B, br)):
+            out[io] = (5 * (G[np.ix_(io + 1, range(w))]
+                            + G[np.ix_(io + 1, range(2, w + 2))])
+                       + 6 * G[np.ix_(io + 1, range(1, w + 1))])
+        shift[io] = 4  # weight sum 16
+    else:
+        # r=1 pass: full 3x3 cross sum, weights 3 corners / 4 edges+c
+        for G, out in ((A, ar), (B, br)):
+            out[:] = (3 * (G[0:h, 0:w] + G[0:h, 2 : w + 2]
+                           + G[2 : h + 2, 0:w] + G[2 : h + 2, 2 : w + 2])
+                      + 4 * (G[0:h, 1 : w + 1] + G[2 : h + 2, 1 : w + 1]
+                             + G[1 : h + 1, 0:w] + G[1 : h + 1, 2 : w + 2]
+                             + G[1 : h + 1, 1 : w + 1]))
+        shift[:] = 5
+    tot = SGRPROJ_SGR_BITS + shift - SGRPROJ_RST_BITS
+    return (ar * src + br + (np.int64(1) << (tot - 1))) >> tot
 
 
 def sgrproj_unit(cdef: np.ndarray, deblk: np.ndarray, vis_h: int,
@@ -539,6 +549,283 @@ def search_wiener(src_planes: List[np.ndarray],
     if not any(lr_types):
         return None, None
     return tuple(lr_types), taps_cfg
+
+
+SGRPROJ_XQD0_MIN, SGRPROJ_XQD0_MAX = -96, 31
+SGRPROJ_XQD1_MIN, SGRPROJ_XQD1_MAX = -32, 95
+SGR_XQD_MID = (-32, 31)  # C-truncated range midpoints (see frame.py)
+# approximate symbol costs (bits) from the extracted default CDFs —
+# RD guidance only, never coded
+_BITS_WIENER_FLAG = (0.63, 1.50)  # (use=1, use=0) from [21198, 0]
+_BITS_SGR_FLAG = (1.04, 0.96)  # from [15913, 0]
+_BITS_SWITCHABLE = (1.80, 1.32, 1.69)  # NONE/WIENER/SGR from [23355,10187,0]
+
+
+def _sgr_unit_parts(cdef: np.ndarray, deblk: np.ndarray, vis_h: int,
+                    vis_w: int, x0: int, x1: int, y0: int, y1: int,
+                    rs_list, bitdepth: int):
+    """Degraded unit u (<<RST_BITS) plus the box-filter output for every
+    requested (radius, strength) pair, banded exactly like
+    sgrproj_unit — so a closed-form projection solve on these arrays
+    reproduces the decoder's combine bit-for-bit."""
+    w = x1 - x0
+    H = y1 - y0
+    u = np.empty((H, w), np.int64)
+    flts = {rs: np.empty((H, w), np.int64) for rs in rs_list}
+    cols = np.clip(np.arange(x0 - 3, x1 + 3), 0, vis_w - 1)
+    for b0, b1, ss, se in _band_rows(y0, y1):
+        h = b1 - b0
+        rows = np.arange(b0 - 3, b1 + 3)
+        ext = _gather_rows(cdef, deblk, rows, ss, se, vis_h)[:, cols]
+        src = ext[3 : 3 + h, 3 : 3 + w].astype(np.int64)
+        u[b0 - y0 : b1 - y0] = src << SGRPROJ_RST_BITS
+        sums = {r: _sgr_box_sums(ext, h, w, r)
+                for r in {r for r, _ in rs_list}}
+        for r, s in rs_list:
+            flts[(r, s)][b0 - y0 : b1 - y0] = _sgr_box_filter(
+                ext, h, w, r, s, bitdepth, r == 2, sums=sums[r])
+    return u, flts
+
+
+def _sgr_sse(src: np.ndarray, u: np.ndarray, a, b, xq0: int, xq1: int,
+             bitdepth: int) -> float:
+    """Exact decoder-combine SSE for candidate effective weights."""
+    v = u << SGRPROJ_PRJ_BITS
+    if xq0:
+        v = v + xq0 * a
+    if xq1:
+        v = v + xq1 * b
+    sh = SGRPROJ_PRJ_BITS + SGRPROJ_RST_BITS
+    res = np.clip((v + (1 << (sh - 1))) >> sh, 0, (1 << bitdepth) - 1)
+    return float(np.square(src - res).sum())
+
+
+def _sgr_bits(set_idx: int, w0: int, w1: int, refs) -> int:
+    """Syntax bits for one SGR unit given the running xqd refs (flag
+    excluded; the frame-type-dependent flag is priced by the caller)."""
+    r0, _, r1, _ = SGR_PARAMS[set_idx]
+    bits = 4
+    if r0:
+        bits += _subexp_bits(SGRPROJ_XQD0_MAX + 1 - SGRPROJ_XQD0_MIN, 4,
+                             refs[0] - SGRPROJ_XQD0_MIN,
+                             w0 - SGRPROJ_XQD0_MIN)
+    if r1:
+        bits += _subexp_bits(SGRPROJ_XQD1_MAX + 1 - SGRPROJ_XQD1_MIN, 4,
+                             refs[1] - SGRPROJ_XQD1_MIN,
+                             w1 - SGRPROJ_XQD1_MIN)
+    return bits
+
+
+# candidate ep sets for the search: spans the strength range of both
+# families (two-pass 0..9, r1-only 10..13, r0-only 14..15)
+SGR_SETS_FULL = tuple(range(16))
+SGR_SETS_REDUCED = (1, 4, 7, 9, 11, 12, 14)
+
+
+def search_sgrproj_unit(src: np.ndarray, cdef: np.ndarray,
+                        deblk: np.ndarray, vis_h: int, vis_w: int,
+                        x0: int, x1: int, y0: int, y1: int,
+                        bitdepth: int, refs, sets=SGR_SETS_REDUCED):
+    """Best SGRPROJ candidate for one unit: per ep set, solve the
+    projection least squares over the decoder's (flt - u) bases, round
+    to the coded xqd grid, then score the exact integer combine.
+    Returns ((set, w0, w1), sse, bits) or None. Mirrors the role of
+    libaom's search_sgrproj (encoder freedom; nothing normative)."""
+    rs = set()
+    for si in sets:
+        r0, _, r1, _ = SGR_PARAMS[si]
+        s0, s1 = SGR_S[si]
+        if r0:
+            rs.add((2, s0))
+        if r1:
+            rs.add((1, s1))
+    u, flts = _sgr_unit_parts(cdef, deblk, vis_h, vis_w, x0, x1, y0, y1,
+                              rs, bitdepth)
+    s64 = src.astype(np.int64)
+    c = (s64 - (u >> SGRPROJ_RST_BITS)) << (SGRPROJ_PRJ_BITS
+                                            + SGRPROJ_RST_BITS)
+    best = None
+    for si in sets:
+        r0, _, r1, _ = SGR_PARAMS[si]
+        s0, s1 = SGR_S[si]
+        a = flts[(2, s0)] - u if r0 else None
+        b = flts[(1, s1)] - u if r1 else None
+        if r0 and r1:
+            aa = float((a * a).sum())
+            bb = float((b * b).sum())
+            ab = float((a * b).sum())
+            det = aa * bb - ab * ab
+            if det <= 1e-6:
+                continue
+            ca = float((a * c).sum())
+            cb = float((b * c).sum())
+            xq0 = (bb * ca - ab * cb) / det
+            xq1 = (aa * cb - ab * ca) / det
+            w0 = int(np.clip(round(xq0), SGRPROJ_XQD0_MIN,
+                             SGRPROJ_XQD0_MAX))
+            # effective xq1 bounded by the coded complement's range:
+            # w1 = 128 - xq0 - xq1 in [-32, 95]
+            xq1i = int(np.clip(round(xq1), 33 - w0, 160 - w0))
+            w1 = (1 << SGRPROJ_PRJ_BITS) - w0 - xq1i
+            sse = _sgr_sse(s64, u, a, b, w0, xq1i, bitdepth)
+        elif r1:
+            bb = float((b * b).sum())
+            if bb <= 0:
+                continue
+            xq1 = float((b * c).sum()) / bb
+            # decode maps w1 -> xq1 = 128 - w1, w1 in [-32, 95]
+            xq1i = int(np.clip(round(xq1), 33, 160))
+            w0 = 0
+            w1 = (1 << SGRPROJ_PRJ_BITS) - xq1i
+            sse = _sgr_sse(s64, u, None, b, 0, xq1i, bitdepth)
+        else:
+            aa = float((a * a).sum())
+            if aa <= 0:
+                continue
+            xq0 = float((a * c).sum()) / aa
+            w0 = int(np.clip(round(xq0), SGRPROJ_XQD0_MIN,
+                             SGRPROJ_XQD0_MAX))
+            w1 = 95  # pinned by the coder when pass 1 is off
+            sse = _sgr_sse(s64, u, a, None, w0, 0, bitdepth)
+        bits = _sgr_bits(si, w0, w1, refs)
+        if best is None or sse < best[1]:
+            best = ((si, w0, w1), sse, bits)
+    return best
+
+
+def search_restoration(src_planes: List[np.ndarray],
+                       cdef_planes: List[np.ndarray],
+                       deblk_planes: List[np.ndarray],
+                       vis_h: int, vis_w: int, bitdepth: int,
+                       lam_pix: float, unit_shift: int = 2,
+                       sgr_sets=SGR_SETS_REDUCED):
+    """Joint per-unit WIENER / SGRPROJ / NONE decision (the libaom
+    search_loop_restoration role). Greedy in scan order with running
+    subexp refs, like search_wiener. Per plane the frame type becomes
+    WIENER(2) or SGRPROJ(3) when one family wins everywhere, else
+    SWITCHABLE(1). Returns (lr_types, wiener_cfg, sgr_cfg) —
+    (None, None, None) when nothing pays for itself."""
+    size = unit_size(unit_shift)
+    urows = count_units(vis_h, size)
+    ucols = count_units(vis_w, size)
+    lr_types = [0] * len(src_planes)
+    wiener_cfg: dict = {}
+    sgr_cfg: dict = {}
+    for p in range(len(src_planes)):
+        chroma = p > 0
+        src = src_planes[p][:vis_h, :vis_w]
+        cdef = cdef_planes[p][:vis_h, :vis_w]
+        deblk = deblk_planes[p][:vis_h, :vis_w]
+        wgrid = [[None] * ucols for _ in range(urows)]
+        sgrid = [[None] * ucols for _ in range(urows)]
+        kinds = set()
+        wrefs = [list(WIENER_TAPS_MID), list(WIENER_TAPS_MID)]
+        srefs = list(SGR_XQD_MID)
+        for ur in range(urows):
+            y0, y1 = unit_row_bounds(ur, urows, size, vis_h)
+            for uc in range(ucols):
+                x0 = uc * size
+                x1 = (uc + 1) * size if uc + 1 < ucols else vis_w
+                s = src[y0:y1, x0:x1]
+                dg = cdef[y0:y1, x0:x1]
+                base_sse = float(np.square(s.astype(np.int64) - dg).sum())
+                if base_sse == 0.0:
+                    continue
+                cand = []  # (gain - cost, kind, payload, refs update)
+                sol = solve_wiener_taps(s, dg, chroma=chroma)
+                if sol is not None:
+                    vt, ht = sol
+                    taps6 = list(vt) + list(ht)
+                    trial = dg.copy()
+                    wiener_unit(cdef, deblk, vis_h, vis_w, x0, x1, y0, y1,
+                                vt, ht, bitdepth, _FullWriter(trial, y0, x0))
+                    sse = float(np.square(s.astype(np.int64) - trial).sum())
+                    bits = _BITS_WIENER_FLAG[0] + taps_bits(
+                        taps6, wrefs, chroma)
+                    cand.append((base_sse - sse - lam_pix * 128.0 * bits,
+                                 "W", taps6))
+                sg = search_sgrproj_unit(s, cdef, deblk, vis_h, vis_w,
+                                         x0, x1, y0, y1, bitdepth, srefs,
+                                         sets=sgr_sets)
+                if sg is not None:
+                    entry, sse, bits = sg
+                    cand.append((base_sse - sse - lam_pix * 128.0
+                                 * (bits + _BITS_SGR_FLAG[0]),
+                                 "S", entry))
+                if not cand:
+                    continue
+                gain, kind, payload = max(cand, key=lambda t: t[0])
+                if gain <= 0:
+                    continue
+                kinds.add(kind)
+                if kind == "W":
+                    wgrid[ur][uc] = payload
+                    for p2 in range(2):
+                        for j in range(3):
+                            wrefs[p2][j] = payload[p2 * 3 + j]
+                else:
+                    sgrid[ur][uc] = payload
+                    si, w0, w1 = payload
+                    r0, _, r1, _ = SGR_PARAMS[si]
+                    srefs[0] = w0 if r0 else 0
+                    srefs[1] = w1 if r1 else 95
+        if not kinds:
+            continue
+        if kinds == {"W"}:
+            lr_types[p] = 2
+            wiener_cfg[p] = wgrid
+        elif kinds == {"S"}:
+            lr_types[p] = 3
+            sgr_cfg[p] = sgrid
+        else:
+            lr_types[p] = 1
+            wiener_cfg[p] = wgrid
+            sgr_cfg[p] = sgrid
+    if not any(lr_types):
+        return None, None, None
+    return tuple(lr_types), wiener_cfg, sgr_cfg
+
+
+def apply_restoration(cdef_planes: List[np.ndarray],
+                      deblk_planes: List[np.ndarray],
+                      vis_h: int, vis_w: int, lr_types, unit_shift: int,
+                      wiener_cfg, sgr_cfg, bitdepth: int):
+    """LrFrame for mixed per-unit types (spec 7.17 loop_restore_block
+    dispatch): each unit applies the filter its grid entry names —
+    Wiener taps, SGR (set, xqd) — or passes CDEF through."""
+    size = unit_size(unit_shift)
+    out_planes = []
+    wiener_cfg = wiener_cfg or {}
+    sgr_cfg = sgr_cfg or {}
+    for p, cdef in enumerate(cdef_planes):
+        out = cdef[:vis_h, :vis_w].copy()
+        if lr_types[p] == 0:
+            out_planes.append(out)
+            continue
+        deblk = deblk_planes[p]
+        urows = count_units(vis_h, size)
+        ucols = count_units(vis_w, size)
+        wg = wiener_cfg.get(p)
+        sg = sgr_cfg.get(p)
+        for ur in range(urows):
+            y0, y1 = unit_row_bounds(ur, urows, size, vis_h)
+            for uc in range(ucols):
+                x0 = uc * size
+                x1 = (uc + 1) * size if uc + 1 < ucols else vis_w
+                taps = wg[ur][uc] if wg is not None else None
+                entry = sg[ur][uc] if sg is not None else None
+                if taps is not None:
+                    wiener_unit(cdef[:vis_h, :vis_w],
+                                deblk[:vis_h, :vis_w], vis_h, vis_w,
+                                x0, x1, y0, y1, taps[0:3], taps[3:6],
+                                bitdepth, out)
+                elif entry is not None:
+                    sgrproj_unit(cdef[:vis_h, :vis_w],
+                                 deblk[:vis_h, :vis_w], vis_h, vis_w,
+                                 x0, x1, y0, y1, entry[0], entry[1],
+                                 entry[2], bitdepth, out)
+        out_planes.append(out)
+    return out_planes
 
 
 class _FullWriter:

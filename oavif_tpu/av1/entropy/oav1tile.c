@@ -1048,15 +1048,22 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
     q.cw = cw;
     q.rect = 0;
     int W = cw + 2;
-    memset(q.pad, 0, sizeof(int) * (size_t)W * W);
+    /* zero only the rows the context reads can touch (max coded row
+     * + 2 neighbors): a full 34x34 memset dominated this stage on
+     * dense-coefficient content */
+    int maxr = 0;
     for (int si = 0; si < eob; si++) {
         int pos = scan[si];
         q.pos_r[si] = pos >> (log2i(cw));
         q.pos_c[si] = pos & (cw - 1);
+        if (q.pos_r[si] > maxr) maxr = q.pos_r[si];
+    }
+    int zrows = maxr + 3 < W ? maxr + 3 : W;
+    memset(q.pad, 0, sizeof(int) * (size_t)W * zrows);
+    for (int si = 0; si < eob; si++)
         if (ord[si])
             q.pad[q.pos_r[si] * W + q.pos_c[si]] =
                 ord[si] < 127 ? (int)ord[si] : 127;
-    }
 
     double lam = (double)((((int64_t)dqa_i * dqa_i) >> (2 * shift)) *
                           RDOQ_KNUM) /
@@ -1249,15 +1256,19 @@ static void quantize_rect(const Tile *t, const int32_t *resid, int tw,
     q.cw = tw;
     q.rect = tw > th ? 1 : 2;
     int W = tw + 2;
-    memset(q.pad, 0, sizeof(int) * (size_t)W * (th + 2));
+    int maxr = 0;
     for (int si = 0; si < eob; si++) {
         int pos = scan[si];
         q.pos_r[si] = pos / tw;
         q.pos_c[si] = pos % tw;
+        if (q.pos_r[si] > maxr) maxr = q.pos_r[si];
+    }
+    int zrows = maxr + 3 < th + 2 ? maxr + 3 : th + 2;
+    memset(q.pad, 0, sizeof(int) * (size_t)W * zrows);
+    for (int si = 0; si < eob; si++)
         if (ord[si])
             q.pad[q.pos_r[si] * W + q.pos_c[si]] =
                 ord[si] < 127 ? (int)ord[si] : 127;
-    }
 
     double lam = (double)((((int64_t)dqa_i * dqa_i) >> (2 * shift)) *
                           RDOQ_KNUM) /
@@ -1396,7 +1407,18 @@ static int64_t rate_estimate_rect(const Tile *t, const int32_t *levels,
 
     int W = tw + 2;
     int pad[34 * 34];
-    memset(pad, 0, sizeof(int) * (size_t)W * (th + 2));
+    {
+        /* zero only rows reachable by the +2-row context reads; ctx is
+         * read at ZERO positions inside the eob prefix too, so track
+         * the max row over the whole scan prefix */
+        int maxr = 0;
+        for (int si = 0; si < eob; si++) {
+            int rr2 = scan[si] / tw;
+            if (rr2 > maxr) maxr = rr2;
+        }
+        int zrows = maxr + 3 < th + 2 ? maxr + 3 : th + 2;
+        memset(pad, 0, sizeof(int) * (size_t)W * zrows);
+    }
     for (int si = 0; si < eob; si++)
         if (ofl[si]) {
             int pos = scan[si];
@@ -2216,7 +2238,18 @@ static int64_t rate_estimate_scan(const Tile *t, const int64_t *ofl, int eob,
 
     int W = cw + 2;
     int pad[34 * 34];
-    memset(pad, 0, sizeof(int) * (size_t)W * W);
+    {
+        /* zero only rows reachable by the +2-row context reads; ctx is
+         * read at ZERO positions inside the eob prefix too, so track
+         * the max row over the whole scan prefix */
+        int maxr = 0;
+        for (int si = 0; si < eob; si++) {
+            int rr2 = scan[si] >> bwl;
+            if (rr2 > maxr) maxr = rr2;
+        }
+        int zrows = maxr + 3 < W ? maxr + 3 : W;
+        memset(pad, 0, sizeof(int) * (size_t)W * zrows);
+    }
     for (int si = 0; si < eob; si++) {
         if (ofl[si]) {
             int pos = scan[si];

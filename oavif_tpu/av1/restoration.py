@@ -201,9 +201,12 @@ SGRPROJ_PRJ_BITS = 7
 
 def _sgr_box_sums(ext: np.ndarray, h: int, w: int, r: int):
     """Box sums (and squared sums) over (2r+1)^2 windows centered at
-    grid (i, j) for i, j in [-1, h] x [-1, w], via integral images over
-    the (h+6, w+6) extension. Strength-independent — the search shares
-    one pair across every candidate set with this radius."""
+    grid (i, j), via integral images over the (h+6, w+6) extension.
+    Strength-independent — the search shares one pair across every
+    candidate set with this radius. Grid rows: the r=2 pass only ever
+    reads the ODD grid rows -1, 1, 3, ... (spec: A/B every other row
+    starting at -1), so r=2 sums skip the even ones; r=1 covers
+    [-1, h] densely. Cols cover [-1, w]."""
     e = ext.astype(np.int64)
     ii = np.zeros((ext.shape[0] + 1, ext.shape[1] + 1), np.int64)
     ii2 = np.zeros_like(ii)
@@ -215,7 +218,8 @@ def _sgr_box_sums(ext: np.ndarray, h: int, w: int, r: int):
         return (iiX[i1[:, None], j1[None, :]] - iiX[i0[:, None], j1[None, :]]
                 - iiX[i1[:, None], j0[None, :]] + iiX[i0[:, None], j0[None, :]])
 
-    gi = np.arange(-1, h + 1) + 3  # grid rows in ext coords
+    step = 2 if r == 2 else 1
+    gi = np.arange(-1, h + 1, step) + 3  # grid rows in ext coords
     gj = np.arange(-1, w + 1) + 3
     b_sum = box(ii, gi - r, gi + r + 1, gj - r, gj + r + 1)
     a_sum = box(ii2, gi - r, gi + r + 1, gj - r, gj + r + 1)
@@ -254,26 +258,26 @@ def _sgr_box_filter(ext: np.ndarray, h: int, w: int, r: int, s: int,
     br = np.empty_like(ar)
     shift = np.empty((h, 1), np.int64)
     if pass0_fast:
-        # even rows: 5/6 cross-sum of the ODD A/B grid rows i-1, i+1
-        # (the r=2 pass computes A/B every other row STARTING AT -1,
-        # pinned against dav1d: the even-grid variant leaves a ±1
-        # bias under strong eps)
-        ie = np.arange(0, h, 2)
+        # the r=2 A/B grid holds ONLY the odd grid rows -1, 1, 3, ...
+        # (pinned against dav1d: the even-grid variant leaves a ±1
+        # bias under strong eps); row index j holds grid row 2j-1.
+        # Even output row i reads grid rows i-1, i+1 -> A[i/2], A[i/2+1]
+        # with a 5/6 cross-sum; odd output row i sits ON grid row i
+        # -> A[(i+1)/2], 3-tap {5,6,5}. All strided slices — fancy
+        # gathers here dominated the whole SGR search.
+        ne = (h + 1) // 2  # even output rows
+        no = h // 2        # odd output rows
         for G, out in ((A, ar), (B, br)):
-            out[ie] = (5 * (G[np.ix_(ie, range(w))]
-                            + G[np.ix_(ie, range(2, w + 2))]
-                            + G[np.ix_(ie + 2, range(w))]
-                            + G[np.ix_(ie + 2, range(2, w + 2))])
-                       + 6 * (G[np.ix_(ie, range(1, w + 1))]
-                              + G[np.ix_(ie + 2, range(1, w + 1))]))
-        shift[ie] = 5  # weight sum 32
-        # odd rows sit ON the A/B grid: 3-tap {5,6,5} of the own row
-        io = np.arange(1, h, 2)
-        for G, out in ((A, ar), (B, br)):
-            out[io] = (5 * (G[np.ix_(io + 1, range(w))]
-                            + G[np.ix_(io + 1, range(2, w + 2))])
-                       + 6 * G[np.ix_(io + 1, range(1, w + 1))])
-        shift[io] = 4  # weight sum 16
+            g0 = G[0 : ne, :]            # grid row i-1
+            g1 = G[1 : ne + 1, :]        # grid row i+1
+            out[0:h:2] = (5 * (g0[:, 0:w] + g0[:, 2 : w + 2]
+                               + g1[:, 0:w] + g1[:, 2 : w + 2])
+                          + 6 * (g0[:, 1 : w + 1] + g1[:, 1 : w + 1]))
+            go = G[1 : no + 1, :]        # own grid row
+            out[1:h:2] = (5 * (go[:, 0:w] + go[:, 2 : w + 2])
+                          + 6 * go[:, 1 : w + 1])
+        shift[0:h:2] = 5  # weight sum 32
+        shift[1:h:2] = 4  # weight sum 16
     else:
         # r=1 pass: full 3x3 cross sum, weights 3 corners / 4 edges+c
         for G, out in ((A, ar), (B, br)):
@@ -387,23 +391,24 @@ def solve_wiener_taps(src: np.ndarray, deg: np.ndarray,
     h, w = deg.shape
     if h < 16 or w < 16:
         return None
-    # interior windows only (no boundary modeling in the stats)
-    ys = np.arange(3, h - 3)
-    xs = np.arange(3, w - 3)
-    if ys.size < 8 or xs.size < 8:
+    # interior windows only (no boundary modeling in the stats),
+    # subsampled stride 2 on both axes — keeps the normal equations
+    # well-conditioned and quarters the GEMM. Window rows/cols are
+    # arithmetic sequences, so each shifted window is a strided SLICE
+    # (a np.ix_ fancy gather here cost more than the solve itself)
+    if h - 6 < 8 or w - 6 < 8:
         return None
-    # subsample for cost: stride 2 on both axes keeps the normal
-    # equations well-conditioned and quarters the GEMM
-    ys = ys[::2]
-    xs = xs[::2]
     d = deg.astype(np.float32)
-    X = np.empty((49, ys.size * xs.size), dtype=np.float32)
+    ny = len(range(3, h - 3, 2))
+    nx = len(range(3, w - 3, 2))
+    X = np.empty((49, ny * nx), dtype=np.float32)
     k = 0
     for dy in range(-3, 4):
         for dx in range(-3, 4):
-            X[k] = d[np.ix_(ys + dy, xs + dx)].ravel()
+            X[k] = d[3 + dy : h - 3 + dy : 2,
+                     3 + dx : w - 3 + dx : 2].ravel()
             k += 1
-    tgt = src.astype(np.float32)[np.ix_(ys, xs)].ravel()
+    tgt = src.astype(np.float32)[3 : h - 3 : 2, 3 : w - 3 : 2].ravel()
     n = float(tgt.size)
     H = (X @ X.T) / n
     M = (X @ tgt) / n

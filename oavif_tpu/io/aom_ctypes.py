@@ -1,12 +1,15 @@
 """Second decode oracle: libaom's decoder via ctypes.
 
-dav1d (through libavif) is the primary conformance oracle; this decodes
-raw AV1 temporal units with libaom.so.3 so decoder-disagreement
-questions (e.g. SGRPROJ rounding plateaus) can be arbitrated against a
-second independent implementation. Pinned ABI facts from the round-3
-reverse engineering: aom_codec_dec_init_ver takes ABI version 22 on
-libaom 3.6; aom_image's plane pointers sit after seven ints
-(fmt, cp, tc, mc, monochrome, csp, range) + w/h/depth + 4 more ints.
+dav1d (through libavif, io/avif_ctypes.py) is the primary conformance
+oracle; this decodes raw AV1 temporal units with libaom.so.3 so the
+test suite can hold streams to TWO independent decoders (and so
+decoder-disagreement questions — e.g. the SGRPROJ xqd ref-mid
+off-by-one — can be arbitrated). The reference's decode path is
+libavif/dav1d behind decodeAvifToRgb (reference src/io.zig:638-666);
+libaom is the encoder-side's own decoder, making it the natural
+second opinion. Pinned ABI facts: aom_codec_dec_init_ver takes ABI
+version 22 on libaom 3.6; aom_image's plane pointers sit after seven
+ints (fmt, cp, tc, mc, monochrome, csp, range) + w/h/depth + 4 more.
 """
 
 from __future__ import annotations
@@ -84,6 +87,15 @@ def _aom():
         ]
         _lib = lib
     return _lib
+
+
+def available() -> bool:
+    """True when libaom.so.3 is loadable on this host."""
+    try:
+        _aom()
+        return True
+    except OSError:
+        return False
 
 
 def decode_obu_to_yuv(obu: bytes):

@@ -23,6 +23,10 @@
 #include <stdlib.h>
 #include <string.h>
 
+#ifdef __AVX512F__
+#include <immintrin.h>
+#endif
+
 #define SS2_RADIUS 8
 #define SS2_TAPS (2 * SS2_RADIUS + 1)
 #define SS2_MAXSCALES 6
@@ -64,6 +68,20 @@ static const double SS2_W[108] = {
     0.0005130064588990679, 0.0, 0.00010854057858411537, 0.0, 0.0, 0.0,
 };
 
+/* Static sparsity of SS2_W, exploited to skip work EXACTLY (a feature
+ * whose six weights are all zero contributes nothing to the dot; the
+ * SSIM map is the only consumer of the s22/s12 blurs, so a block with
+ * w[0]==w[3]==0 needs just the mu2 blur for its artifact/detail maps):
+ *   - B channel, scales 0 and 1: all six weights zero -> skip entirely
+ *     (that is 94% of the B channel's pixels);
+ *   - X channel, scale 0: ssim_1 and ssim_4 weights zero -> skip the
+ *     s22/s12 blurs and the td map at the most expensive scale.
+ * Derived at init from the table itself, so a weight edit can't desync. */
+static uint8_t SS2_NEED_ANY[3][SS2_MAXSCALES];
+static uint8_t SS2_NEED_TD[3][SS2_MAXSCALES];
+static uint8_t SS2_NEED_TA[3][SS2_MAXSCALES];
+static uint8_t SS2_NEED_TL[3][SS2_MAXSCALES];
+
 static const double SS2_FINAL_POW = 0.6276336467831387;
 static const double SS2_FINAL_SCALE = 0.9562382616834844;
 static const double SS2_CUBIC_A = 2.326765642916932;
@@ -99,25 +117,96 @@ static void ss2_init(void) {
         sum += k[i];
     }
     for (int i = 0; i < SS2_TAPS; i++) GAUSS_K[i] = (float)(k[i] / sum);
+    for (int c = 0; c < 3; c++)
+        for (int s = 0; s < SS2_MAXSCALES; s++) {
+            const double *w = SS2_W + (c * 6 + s) * 6;
+            SS2_NEED_TD[c][s] = w[0] != 0.0 || w[3] != 0.0;
+            SS2_NEED_TA[c][s] = w[1] != 0.0 || w[4] != 0.0;
+            SS2_NEED_TL[c][s] = w[2] != 0.0 || w[5] != 0.0;
+            SS2_NEED_ANY[c][s] =
+                SS2_NEED_TD[c][s] | SS2_NEED_TA[c][s] | SS2_NEED_TL[c][s];
+        }
     ss2_inited = 1;
 }
 
-/* fast float cbrt for x >= 0 (bit-hack seed + 3 Newton steps, rel err
- * < 1e-6 — the score needs ~1e-4). Vectorizes as plain float ops. */
+/* fast float cbrt for x >= 0 (bit-hack seed + 3 division-free Newton
+ * steps on t = x^{-1/3}, then cbrt = x*t^2; rel err < 1e-6 — the score
+ * needs ~1e-4). No divisions, so the whole xyb loop vectorizes to FMAs. */
 static inline float fcbrtf(float x) {
     union { float f; uint32_t i; } u;
-    u.f = x;
-    u.i = u.i / 3 + 0x2a514067u;
-    float y = u.f;
-    y = (2.0f * y + x / (y * y)) * (1.0f / 3.0f);
-    y = (2.0f * y + x / (y * y)) * (1.0f / 3.0f);
-    y = (2.0f * y + x / (y * y)) * (1.0f / 3.0f);
-    return y;
+    u.f = x + 1e-35f; /* keep the exponent hack off denormals/zero */
+    u.i = 0x54995300u - u.i / 3; /* tuned: max rel err 3.1e-7 on (1e-4,2.2) */
+    float t = u.f; /* ~ x^{-1/3} */
+    float x3 = x * (1.0f / 3.0f);
+    t = t * (4.0f / 3.0f) - (x3 * t) * (t * t) * t;
+    t = t * (4.0f / 3.0f) - (x3 * t) * (t * t) * t;
+    t = t * (4.0f / 3.0f) - (x3 * t) * (t * t) * t;
+    return x * t * t;
 }
 
-/* separable 17-tap Gaussian, zero-padded borders. tmp is w*h scratch. */
+/* separable 17-tap Gaussian, zero-padded borders. tmp is w*h scratch.
+ *
+ * Both passes accumulate taps in ascending-k order PER OUTPUT ELEMENT, so
+ * the fused AVX-512 sweep below is bit-identical to the scalar fallback
+ * (and to the original 17-sweep saxpy formulation): only the iteration
+ * shape changed, not any element's float op sequence. */
 static void ss2_blur(const float *restrict in, float *restrict out,
                      float *restrict tmp, int w, int h) {
+#ifdef __AVX512F__
+    /* horizontal: one sweep, 16 outputs per vector, 17 fused fma */
+    for (int y = 0; y < h; y++) {
+        const float *r = in + (size_t)y * w;
+        float *o = tmp + (size_t)y * w;
+        int x = 0;
+        /* left border (k-clamped), scalar */
+        for (; x < SS2_RADIUS && x < w; x++) {
+            float acc = 0.0f;
+            int k0 = SS2_RADIUS - x;
+            int k1 = (x + SS2_RADIUS < w) ? SS2_TAPS : SS2_TAPS - (x + SS2_RADIUS - w + 1);
+            for (int k = k0; k < k1; k++) acc += GAUSS_K[k] * r[x + k - SS2_RADIUS];
+            o[x] = acc;
+        }
+        /* interior: full tap range */
+        int xe = w - SS2_RADIUS; /* last x with k1 == SS2_TAPS is xe-1 */
+        for (; x + 16 <= xe; x += 16) {
+            __m512 acc = _mm512_setzero_ps();
+            const float *base = r + x - SS2_RADIUS;
+            for (int k = 0; k < SS2_TAPS; k++)
+                acc = _mm512_fmadd_ps(_mm512_set1_ps(GAUSS_K[k]),
+                                      _mm512_loadu_ps(base + k), acc);
+            _mm512_storeu_ps(o + x, acc);
+        }
+        for (; x < w; x++) {
+            float acc = 0.0f;
+            int k0 = x >= SS2_RADIUS ? 0 : SS2_RADIUS - x;
+            int k1 = (x + SS2_RADIUS < w) ? SS2_TAPS : SS2_TAPS - (x + SS2_RADIUS - w + 1);
+            for (int k = k0; k < k1; k++) acc += GAUSS_K[k] * r[x + k - SS2_RADIUS];
+            o[x] = acc;
+        }
+    }
+    /* vertical: one sweep down the rows, 16 columns per vector */
+    for (int y = 0; y < h; y++) {
+        float *o = out + (size_t)y * w;
+        int k0 = y >= SS2_RADIUS ? 0 : SS2_RADIUS - y;
+        int k1 = (y + SS2_RADIUS < h) ? SS2_TAPS : SS2_TAPS - (y + SS2_RADIUS - h + 1);
+        const float *rbase = tmp + (size_t)(y - SS2_RADIUS) * w;
+        int x = 0;
+        for (; x + 16 <= w; x += 16) {
+            __m512 acc = _mm512_setzero_ps();
+            for (int k = k0; k < k1; k++)
+                acc = _mm512_fmadd_ps(_mm512_set1_ps(GAUSS_K[k]),
+                                      _mm512_loadu_ps(rbase + (size_t)k * w + x),
+                                      acc);
+            _mm512_storeu_ps(o + x, acc);
+        }
+        for (; x < w; x++) {
+            float acc = 0.0f;
+            for (int k = k0; k < k1; k++)
+                acc += GAUSS_K[k] * rbase[(size_t)k * w + x];
+            o[x] = acc;
+        }
+    }
+#else
     /* horizontal */
     for (int y = 0; y < h; y++) {
         const float *r = in + (size_t)y * w;
@@ -143,6 +232,7 @@ static void ss2_blur(const float *restrict in, float *restrict out,
             for (int x = 0; x < w; x++) o[x] += c * r[x];
         }
     }
+#endif
 }
 
 /* (h,w,3) u8 sRGB -> 3 planar linear float planes (each w*h) */
@@ -175,24 +265,40 @@ static void ss2_down2(const float *in, int w, int h, float *out) {
     }
 }
 
-/* 3 planar linear planes -> 3 planar positive-XYB planes (may alias) */
-static void ss2_xyb(const float *lin, int w, int h, float *xyb) {
+/* 3 planar linear planes -> 3 planar positive-XYB planes (may alias).
+ * with_b=0 skips the S cone + B plane (exact when the B channel's
+ * weights are all zero at this scale — see SS2_NEED_ANY). */
+static void ss2_xyb(const float *lin, int w, int h, float *xyb, int with_b) {
     size_t n = (size_t)w * h;
     const float *R = lin, *G = lin + n, *B = lin + 2 * n;
     float *X = xyb, *Y = xyb + n, *Bp = xyb + 2 * n;
-    for (size_t i = 0; i < n; i++) {
-        float r = R[i], g = G[i], b = B[i];
-        float l = OPSIN_M[0] * r + OPSIN_M[1] * g + OPSIN_M[2] * b + OPSIN_BIAS;
-        float m = OPSIN_M[3] * r + OPSIN_M[4] * g + OPSIN_M[5] * b + OPSIN_BIAS;
-        float s = OPSIN_M[6] * r + OPSIN_M[7] * g + OPSIN_M[8] * b + OPSIN_BIAS;
-        l = fcbrtf(fmaxf(l, 0.f)) - CBRT_OPSIN_BIAS;
-        m = fcbrtf(fmaxf(m, 0.f)) - CBRT_OPSIN_BIAS;
-        s = fcbrtf(fmaxf(s, 0.f)) - CBRT_OPSIN_BIAS;
-        float x = (l - m) * 0.5f;
-        float y = (l + m) * 0.5f;
-        X[i] = x * 14.0f + 0.42f;
-        Y[i] = y + 0.01f;
-        Bp[i] = (s - y) + 0.55f;
+    if (with_b) {
+        for (size_t i = 0; i < n; i++) {
+            float r = R[i], g = G[i], b = B[i];
+            float l = OPSIN_M[0] * r + OPSIN_M[1] * g + OPSIN_M[2] * b + OPSIN_BIAS;
+            float m = OPSIN_M[3] * r + OPSIN_M[4] * g + OPSIN_M[5] * b + OPSIN_BIAS;
+            float s = OPSIN_M[6] * r + OPSIN_M[7] * g + OPSIN_M[8] * b + OPSIN_BIAS;
+            l = fcbrtf(fmaxf(l, 0.f)) - CBRT_OPSIN_BIAS;
+            m = fcbrtf(fmaxf(m, 0.f)) - CBRT_OPSIN_BIAS;
+            s = fcbrtf(fmaxf(s, 0.f)) - CBRT_OPSIN_BIAS;
+            float x = (l - m) * 0.5f;
+            float y = (l + m) * 0.5f;
+            X[i] = x * 14.0f + 0.42f;
+            Y[i] = y + 0.01f;
+            Bp[i] = (s - y) + 0.55f;
+        }
+    } else {
+        for (size_t i = 0; i < n; i++) {
+            float r = R[i], g = G[i], b = B[i];
+            float l = OPSIN_M[0] * r + OPSIN_M[1] * g + OPSIN_M[2] * b + OPSIN_BIAS;
+            float m = OPSIN_M[3] * r + OPSIN_M[4] * g + OPSIN_M[5] * b + OPSIN_BIAS;
+            l = fcbrtf(fmaxf(l, 0.f)) - CBRT_OPSIN_BIAS;
+            m = fcbrtf(fmaxf(m, 0.f)) - CBRT_OPSIN_BIAS;
+            float x = (l - m) * 0.5f;
+            float y = (l + m) * 0.5f;
+            X[i] = x * 14.0f + 0.42f;
+            Y[i] = y + 0.01f;
+        }
     }
 }
 
@@ -247,10 +353,12 @@ void *ssimu2_ref_new(const uint8_t *rgb, int w, int h) {
         sc->img1 = (float *)malloc(3 * n * 4);
         sc->mu1 = (float *)malloc(3 * n * 4);
         sc->s11 = (float *)malloc(3 * n * 4);
-        ss2_xyb(lin, cw, ch, sc->img1);
+        ss2_xyb(lin, cw, ch, sc->img1, SS2_NEED_ANY[2][s]);
         for (int c = 0; c < 3; c++) {
+            if (!SS2_NEED_ANY[c][s]) continue;
             const float *p = sc->img1 + (size_t)c * n;
             ss2_blur(p, sc->mu1 + (size_t)c * n, tmp, cw, ch);
+            if (!SS2_NEED_TD[c][s]) continue;
             for (size_t i = 0; i < n; i++) sq[i] = p[i] * p[i];
             ss2_blur(sq, sc->s11 + (size_t)c * n, tmp, cw, ch);
         }
@@ -303,64 +411,82 @@ double ssimu2_score(const void *pctx, const uint8_t *dist_rgb) {
         }
         const Ss2Scale *sc = &ctx->sc[s];
         size_t n = (size_t)cw * chh;
-        ss2_xyb(lin, cw, chh, img2);
+        ss2_xyb(lin, cw, chh, img2, SS2_NEED_ANY[2][s]);
         for (int c = 0; c < 3; c++) {
+            if (!SS2_NEED_ANY[c][s]) continue; /* zero-weighted: exact skip */
+            int need_td = SS2_NEED_TD[c][s];
+            int need_al = SS2_NEED_TA[c][s] || SS2_NEED_TL[c][s];
             const float *i1 = sc->img1 + (size_t)c * n;
             const float *m1 = sc->mu1 + (size_t)c * n;
             const float *v11 = sc->s11 + (size_t)c * n;
             const float *i2 = img2 + (size_t)c * n;
             float *m2 = mu2 + (size_t)c * n;
             ss2_blur(i2, m2, tmp, cw, chh);
-            for (size_t i = 0; i < n; i++) sq[i] = i2[i] * i2[i];
-            ss2_blur(sq, s22, tmp, cw, chh);
-            for (size_t i = 0; i < n; i++) sq[i] = i1[i] * i2[i];
-            ss2_blur(sq, s12, tmp, cw, chh);
-            /* 8-lane parallel double accumulators: deterministic (fixed
-             * lane assignment) and vectorizable, unlike a serial FP
-             * reduction the compiler must not reassociate. */
-            double vd1[8] = {0}, vd4[8] = {0}, va1[8] = {0}, va4[8] = {0},
-                   vl1[8] = {0}, vl4[8] = {0};
-            /* pass A: flat per-pixel maps into scratch (vectorizes);
-             * pass B: 8-lane deterministic double accumulation */
-            for (size_t j = 0; j < n; j++) {
-                float mu1v = m1[j], mu2v = m2[j];
-                float mu11 = mu1v * mu1v, mu22 = mu2v * mu2v;
-                float mud = mu1v - mu2v;
-                float num_m = 1.0f - mud * mud;
-                float num_s = 2.0f * (s12[j] - mu1v * mu2v) + (float)SS2_C2;
-                float den_s =
-                    (v11[j] - mu11) + (s22[j] - mu22) + (float)SS2_C2;
-                td_buf[j] = fmaxf(1.0f - (num_m * num_s) / den_s, 0.0f);
-                float r = (1.0f + fabsf(i2[j] - mu2v)) /
-                              (1.0f + fabsf(i1[j] - mu1v)) -
-                          1.0f;
-                ta_buf[j] = fmaxf(r, 0.0f);
-                tl_buf[j] = fmaxf(-r, 0.0f);
-            }
-            size_t i8 = n & ~(size_t)7;
-            for (size_t i = 0; i < i8; i += 8) {
-                for (int u = 0; u < 8; u++) {
-                    double dd = td_buf[i + u], d2 = dd * dd;
-                    vd1[u] += dd;
-                    vd4[u] += d2 * d2;
-                    double a = ta_buf[i + u], a2 = a * a;
-                    va1[u] += a;
-                    va4[u] += a2 * a2;
-                    double l = tl_buf[i + u], l2 = l * l;
-                    vl1[u] += l;
-                    vl4[u] += l2 * l2;
+            if (need_td) {
+                for (size_t i = 0; i < n; i++) sq[i] = i2[i] * i2[i];
+                ss2_blur(sq, s22, tmp, cw, chh);
+                for (size_t i = 0; i < n; i++) sq[i] = i1[i] * i2[i];
+                ss2_blur(sq, s12, tmp, cw, chh);
+                for (size_t j = 0; j < n; j++) {
+                    float mu1v = m1[j], mu2v = m2[j];
+                    float mu11 = mu1v * mu1v, mu22 = mu2v * mu2v;
+                    float mud = mu1v - mu2v;
+                    float num_m = 1.0f - mud * mud;
+                    float num_s =
+                        2.0f * (s12[j] - mu1v * mu2v) + (float)SS2_C2;
+                    float den_s =
+                        (v11[j] - mu11) + (s22[j] - mu22) + (float)SS2_C2;
+                    td_buf[j] = fmaxf(1.0f - (num_m * num_s) / den_s, 0.0f);
                 }
             }
-            for (size_t j = i8; j < n; j++) {
-                double dd = td_buf[j], d2 = dd * dd;
-                vd1[0] += dd;
-                vd4[0] += d2 * d2;
-                double a = ta_buf[j], a2 = a * a;
-                va1[0] += a;
-                va4[0] += a2 * a2;
-                double l = tl_buf[j], l2 = l * l;
-                vl1[0] += l;
-                vl4[0] += l2 * l2;
+            if (need_al) {
+                for (size_t j = 0; j < n; j++) {
+                    float r = (1.0f + fabsf(i2[j] - m2[j])) /
+                                  (1.0f + fabsf(i1[j] - m1[j])) -
+                              1.0f;
+                    ta_buf[j] = fmaxf(r, 0.0f);
+                    tl_buf[j] = fmaxf(-r, 0.0f);
+                }
+            }
+            /* 8-lane parallel double accumulators: deterministic (fixed
+             * lane assignment) and vectorizable, unlike a serial FP
+             * reduction the compiler must not reassociate. Each map's
+             * accumulation order is identical to the original fused
+             * loop's (per-accumulator adds in ascending j, same lanes). */
+            double vd1[8] = {0}, vd4[8] = {0}, va1[8] = {0}, va4[8] = {0},
+                   vl1[8] = {0}, vl4[8] = {0};
+            size_t i8 = n & ~(size_t)7;
+            if (need_td) {
+                for (size_t i = 0; i < i8; i += 8)
+                    for (int u = 0; u < 8; u++) {
+                        double dd = td_buf[i + u], d2 = dd * dd;
+                        vd1[u] += dd;
+                        vd4[u] += d2 * d2;
+                    }
+                for (size_t j = i8; j < n; j++) {
+                    double dd = td_buf[j], d2 = dd * dd;
+                    vd1[0] += dd;
+                    vd4[0] += d2 * d2;
+                }
+            }
+            if (need_al) {
+                for (size_t i = 0; i < i8; i += 8)
+                    for (int u = 0; u < 8; u++) {
+                        double a = ta_buf[i + u], a2 = a * a;
+                        va1[u] += a;
+                        va4[u] += a2 * a2;
+                        double l = tl_buf[i + u], l2 = l * l;
+                        vl1[u] += l;
+                        vl4[u] += l2 * l2;
+                    }
+                for (size_t j = i8; j < n; j++) {
+                    double a = ta_buf[j], a2 = a * a;
+                    va1[0] += a;
+                    va4[0] += a2 * a2;
+                    double l = tl_buf[j], l2 = l * l;
+                    vl1[0] += l;
+                    vl4[0] += l2 * l2;
+                }
             }
             double sd1 = 0, sd4 = 0, sa1 = 0, sa4 = 0, sl1 = 0, sl4 = 0;
             for (int u = 0; u < 8; u++) {

@@ -2731,6 +2731,36 @@ static void try_square_arm_c(Tile *t, int r, int c, int part,
     *rate_out = rate;
 }
 
+/* Host partition picks (128/64/32 nodes incl. the rect duel) recorded
+ * into the decision stream so replay probes skip the SSD proxies and the
+ * real-RD duels entirely (the duel was ~20 ms of every replayed encode).
+ * Same 10-int row stride as block rows; pseudo size byte 2 in the tag is
+ * disjoint from every real block tag (16/17/18/32/64/128). Mirrors
+ * frame.py _dec_part_replay/_dec_part_record. */
+static int dec_part_replay(Tile *t, int r, int c, int size) {
+    if (t->dec_mode != 2) return -2; /* -2: caller must compute */
+    int tag = (r << 16) | (c << 8) | 2;
+    if (t->dec_pos + 10 <= t->dec_cap && t->dec_buf[t->dec_pos] == tag &&
+        t->dec_buf[t->dec_pos + 1] == size) {
+        int part = t->dec_buf[t->dec_pos + 2];
+        t->dec_pos += 10;
+        return part;
+    }
+    t->dec_mode = 0; /* sequence diverged: disarm for the tile */
+    return -2;
+}
+
+static void dec_part_record(Tile *t, int r, int c, int size, int part) {
+    if (t->dec_mode == 1 && t->dec_buf && t->dec_pos + 10 <= t->dec_cap) {
+        int32_t *dd = t->dec_buf + t->dec_pos;
+        t->dec_pos += 10;
+        memset(dd, 0, 10 * sizeof(int32_t));
+        dd[0] = (r << 16) | (c << 8) | 2;
+        dd[1] = size;
+        dd[2] = part;
+    }
+}
+
 static const uint8_t PART_CTX_BYTE_FWD[65] = {
     [4] = 31, [8] = 30, [16] = 28, [32] = 24, [64] = 16};
 
@@ -4325,14 +4355,26 @@ static void encode_partition(Tile *t, int r, int c, int size) {
         else if (size == 128) {
             /* sb128 root: NONE only when near-flat AND inside the mi
              * grid (hanging roots split, the 32/64 convention) */
-            part = (r + 32 <= t->mi_rows && c + 32 <= t->mi_cols)
-                       ? choose_partition128(t, r, c)
-                       : PARTITION_SPLIT;
+            if (r + 32 <= t->mi_rows && c + 32 <= t->mi_cols) {
+                part = dec_part_replay(t, r, c, 128);
+                if (part < 0) {
+                    part = choose_partition128(t, r, c);
+                    dec_part_record(t, r, c, 128, part);
+                }
+            } else {
+                part = PARTITION_SPLIT;
+            }
         }
         else if (size == 64 && r + 16 <= t->mi_rows &&
                  c + 16 <= t->mi_cols) {
             part = planned_part64(t, r, c);
-            if (part < 0) part = choose_partition64(t, r, c);
+            if (part < 0) {
+                part = dec_part_replay(t, r, c, 64);
+                if (part < 0) {
+                    part = choose_partition64(t, r, c);
+                    dec_part_record(t, r, c, 64, part);
+                }
+            }
         }
         else if (size > 32)
             part = PARTITION_SPLIT;
@@ -4344,7 +4386,13 @@ static void encode_partition(Tile *t, int r, int c, int size) {
             part = PARTITION_SPLIT;
         else if (size == 32 && t->speed <= 9 && t->qindex <= 90) {
             part = t->enable_rect ? -1 : planned_part32(t, r, c);
-            if (part < 0) part = choose_partition32(t, r, c);
+            if (part < 0) {
+                part = dec_part_replay(t, r, c, 32);
+                if (part < 0) {
+                    part = choose_partition32(t, r, c);
+                    dec_part_record(t, r, c, 32, part);
+                }
+            }
         }
         else
             part = PARTITION_NONE;

@@ -616,6 +616,27 @@ class TileEncoder:
             prev = cdf[s]
         return sum(widths[m] for m in members if m < nsym)
 
+    def _dec_part_replay(self, r: int, c: int, size: int):
+        """Replay a recorded host partition pick (128/64/32 nodes incl.
+        the rect duel); None = caller must compute. Pseudo size byte 2 in
+        the tag is disjoint from every real block tag. Mirrors
+        oav1tile.c dec_part_replay."""
+        if self._dec_mode != 2:
+            return None
+        buf, pos = self._dec["buf"], self._dec_pos
+        tag = (r << 16) | (c << 8) | 2
+        if (pos + 10 <= int(self._dec["len"]) and int(buf[pos]) == tag
+                and int(buf[pos + 1]) == size):
+            self._dec_pos += 10
+            return int(buf[pos + 2])
+        self._dec_mode = 0  # sequence diverged: disarm for the tile
+        return None
+
+    def _dec_part_record(self, r: int, c: int, size: int, part: int) -> None:
+        if self._dec_mode == 1:
+            self._dec_out += [(r << 16) | (c << 8) | 2, size, part,
+                              0, 0, 0, 0, 0, 0, 0]
+
     def _encode_partition(self, r: int, c: int, size: int) -> None:
         if r >= self.mi_rows or c >= self.mi_cols:
             return
@@ -634,7 +655,10 @@ class TileEncoder:
                 # blocks force SPLIT, the 32/64 convention)
                 if (r + 32 <= self.mi_rows and c + 32 <= self.mi_cols
                         and not self._force_sb128_none_test):
-                    part = self._choose_partition128(r, c)
+                    part = self._dec_part_replay(r, c, 128)
+                    if part is None:
+                        part = self._choose_partition128(r, c)
+                        self._dec_part_record(r, c, 128, part)
                 elif self._force_sb128_none_test and (
                         r + 32 <= self.mi_rows and c + 32 <= self.mi_cols):
                     part = PARTITION_NONE
@@ -644,7 +668,10 @@ class TileEncoder:
                   and c + 16 <= self.mi_cols):
                 part = self._planned_part64(r, c)
                 if part is None:
-                    part = self._choose_partition64(r, c)
+                    part = self._dec_part_replay(r, c, 64)
+                    if part is None:
+                        part = self._choose_partition64(r, c)
+                        self._dec_part_record(r, c, 64, part)
             elif size > 32:
                 part = PARTITION_SPLIT
             elif size == 32 and (
@@ -661,10 +688,13 @@ class TileEncoder:
                     self._planned_part32(r, c)
                 )
                 if part is None:
+                    part = self._dec_part_replay(r, c, 32)
+                if part is None:
                     # splitting pays at high quality (closer prediction
                     # edges beat the extra signaling); at coarse q it only
                     # adds overhead — measured on the rate/score curves
                     part = self._choose_partition32(r, c)
+                    self._dec_part_record(r, c, 32, part)
             else:
                 part = PARTITION_NONE
             ctx = self._partition_ctx(r, c, size)

@@ -276,28 +276,33 @@ def main():
     first = next(iter(images.values()))
     _ = compute_ssimulacra2(first, first)
 
-    # ---- ours: full wall time (encode + metric + control) ----
+    # ---- ours: full corpus wall (encode + metric + control), pipelined
+    # across images (tq/pipeline.py): the device worker prefetches the
+    # next image's plan (and, on fast links, scores probes) while the
+    # host core encodes — the reference has no corpus-level overlap ----
+    from oavif_tpu.tq.pipeline import search_encode_corpus
+
     warm = _make_ctx(first)
     warm.o.max_pass = 1
     search_encode(warm, tpu)
 
     stage_acc = _install_stage_timers()
     ours = {}
-    ours_total_s = 0.0
-    for name, img in images.items():
-        best = None
-        for _ in range(3):  # best-of-3: single-core host timing is noisy
-            ctx = _make_ctx(img)
-            t0 = time.time()
-            res, data = search_encode(ctx, tpu)
-            dt = time.time() - t0
-            if best is None or dt < best[0]:
-                best = (dt, res, data, ctx.num_pass)
-        dt, res, data, npass = best
-        ours_total_s += dt
+    names = list(images.keys())
+    best_run = None
+    for _ in range(3):  # best-of-3: single-core host timing is noisy
+        ctxs = [_make_ctx(images[n]) for n in names]
+        results = search_encode_corpus(ctxs, tpu)
+        wall = search_encode_corpus.last_wall
+        if best_run is None or wall < best_run[0]:
+            best_run = (wall, results,
+                        list(search_encode_corpus.last_host_s),
+                        search_encode_corpus.last_mode)
+    ours_total_s, results, host_s, pipe_mode = best_run
+    for name, (res, data), hs in zip(names, results, host_s):
         ours[name] = {
-            "s": round(dt, 3),
-            "passes": npass,
+            "host_s": round(hs, 3),
+            "passes": res.num_pass,
             "q": res.q,
             "score": round(res.score, 2),
             "bytes": len(data),
@@ -355,6 +360,16 @@ def main():
                         "loop filter/CDEF, conversions, mux"
                     ),
                     "ours_wall_includes_metric": True,
+                    "ours_pipeline_scorer": pipe_mode,
+                    "ours_wall_note": (
+                        "ours_total_s is the single pipelined corpus "
+                        "wall (tq/pipeline.py); per-image host_s is that "
+                        "image's own host encode"
+                        + (" + inline metric" if pipe_mode == "c" else
+                           " (scoring overlapped on device)")
+                        + "; the baseline runs strictly sequentially per "
+                        "the reference's loop"
+                    ),
                     "baseline_total_s": round(base_total_s, 3),
                     "baseline_timer_covers": "encode+decode only (metric untimed)",
                     "per_image_ours": ours,

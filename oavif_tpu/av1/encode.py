@@ -234,6 +234,44 @@ def _cached_planes(src_data: np.ndarray, rgb: np.ndarray, out_depth: int):
     return planes, stats
 
 
+def prefetch_plan(ctx: EncCtx, quality: int) -> None:
+    """Warm the device planner cache for ctx's frame at `quality`.
+
+    The corpus pipeline (tq/pipeline.py) runs this on its device worker
+    thread while the host encodes OTHER images, so the first probe of
+    each image finds its plan already resident instead of paying the
+    tunnel round-trip inline. Uses the same plane/planner caches as the
+    encode path (frame._get_planner, _cached_planes), so a concurrent
+    duplicate computation is merely wasted work, never a wrong plan.
+    Single-tile frames only (multi-tile frames skip quietly — the
+    per-tile planner keys differ)."""
+    o, src = ctx.o, ctx.src
+    qindex = quality_to_qindex(quality)
+    if qindex <= 0 or o.speed > 9:
+        return
+    out_depth = 10 if o.tenbit else (10 if src.hbd else 8)
+    d = src.data
+    if d.ndim == 2:
+        d = d[..., None]
+    if src.channels in (1, 2):
+        rgb_src = np.repeat(d[..., 0][..., None], 3, axis=2)
+    else:
+        rgb_src = d[..., :3]
+    rgb = _depth_convert(rgb_src, src.hbd, out_depth)
+    planes, _ = _cached_planes(src.data, rgb, out_depth)
+    if np.asarray(planes[0]).size < 256 * 256:
+        return
+    from .frame import _get_planner
+
+    try:
+        nmodes = 13 if o.speed <= 9 else 5
+        duel_level = 2 if o.speed <= 5 else (1 if o.speed <= 6 else 0)
+        planner = _get_planner(planes, out_depth, nmodes, duel_level, 0)
+        planner.plan(qindex, exact=o.speed <= 4)
+    except Exception:
+        pass
+
+
 def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
     """Encode per ctx options at quantizer ctx.q; returns (avif bytes,
     reconstructed 8-bit RGB for in-loop scoring)."""

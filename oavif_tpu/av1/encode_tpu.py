@@ -400,6 +400,13 @@ class FramePlanner:
         self.nmodes = nmodes
         self.duel_level = duel_level
         self.device = device
+        # the corpus pipeline prefetches plans from a worker thread while
+        # the encode path plans inline; serializing per planner keeps the
+        # returned Plan INSTANCE stable per (qindex window), which the
+        # decision-reuse cache's id(plan) binding depends on
+        import threading
+
+        self._plan_lock = threading.RLock()
         y = np.asarray(planes[0])
         h, w = y.shape
         self.h, self.w = h, w
@@ -444,6 +451,10 @@ class FramePlanner:
         replans at every distinct qindex."""
         if self.dev is None:
             return None
+        with self._plan_lock:
+            return self._plan_locked(qindex, exact)
+
+    def _plan_locked(self, qindex: int, exact: bool) -> Optional[dict]:
         # plans vary with q only through dq-scaled gates; probes at nearby
         # quantizers reuse the cached plan (never across the qindex-90
         # partition gate) — saves a device step + fetch per probe

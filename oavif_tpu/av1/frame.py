@@ -3493,6 +3493,7 @@ class TileEncoder:
 
 
 _PLANNER_CACHE: dict = {}
+_PLANNER_CACHE_LOCK = __import__("threading").Lock()
 
 
 def _get_planner(tile_planes, bitdepth, nmodes=13, duel_level=0,
@@ -3503,7 +3504,11 @@ def _get_planner(tile_planes, bitdepth, nmodes=13, duel_level=0,
     (crc32 of the Y bytes, <1 ms at 512² — collisions would serve another
     image's plan and make bitstreams depend on process history), with
     per-key LRU eviction so frames with more tiles than the capacity
-    don't thrash."""
+    don't thrash. Get-or-create is serialized: the corpus pipeline's
+    prefetch worker and the encode path may ask for a planner
+    concurrently, and a duplicate instance would break the decision
+    cache's id(plan) binding (planner construction only DISPATCHES the
+    device upload, so holding the lock across it is cheap)."""
     import zlib
 
     from .encode_tpu import FramePlanner
@@ -3511,6 +3516,15 @@ def _get_planner(tile_planes, bitdepth, nmodes=13, duel_level=0,
     y = np.ascontiguousarray(tile_planes[0])
     key = (y.shape, len(tile_planes), bitdepth, nmodes, duel_level,
            zlib.crc32(y.tobytes()))
+    with _PLANNER_CACHE_LOCK:
+        return _get_planner_locked(key, tile_planes, bitdepth, nmodes,
+                                   duel_level, tile_idx)
+
+
+def _get_planner_locked(key, tile_planes, bitdepth, nmodes, duel_level,
+                        tile_idx):
+    from .encode_tpu import FramePlanner
+
     fp = _PLANNER_CACHE.get(key)
     if fp is None:
         while len(_PLANNER_CACHE) >= 8:

@@ -152,6 +152,34 @@ def find_target_quality(
       - final selection: lowest q whose score >= target; if none, the
         last history entry maximizing max(score, 0) (tq.zig:183-209).
     """
+    gen = search_quality_gen(
+        score_tgt, tolerance, max_pass, seed_fn=seed_fn,
+        slope_prior=slope_prior,
+    )
+    try:
+        q = next(gen)
+        while True:
+            q = gen.send(probe(q))
+    except StopIteration as stop:
+        return stop.value
+
+
+def search_quality_gen(
+    score_tgt: float,
+    tolerance: float,
+    max_pass: int,
+    seed_fn: Optional[Callable[[float], int]] = None,
+    slope_prior: Optional[tuple] = None,
+):
+    """The search loop as a coroutine: yields the next quantizer to probe,
+    receives the score via .send(), and returns the SearchResult through
+    StopIteration.value.
+
+    This IS find_target_quality's implementation (that function just
+    drives this generator synchronously), factored so the corpus pipeline
+    (tq/pipeline.py) can interleave many searches over one host core with
+    asynchronous device scoring without duplicating the reference
+    semantics (tq.zig:124-210)."""
     history: List[PassResult] = []
     lo_bound, hi_bound = 0, 100
     num_pass = 0
@@ -180,7 +208,7 @@ def find_target_quality(
         if any(h.q == q for h in history):
             break  # quantizer already probed (tq.zig:141-148)
 
-        score = probe(q)
+        score = yield q
         num_pass += 1
         history.append(PassResult(q=q, score=score))
 

@@ -425,6 +425,42 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None,
                         vals += [0, 0, 0, 0, 0, 0, 0]
         lr_arr = np.asarray(vals, dtype=np.int32)
         lr_ptr = _i32p(lr_arr)
+    dump_dir = os.environ.get("OAVIF_DUMP_TILE_INPUTS")
+    if dump_dir:
+        # marshal-time dump for tools/profile_c_tile.py's gprof harness:
+        # written HERE so the dump tracks the real ABI by construction
+        from pathlib import Path as _P
+
+        dd = _P(dump_dir)
+        dd.mkdir(parents=True, exist_ok=True)
+        for i, a in enumerate(src_arrs):
+            a.tofile(dd / f"src_{i}.bin")
+        for i, a in enumerate(cdf_arrs):
+            a.tofile(dd / f"cdf_{i}.bin")
+        for i, a in enumerate(scan_arrs):
+            a.tofile(dd / f"scan_{i}.bin")
+        for i, a in enumerate(sm_arrs):
+            a.tofile(dd / f"sm_{i}.bin")
+        for i, (fhm, fwm) in enumerate(fmats):
+            fhm.tofile(dd / f"fh_{i}.bin")
+            fwm.tofile(dd / f"fw_{i}.bin")
+        dr.tofile(dd / "dr.bin")
+        if nbx > 0:
+            plan_arr.tofile(dd / "plan.bin")
+        if dec_mode:
+            np.ascontiguousarray(dec["buf"], np.int32).tofile(dd / "dec.bin")
+        _fi_taps_arr().tofile(dd / "fi.bin")
+        if lr_arr is not None:
+            lr_arr.tofile(dd / "lr.bin")
+        (dd / "meta.txt").write_text(
+            f"{w} {h} {nplanes} {bitdepth} {speed} {qindex} "
+            f"{int(dc_q(qindex, bitdepth))} {int(ac_q(qindex, bitdepth))} "
+            f"{int(ac_q(quv, bitdepth))} {nbx} {nby} "
+            f"{dec_mode} {int(dec['len']) if dec_mode else 0} "
+            f"{1 if screen_tools else 0} {1 if filter_intra else 0} "
+            f"{1 if lr_arr is not None else 0} {1 if sb128 else 0} "
+            f"{len(cdf_arrs)}\n"
+        )
     n = lib.tile_encode(
         src_ptrs, recon_ptrs,
         nplanes, w, h, bitdepth, speed, qindex,

@@ -193,10 +193,11 @@ int enc_coeffs(
     int n_coded = cw * cw;
     int bwl = ilog_nz((uint32_t)cw) - 1;
 
-    /* eob from scan order */
+    /* eob = highest nonzero scan index + 1; scan from the end with an
+     * early exit (typical eob << n_coded after quantization) */
     int eob = 0;
-    for (int si = 0; si < n_coded; si++)
-        if (lv[scan[si]]) eob = si + 1;
+    for (int si = n_coded - 1; si >= 0; si--)
+        if (lv[scan[si]]) { eob = si + 1; break; }
 
     enc_symbol_adapt(e, txb_skip_row, 2, eob == 0);
     if (eob == 0) {
@@ -219,15 +220,23 @@ int enc_coeffs(
         for (int i = nbits - 2; i >= 0; i--) enc_bool(e, (rest >> i) & 1, 16384);
     }
 
-    /* padded abs levels (cap 127) for context reads */
+    /* padded abs levels (cap 127) for context reads: a thread-local
+     * all-zero buffer, SPARSELY set at the <= eob coded positions and
+     * cleared back to zero after the symbol loop (the buffer's rest-
+     * state is all-zero, so never-touched cells read as the zero
+     * padding the contexts expect) — replaces a calloc+dense-fill+free
+     * per transform block */
     int stride = cw + 2;
-    uint8_t *pad = (uint8_t *)calloc((size_t)(cw + 2) * stride, 1);
-    for (int r = 0; r < cw; r++)
-        for (int c = 0; c < cw; c++) {
-            int32_t v = lv[r * cw + c];
-            int a = v < 0 ? -v : v;
-            pad[r * stride + c] = (uint8_t)(a > 127 ? 127 : a);
-        }
+    static _Thread_local uint8_t pad_buf[(64 + 2) * (64 + 2)];
+    uint8_t *pad = pad_buf;
+    for (int si = 0; si < eob; si++) {
+        int pos = scan[si];
+        int32_t v = lv[pos];
+        if (!v) continue;
+        int a = v < 0 ? -v : v;
+        pad[(pos >> bwl) * stride + (pos & (cw - 1))] =
+            (uint8_t)(a > 127 ? 127 : a);
+    }
 
     for (int si = eob - 1; si >= 0; si--) {
         int pos = scan[si];
@@ -292,7 +301,11 @@ int enc_coeffs(
         }
         if (level > 14) enc_golomb(e, (uint32_t)(level - 15));
     }
-    free(pad);
+    /* restore the thread-local pad's all-zero rest state */
+    for (int si = 0; si < eob; si++) {
+        int pos = scan[si];
+        pad[(pos >> bwl) * stride + (pos & (cw - 1))] = 0;
+    }
     out_ctx[0] = cul > 63 ? 63 : cul;
     out_ctx[1] = dc_cat;
     return eob;
@@ -320,8 +333,8 @@ int enc_coeffs_rect(
     int wide = cw > ch;
 
     int eob = 0;
-    for (int si = 0; si < n_coded; si++)
-        if (lv[scan[si]]) eob = si + 1;
+    for (int si = n_coded - 1; si >= 0; si--)
+        if (lv[scan[si]]) { eob = si + 1; break; }
 
     enc_symbol_adapt(e, txb_skip_row, 2, eob == 0);
     if (eob == 0) {
@@ -345,13 +358,16 @@ int enc_coeffs_rect(
     }
 
     int stride = cw + 2;
-    uint8_t *pad = (uint8_t *)calloc((size_t)(ch + 2) * stride, 1);
-    for (int r = 0; r < ch; r++)
-        for (int c = 0; c < cw; c++) {
-            int32_t v = lv[r * cw + c];
-            int a = v < 0 ? -v : v;
-            pad[r * stride + c] = (uint8_t)(a > 127 ? 127 : a);
-        }
+    /* thread-local all-zero pad, sparsely set + cleared (see enc_coeffs) */
+    static _Thread_local uint8_t pad_buf_r[(64 + 2) * (64 + 2)];
+    uint8_t *pad = pad_buf_r;
+    for (int si = 0; si < eob; si++) {
+        int pos = scan[si];
+        int32_t v = lv[pos];
+        if (!v) continue;
+        int a = v < 0 ? -v : v;
+        pad[(pos / cw) * stride + (pos % cw)] = (uint8_t)(a > 127 ? 127 : a);
+    }
 
     for (int si = eob - 1; si >= 0; si--) {
         int pos = scan[si];
@@ -416,7 +432,10 @@ int enc_coeffs_rect(
         }
         if (level > 14) enc_golomb(e, (uint32_t)(level - 15));
     }
-    free(pad);
+    for (int si = 0; si < eob; si++) {
+        int pos = scan[si];
+        pad[(pos / cw) * stride + (pos % cw)] = 0;
+    }
     out_ctx[0] = cul > 63 ? 63 : cul;
     out_ctx[1] = dc_cat;
     return eob;

@@ -1126,19 +1126,48 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
                     (lvl - 1) < 127 ? (int)(lvl - 1) : 127;
             }
         }
-        /* --- phase 3: interior level decrements (reverse scan) --- */
+        /* --- phase 3: interior level decrements (reverse scan) ---
+         * Exact fast bands: the rate tables are FROZEN per tile, so for
+         * level classes 1..3 the decrement's rate delta
+         * cost(l)-cost(l-1) lies in a precomputable [dmin_l, dmax_l]
+         * over every reachable base ctx. A decrement is accepted iff
+         * dD < lam*delta(bctx); when dD clears the banded bound by at
+         * least lam (the +-1 cost-unit widening) the outcome is decided
+         * WITHOUT computing the context or the table costs. The 1-unit
+         * guard dwarfs the ~1e-13 relative float-order difference
+         * between (ed-ek) vs (ed+lam*c0)<(ek+lam*c1), so outcomes are
+         * identical to the full evaluation — no Python mirror needed
+         * (same argument as the lam*6144 bound, which still covers
+         * lvl > 3 where the delta depends on the br context). */
+        int bd_min[4] = {0, 1 << 30, 1 << 30, 1 << 30};
+        int bd_max[4] = {0, -(1 << 30), -(1 << 30), -(1 << 30)};
+        for (int b = 0; b <= 25; b++) {
+            int d1 = (int)q.base[b][1] + 128 - (int)q.base[b][0];
+            int d2 = (int)q.base[b][2] - (int)q.base[b][1];
+            int d3 = (int)q.base[b][3] - (int)q.base[b][2];
+            if (d1 < bd_min[1]) bd_min[1] = d1;
+            if (d1 > bd_max[1]) bd_max[1] = d1;
+            if (d2 < bd_min[2]) bd_min[2] = d2;
+            if (d2 > bd_max[2]) bd_max[2] = d2;
+            if (d3 < bd_min[3]) bd_min[3] = d3;
+            if (d3 > bd_max[3]) bd_max[3] = d3;
+        }
         for (si = eob - 2; si >= 0; si--) {
             lvl = ord[si];
             if (lvl == 0) continue;
-            /* provably-losing skip: a decrement is accepted iff
-             * dD < lam*(cost(l) - cost(l-1)), and the per-coefficient
-             * cost delta is bounded by base(<=1024) + one br step
-             * (<=1024) + one golomb bit-length step (<=256) < 6144.
-             * When dD >= lam*6144 the decrement cannot win, so skipping
-             * the context + cost evaluations changes NOTHING (no Python
-             * mirror needed — outcomes are identical by this bound). */
             double ek = ERR2(si, lvl), ed = ERR2(si, lvl - 1);
-            if (ed - ek >= lam * 6144.0) continue;
+            double dd = ed - ek;
+            if (lvl <= 3) {
+                if (dd >= lam * (double)(bd_max[lvl] + 1)) continue;
+                if (dd < lam * (double)(bd_min[lvl] - 1)) {
+                    ord[si] = lvl - 1;
+                    q.pad[q.pos_r[si] * W + q.pos_c[si]] =
+                        (lvl - 1) < 127 ? (int)(lvl - 1) : 127;
+                    continue;
+                }
+            } else if (dd >= lam * 6144.0) {
+                continue;
+            }
             int bctx = rdoq_base_ctx(&q, si);
             if (ed + lam * (double)rdoq_int_cost(&q, lvl - 1, bctx, si) <
                 ek + lam * (double)rdoq_int_cost(&q, lvl, bctx, si)) {

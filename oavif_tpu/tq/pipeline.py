@@ -93,6 +93,7 @@ class _ImgState:
     future: object = None  # in-flight score
     future_q: int = -1
     result: Optional[SearchResult] = None
+    error: Optional[str] = None
     cache: Dict[int, bytes] = field(default_factory=dict)
     host_s: float = 0.0
     timings: List[float] = field(default_factory=list)
@@ -175,8 +176,8 @@ def search_encode_corpus(
     while True:
         _reap()
         ready = [st for st in states
-                 if st.result is None and st.pending_q is not None
-                 and st.future is None]
+                 if st.result is None and st.error is None
+                 and st.pending_q is not None and st.future is None]
         if not ready:
             waiting = [st for st in states if st.future is not None]
             if not waiting:
@@ -195,7 +196,12 @@ def search_encode_corpus(
         t0 = time.perf_counter()
         ctx = st.ctx
         ctx.q = q
-        data, recon = backend.encode_with_recon(ctx)
+        try:
+            data, recon = backend.encode_with_recon(ctx)
+        except Exception as e:  # per-image failure: the corpus continues
+            st.error = f"{type(e).__name__}: {e}"
+            st.host_s += time.perf_counter() - t0
+            continue
         st.host_s += time.perf_counter() - t0
         ctx.num_pass += 1
         ctx.buf = EncBuffer(q=q, data=data, size=len(data))
@@ -215,16 +221,19 @@ def search_encode_corpus(
     corpus_wall = time.perf_counter() - t_corpus0
     worker.shutdown(wait=True)
 
-    out: List[Tuple[SearchResult, bytes]] = []
+    out: List[Tuple[Optional[SearchResult], bytes]] = []
     for st in states:
         r = st.result
-        assert r is not None
+        if r is None:  # per-image failure (st.error carries the reason)
+            out.append((None, b""))
+            continue
         st.ctx.q = r.q
         data = st.cache.get(r.q)
         if data is None:
             data = backend.encode(st.ctx)
         out.append((r, data))
     search_encode_corpus.last_wall = corpus_wall
+    search_encode_corpus.last_errors = [st.error for st in states]
     search_encode_corpus.last_host_s = [st.host_s for st in states]
     search_encode_corpus.last_timings = [st.timings for st in states]
     search_encode_corpus.last_mode = mode

@@ -27,6 +27,7 @@ from __future__ import annotations
 import argparse
 import csv
 import math
+import os
 import re
 import statistics
 import subprocess
@@ -101,6 +102,71 @@ def encode_one(enc_cmd, tolerance, in_path: Path, out_path: Path):
     return row
 
 
+def encode_window(enc_cmd, tolerance, images, out_dir: Path, keep: bool):
+    """Pipelined in-process encode of one window of images
+    (tq/pipeline.py): per-image time is that image's own host encode
+    time; the corpus wall is what the overlap improves (printed by
+    summarize). Flags after module:oavif_tpu are parsed with the CLI's
+    own option parser."""
+    repo_root = str(Path(__file__).resolve().parent.parent)
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
+    from oavif_tpu.backend import EncCtx
+    from oavif_tpu.backend import get_backend
+    from oavif_tpu.io.image import load_image, to_rgb8
+    from oavif_tpu.options import OptionError, parse_args as parse_opts
+    from oavif_tpu.tq.pipeline import search_encode_corpus
+
+    flags = list(enc_cmd[1:])
+    if tolerance is not None:
+        flags += ["--tolerance", str(tolerance)]
+
+    rows, ctxs, live = [], [], []
+    for img in images:
+        row = {
+            "Image": img.name,
+            "Original Bytes": img.stat().st_size,
+            "Final Bytes": "", "Savings Bytes": "", "Savings %": "",
+            "Encoding Time (ms)": "", "Passes": "",
+            "Status": "ok", "Error": "",
+        }
+        rows.append(row)
+        try:
+            parsed = parse_opts(flags + [str(img), str(img) + ".avif"])
+            src = load_image(str(img))
+            rgb = to_rgb8(src)
+            ctxs.append(EncCtx(o=parsed.options, src=src, rgb=rgb,
+                               w=src.width, h=src.height))
+            live.append(row)
+        except (OptionError, OSError, ValueError) as e:
+            row["Status"] = "error"
+            row["Error"] = str(e)[:200]
+
+    backend = get_backend(os.environ.get("OAVIF_TPU_BACKEND", "tpu"))
+    results = search_encode_corpus(ctxs, backend)
+    host_s = search_encode_corpus.last_host_s
+    errors = search_encode_corpus.last_errors
+    for row, (res, data), hs, err in zip(live, results, host_s, errors):
+        if res is None:
+            row["Status"] = "error"
+            row["Error"] = (err or "search failed")[:200]
+            continue
+        name = row["Image"]
+        out_path = out_dir / (Path(name).stem + ".avif")
+        with open(out_path, "wb") as f:
+            f.write(data)
+        row["Final Bytes"] = len(data)
+        row["Savings Bytes"] = row["Original Bytes"] - len(data)
+        row["Savings %"] = round(
+            100.0 * (row["Original Bytes"] - len(data))
+            / row["Original Bytes"], 2)
+        row["Encoding Time (ms)"] = round(hs * 1000, 1)
+        row["Passes"] = res.num_pass
+        if not keep and out_path.exists():
+            out_path.unlink()
+    return rows
+
+
 def summarize(rows, wall_s):
     ok = [r for r in rows if r["Status"] == "ok"]
     print(f"\nImages: {len(ok)}/{len(rows)} ok in {wall_s:.1f}s "
@@ -170,6 +236,12 @@ def main(argv=None):
     ap.add_argument("--merge", nargs="*", default=None,
                     help="merge shard CSVs given as arguments instead of "
                          "encoding (images_dir/oavif_path ignored)")
+    ap.add_argument("--window", type=int, default=0,
+                    help="pipeline this many images' searches concurrently "
+                         "(module:oavif_tpu only): the device worker "
+                         "prefetches planners / scores probes while the "
+                         "host encodes other images (tq/pipeline.py). "
+                         "0 = sequential (reference semantics)")
     args = ap.parse_args(argv)
 
     if args.merge is not None:
@@ -233,16 +305,28 @@ def main(argv=None):
     out_dir = Path(args.output_csv).parent
     rows = list(done_rows) if args.resume and Path(args.output_csv).exists() else []
     t0 = time.time()
-    for img in images:
-        out_path = out_dir / (img.stem + ".avif")
-        rows.append(encode_one(enc_cmd, args.tolerance, img, out_path))
-        if not args.keep and out_path.exists():
-            out_path.unlink()
-        # checkpoint after every image so an interrupted corpus run resumes
-        with open(args.output_csv, "w", newline="") as f:
-            wr = csv.DictWriter(f, fieldnames=FIELDS)
-            wr.writeheader()
-            wr.writerows(rows)
+    if args.window > 1 and enc_cmd[0] == "module:oavif_tpu":
+        for i in range(0, len(images), args.window):
+            batch = images[i : i + args.window]
+            rows += encode_window(enc_cmd, args.tolerance, batch, out_dir,
+                                  args.keep)
+            # checkpoint after every window
+            with open(args.output_csv, "w", newline="") as f:
+                wr = csv.DictWriter(f, fieldnames=FIELDS)
+                wr.writeheader()
+                wr.writerows(rows)
+    else:
+        for img in images:
+            out_path = out_dir / (img.stem + ".avif")
+            rows.append(encode_one(enc_cmd, args.tolerance, img, out_path))
+            if not args.keep and out_path.exists():
+                out_path.unlink()
+            # checkpoint after every image so an interrupted corpus run
+            # resumes
+            with open(args.output_csv, "w", newline="") as f:
+                wr = csv.DictWriter(f, fieldnames=FIELDS)
+                wr.writeheader()
+                wr.writerows(rows)
     wall_s = time.time() - t0
 
     with open(args.output_csv, "w", newline="") as f:

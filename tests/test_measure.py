@@ -92,3 +92,27 @@ def test_corpus_resume(corpus, tmp_path):
     assert "3 done, 0 remaining" in r.stderr
     rows2 = list(csv.DictReader(open(out_csv)))
     assert rows1 == rows2
+
+
+def test_corpus_run_pipelined_window(corpus, tmp_path):
+    """--window N routes module:oavif_tpu through tq/pipeline.py; rows
+    must match the sequential in-process run (same searches, same
+    bytes), with per-image time = that image's own host encode."""
+    env = {**__import__("os").environ, "JAX_PLATFORMS": "cpu",
+           "OAVIF_PIPELINE_METRIC": "c"}
+    seq_csv, pipe_csv = tmp_path / "seq.csv", tmp_path / "pipe.csv"
+    for out_csv, extra in ((seq_csv, []), (pipe_csv, ["--window", "3"])):
+        r = subprocess.run(
+            [sys.executable, str(SCRIPT), str(corpus),
+             "module:oavif_tpu -t 70", str(out_csv)] + extra,
+            capture_output=True, text=True, timeout=300, env=env,
+        )
+        assert r.returncode == 0, r.stderr[-500:]
+    seq = list(csv.DictReader(open(seq_csv)))
+    pipe = list(csv.DictReader(open(pipe_csv)))
+    assert len(pipe) == len(seq) == 3
+    for a, b in zip(seq, pipe):
+        assert b["Status"] == "ok"
+        assert b["Image"] == a["Image"]
+        assert b["Final Bytes"] == a["Final Bytes"]
+        assert b["Passes"] == a["Passes"]

@@ -187,16 +187,21 @@ def _pick_cdef(planes, recon_planes, blocks, qindex, bitdepth, visible,
     return _CDEF_CANDS[idx], damping
 
 
-def _detect_screen_content(y_plane, qindex: int) -> bool:
+def _detect_screen_content(y_plane, qindex: int, bitdepth: int = 8) -> bool:
     """Palette-profitability gate: the fraction of 16x16 luma blocks
     with <= 8 distinct values. Screen content (text, UI, flat graphics)
     scores high; photographs with noise score ~0. Threshold 20%.
 
-    OAVIF_PALETTE=0 disables; screen-detected frames route through the
-    Python tile coder until the C runtime mirrors the palette syntax."""
+    Distinctness is measured at 8-BIT precision regardless of the coding
+    depth: the default 10-bit config depth-converts an 8-bit source,
+    which spreads each block's values ~4x and used to hide screen
+    content from this gate entirely (the per-block lossy-palette trial
+    then handles the residual spread). OAVIF_PALETTE=0 disables."""
     if qindex == 0 or os.environ.get("OAVIF_PALETTE", "1") == "0":
         return False
     y = np.asarray(y_plane)
+    if bitdepth > 8:
+        y = y >> (bitdepth - 8)
     h, w = y.shape
     vh, vw = (h // 16) * 16, (w // 16) * 16
     if vh < 32 or vw < 32:
@@ -323,7 +328,7 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
     # screen-content gate: enable the frame's palette syntax only when
     # the luma is palette-shaped (few distinct values over a meaningful
     # share of 16x16 blocks) — photographic streams stay byte-identical
-    screen_tools = _detect_screen_content(planes[0], qindex)
+    screen_tools = _detect_screen_content(planes[0], qindex, out_depth)
     # filter-intra (recursive filter prediction): RD-dueled per block in
     # both mirrored encoders; enabling the sequence flag costs one binary
     # symbol per eligible DC block, so it arms only at quality speeds

@@ -1870,44 +1870,143 @@ static int64_t palette_tokens_y_c(Tile *t, const uint8_t *map, int hh,
 
 /* exact-palette candidate: 2..8 distinct source values. Returns npal
  * (0 = none), fills pal + map, and rate_out (mirrors _try_palette_y) */
+/* Palette candidate for one block (mirrors frame.py _try_palette_y).
+ *
+ * Exact when the block has 2..8 distinct luma values (distortion 0);
+ * LOSSY otherwise: up to 64 distinct values are clustered to <= 8
+ * palette colors by a deterministic count-weighted 1-D Lloyd iteration
+ * (quantile init, 4 rounds, integer centers, ties to the lower center)
+ * and the clustering SSE enters the RD duel as the palette arm's
+ * distortion. This is what makes palette fire on DEPTH-CONVERTED screen
+ * content: an 8-bit text-on-gradient source re-expanded to the 10-bit
+ * default spreads each block past 8 exact values, while the underlying
+ * content still quantizes to a handful of colors (reference behavior:
+ * libaom's k-means palette search behind io.zig:629). */
 static int try_palette_y_c(Tile *t, int x, int y, int size, uint16_t *pal,
-                           uint8_t *map, int64_t *rate_out) {
+                           uint8_t *map, int64_t *rate_out,
+                           int64_t *dist_out) {
     PROF_SCOPE(PROF_PAL);
-    uint16_t vals[9];
-    int n = 0;
-    for (int rr = 0; rr < size && n <= 8; rr++)
+    enum { MAXD = 64 };
+    static _Thread_local int32_t hist[1 << 12]; /* zero at rest */
+    uint16_t touched[MAXD];
+    int ntouch = 0, over = 0;
+    for (int rr = 0; rr < size && !over; rr++)
         for (int cc = 0; cc < size; cc++) {
             uint16_t v =
                 (uint16_t)t->src[0][(size_t)(y + rr) * t->pw + x + cc];
-            int found = 0;
-            for (int k = 0; k < n; k++)
-                if (vals[k] == v) { found = 1; break; }
-            if (!found) {
-                if (n >= 8) { n = 9; break; }
-                /* insertion sort ascending */
-                int k = n++;
-                while (k > 0 && vals[k - 1] > v) {
-                    vals[k] = vals[k - 1];
-                    k--;
-                }
-                vals[k] = v;
+            if (hist[v] == 0) {
+                if (ntouch >= MAXD) { over = 1; break; }
+                touched[ntouch++] = v;
             }
+            hist[v]++;
         }
-    if (n < 2 || n > 8) return 0;
-    for (int k = 0; k < n; k++) pal[k] = vals[k];
+    if (over || ntouch < 2) {
+        for (int i = 0; i < ntouch; i++) hist[touched[i]] = 0;
+        return 0;
+    }
+    /* ascending (value, count) lists; insertion sort over <= 64 */
+    uint16_t vals[MAXD];
+    int32_t cnt[MAXD];
+    for (int i = 0; i < ntouch; i++) {
+        uint16_t v = touched[i];
+        int k = i;
+        while (k > 0 && vals[k - 1] > v) {
+            vals[k] = vals[k - 1];
+            cnt[k] = cnt[k - 1];
+            k--;
+        }
+        vals[k] = v;
+        cnt[k] = hist[v];
+    }
+    int n = ntouch;
+    int npal;
+    int64_t dist = 0;
+    if (n <= 8) {
+        npal = n;
+        for (int k = 0; k < npal; k++) pal[k] = vals[k];
+    } else {
+        /* weighted-quantile init over the sorted histogram */
+        enum { K = 8 };
+        int64_t total = 0;
+        int64_t cum[MAXD];
+        for (int i = 0; i < n; i++) {
+            total += cnt[i];
+            cum[i] = total;
+        }
+        int64_t centers[K];
+        for (int i = 0; i < K; i++) {
+            int64_t target = ((int64_t)(2 * i + 1) * total) / (2 * K);
+            int j = 0;
+            while (j < n - 1 && cum[j] <= target) j++;
+            centers[i] = vals[j];
+        }
+        /* 4 Lloyd rounds; assignment ties go to the LOWER center */
+        for (int it = 0; it < 4; it++) {
+            int64_t sums[K] = {0};
+            int64_t cnts[K] = {0};
+            for (int i = 0; i < n; i++) {
+                int idx = 0;
+                while (idx < K - 1 &&
+                       2 * (int64_t)vals[i] > centers[idx] + centers[idx + 1])
+                    idx++;
+                sums[idx] += (int64_t)vals[i] * cnt[i];
+                cnts[idx] += cnt[i];
+            }
+            for (int i = 0; i < K; i++)
+                if (cnts[i])
+                    centers[i] = (sums[i] + cnts[i] / 2) / cnts[i];
+        }
+        /* sort (1-D Lloyd preserves order, but integer rounding edge
+         * cases must not produce an unsorted palette — the syntax
+         * requires strictly ascending colors), then dedup */
+        for (int i = 1; i < K; i++) {
+            int64_t v = centers[i];
+            int k2 = i;
+            while (k2 > 0 && centers[k2 - 1] > v) {
+                centers[k2] = centers[k2 - 1];
+                k2--;
+            }
+            centers[k2] = v;
+        }
+        npal = 0;
+        for (int i = 0; i < K; i++)
+            if (npal == 0 || (uint16_t)centers[i] != pal[npal - 1])
+                pal[npal++] = (uint16_t)centers[i];
+        if (npal < 2) {
+            for (int i = 0; i < ntouch; i++) hist[touched[i]] = 0;
+            return 0;
+        }
+        /* distortion of the final assignment */
+        for (int i = 0; i < n; i++) {
+            int idx = 0;
+            while (idx < npal - 1 &&
+                   2 * (int64_t)vals[i] > (int64_t)pal[idx] + pal[idx + 1])
+                idx++;
+            int64_t d = (int64_t)vals[i] - pal[idx];
+            dist += d * d * cnt[i];
+        }
+    }
+    /* reuse the histogram as a value -> palette-index LUT for the map */
+    for (int i = 0; i < n; i++) {
+        int idx = 0;
+        while (idx < npal - 1 &&
+               2 * (int64_t)vals[i] > (int64_t)pal[idx] + pal[idx + 1])
+            idx++;
+        hist[vals[i]] = idx + 1;
+    }
     for (int rr = 0; rr < size; rr++)
         for (int cc = 0; cc < size; cc++) {
             uint16_t v =
                 (uint16_t)t->src[0][(size_t)(y + rr) * t->pw + x + cc];
-            int k = 0;
-            while (pal[k] != v) k++;
-            map[rr * size + cc] = (uint8_t)k;
+            map[rr * size + cc] = (uint8_t)(hist[v] - 1);
         }
+    for (int i = 0; i < ntouch; i++) hist[touched[i]] = 0;
     int64_t rate = 128 * 6 + 128 * t->bitdepth +
-                   (int64_t)128 * (t->bitdepth - 3) * (n - 1);
-    rate += palette_tokens_y_c(t, map, size, size, n, 0);
+                   (int64_t)128 * (t->bitdepth - 3) * (npal - 1);
+    rate += palette_tokens_y_c(t, map, size, size, npal, 0);
     *rate_out = rate;
-    return n;
+    *dist_out = dist;
+    return npal;
 }
 
 static void set_pal_ctx(Tile *t, int r, int c, int nw_mi, int nh_mi,
@@ -3362,9 +3461,9 @@ static void encode_block(Tile *t, int r, int c, int size) {
         rep_depth == 9 && can_code) {
         /* replayed palette decision (depth slot 9): the candidate is
          * deterministic from the source; only the duel is skipped */
-        int64_t rate_pal;
+        int64_t rate_pal, dist_pal;
         int cand = try_palette_y_c(t, x, y, size, pal_colors, pal_map,
-                                   &rate_pal);
+                                   &rate_pal, &dist_pal);
         if (cand) {
             use_palette = 1;
             npal = cand;
@@ -3377,9 +3476,9 @@ static void encode_block(Tile *t, int r, int c, int size) {
     }
     if (t->screen_tools && size >= 8 && size <= 64 && !rep_on &&
         !use_palette && can_code) {
-        int64_t rate_pal;
+        int64_t rate_pal, dist_pal;
         int cand = try_palette_y_c(t, x, y, size, pal_colors, pal_map,
-                                   &rate_pal);
+                                   &rate_pal, &dist_pal);
         if (cand) {
             static _Thread_local int32_t lvN[64 * 64], prN[64 * 64],
                 recN[64 * 64];
@@ -3391,7 +3490,9 @@ static void encode_block(Tile *t, int r, int c, int size) {
             double lam_pix =
                 (double)(((int64_t)t->dq_ac * t->dq_ac >> 6) * RDOQ_KNUM) /
                 (RDOQ_KDEN * 128.0) * t->cur_lamscale;
-            if (lam_pix * (double)rate_pal <
+            /* lossy candidates carry their clustering SSE as distortion
+             * (zero for exact 2..8-value blocks) */
+            if ((double)dist_pal + lam_pix * (double)rate_pal <
                 (double)dN + lam_pix * (double)rN) {
                 use_palette = 1;
                 npal = cand;

@@ -1096,24 +1096,81 @@ class TileEncoder:
         return cost
 
     def _try_palette_y(self, x, y, size):
-        """Palette candidate for one block: exact when the block has
-        2..8 distinct luma values. Returns (pal, idx_map, rate_est) or
+        """Palette candidate for one block (mirrors oav1tile.c
+        try_palette_y_c): exact when the block has 2..8 distinct luma
+        values (distortion 0); LOSSY for up to 64 distinct values via a
+        deterministic count-weighted 1-D Lloyd clustering (quantile
+        init, 4 rounds, integer centers, ties to the lower center) whose
+        SSE enters the duel as the palette arm's distortion — this is
+        what lets palette fire on 8-bit screen content re-expanded to
+        the 10-bit default. Returns (pal, idx_map, rate_est, dist) or
         None."""
         src = self.src[0][y : y + size, x : x + size]
-        vals = np.unique(src)
-        if not (2 <= len(vals) <= 8):
+        vals, cnt = np.unique(src, return_counts=True)
+        n = len(vals)
+        if n < 2 or n > 64:
             return None
-        pal = [int(v) for v in vals]
-        lut = {v: i for i, v in enumerate(pal)}
+        vals = vals.astype(np.int64)
+        cnt = cnt.astype(np.int64)
+        dist = 0
+        if n <= 8:
+            pal = [int(v) for v in vals]
+        else:
+            k = 8
+            cum = np.cumsum(cnt)
+            total = int(cum[-1])
+            centers = np.empty(k, np.int64)
+            for i in range(k):
+                target = ((2 * i + 1) * total) // (2 * k)
+                j = int(np.searchsorted(cum, target, side="right"))
+                centers[i] = vals[min(j, n - 1)]
+            # assignment = the C mirror's prefix scan: first boundary j
+            # with 2v <= centers[j]+centers[j+1] (NOT searchsorted —
+            # integer Lloyd centers can transiently unsort, where a
+            # bisection would diverge from the scan)
+            def _assign(cs):
+                bounds = cs[:-1] + cs[1:]
+                cond = 2 * vals[:, None] <= bounds[None, :]
+                return np.where(cond.any(axis=1), cond.argmax(axis=1),
+                                len(cs) - 1)
+
+            for _ in range(4):
+                idx = _assign(centers)
+                sums = np.bincount(idx, weights=(vals * cnt).astype(
+                    np.float64), minlength=k).astype(np.int64)
+                cnts = np.bincount(idx, weights=cnt.astype(np.float64),
+                                   minlength=k).astype(np.int64)
+                nz = cnts > 0
+                centers[nz] = (sums[nz] + cnts[nz] // 2) // cnts[nz]
+            # sort (integer-rounding edge cases must not yield an
+            # unsorted palette — the syntax needs ascending colors),
+            # then dedup; mirrors the C
+            centers = np.sort(centers)
+            pal = []
+            for cv in centers:
+                if not pal or int(cv) != pal[-1]:
+                    pal.append(int(cv))
+            if len(pal) < 2:
+                return None
+            pala = np.asarray(pal, np.int64)
+            idx = _assign(pala)
+            d = vals - pala[idx]
+            dist = int((d * d * cnt).sum())
+        pala = np.asarray(pal, np.int64)
+        bounds = pala[:-1] + pala[1:]
+        cond = 2 * vals[:, None] <= bounds[None, :]
+        vidx = np.where(cond.any(axis=1), cond.argmax(axis=1), len(pal) - 1)
+        lut = {int(v): int(i) for v, i in zip(vals, vidx)}
         idx_map = [[lut[int(src[rr, cc])] for cc in range(size)]
                    for rr in range(size)]
-        n = len(pal)
+        npal = len(pal)
         # rate estimate: flag+size symbols (~coarse 128*6), colors
         # (bd + deltas bits), index map (exact CDF cost)
         rate = 128 * 6 + 128 * self.bitdepth + 128 * (
-            self.bitdepth - 3) * (n - 1)
-        rate += self._palette_tokens_y(idx_map, size, size, n, emit=False)
-        return pal, idx_map, rate
+            self.bitdepth - 3) * (npal - 1)
+        rate += self._palette_tokens_y(idx_map, size, size, npal,
+                                       emit=False)
+        return pal, idx_map, rate, dist
 
     def _encode_block(self, r: int, c: int, size: int) -> None:
         if self.lossless:
@@ -1259,14 +1316,16 @@ class TileEncoder:
             else:
                 cand = self._try_palette_y(x, y, size)
                 if cand is not None:
-                    pal_c, idx_map_c, rate_pal = cand
+                    pal_c, idx_map_c, rate_pal, dist_pal = cand
                     tN = self._try_luma_depth(x, y, size, 0, y_mode, ntr,
                                               nbl)
                     lam_pix = float(
                         ((self.dq_ac * self.dq_ac) >> 6) * RDOQ_KNUM
                     ) / (RDOQ_KDEN * 128.0) * self._lam_scale
-                    if lam_pix * float(rate_pal) < float(tN[1]) + (
-                            lam_pix * float(tN[2])):
+                    # lossy candidates carry their clustering SSE as
+                    # distortion (zero for exact 2..8-value blocks)
+                    if float(dist_pal) + lam_pix * float(rate_pal) < (
+                            float(tN[1]) + lam_pix * float(tN[2])):
                         use_palette = (pal_c, idx_map_c)
                         y_mode = DC_PRED
                         y_nominee = None

@@ -26,7 +26,7 @@ def _roundtrip(rgb, qindex=60, screen_tools=True, force=False):
         if r is None:
             return None
         used[0] += 1
-        return (r[0], r[1], 0) if force else r
+        return (r[0], r[1], 0, 0) if force else r
     te._try_palette_y = spy
     payload = te.encode()
     seq = SequenceConfig(width=w, height=h, bit_depth=8)
@@ -84,16 +84,26 @@ def test_palette_rd_wins_on_screen_content():
 def test_screen_frames_decline_flags_exact():
     """Screen-content frames code has_palette flags on every eligible
     DC block (including rect blocks); an all-decline stream is
-    bit-exact too."""
+    bit-exact too. Noisy content may now produce LOSSY palette
+    candidates, but the D+lambda*R duel must decline them all: the
+    payload must equal an encode with candidates suppressed."""
     rng = np.random.default_rng(7)
     g = np.clip(
         128 + 60 * np.sin(np.arange(64)[None, :] / 7)
         + rng.normal(0, 6, (64, 64)), 0, 255,
     )
     rgb = np.stack([g, g * 0.9 + 10, 255 - g * 0.7], -1).astype(np.uint8)
-    used, _, _ = _roundtrip(rgb, screen_tools=True)
-    # noisy content has no palette candidates; flags still code
-    assert used == 0
+    used, nbytes, _ = _roundtrip(rgb, screen_tools=True)
+
+    # suppressed-candidate twin (still screen_tools: flags still code)
+    from oavif_tpu.av1.frame import TileEncoder
+    from oavif_tpu.av1.yuv import rgb_to_yuv444
+
+    planes = [p.astype(np.int32) for p in rgb_to_yuv444(rgb, 8)]
+    te = TileEncoder([p.copy() for p in planes], 60, 8, 9,
+                     screen_tools=True)
+    te._try_palette_y = lambda x, y, size: None
+    assert len(te.encode()) == nbytes
 
 
 def test_palette_c_python_byte_parity():
@@ -130,3 +140,71 @@ def test_screen_content_detector():
     noisy = np.clip(128 + rng.normal(0, 20, (128, 128)), 0, 255).astype(
         np.uint8)
     assert not _detect_screen_content(noisy, 60)
+
+
+def _text_on_gradient_rgb(h=128, w=128, seed=19, density=24):
+    rng = np.random.default_rng(seed)
+    yy = np.mgrid[0:h, 0:w][0].astype(np.float64)
+    img = np.stack([200 + 40 * yy / h, 210 + 30 * yy / h,
+                    225 + 20 * yy / h], -1)
+    for _ in range(density):
+        x0, y0 = rng.integers(4, w - 12), rng.integers(4, h - 14)
+        glyph = rng.random((10, 7)) > 0.5
+        col = float(rng.integers(0, 70))
+        for c in range(3):
+            ch = img[y0 : y0 + 10, x0 : x0 + 7, c]
+            ch[glyph] = col
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_lossy_palette_10bit_parity_and_decode():
+    """Lossy palette (the >8-distinct clustering path) on a 10-bit
+    depth-converted text-on-gradient frame: the C and Python coders must
+    agree byte-for-byte, at least one block must actually choose the
+    lossy candidate, and the stream must decode bit-exactly."""
+    from oavif_tpu.av1.entropy.fast import tile_encode_native
+    from oavif_tpu.av1.frame import TileEncoder
+    from oavif_tpu.av1.mux import mux_avif
+    from oavif_tpu.av1.obu import (
+        FrameConfig, SequenceConfig, assemble_av1_stream,
+    )
+    from oavif_tpu.av1.yuv import rgb_to_yuv444
+    from oavif_tpu.io.avif_ctypes import decode_to_yuv
+
+    rgb8 = _text_on_gradient_rgb()
+    # the product's 8->10-bit depth conversion (io.zig formulas)
+    from oavif_tpu.av1.encode import _depth_convert
+
+    rgb10 = _depth_convert(rgb8, False, 10)
+    planes = [p.astype(np.int32) for p in rgb_to_yuv444(rgb10, 10)]
+    h, w = planes[0].shape
+    qi = 60
+
+    te = TileEncoder([p.copy() for p in planes], qi, 10, 9,
+                     screen_tools=True)
+    lossy_used = [0]
+    orig = te._try_palette_y
+
+    def spy(x, y, size):
+        r = orig(x, y, size)
+        if r is not None and r[3] > 0:
+            lossy_used[0] += 1
+        return r
+
+    te._try_palette_y = spy
+    py = te.encode()
+    assert lossy_used[0] > 0, "no lossy palette candidates fired"
+
+    res = tile_encode_native(planes, qi, 10, 9, None, 0, screen_tools=True)
+    if res is None:
+        pytest.skip("native library unavailable")
+    assert res[0] == py
+
+    seq = SequenceConfig(width=w, height=h, bit_depth=10)
+    frame = FrameConfig(width=w, height=h, base_q_idx=qi,
+                        screen_content_tools=True)
+    avif = mux_avif(assemble_av1_stream(seq, frame, [py]), w, h,
+                    bit_depth=10, high_bitdepth=True, cicp=(2, 2, 2))
+    yuv, _, _ = decode_to_yuv(avif)
+    for pi, (ours, dec) in enumerate(zip(te.recon, yuv)):
+        np.testing.assert_array_equal(ours[:h, :w], dec, err_msg=str(pi))

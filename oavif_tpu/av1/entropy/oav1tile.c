@@ -159,6 +159,9 @@ typedef struct {
     int enable_idtx; /* identity-transform duel arm (OAVIF_IDTX) */
     int screen_tools; /* frame allow_screen_content_tools: palette
                          syntax coded per eligible DC block */
+    double rdoq_hf;   /* frequency-weighted RDOQ strength (see
+                         quantize_mat): 0 on screen frames, else 2;
+                         OAVIF_RDOQ_HF overrides */
     int filter_intra; /* seq enable_filter_intra: use flag coded per
                          eligible DC block <= 32 */
     const int32_t *fi_taps; /* filter-intra taps [5][8][8] (av1_tables) */
@@ -1069,13 +1072,28 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
                           RDOQ_KNUM) /
                  (RDOQ_KDEN * 128.0) * t->cur_lamscale;
 
+    /* Frequency-weighted RDOQ distortion (mirrors frame.py _rdoq):
+     * scale the error term at scan position si by 1/(1 + a*si/n_coded),
+     * so level decrements fire more readily on high-frequency
+     * coefficients. SSIMULACRA2's blur+downsample pyramid discounts HF
+     * error, so MSE-faithful RDOQ over-spends on noise coefficients the
+     * metric cannot see (the reference's libaom plays the same game
+     * with quantization matrices). a = 2 on non-screen frames (measured
+     * -2..-6% iso-score bytes on sinusoid/fractal/mixed/oriented), 0 on
+     * screen-content frames whose value IS the HF (text/edges regressed
+     * +6..13% under weighting). OAVIF_RDOQ_HF overrides. */
+    double hf_a = t->rdoq_hf;
+    double hf_den = (double)n_coded;
+
+#define WS(si) (hf_a > 0.0 ? 1.0 / (1.0 + hf_a * (double)(si) / hf_den) : 1.0)
+
 #define ERR2(si, lvl)                                                        \
     ({                                                                       \
         double _a = a_scan[si];                                              \
         double _e = _a - (double)(((int64_t)(lvl) *                          \
                                    ((si) == 0 ? t->dq_dc : dqa_i)) >>       \
                                   shift);                                    \
-        _e * _e;                                                             \
+        _e * _e * WS(si);                                                    \
     })
 
     /* --- phase 1: eob shrinking --- */
@@ -1303,13 +1321,17 @@ static void quantize_rect(const Tile *t, const int32_t *resid, int tw,
                           RDOQ_KNUM) /
                  (RDOQ_KDEN * 128.0) * t->cur_lamscale;
 
+    /* frequency weighting as in quantize_mat (mirrors _rdoq_rect) */
+    double hf_a = t->rdoq_hf;
+    double hf_den = (double)n_coded;
+
 #define ERR2R(si, lvl)                                                       \
     ({                                                                       \
         double _a = a_scan[si];                                              \
         double _e = _a - (double)(((int64_t)(lvl) *                          \
                                    ((si) == 0 ? t->dq_dc : dqa_i)) >>        \
                                   shift);                                    \
-        _e * _e;                                                             \
+        _e * _e * WS(si);                                                    \
     })
 
     /* --- phase 1: eob shrinking --- */
@@ -4783,6 +4805,11 @@ size_t tile_encode(
     t.dec_cap = dec_buf && dec_len_io ? *dec_len_io : 0;
     t.dec_mode = dec_buf ? dec_mode : 0;
     t.screen_tools = screen_tools;
+    {
+        const char *hf_env = getenv("OAVIF_RDOQ_HF");
+        t.rdoq_hf = hf_env ? atof(hf_env) : (screen_tools ? 0.0 : 2.0);
+        if (t.rdoq_hf < 0.0) t.rdoq_hf = 0.0;
+    }
     t.filter_intra = filter_intra && fi_taps != NULL;
     t.fi_taps = fi_taps;
     t.lr_cfg = lr_cfg;

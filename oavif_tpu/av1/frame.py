@@ -257,6 +257,14 @@ class TileEncoder:
         self.sbn = 32 if sb128 else 16  # superblock height/width in mi
         self._lm = self.sbn - 1         # left-context index mask
         self.screen_tools = bool(screen_tools)
+        # frequency-weighted RDOQ strength (see _rdoq; mirrors
+        # oav1tile.c): 0 on screen-content frames whose value IS the
+        # high-frequency detail, else 2; OAVIF_RDOQ_HF overrides
+        hf_env = os.environ.get("OAVIF_RDOQ_HF")
+        self._rdoq_hf = (
+            max(0.0, float(hf_env)) if hf_env is not None
+            else (0.0 if screen_tools else 2.0)
+        )
         self.filter_intra = bool(filter_intra)
         # loop restoration config: {"types": (t0,t1,t2) coded
         # FrameRestorationType per plane, "unit_shift": 0..2,
@@ -1720,8 +1728,13 @@ class TileEncoder:
             if ofl[si]:
                 pad[pos_r[si], pos_c[si]] = min(ofl[si], 127)
 
+        hf_a = self._rdoq_hf
+        hf_den = float(n_coded)
+
         def err2(si, lvl):
             e = float(a_scan[si]) - float((lvl * dq_scan[si]) >> shift)
+            if hf_a > 0.0:
+                return e * e * (1.0 / (1.0 + hf_a * float(si) / hf_den))
             return e * e
 
         def hi_cost(lvl, brctx):
@@ -3151,8 +3164,16 @@ class TileEncoder:
             if ofl[si]:
                 pad[pos_r[si], pos_c[si]] = min(ofl[si], 127)
 
+        # frequency-weighted RDOQ distortion (mirrors oav1tile.c WS):
+        # HF error is discounted on non-screen frames — SSIMULACRA2's
+        # pyramid can't see it, so MSE-faithful decrements under-fire
+        hf_a = self._rdoq_hf
+        hf_den = float(n_coded)
+
         def err2(si: int, lvl: int) -> float:
             e = float(a_scan[si]) - float((lvl * dq_scan[si]) >> shift)
+            if hf_a > 0.0:
+                return e * e * (1.0 / (1.0 + hf_a * float(si) / hf_den))
             return e * e
 
         def hi_cost(lvl: int, brctx: int) -> int:

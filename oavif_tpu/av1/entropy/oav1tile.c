@@ -162,6 +162,8 @@ typedef struct {
     double rdoq_hf;   /* frequency-weighted RDOQ strength (see
                          quantize_mat): 0 on screen frames, else 2;
                          OAVIF_RDOQ_HF overrides */
+    double rdoq_hf_uv; /* chroma-plane strength (default = luma's;
+                          OAVIF_RDOQ_HF_UV overrides) */
     int filter_intra; /* seq enable_filter_intra: use flag coded per
                          eligible DC block <= 32 */
     const int32_t *fi_taps; /* filter-intra taps [5][8][8] (av1_tables) */
@@ -1082,7 +1084,7 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
      * -2..-6% iso-score bytes on sinusoid/fractal/mixed/oriented), 0 on
      * screen-content frames whose value IS the HF (text/edges regressed
      * +6..13% under weighting). OAVIF_RDOQ_HF overrides. */
-    double hf_a = t->rdoq_hf;
+    double hf_a = ptype ? t->rdoq_hf_uv : t->rdoq_hf;
     double hf_den = (double)n_coded;
 
 #define WS(si) (hf_a > 0.0 ? 1.0 / (1.0 + hf_a * (double)(si) / hf_den) : 1.0)
@@ -1322,7 +1324,7 @@ static void quantize_rect(const Tile *t, const int32_t *resid, int tw,
                  (RDOQ_KDEN * 128.0) * t->cur_lamscale;
 
     /* frequency weighting as in quantize_mat (mirrors _rdoq_rect) */
-    double hf_a = t->rdoq_hf;
+    double hf_a = ptype ? t->rdoq_hf_uv : t->rdoq_hf;
     double hf_den = (double)n_coded;
 
 #define ERR2R(si, lvl)                                                       \
@@ -4809,6 +4811,9 @@ size_t tile_encode(
         const char *hf_env = getenv("OAVIF_RDOQ_HF");
         t.rdoq_hf = hf_env ? atof(hf_env) : (screen_tools ? 0.0 : 2.0);
         if (t.rdoq_hf < 0.0) t.rdoq_hf = 0.0;
+        const char *hfu_env = getenv("OAVIF_RDOQ_HF_UV");
+        t.rdoq_hf_uv = hfu_env ? atof(hfu_env) : t.rdoq_hf;
+        if (t.rdoq_hf_uv < 0.0) t.rdoq_hf_uv = 0.0;
     }
     t.filter_intra = filter_intra && fi_taps != NULL;
     t.fi_taps = fi_taps;

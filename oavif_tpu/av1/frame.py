@@ -265,6 +265,11 @@ class TileEncoder:
             max(0.0, float(hf_env)) if hf_env is not None
             else (0.0 if screen_tools else 2.0)
         )
+        hfu_env = os.environ.get("OAVIF_RDOQ_HF_UV")
+        self._rdoq_hf_uv = (
+            max(0.0, float(hfu_env)) if hfu_env is not None
+            else self._rdoq_hf
+        )
         self.filter_intra = bool(filter_intra)
         # loop restoration config: {"types": (t0,t1,t2) coded
         # FrameRestorationType per plane, "unit_shift": 0..2,
@@ -1728,7 +1733,7 @@ class TileEncoder:
             if ofl[si]:
                 pad[pos_r[si], pos_c[si]] = min(ofl[si], 127)
 
-        hf_a = self._rdoq_hf
+        hf_a = self._rdoq_hf_uv if ptype else self._rdoq_hf
         hf_den = float(n_coded)
 
         def err2(si, lvl):
@@ -3167,7 +3172,7 @@ class TileEncoder:
         # frequency-weighted RDOQ distortion (mirrors oav1tile.c WS):
         # HF error is discounted on non-screen frames — SSIMULACRA2's
         # pyramid can't see it, so MSE-faithful decrements under-fire
-        hf_a = self._rdoq_hf
+        hf_a = self._rdoq_hf_uv if ptype else self._rdoq_hf
         hf_den = float(n_coded)
 
         def err2(si: int, lvl: int) -> float:

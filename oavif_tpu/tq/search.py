@@ -375,10 +375,12 @@ def find_target_quality_batched(
 
 def predict_q_native(tgt: float) -> int:
     """Seed calibrated to THIS encoder's quality→score curve (measured on
-    photo/gradient/noise probes against the v2.1-reconstructed metric with
-    the RDOQ(K=1/4) quantizer + chroma delta-q + half-strength deblock:
-    q ≈ 0.62·tgt + 36 across tgt 60–95, extrapolated below), replacing
-    the reference's libaom-calibrated exponential for the native
-    backend."""
-    q = 0.62 * tgt + 36.0
+    photo/gradient/noise probes against the v2.1-reconstructed metric:
+    q ≈ 0.62·tgt + 36 across tgt 60–95 for the round-3 coder; +1 after
+    round 4's frequency-weighted RDOQ shifted the operating curve up —
+    recalibrated with tools/calibrate_seed.py (non-screen q* clusters
+    at 87..95 at tgt 80; intercepts 36/37/38 measured 14/11/13 passes
+    on the bench corpus). Replaces the reference's libaom-calibrated
+    exponential for the native backend."""
+    q = 0.62 * tgt + 37.0
     return int(min(max(_round_half_away(q), 0.0), 100.0))

@@ -267,9 +267,15 @@ static void build_edges_buf(const Tile *t, const int32_t *recon, int x,
 }
 
 /* intra edge availability (square-only z-order; mirrors frame.py) */
+/* Edge availability recursion runs up to the SUPERBLOCK root (t->sbn =
+ * 32 mi under sb128, 16 otherwise — mirrors frame.py _has_top_right /
+ * _has_bottom_left). The 64px-hardcoded version silently mis-derived
+ * the TR/BL prediction edges for blocks inside 128 superblocks, making
+ * the encoder recon diverge from the decoder's (caught by the fuzz
+ * soak; tests/test_sb128.py now pins a directional-bait case). */
 static int has_top_right_c(const Tile *t, int r, int c, int n_mi) {
     int size = n_mi;
-    while (size < 16) {
+    while (size < t->sbn) {
         int parent = size * 2;
         int top = (r % parent) < size;
         int left = (c % parent) < size;
@@ -277,12 +283,12 @@ static int has_top_right_c(const Tile *t, int r, int c, int n_mi) {
         if (!top) return 0;
         size = parent;
     }
-    return r > 0 && ((c | 15) + 1) < t->mi_cols;
+    return r > 0 && ((c | t->lmask) + 1) < t->mi_cols;
 }
 
 static int has_bottom_left_c(const Tile *t, int r, int c, int n_mi) {
     int size = n_mi;
-    while (size < 16) {
+    while (size < t->sbn) {
         int parent = size * 2;
         int top = (r % parent) < size;
         int left = (c % parent) < size;

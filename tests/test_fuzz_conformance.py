@@ -31,8 +31,19 @@ def _content(rng, kind, h, w):
         ang = rng.uniform(0.2, 1.4)
         g = 128 + 90 * np.sin((xx * np.cos(ang) + yy * np.sin(ang)) / 6)
         img = np.stack([g, g, g], -1) + rng.normal(0, 4, (h, w, 3))
-    else:  # dense noise (coefficient stress)
+    elif kind == 3:  # dense noise (coefficient stress)
         img = rng.uniform(0, 255, (h, w, 3))
+    else:  # text-on-gradient (LOSSY palette bait under 10-bit depth
+        # conversion: >8 distinct values per block, still screen-shaped)
+        img = np.stack([200 + 40 * yy / h, 210 + 30 * yy / h,
+                        225 + 20 * yy / h], -1)
+        for _ in range(max(8, h * w // 900)):
+            x0, y0 = rng.integers(2, w - 9), rng.integers(2, h - 12)
+            glyph = rng.random((10, 7)) > 0.5
+            col = float(rng.integers(0, 70))
+            for c in range(3):
+                ch = img[y0 : y0 + 10, x0 : x0 + 7, c]
+                ch[glyph] = col
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
@@ -50,7 +61,7 @@ def _restore_idtx_env():
         os.environ["OAVIF_IDTX"] = saved
 
 
-@pytest.mark.parametrize("case", range(16))
+@pytest.mark.parametrize("case", range(20))
 def test_fuzz_product_decode_equals_recon(case):
     import types as pytypes
 
@@ -62,7 +73,7 @@ def test_fuzz_product_decode_equals_recon(case):
     rng = np.random.default_rng(1000 + case)
     h = int(rng.choice([96, 128, 152, 200, 256]))
     w = int(rng.choice([96, 136, 192, 256]))
-    kind = case % 4
+    kind = case % 5
     img = _content(rng, kind, h, w)
     o = EncOptions()
     o.speed = int(rng.choice([4, 6, 8, 9, 10]))

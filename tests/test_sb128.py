@@ -181,3 +181,52 @@ def test_sb128_deep_split_content_matches_sb64_quality():
     te64.encode()
     for a, b in zip(te128.recon, te64.recon):
         np.testing.assert_array_equal(a, b)
+
+
+def test_sb128_edge_availability_with_plan_decodes_exact():
+    """Regression: the C coder's has_top_right/bottom_left recursion was
+    hardcoded to 64px superblocks, so TR/BL prediction-edge availability
+    inside 128 superblocks diverged from the decoder's (spec recursion
+    runs to the SB root). Oriented-stripe content + the device plan's
+    directional nominees is exactly the bait: the planned 16-blocks read
+    top-right edges. Pins decode==recon through the PRODUCT path on the
+    C coder with a plan, and C<->Python byte parity with the same plan."""
+    import types as pytypes
+
+    from oavif_tpu.av1.encode import encode_avif_with_recon
+    from oavif_tpu.av1.entropy.fast import tile_encode_native
+    from oavif_tpu.av1.frame import _get_planner
+    from oavif_tpu.av1.yuv import rgb_to_yuv444, yuv444_to_rgb
+    from oavif_tpu.io.avif_ctypes import decode_to_yuv
+    from oavif_tpu.options import EncOptions
+
+    rng = np.random.default_rng(1017)
+    yy, xx = np.mgrid[0:256, 0:256].astype(np.float64)
+    ang = 0.9
+    g = 128 + 90 * np.sin((xx * np.cos(ang) + yy * np.sin(ang)) / 6)
+    img = np.clip(
+        np.stack([g, g, g], -1) + rng.normal(0, 4, (256, 256, 3)), 0, 255
+    ).astype(np.uint8)
+
+    # product path (C coder + device plan + sb128 default-on)
+    src = pytypes.SimpleNamespace(data=img, channels=3, hbd=False, icc=None)
+    o = EncOptions()
+    o.tenbit = 0
+    o.speed = 8
+    ctx = pytypes.SimpleNamespace(o=o, src=src, q=65)
+    data, recon = encode_avif_with_recon(ctx)
+    yuv, depth, _ = decode_to_yuv(data)
+    dec_rgb = yuv444_to_rgb([p for p in yuv], bitdepth=depth)
+    np.testing.assert_array_equal(dec_rgb, recon)
+
+    # C <-> Python byte parity with the same plan
+    planes = [np.asarray(p, np.int32) for p in rgb_to_yuv444(img, 8)]
+    plan = _get_planner(planes, 8, 13, 0, 0).plan(88)
+    te = TileEncoder([p.copy() for p in planes], 88, 8, 8, plan=plan,
+                     filter_intra=True, sb128=True)
+    py = te.encode()
+    res = tile_encode_native(planes, 88, 8, 8, plan, 0,
+                             filter_intra=True, sb128=True)
+    if res is None:
+        pytest.skip("native library unavailable")
+    assert res[0] == py

@@ -1806,7 +1806,11 @@ static void code_palette_colors_y_c(Tile *t, const uint16_t *pal, int npal,
                 for (int i = 1; i < next; i++) {
                     int d = ext[i] - ext[i - 1] - 1;
                     if (bits <= 0 || d >= (1 << bits)) { ok = 0; break; }
-                    int bl = ceil_log2_c((1 << bd) - ext[i]);
+                    /* decoder shrink range is maxVal - color =
+                     * (1<<bd) - 1 - color (dav1d read_pal_plane) — the
+                     * off-by-one only bites when 255-color is a power
+                     * of two, which no pre-round-4 test palette hit */
+                    int bl = ceil_log2_c((1 << bd) - 1 - ext[i]);
                     if (bl < bits) bits = bl;
                 }
                 if (ok) break;
@@ -1815,7 +1819,7 @@ static void code_palette_colors_y_c(Tile *t, const uint16_t *pal, int npal,
             int bits = min_bits + extra;
             for (int i = 1; i < next; i++) {
                 write_literal_c(t, ext[i] - ext[i - 1] - 1, bits);
-                int bl = ceil_log2_c((1 << bd) - ext[i]);
+                int bl = ceil_log2_c((1 << bd) - 1 - ext[i]);
                 if (bl < bits) bits = bl;
             }
         }

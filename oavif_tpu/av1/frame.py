@@ -1034,14 +1034,19 @@ class TileEncoder:
                         if bits <= 0 or dlt >= (1 << bits):
                             ok = False
                             break
-                        bits = min(bits, ceil_log2((1 << bd) - ext[i + 1]))
+                        # decoder shrink range is maxVal - color =
+                        # (1<<bd)-1-color (dav1d read_pal_plane); the
+                        # off-by-one only bites when maxVal-color is a
+                        # power of two
+                        bits = min(bits,
+                                   ceil_log2((1 << bd) - 1 - ext[i + 1]))
                     if ok:
                         break
                 self.enc.write_literal(extra, 2)
                 bits = min_bits + extra
                 for i, dlt in enumerate(deltas):
                     self.enc.write_literal(dlt, bits)
-                    bits = min(bits, ceil_log2((1 << bd) - ext[i + 1]))
+                    bits = min(bits, ceil_log2((1 << bd) - 1 - ext[i + 1]))
 
     @staticmethod
     def _palette_color_ctx(idx_map, rr, cc, n):

@@ -208,3 +208,64 @@ def test_lossy_palette_10bit_parity_and_decode():
     yuv, _, _ = decode_to_yuv(avif)
     for pi, (ours, dec) in enumerate(zip(te.recon, yuv)):
         np.testing.assert_array_equal(ours[:h, :w], dec, err_msg=str(pi))
+
+
+def test_palette_color_delta_shrink_pow2_boundary():
+    """Regression: the explicit-color delta coder's shrinking bit width
+    must use the DECODER's range, maxVal - color = (1<<bd)-1-color
+    (dav1d read_pal_plane). The old (1<<bd)-color range over-wrote one
+    bit exactly when maxVal - color is a power of two (e.g. color 239 at
+    8-bit: we wrote 5 bits, dav1d read 4), desyncing every symbol after
+    — latent until lossy palette made clustered high colors common.
+    Forces palettes whose shrink crosses the boundary and pins
+    decode==recon via dav1d AND libaom."""
+    import numpy as np
+
+    from oavif_tpu.av1.frame import TileEncoder
+    from oavif_tpu.av1.mux import mux_avif
+    from oavif_tpu.av1.obu import (
+        FrameConfig, SequenceConfig, assemble_av1_stream,
+    )
+    from oavif_tpu.io.avif_ctypes import decode_to_yuv
+
+    rr, cc = np.mgrid[0:16, 0:16]
+    for colors in ([0, 239, 243], [0, 223, 230],
+                   [37, 233, 234, 235, 236, 237, 239, 240]):
+        pal = np.asarray(colors, np.int32)
+        y = pal[(cc % len(colors))]
+        planes = [y.astype(np.int32),
+                  np.full((16, 16), 128, np.int32),
+                  np.full((16, 16), 128, np.int32)]
+        te = TileEncoder([p.copy() for p in planes], 12, 8, 9,
+                         screen_tools=True)
+        orig = te._try_palette_y
+        used = [0]
+
+        def spy(x, yy, size, o=orig, used=used):
+            r = o(x, yy, size)
+            if r is None:
+                return None
+            used[0] += 1
+            return (r[0], r[1], 0, 0)
+
+        te._try_palette_y = spy
+        payload = te.encode()
+        assert used[0] >= 1
+        seq = SequenceConfig(width=16, height=16, bit_depth=8)
+        frame = FrameConfig(width=16, height=16, base_q_idx=12,
+                            screen_content_tools=True)
+        stream = assemble_av1_stream(seq, frame, [payload])
+        avif = mux_avif(stream, 16, 16, bit_depth=8, high_bitdepth=False,
+                        cicp=(2, 2, 2))
+        yuv, _, _ = decode_to_yuv(avif)
+        np.testing.assert_array_equal(
+            np.asarray(te.recon[0])[:16, :16], yuv[0], err_msg=str(colors))
+        try:
+            from oavif_tpu.io.aom_ctypes import decode_obu_to_yuv
+
+            ayuv = decode_obu_to_yuv(stream)[0]
+            np.testing.assert_array_equal(
+                np.asarray(te.recon[0])[:16, :16], np.asarray(ayuv[0]),
+                err_msg="libaom " + str(colors))
+        except OSError:
+            pass

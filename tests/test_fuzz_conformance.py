@@ -80,7 +80,10 @@ def test_fuzz_product_decode_equals_recon(case):
     o.tenbit = int(rng.choice([0, 1]))
     if rng.random() < 0.3:
         o.tune = TuneMode.SSIM
-    q = int(rng.choice([25, 45, 65, 85]))
+    if rng.random() < 0.25:  # tile grid x toolset interactions
+        o.tile_cols_log2 = int(rng.choice([1, 2]))
+        o.tile_rows_log2 = int(rng.choice([0, 1]))
+    q = int(rng.choice([25, 45, 65, 85, 95]))
     src = pytypes.SimpleNamespace(data=img, channels=3, hbd=False, icc=None)
     ctx = pytypes.SimpleNamespace(o=o, src=src, q=q)
     data, recon = encode_avif_with_recon(ctx)

@@ -261,7 +261,7 @@ def main():
         "text": _img_text(size, size),
         "mixed": _img_mixed(size, size),
     }
-    mp_each = size * size / 1e6
+    mp_total = sum(im.shape[0] * im.shape[1] / 1e6 for im in images.values())
 
     from oavif_tpu.backend.oracle import OracleBackend
     from oavif_tpu.backend.tpu import TpuBackend
@@ -348,9 +348,9 @@ def main():
             "score": round(res.score, 2),
             "bytes": len(data),
         }
-    ours_mps = len(images) * mp_each / ours_total_s
+    ours_mps = mp_total / ours_total_s
     base_total_s, base = best_base
-    base_mps = len(images) * mp_each / base_total_s
+    base_mps = mp_total / base_total_s
 
     print(
         json.dumps(

@@ -68,6 +68,7 @@ def _scan_perm16():
 def _coeffs_body(p, nby, nbx, modes16, bitdepth: int):
     """Per-source+plan stage: forward coefficients of every 16-block's
     open-loop residual under its PLANNED mode. Returns (n, 16, 16) f32."""
+    p = p.astype(jnp.float32)  # planner planes are int16 on device
     base = jnp.float32(1 << (bitdepth - 1))
     blocks, above, left, corner = _grid_edges(p, nby, nbx, 16, base)
     preds = _predict_modes(above, left, corner, 16, 7)  # (n, 7, 16, 16)

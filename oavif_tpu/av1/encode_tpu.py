@@ -262,6 +262,13 @@ def _plan_device_body(y, u, v, dq_ac, qindex_f, nby: int, nbx: int,
     """Device planning step. y/u/v: (sby*64+1, sbx*64+1) padded planes
     (+1 border row/col). Returns (plan64 (sby,sbx), mode32 (nby,nbx),
     part32_split (nby,nbx), mode16 (2nby, 2nbx))."""
+    # planes arrive as int16 (pixel values fit 12 bits) to quarter the
+    # host->device transfer — the tunnel upload was the dominant
+    # first-probe cost at 1024^2 (12.6 MB as float32, 3.2 MB as int16);
+    # the cast fuses into the first device op
+    y = y.astype(jnp.float32)
+    u = u.astype(jnp.float32)
+    v = v.astype(jnp.float32)
     base = jnp.float32(1 << (bitdepth - 1))
     sby, sbx = nby // 2, nbx // 2
 
@@ -430,7 +437,9 @@ class FramePlanner:
         devp = []
         for pi in range(3):
             pl = np.asarray(planes[pi]) if len(planes) > 1 else y
-            p = np.empty((PH + 1, PW + 1), dtype=np.float32)
+            # int16 transfer (values <= 12-bit); _plan_device_body casts
+            # to float32 on device — quarters the tunnel upload
+            p = np.empty((PH + 1, PW + 1), dtype=np.int16)
             p[1 : 1 + H, 1 : 1 + W] = pl[:H, :W]
             # edge-replicate into the bucket padding (content there only
             # shapes padded-SB plans, which are cropped away)

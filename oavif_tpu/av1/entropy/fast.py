@@ -31,7 +31,8 @@ def _build() -> Optional[C.CDLL]:
         return None
     try:
         srcs = [_SRC, _SRC_TILE, _SRC_SSIMU2]
-        newest = max(s.stat().st_mtime for s in srcs)
+        hdrs = [_SRC.parent / "idct_ln_impl.h"]
+        newest = max(s.stat().st_mtime for s in srcs + hdrs)
         if not _SO.exists() or _SO.stat().st_mtime < newest:
             with tempfile.TemporaryDirectory() as td:
                 tmp = Path(td) / "_oav1ec.so"

@@ -543,120 +543,31 @@ static void idct_1d_c(const int64_t *x, int64_t *out, int N) {
     }
 }
 
-/* ---- 4-lane batched cascade: the SAME arithmetic as idct_1d_c applied
- * to LN independent vectors at once ([element][lane] layout). Per-lane
- * results are bit-identical to the scalar path; the lane loops are
- * unit-stride int64 ops the compiler turns into ymm adds/multiplies,
- * amortising the cascade's permutation/index bookkeeping 4x. ---- */
-#define LN 4
-
-static void idct_odd_ln(const int64_t *o, int64_t *s, int N) {
-    int h = N / 2;
-    int m = 0;
-    while ((1 << m) < h) m++;
-    for (int i = 0; i < h / 2; i++) {
-        int k = 2 * brev_c(m, i) + 1;
-        int theta = k * (64 / N);
-        const int64_t *a = o + (size_t)((k - 1) / 2) * LN;
-        const int64_t *b = o + (size_t)((N - k - 1) / 2) * LN;
-        int64_t *s0 = s + (size_t)i * LN, *s1 = s + (size_t)(h - 1 - i) * LN;
-        for (int l = 0; l < LN; l++) {
-            s0[l] = hb(COSPI[64 - theta], a[l], -COSPI[theta], b[l]);
-            s1[l] = hb(COSPI[theta], a[l], COSPI[64 - theta], b[l]);
-        }
-    }
-    int64_t t[32 * LN];
-    for (int L = 1; L < m; L++) {
-        int gs = 1 << L;
-        memcpy(t, s, sizeof(int64_t) * h * LN);
-        for (int q = 0; q < h / gs; q++) {
-            int base = q * gs;
-            for (int j = 0; j < gs / 2; j++) {
-                const int64_t *xx = s + (size_t)(base + j) * LN;
-                const int64_t *yy = s + (size_t)(base + gs - 1 - j) * LN;
-                int64_t *t0 = t + (size_t)(base + j) * LN;
-                int64_t *t1 = t + (size_t)(base + gs - 1 - j) * LN;
-                if (q % 2 == 0)
-                    for (int l = 0; l < LN; l++) {
-                        t0[l] = xx[l] + yy[l];
-                        t1[l] = xx[l] - yy[l];
-                    }
-                else
-                    for (int l = 0; l < LN; l++) {
-                        t0[l] = -xx[l] + yy[l];
-                        t1[l] = xx[l] + yy[l];
-                    }
-            }
-        }
-        memcpy(s, t, sizeof(int64_t) * h * LN);
-        int gr = 1 << (L + 1);
-        memcpy(t, s, sizeof(int64_t) * h * LN);
-        int unit = 64 >> (m - L);
-        for (int i = 0; i < h / 2; i++) {
-            int pig = i % gr;
-            if (!(gr / 4 <= pig && pig < 3 * gr / 4)) continue;
-            int q = i / gr;
-            int nb = m - L - 1;
-            if (nb < 0) nb = 0;
-            int theta = (2 * brev_c(nb, q) + 1) * unit;
-            const int64_t *xx = s + (size_t)i * LN;
-            const int64_t *yy = s + (size_t)(h - 1 - i) * LN;
-            int64_t *t0 = t + (size_t)i * LN;
-            int64_t *t1 = t + (size_t)(h - 1 - i) * LN;
-            if (pig < gr / 2)
-                for (int l = 0; l < LN; l++) {
-                    t0[l] = hb(-COSPI[theta], xx[l], COSPI[64 - theta], yy[l]);
-                    t1[l] = hb(COSPI[64 - theta], xx[l], COSPI[theta], yy[l]);
-                }
-            else
-                for (int l = 0; l < LN; l++) {
-                    t0[l] = hb(-COSPI[64 - theta], xx[l], -COSPI[theta], yy[l]);
-                    t1[l] = hb(-COSPI[theta], xx[l], COSPI[64 - theta], yy[l]);
-                }
-        }
-        memcpy(s, t, sizeof(int64_t) * h * LN);
-    }
-}
-
-static void idct_ln(const int64_t *x, int64_t *out, int N) {
-    if (N == 4) {
-        int64_t s0[LN], s1[LN], s2[LN], s3[LN];
-        for (int l = 0; l < LN; l++) {
-            s0[l] = hb(COSPI[32], x[0 * LN + l], COSPI[32], x[2 * LN + l]);
-            s1[l] = hb(COSPI[32], x[0 * LN + l], -COSPI[32], x[2 * LN + l]);
-            s2[l] = hb(COSPI[48], x[1 * LN + l], -COSPI[16], x[3 * LN + l]);
-            s3[l] = hb(COSPI[16], x[1 * LN + l], COSPI[48], x[3 * LN + l]);
-        }
-        for (int l = 0; l < LN; l++) {
-            out[0 * LN + l] = s0[l] + s3[l];
-            out[1 * LN + l] = s1[l] + s2[l];
-            out[2 * LN + l] = s1[l] - s2[l];
-            out[3 * LN + l] = s0[l] - s3[l];
-        }
-        return;
-    }
-    int h = N / 2;
-    int64_t ev_in[32 * LN], ev[32 * LN], od_in[32 * LN], od[32 * LN];
-    for (int i = 0; i < h; i++)
-        for (int l = 0; l < LN; l++) {
-            ev_in[i * LN + l] = x[(size_t)(2 * i) * LN + l];
-            od_in[i * LN + l] = x[(size_t)(2 * i + 1) * LN + l];
-        }
-    idct_ln(ev_in, ev, h);
-    idct_odd_ln(od_in, od, N);
-    for (int i = 0; i < h; i++)
-        for (int l = 0; l < LN; l++) {
-            out[i * LN + l] = ev[i * LN + l] + od[(h - 1 - i) * LN + l];
-            out[(h + i) * LN + l] = ev[(h - 1 - i) * LN + l] - od[i * LN + l];
-        }
-}
+/* ---- lane-batched cascades: idct_ln_impl.h instantiated at 4 and 8
+ * lanes. Per-lane results are bit-identical to the scalar path and to
+ * each other (lanes are independent columns); 8 lanes = one zmm of
+ * int64, amortising the cascade's index bookkeeping twice as far. ---- */
+#define IDCT_LANES 4
+#define IDCT_ODD_FN idct_odd_ln4
+#define IDCT_FN idct_ln4
+#include "idct_ln_impl.h"
+#undef IDCT_LANES
+#undef IDCT_ODD_FN
+#undef IDCT_FN
+#define IDCT_LANES 8
+#define IDCT_ODD_FN idct_odd_ln8
+#define IDCT_FN idct_ln8
+#include "idct_ln_impl.h"
+#undef IDCT_LANES
+#undef IDCT_ODD_FN
+#undef IDCT_FN
 
 /* 2D inverse (square DCT_DCT only for now): coeffs h*w int32 natural
  * order in `c`, result residual written back into `c`. Rows and columns
  * run through the 4-lane cascade (all dims here are multiples of 4). */
 void inv_txfm2d_c(int32_t *c, int w, int h, int bitdepth) {
     int64_t buf[64 * 64];
-    int64_t vec[64 * LN], outv[64 * LN];
+    int64_t vec[64 * 8], outv[64 * 8];
     /* INV_ROW_SHIFT: {4:0, 8:1, 16:2, 32:2, 64:2} by max dim; 2:1 rects
      * shift ONE LESS (dav1d per-size table, disasm-verified: 32x16 uses
      * 1 where 32x32 uses 2) -- mirrors transform.py inv_row_shift */
@@ -686,31 +597,40 @@ void inv_txfm2d_c(int32_t *c, int w, int h, int bitdepth) {
         }
     }
 
-    /* rows: lanes = 4 consecutive rows (transposed load/store) */
-    for (int r0 = 0; r0 < h; r0 += LN) {
-        for (int i = 0; i < w; i++)
-            for (int l = 0; l < LN; l++)
-                vec[i * LN + l] = buf[(size_t)(r0 + l) * w + i];
-        idct_ln(vec, outv, w);
-        for (int i = 0; i < w; i++)
-            for (int l = 0; l < LN; l++) {
-                int64_t v = row_shift ? round2(outv[i * LN + l], row_shift)
-                                      : outv[i * LN + l];
-                if (v < -clamp - 1) v = -clamp - 1;
-                if (v > clamp) v = clamp;
-                buf[(size_t)(r0 + l) * w + i] = v;
-            }
+    /* rows: lanes = consecutive rows (transposed load/store); 8 lanes
+     * whenever h allows (every dim here but 4 is a multiple of 8) */
+#define ROWS_PASS(LNC, FN)                                                   \
+    for (int r0 = 0; r0 < h; r0 += LNC) {                                    \
+        for (int i = 0; i < w; i++)                                          \
+            for (int l = 0; l < LNC; l++)                                    \
+                vec[i * LNC + l] = buf[(size_t)(r0 + l) * w + i];            \
+        FN(vec, outv, w);                                                    \
+        for (int i = 0; i < w; i++)                                          \
+            for (int l = 0; l < LNC; l++) {                                  \
+                int64_t v = row_shift ? round2(outv[i * LNC + l], row_shift) \
+                                      : outv[i * LNC + l];                   \
+                if (v < -clamp - 1) v = -clamp - 1;                          \
+                if (v > clamp) v = clamp;                                    \
+                buf[(size_t)(r0 + l) * w + i] = v;                           \
+            }                                                                \
     }
-    /* cols: lanes = 4 consecutive columns (contiguous loads) */
-    for (int c0 = 0; c0 < w; c0 += LN) {
-        for (int i = 0; i < h; i++)
-            for (int l = 0; l < LN; l++)
-                vec[i * LN + l] = buf[(size_t)i * w + c0 + l];
-        idct_ln(vec, outv, h);
-        for (int i = 0; i < h; i++)
-            for (int l = 0; l < LN; l++)
-                buf[(size_t)i * w + c0 + l] = round2(outv[i * LN + l], 4);
+    if (h % 8 == 0) { ROWS_PASS(8, idct_ln8) }
+    else { ROWS_PASS(4, idct_ln4) }
+#undef ROWS_PASS
+    /* cols: lanes = consecutive columns (contiguous loads) */
+#define COLS_PASS(LNC, FN)                                                   \
+    for (int c0 = 0; c0 < w; c0 += LNC) {                                    \
+        for (int i = 0; i < h; i++)                                          \
+            for (int l = 0; l < LNC; l++)                                    \
+                vec[i * LNC + l] = buf[(size_t)i * w + c0 + l];              \
+        FN(vec, outv, h);                                                    \
+        for (int i = 0; i < h; i++)                                          \
+            for (int l = 0; l < LNC; l++)                                    \
+                buf[(size_t)i * w + c0 + l] = round2(outv[i * LNC + l], 4);  \
     }
+    if (w % 8 == 0) { COLS_PASS(8, idct_ln8) }
+    else { COLS_PASS(4, idct_ln4) }
+#undef COLS_PASS
     for (int r = 0; r < h; r++)
         for (int cc = 0; cc < w; cc++) c[r * w + cc] = (int32_t)buf[r * w + cc];
 }

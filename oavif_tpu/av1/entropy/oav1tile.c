@@ -1178,10 +1178,31 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
             if (d3 < bd_min[3]) bd_min[3] = d3;
             if (d3 > bd_max[3]) bd_max[3] = d3;
         }
+        /* vectorizable precompute of the decrement distortion deltas:
+         * every ERR2 term here depends only on a_scan (fixed) and the
+         * element's OWN current level — phase 3 never revisits a
+         * position, so values computed after phase 2 are exactly what
+         * the serial loop would compute in place (identical per-element
+         * float ops; the branchy loop below then touches only the
+         * decisions) */
+        static _Thread_local double ek_pre[1024], ed_pre[1024];
+        {
+            int lim = eob - 1 > 0 ? eob - 1 : 0;
+            for (int si2 = 0; si2 < lim; si2++) {
+                int64_t l2 = ord[si2];
+                double wsi = WS(si2);
+                int64_t dqv = si2 == 0 ? t->dq_dc : dqa_i;
+                double a2 = a_scan[si2];
+                double e0 = a2 - (double)((l2 * dqv) >> shift);
+                double e1 = a2 - (double)(((l2 - 1) * dqv) >> shift);
+                ek_pre[si2] = e0 * e0 * wsi;
+                ed_pre[si2] = e1 * e1 * wsi;
+            }
+        }
         for (si = eob - 2; si >= 0; si--) {
             lvl = ord[si];
             if (lvl == 0) continue;
-            double ek = ERR2(si, lvl), ed = ERR2(si, lvl - 1);
+            double ek = ek_pre[si], ed = ed_pre[si];
             double dd = ed - ek;
             if (lvl <= 3) {
                 if (dd >= lam * (double)(bd_max[lvl] + 1)) continue;

@@ -272,6 +272,38 @@ _CDF_ORDER = (
 )
 
 
+_FWD_MATS_CACHE = None
+
+
+def _get_fwd_mats(fwd_matrices):
+    """Constant forward-transform matrices for the C coder, built once.
+
+    fwd_matrices() is ~14 ms for the 11 (size, type) pairs — rebuilt per
+    tile encode it was the single largest wrapper overhead (the matrices
+    depend on nothing per-call). The arrays are kept alive alongside the
+    ctypes pointer packs so the C side never sees a dangling pointer.
+    """
+    global _FWD_MATS_CACHE
+    if _FWD_MATS_CACHE is None:
+        fmats = [
+            tuple(np.ascontiguousarray(m, dtype=np.float64)
+                  for m in fwd_matrices(w_, h_, tt))
+            for w_, h_, tt in (
+                (8, 8, "dct_dct"), (16, 16, "dct_dct"), (32, 32, "dct_dct"),
+                (64, 64, "dct_dct"), (8, 8, "adst_adst"),
+                (16, 16, "adst_adst"),
+                (4, 4, "dct_dct"), (32, 16, "dct_dct"), (16, 32, "dct_dct"),
+                (8, 8, "idtx"), (16, 16, "idtx"),
+            )
+        ]
+        fh_ptrs = (C.POINTER(C.c_double) * 11)(
+            *[m[0].ctypes.data_as(C.POINTER(C.c_double)) for m in fmats])
+        fw_ptrs = (C.POINTER(C.c_double) * 11)(
+            *[m[1].ctypes.data_as(C.POINTER(C.c_double)) for m in fmats])
+        _FWD_MATS_CACHE = (fmats, fh_ptrs, fw_ptrs)
+    return _FWD_MATS_CACHE
+
+
 def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None,
                        u_ac_delta_q=0, dec=None, screen_tools=False,
                        filter_intra=False, lr=None, sb128=False):
@@ -346,20 +378,7 @@ def tile_encode_native(planes, qindex, bitdepth=8, speed=9, plan=None,
     sm_ptrs = (C.POINTER(C.c_int32) * 5)(*[_i32p(a) for a in sm_arrs])
     dr = np.ascontiguousarray(TABLES["dr_intra_derivative"], dtype=np.int32)
 
-    fmats = [
-        tuple(np.ascontiguousarray(m, dtype=np.float64)
-              for m in fwd_matrices(w_, h_, tt))
-        for w_, h_, tt in (
-            (8, 8, "dct_dct"), (16, 16, "dct_dct"), (32, 32, "dct_dct"),
-            (64, 64, "dct_dct"), (8, 8, "adst_adst"), (16, 16, "adst_adst"),
-            (4, 4, "dct_dct"), (32, 16, "dct_dct"), (16, 32, "dct_dct"),
-            (8, 8, "idtx"), (16, 16, "idtx"),
-        )
-    ]
-    fh_ptrs = (C.POINTER(C.c_double) * 11)(
-        *[m[0].ctypes.data_as(C.POINTER(C.c_double)) for m in fmats])
-    fw_ptrs = (C.POINTER(C.c_double) * 11)(
-        *[m[1].ctypes.data_as(C.POINTER(C.c_double)) for m in fmats])
+    fmats, fh_ptrs, fw_ptrs = _get_fwd_mats(fwd_matrices)
 
     plan_arr = None
     plan_ptr = C.POINTER(C.c_int32)()

@@ -32,12 +32,14 @@ enum {
     PROF_BLOCK, PROF_LUMA_TRIAL, PROF_QUANT, PROF_RATE, PROF_INV,
     PROF_PREDICT, PROF_MODE, PROF_PART, PROF_PAL, PROF_RECT,
     PROF_RECT_BLK, PROF_QFWD, PROF_QSETUP, PROF_QRDOQ, PROF_QE2,
+    PROF_SETUP, PROF_CODE, PROF_TOTAL,
     PROF_NSLOT
 };
 static const char *const PROF_NAMES[PROF_NSLOT] = {
     "block", "luma_trial", "quant_rdoq", "rate_est", "inv_recon",
     "predict", "mode_choose", "part_ssd", "palette", "rect_duel",
-    "rect_block", "q_fwd", "q_setup", "q_rdoq", "q_e2"};
+    "rect_block", "q_fwd", "q_setup", "q_rdoq", "q_e2",
+    "setup", "code", "total"};
 static _Thread_local double prof_acc[PROF_NSLOT];
 static _Thread_local int64_t prof_cnt[PROF_NSLOT];
 static int prof_enabled = -1;
@@ -4790,6 +4792,8 @@ size_t tile_encode(
         const char *pe = getenv("OAVIF_PROF");
         prof_enabled = pe && pe[0] == '1';
     }
+    PROF_SCOPE(PROF_TOTAL);
+    double prof_setup_t0 = prof_enabled > 0 ? prof_now() : 0.0;
     Tile t;
     memset(&t, 0, sizeof(t));
     t.w = w; t.h = h;
@@ -4908,7 +4912,12 @@ size_t tile_encode(
         }
     }
 
+    if (prof_enabled > 0) {
+        prof_acc[PROF_SETUP] += prof_now() - prof_setup_t0;
+        prof_cnt[PROF_SETUP]++;
+    }
     t.enc = enc_new();
+    double prof_code_t0 = prof_enabled > 0 ? prof_now() : 0.0;
     for (int sb_r = 0; sb_r < t.sb_rows; sb_r++) {
         memset(t.left_part, 0, sizeof(t.left_part));
         memset(t.left_skip, 0, sizeof(t.left_skip));
@@ -4925,6 +4934,10 @@ size_t tile_encode(
         }
     }
 
+    if (prof_enabled > 0) {
+        prof_acc[PROF_CODE] += prof_now() - prof_code_t0;
+        prof_cnt[PROF_CODE]++;
+    }
     uint8_t *payload;
     size_t n = enc_done(t.enc, &payload);
     *out_payload = (uint8_t *)malloc(n);

@@ -51,33 +51,24 @@ _LINK_CALIB: Optional[str] = None
 
 
 def _pick_scorer_mode() -> str:
-    """auto: score on the device only when one recon upload + readback
-    beats the host C scorer (~18 ms at 512^2) — on a workcell tunnel
-    (~25 ms RTT, ~30 MB/s up) the device LOSES and the C scorer wins;
-    on a locally attached TPU the device path wins and also frees the
-    host core. Calibrated once per process with a recon-sized transfer
-    (same policy as av1/device_stage.device_levels_enabled)."""
+    """auto -> "hybrid" on any real device backend: each probe's score
+    goes to the device worker WHEN another image has a probe ready for
+    the host core to encode (the device round-trip then hides entirely
+    behind that encode, even on a slow tunnel), and runs inline on the
+    host C scorer when the pipeline would otherwise stall (the corpus
+    tail, where a device round-trip's latency lands on the wall).
+    OAVIF_PIPELINE_METRIC=c|jax|hybrid forces a mode; on a CPU jax
+    backend the device path is the same core, so C wins by default."""
     global _LINK_CALIB
     mode = os.environ.get("OAVIF_PIPELINE_METRIC", "auto").lower()
-    if mode in ("c", "jax"):
+    if mode in ("c", "jax", "hybrid"):
         return mode
     if _LINK_CALIB is not None:
         return _LINK_CALIB
     try:
         import jax
-        import jax.numpy as jnp
 
-        if jax.default_backend() == "cpu":
-            _LINK_CALIB = "c"
-            return _LINK_CALIB
-        x = jax.device_put(np.zeros((512, 512, 3), np.uint8))
-        f = jax.jit(lambda a: jnp.float32(a.sum()))
-        float(f(x))  # compile + warm
-        t0 = time.perf_counter()
-        y = jax.device_put(np.zeros((512, 512, 3), np.uint8))
-        float(f(y))
-        dt = time.perf_counter() - t0
-        _LINK_CALIB = "jax" if dt < 0.020 else "c"
+        _LINK_CALIB = "c" if jax.default_backend() == "cpu" else "hybrid"
     except Exception:
         _LINK_CALIB = "c"
     return _LINK_CALIB
@@ -126,8 +117,8 @@ def search_encode_corpus(
 
     worker = ThreadPoolExecutor(max_workers=1)
 
-    def _make_scorer(st: _ImgState):
-        if mode == "jax":
+    def _make_scorer(st: _ImgState, kind: str):
+        if kind == "jax":
             from ..metric import make_ref_scorer
 
             fn = make_ref_scorer(st.ctx.rgb)
@@ -137,10 +128,15 @@ def search_encode_corpus(
         cctx = _get_ctx(st.ctx.rgb)
         return lambda d: float(cctx.score(d))
 
-    def _score_task(st: _ImgState, recon):
+    def _score_task(st: _ImgState, recon, kind: str):
+        # st.scorer caches per-kind closures: the device one owns the
+        # image's device-resident reference pyramid, the C one the host
+        # metric context; hybrid mode may use both over one search
         if st.scorer is None:
-            st.scorer = _make_scorer(st)
-        return st.scorer(recon)
+            st.scorer = {}
+        if kind not in st.scorer:
+            st.scorer[kind] = _make_scorer(st, kind)
+        return st.scorer[kind](recon)
 
     def _prefetch_task(st: _ImgState):
         from ..av1.encode import prefetch_plan
@@ -208,13 +204,24 @@ def search_encode_corpus(
         st.cache[q] = data
         st.future_q = q
         if mode == "jax":
-            st.future = worker.submit(_score_task, st, recon)
+            st.future = worker.submit(_score_task, st, recon, "jax")
+        elif mode == "hybrid" and any(
+            s2.pending_q is not None and s2.result is None
+            and s2.error is None for s2 in states if s2 is not st
+        ):
+            # another image can keep the host core busy: ship this score
+            # to the device worker so its round-trip hides behind that
+            # image's encode (single-core host: an inline C score would
+            # serialize with every encode)
+            st.future = worker.submit(_score_task, st, recon, "jax")
         else:
             # host scorer: scoring can't overlap the host encode on the
             # same core, so run it inline (sequential semantics); the
-            # worker still hides the next image's planner round-trip
+            # worker still hides the next image's planner round-trip.
+            # hybrid lands here at the corpus tail, where no other host
+            # work exists to hide a device round-trip behind
             t0 = time.perf_counter()
-            score = _score_task(st, recon)
+            score = _score_task(st, recon, "c")
             st.host_s += time.perf_counter() - t0
             _advance(st, score)
 

@@ -173,14 +173,21 @@ def _pick_cdef(planes, recon_planes, blocks, qindex, bitdepth, visible,
     sample_log2 = 2 if speed >= 8 else (1 if speed >= 6 else 0)
     damping = min(6, 3 + (qindex >> 6))
     ph, pw = recon_planes[0].shape
-    padded_src = []
-    for p in planes:
-        buf = np.zeros((ph, pw), dtype=np.int32)
-        hh, ww = p.shape
-        buf[:hh, :ww] = p
-        buf[:hh, ww:] = buf[:hh, ww - 1 : ww]
-        buf[hh:, :] = buf[hh - 1 : hh, :]
-        padded_src.append(buf)
+
+    def _pad_src():
+        padded = []
+        for p in planes:
+            buf = np.zeros((ph, pw), dtype=np.int32)
+            hh, ww = p.shape
+            buf[:hh, :ww] = p
+            buf[:hh, ww:] = buf[:hh, ww - 1 : ww]
+            buf[hh:, :] = buf[hh - 1 : hh, :]
+            padded.append(buf)
+        return padded
+
+    # q-independent (source-only) pad, re-derived per pass otherwise
+    padded_src = _cached_pre(
+        planes[0], ("cdef_pad", ph, pw, len(planes)), _pad_src)
     idx = cdef_search_native(padded_src, recon_planes, blocks, _CDEF_CANDS,
                              damping, bitdepth, visible[0], visible[1],
                              sample_log2=sample_log2)
@@ -221,7 +228,12 @@ def encode_avif(ctx: EncCtx) -> bytes:
 # Per-source cache of the YUV conversion + q-independent chroma analysis:
 # the TQ loop re-encodes the SAME source at several quantizers, and
 # neither depends on q. Keyed by source-buffer identity, weakref-guarded.
+# Capacity must exceed the corpus pipeline's images-in-flight (tq/
+# pipeline.py interleaves the whole corpus over one host core; at 4
+# entries a 6-image corpus evicted every pass and re-ran the YUV
+# conversion + chroma analysis ~11 ms per encode).
 _SRC_CACHE: dict = {}
+_SRC_CACHE_CAP = 16
 
 
 def _cached_planes(src_data: np.ndarray, rgb: np.ndarray, out_depth: int):
@@ -233,10 +245,30 @@ def _cached_planes(src_data: np.ndarray, rgb: np.ndarray, out_depth: int):
         return ent[1], ent[2]
     planes = rgb_to_yuv444(rgb, bitdepth=out_depth)
     stats = _chroma_stats(planes, out_depth) if len(planes) == 3 else None
-    while len(_SRC_CACHE) >= 4:
+    while len(_SRC_CACHE) >= _SRC_CACHE_CAP:
         _SRC_CACHE.pop(next(iter(_SRC_CACHE)))
     _SRC_CACHE[key] = (weakref.ref(src_data), planes, stats)
     return planes, stats
+
+
+# Same-keyed cache for the q-independent per-pass preambles: the source
+# depth conversion and the screen-content gate (both pure functions of
+# the source buffer; measured ~7 ms per 512² pass re-derived).
+_PRE_CACHE: dict = {}
+
+
+def _cached_pre(src_data: np.ndarray, key_extra, fn):
+    import weakref
+
+    key = (id(src_data), key_extra)
+    ent = _PRE_CACHE.get(key)
+    if ent is not None and ent[0]() is src_data:
+        return ent[1]
+    val = fn()
+    while len(_PRE_CACHE) >= 2 * _SRC_CACHE_CAP:
+        _PRE_CACHE.pop(next(iter(_PRE_CACHE)))
+    _PRE_CACHE[key] = (weakref.ref(src_data), val)
+    return val
 
 
 def prefetch_plan(ctx: EncCtx, quality: int) -> None:
@@ -298,9 +330,12 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
         rgb_src = d[..., :3]
         alpha_src = d[..., 3] if channels == 4 else None
 
-    rgb = _depth_convert(rgb_src, src.hbd, out_depth)
+    rgb = _cached_pre(
+        src.data, ("rgb", src.hbd, out_depth),
+        lambda: _depth_convert(rgb_src, src.hbd, out_depth))
     alpha = (
-        _depth_convert(alpha_src, src.hbd, out_depth)
+        _cached_pre(src.data, ("alpha", src.hbd, out_depth),
+                    lambda: _depth_convert(alpha_src, src.hbd, out_depth))
         if alpha_src is not None
         else None
     )
@@ -328,7 +363,11 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
     # screen-content gate: enable the frame's palette syntax only when
     # the luma is palette-shaped (few distinct values over a meaningful
     # share of 16x16 blocks) — photographic streams stay byte-identical
-    screen_tools = _detect_screen_content(planes[0], qindex, out_depth)
+    screen_tools = qindex > 0 and _cached_pre(
+        src.data,
+        ("screen", out_depth, os.environ.get("OAVIF_PALETTE", "1")),
+        lambda: _detect_screen_content(planes[0], max(qindex, 1),
+                                       out_depth))
     # filter-intra (recursive filter prediction): RD-dueled per block in
     # both mirrored encoders; enabling the sequence flag costs one binary
     # symbol per eligible DC block, so it arms only at quality speeds

@@ -3584,6 +3584,7 @@ class TileEncoder:
 
 _PLANNER_CACHE: dict = {}
 _PLANNER_CACHE_LOCK = __import__("threading").Lock()
+_DIGEST_CACHE: dict = {}
 
 
 def _get_planner(tile_planes, bitdepth, nmodes=13, duel_level=0,
@@ -3599,13 +3600,24 @@ def _get_planner(tile_planes, bitdepth, nmodes=13, duel_level=0,
     concurrently, and a duplicate instance would break the decision
     cache's id(plan) binding (planner construction only DISPATCHES the
     device upload, so holding the lock across it is cheap)."""
+    import weakref
     import zlib
 
     from .encode_tpu import FramePlanner
 
     y = np.ascontiguousarray(tile_planes[0])
+    # digest memoized by buffer identity (weakref-guarded): the TQ loop
+    # re-keys the SAME cached plane object every pass (~1 ms a hash)
+    ent = _DIGEST_CACHE.get(id(y))
+    if ent is not None and ent[0]() is y:
+        digest = ent[1]
+    else:
+        digest = zlib.crc32(y.tobytes())
+        if len(_DIGEST_CACHE) > 64:
+            _DIGEST_CACHE.clear()
+        _DIGEST_CACHE[id(y)] = (weakref.ref(y), digest)
     key = (y.shape, len(tile_planes), bitdepth, nmodes, duel_level,
-           zlib.crc32(y.tobytes()))
+           digest)
     with _PLANNER_CACHE_LOCK:
         return _get_planner_locked(key, tile_planes, bitdepth, nmodes,
                                    duel_level, tile_idx)

@@ -185,9 +185,12 @@ def _pick_cdef(planes, recon_planes, blocks, qindex, bitdepth, visible,
             padded.append(buf)
         return padded
 
-    # q-independent (source-only) pad, re-derived per pass otherwise
+    # q-independent (source-only) pad, re-derived per pass otherwise;
+    # chroma planes are validity guards (a key on the luma id alone
+    # could serve stale padded chroma to a caller recombining planes)
     padded_src = _cached_pre(
-        planes[0], ("cdef_pad", ph, pw, len(planes)), _pad_src)
+        planes[0], ("cdef_pad", ph, pw, len(planes)), _pad_src,
+        guards=tuple(planes[1:]))
     idx = cdef_search_native(padded_src, recon_planes, blocks, _CDEF_CANDS,
                              damping, bitdepth, visible[0], visible[1],
                              sample_log2=sample_log2)
@@ -253,21 +256,39 @@ def _cached_planes(src_data: np.ndarray, rgb: np.ndarray, out_depth: int):
 
 # Same-keyed cache for the q-independent per-pass preambles: the source
 # depth conversion and the screen-content gate (both pure functions of
-# the source buffer; measured ~7 ms per 512² pass re-derived).
+# the source buffer; measured ~7 ms per 512² pass re-derived). Each
+# image contributes 3-4 entries (rgb, alpha, screen, cdef_pad), so the
+# cap is 4x the source-cache capacity to cover the same images-in-flight
+# envelope (a 2x cap covered only ~8 images and thrashed on larger
+# corpora — round-4 advisory).
 _PRE_CACHE: dict = {}
+_PRE_CACHE_CAP = 4 * _SRC_CACHE_CAP
 
 
-def _cached_pre(src_data: np.ndarray, key_extra, fn):
+def _cached_pre(src_data: np.ndarray, key_extra, fn, guards=()):
+    """Memoize fn() keyed by source-buffer identity + key_extra.
+
+    `guards`: extra arrays whose identity is part of the validity
+    contract (e.g. the chroma planes behind a luma-keyed pad) — the hit
+    path checks every guard's weakref still resolves to the same object.
+    """
     import weakref
 
     key = (id(src_data), key_extra)
     ent = _PRE_CACHE.get(key)
-    if ent is not None and ent[0]() is src_data:
+    if (ent is not None and ent[0]() is src_data
+            and all(r() is g for r, g in zip(ent[2], guards))):
         return ent[1]
     val = fn()
-    while len(_PRE_CACHE) >= 2 * _SRC_CACHE_CAP:
+    # sweep dead entries first: weakref-dead values are unreachable by
+    # hit yet pin frame-sized arrays until FIFO eviction otherwise
+    dead = [k for k, e in _PRE_CACHE.items() if e[0]() is None]
+    for k in dead:
+        _PRE_CACHE.pop(k, None)
+    while len(_PRE_CACHE) >= _PRE_CACHE_CAP:
         _PRE_CACHE.pop(next(iter(_PRE_CACHE)))
-    _PRE_CACHE[key] = (weakref.ref(src_data), val)
+    _PRE_CACHE[key] = (weakref.ref(src_data), val,
+                       tuple(weakref.ref(g) for g in guards))
     return val
 
 
@@ -290,11 +311,12 @@ def prefetch_plan(ctx: EncCtx, quality: int) -> None:
     d = src.data
     if d.ndim == 2:
         d = d[..., None]
-    if src.channels in (1, 2):
-        rgb_src = np.repeat(d[..., 0][..., None], 3, axis=2)
-    else:
-        rgb_src = d[..., :3]
-    rgb = _depth_convert(rgb_src, src.hbd, out_depth)
+    rgb = _cached_pre(
+        src.data, ("rgb", src.hbd, out_depth, src.channels),
+        lambda: _depth_convert(
+            np.repeat(d[..., 0][..., None], 3, axis=2)
+            if src.channels in (1, 2) else d[..., :3],
+            src.hbd, out_depth))
     planes, _ = _cached_planes(src.data, rgb, out_depth)
     if np.asarray(planes[0]).size < 256 * 256:
         return
@@ -323,16 +345,22 @@ def encode_avif_with_recon(ctx: EncCtx) -> Tuple[bytes, np.ndarray]:
     has_alpha = channels == 4 or channels == 2
 
     if channels in (1, 2):  # gray → replicate to RGB (io.zig toRGB8 family)
-        gray = d[..., 0]
-        rgb_src = np.repeat(gray[..., None], 3, axis=2)
+        # the replication happens inside the cached lambda: for 8-bit
+        # gray _depth_convert is the identity, so an eager np.repeat
+        # would re-pay the full-frame replication on every cache hit
+        def _make_rgb_src():
+            return np.repeat(d[..., 0][..., None], 3, axis=2)
+
         alpha_src = d[..., 1] if channels == 2 else None
     else:
-        rgb_src = d[..., :3]
+        def _make_rgb_src():
+            return d[..., :3]
+
         alpha_src = d[..., 3] if channels == 4 else None
 
     rgb = _cached_pre(
-        src.data, ("rgb", src.hbd, out_depth),
-        lambda: _depth_convert(rgb_src, src.hbd, out_depth))
+        src.data, ("rgb", src.hbd, out_depth, channels),
+        lambda: _depth_convert(_make_rgb_src(), src.hbd, out_depth))
     alpha = (
         _cached_pre(src.data, ("alpha", src.hbd, out_depth),
                     lambda: _depth_convert(alpha_src, src.hbd, out_depth))

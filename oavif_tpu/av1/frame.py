@@ -3606,19 +3606,29 @@ def _get_planner(tile_planes, bitdepth, nmodes=13, duel_level=0,
     from .encode_tpu import FramePlanner
 
     y = np.ascontiguousarray(tile_planes[0])
-    # digest memoized by buffer identity (weakref-guarded): the TQ loop
-    # re-keys the SAME cached plane object every pass (~1 ms a hash)
-    ent = _DIGEST_CACHE.get(id(y))
-    if ent is not None and ent[0]() is y:
-        digest = ent[1]
-    else:
-        digest = zlib.crc32(y.tobytes())
-        if len(_DIGEST_CACHE) > 64:
-            _DIGEST_CACHE.clear()
-        _DIGEST_CACHE[id(y)] = (weakref.ref(y), digest)
-    key = (y.shape, len(tile_planes), bitdepth, nmodes, duel_level,
-           digest)
     with _PLANNER_CACHE_LOCK:
+        # Digest memoized by buffer identity (weakref-guarded): the TQ
+        # loop re-keys the SAME cached plane object every pass (~1 ms a
+        # hash). IMMUTABILITY CONTRACT: plane buffers handed to the
+        # encoder are never written in place after creation (they come
+        # out of rgb_to_yuv444 / _cached_planes and are treated as
+        # frozen); an in-place edit would make this memo return a stale
+        # digest and the planner cache a stale plan. OAVIF_DEBUG=1
+        # recomputes and asserts. Lookup runs under the planner lock so
+        # digest and planner cache observe a consistent state.
+        ent = _DIGEST_CACHE.get(id(y))
+        if ent is not None and ent[0]() is y:
+            digest = ent[1]
+            if os.environ.get("OAVIF_DEBUG"):
+                assert digest == zlib.crc32(y.tobytes()), \
+                    "plane buffer mutated in place (digest memo stale)"
+        else:
+            digest = zlib.crc32(y.tobytes())
+            if len(_DIGEST_CACHE) > 64:
+                _DIGEST_CACHE.clear()
+            _DIGEST_CACHE[id(y)] = (weakref.ref(y), digest)
+        key = (y.shape, len(tile_planes), bitdepth, nmodes, duel_level,
+               digest)
         return _get_planner_locked(key, tile_planes, bitdepth, nmodes,
                                    duel_level, tile_idx)
 

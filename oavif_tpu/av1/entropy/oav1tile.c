@@ -142,6 +142,20 @@ typedef struct {
     int32_t rc_eob_pt[4][2][11]; /* by log2(cw)-2: nsym 5,7,9,11 */
     int32_t rc_eob_pt_rect[2][2][11]; /* [0]=128 (nsym 8), [1]=512 (10) */
     int32_t rc_txsz[4][3][3];    /* tx_size depth costs [cat][ctx][depth] */
+    /* RDOQ phase-3 decrement rate-delta bands per [txs][pt][lvl 1..3]
+     * (min/max of cost(l)-cost(l-1) over every reachable base ctx) —
+     * pure functions of the frozen rc_base rows, hoisted from the
+     * per-quantize band scan */
+    int32_t rc_bd_min[5][2][4], rc_bd_max[5][2][4];
+    /* scan-position decompositions per scan table k (squares 0..3,
+     * rect 4=32x16 / 5=16x32): row, column, and the running row max
+     * (so quantize's maxr over si<eob is one lookup) */
+    int16_t scan_r[6][1024], scan_c[6][1024], scan_rmax[6][1024];
+    /* RDOQ frequency weights, exactly 1.0/(1 + hf_a*si/n_coded) per
+     * ptype: squares flat at WS_SQ_OFF[log2(cw)-2], rect at 0/128 —
+     * hoists the per-call serial divisions out of the phase-3 loop */
+    double ws_sq[2][16 + 64 + 256 + 1024];
+    double ws_rect[2][128 + 512];
     const int32_t *smw[5];  /* sm_weights by log2(n)-2: 4,8,16,32,64 */
     const double *fh[11], *fw[11]; /* dct 8,16,32,64; adst 8,16; dct 4;
                                       rect dct 32x16, 16x32; idtx 8, 16 */
@@ -508,15 +522,17 @@ static const int DQ_SHIFT_BY_TX[65] = {
 /* resid (n*n int32) -> levels (int32, natural order) via the Q12 integer
  * forward transform + RDOQ. fi = matrix index into t->fh16/fwT16.
  * ord_out/eob_out (optional) export the scan-order magnitudes + eob so
- * the caller's rate estimate skips re-gathering the levels. */
+ * the caller's rate estimate skips re-gathering the levels; rate_out
+ * (optional) returns the fused exact rate estimate (see
+ * rdoq_rate_from_pad). */
 static void quantize_mat(const Tile *t, const int32_t *resid, int n,
                          int ptype, int fi, int32_t *levels, double *e2_out,
-                         int64_t *ord_out, int *eob_out);
+                         int64_t *ord_out, int *eob_out, int64_t *rate_out);
 
 static void quantize_n(const Tile *t, const int32_t *resid, int n, int ptype,
                        int32_t *levels) {
     int fi = n == 4 ? 6 : log2i(n) - 3;
-    quantize_mat(t, resid, n, ptype, fi, levels, NULL, NULL, NULL);
+    quantize_mat(t, resid, n, ptype, fi, levels, NULL, NULL, NULL, NULL);
 }
 
 /* matrix dims: fh is MAT_NH x MAT_NH (column/height side), fw is
@@ -729,6 +745,61 @@ static inline void verr2_terms_f64(const double *a, const int64_t *l,
     }
 }
 
+/* RDOQ phase-3 decrement terms: ek[i] = (a-((l*dq)>>s))^2 * w,
+ * ed[i] = (a-(((l-1)*dq)>>s))^2 * w. Same per-element float op order as
+ * the scalar loop (bit-identical where l >= 1; lanes with l == 0 are
+ * never read — phase 3 skips zero levels — so the logical-vs-arithmetic
+ * shift difference there is dead). */
+static inline void vdec_terms_f64(const double *a, const int64_t *l,
+                                  const double *w, int cnt, int64_t dq,
+                                  int shift, double *ek, double *ed) {
+    int i = 0;
+#if OAV1_F64_VEC
+    const __m512i vdq = _mm512_set1_epi64(dq);
+    const __m512i vone = _mm512_set1_epi64(1);
+    for (; i + 8 <= cnt; i += 8) {
+        __m512i lv = _mm512_loadu_si512((const void *)(l + i));
+        __m512i p0 = _mm512_srli_epi64(_mm512_mullo_epi64(lv, vdq),
+                                       (unsigned)shift);
+        __m512i p1 = _mm512_srli_epi64(
+            _mm512_mullo_epi64(_mm512_sub_epi64(lv, vone), vdq),
+            (unsigned)shift);
+        __m512d av = _mm512_loadu_pd(a + i);
+        __m512d wv = _mm512_loadu_pd(w + i);
+        __m512d e0 = _mm512_sub_pd(av, _mm512_cvtepi64_pd(p0));
+        __m512d e1 = _mm512_sub_pd(av, _mm512_cvtepi64_pd(p1));
+        _mm512_storeu_pd(ek + i,
+                         _mm512_mul_pd(_mm512_mul_pd(e0, e0), wv));
+        _mm512_storeu_pd(ed + i,
+                         _mm512_mul_pd(_mm512_mul_pd(e1, e1), wv));
+    }
+#endif
+    for (; i < cnt; i++) {
+        int64_t lv = l[i];
+        double e0 = a[i] - (double)((lv * dq) >> shift);
+        double e1 = a[i] - (double)(((lv - 1) * dq) >> shift);
+        ek[i] = e0 * e0 * w[i];
+        ed[i] = e1 * e1 * w[i];
+    }
+}
+
+/* e0[i] = (a[i]*a[i]) * w[i] — the drop-to-zero distortion term. The
+ * phases' ERR2(si, 0) computes a - (double)0 first; a >= 0 here (abs
+ * magnitudes), so a - 0.0 == a bitwise and (a*a)*w matches exactly. */
+static inline void vdrop_terms_f64(const double *a, const double *w,
+                                   int cnt, double *e0) {
+    int i = 0;
+#if OAV1_F64_VEC
+    for (; i + 8 <= cnt; i += 8) {
+        __m512d av = _mm512_loadu_pd(a + i);
+        _mm512_storeu_pd(
+            e0 + i,
+            _mm512_mul_pd(_mm512_mul_pd(av, av), _mm512_loadu_pd(w + i)));
+    }
+#endif
+    for (; i < cnt; i++) e0[i] = a[i] * a[i] * w[i];
+}
+
 /* t[i] = a[i] * a[i] */
 static inline void vsq_terms_f64(const double *a, int cnt, double *t) {
     int i = 0;
@@ -857,6 +928,73 @@ static void build_rdoq_costs(Tile *t) {
             for (int s = 0; s < 3; s++)
                 t->rc_txsz[cat][ctx][s] = icdf_sym_cost(row, s);
         }
+    /* phase-3 decrement bands (the per-quantize 0..25 scan, hoisted) */
+    for (int txs = 0; txs < 5; txs++)
+        for (int pt = 0; pt < 2; pt++) {
+            const int32_t(*base)[4] = t->rc_base[txs][pt];
+            int32_t *bmin = t->rc_bd_min[txs][pt];
+            int32_t *bmax = t->rc_bd_max[txs][pt];
+            bmin[0] = bmax[0] = 0;
+            for (int l = 1; l < 4; l++) {
+                bmin[l] = 1 << 30;
+                bmax[l] = -(1 << 30);
+            }
+            for (int b = 0; b <= 25; b++) {
+                int d1 = (int)base[b][1] + 128 - (int)base[b][0];
+                int d2 = (int)base[b][2] - (int)base[b][1];
+                int d3 = (int)base[b][3] - (int)base[b][2];
+                if (d1 < bmin[1]) bmin[1] = d1;
+                if (d1 > bmax[1]) bmax[1] = d1;
+                if (d2 < bmin[2]) bmin[2] = d2;
+                if (d2 > bmax[2]) bmax[2] = d2;
+                if (d3 < bmin[3]) bmin[3] = d3;
+                if (d3 > bmax[3]) bmax[3] = d3;
+            }
+        }
+    /* scan-position decompositions + prefix row max */
+    static const int SCAN_LEN[6] = {16, 64, 256, 1024, 512, 512};
+    static const int SCAN_W[6] = {4, 8, 16, 32, 32, 16};
+    for (int k = 0; k < 6; k++) {
+        if (!t->scan[k]) continue;
+        int lw = log2i(SCAN_W[k]);
+        int16_t rmax = 0;
+        for (int si = 0; si < SCAN_LEN[k]; si++) {
+            int pos = t->scan[k][si];
+            t->scan_r[k][si] = (int16_t)(pos >> lw);
+            t->scan_c[k][si] = (int16_t)(pos & (SCAN_W[k] - 1));
+            if (t->scan_r[k][si] > rmax) rmax = t->scan_r[k][si];
+            t->scan_rmax[k][si] = rmax;
+        }
+    }
+}
+
+static const int WS_SQ_OFF[4] = {0, 16, 80, 336};
+
+/* RDOQ frequency-weight vectors: must run AFTER rdoq_hf/rdoq_hf_uv are
+ * set. Entries are bit-identical to the WS macro the quantizers used to
+ * evaluate per call (same IEEE expression, computed once). */
+static void build_ws_tables(Tile *t) {
+    static const int SQ_N[4] = {16, 64, 256, 1024};
+    for (int pt = 0; pt < 2; pt++) {
+        double hf_a = pt ? t->rdoq_hf_uv : t->rdoq_hf;
+        for (int k = 0; k < 4; k++) {
+            double *w = t->ws_sq[pt] + WS_SQ_OFF[k];
+            double hf_den = (double)SQ_N[k];
+            for (int si = 0; si < SQ_N[k]; si++)
+                w[si] = hf_a > 0.0
+                            ? 1.0 / (1.0 + hf_a * (double)si / hf_den)
+                            : 1.0;
+        }
+        for (int k = 0; k < 2; k++) {
+            double *w = t->ws_rect[pt] + (k ? 128 : 0);
+            int n = k ? 512 : 128;
+            double hf_den = (double)n;
+            for (int si = 0; si < n; si++)
+                w[si] = hf_a > 0.0
+                            ? 1.0 / (1.0 + hf_a * (double)si / hf_den)
+                            : 1.0;
+        }
+    }
 }
 
 /* ---- RDOQ (mirrors frame.py _rdoq exactly, incl. float op order) ---- */
@@ -867,10 +1005,10 @@ typedef struct {
     const int32_t (*br)[4];
     const int32_t (*eob_extra)[2];
     const int32_t *eob_pt;
+    const int16_t *pos_r, *pos_c; /* tile scan_r/scan_c rows */
     int n_coded, cw;
     int rect; /* 0 square, 1 wide (w>h), 2 tall — rect base-ctx bands */
     int pad[34 * 34];
-    int pos_r[1024], pos_c[1024];
 } Rdoq;
 
 static int rdoq_hi_cost(const Rdoq *q, int brctx, int64_t lvl) {
@@ -955,9 +1093,26 @@ static int rdoq_eobpt_cost(const Rdoq *q, int e) {
     return r;
 }
 
+/* Fused txb rate: identical integer value to rate_estimate_scan/_rect
+ * over the same final levels, but computed from the quantizer's OWN
+ * end-of-phase pad (which equals the pad those functions rebuild from
+ * scratch: drops zero it, decrements update it, kept levels restore
+ * it). Every term is the same frozen-table lookup, so callers that
+ * previously paired quantize + rate_estimate get the same rate without
+ * a second ofl gather + pad memset/fill + scan walk. */
+static int64_t rdoq_rate_from_pad(const Rdoq *q, const int64_t *ord,
+                                  int eob) {
+    if (eob == 0) return 256; /* txb_skip=1, ~2 bits */
+    int64_t r = 128 + rdoq_eobpt_cost(q, eob);
+    r += rdoq_eob_coeff_cost(q, ord[eob - 1], eob - 1);
+    for (int si = eob - 2; si >= 0; si--)
+        r += rdoq_int_cost(q, ord[si], rdoq_base_ctx(q, si), si);
+    return r;
+}
+
 static void quantize_mat(const Tile *t, const int32_t *resid, int n,
                          int ptype, int fi, int32_t *levels, double *e2_out,
-                         int64_t *ord_out, int *eob_out) {
+                         int64_t *ord_out, int *eob_out, int64_t *rate_out) {
     PROF_SCOPE(PROF_QUANT);
     /* Q12 integer forward transform (mirrors transform.py
      * fwd_txfm2d_int exactly — integer ops are order-independent, so the
@@ -999,15 +1154,12 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
 
     memset(levels, 0, (size_t)n * n * 4);
 
-    /* coded-region magnitudes + signs, natural (cw-wide) order, at the
-     * real coefficient scale (exact: int32 x a pow2 factor) */
+    /* coded-region magnitudes, natural (cw-wide) order, at the real
+     * coefficient scale (exact: int32 x a pow2 factor); signs are read
+     * straight from out32 at the levels write-out */
     double a_nat[32 * 32];
-    int sg_nat[32 * 32];
     for (int r = 0; r < cw; r++)
         vabs_scale_f64(out32 + (size_t)r * n, cw, inv_scale, a_nat + r * cw);
-    for (int r = 0; r < cw; r++)
-        for (int c = 0; c < cw; c++)
-            sg_nat[r * cw + c] = out32[(size_t)r * n + c] < 0 ? -1 : 1;
 
     /* magnitudes gathered to scan order once; every later use is then a
      * unit-stride stream (AV1 scans always put DC at si = 0, so the dq
@@ -1032,51 +1184,52 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
             *e2_out = e2;
         }
         if (eob_out) *eob_out = 0;
+        if (rate_out) *rate_out = 256;
         return;
     }
     if (prof_enabled > 0) { prof_acc[PROF_QSETUP] += prof_now() - _pq0; prof_cnt[PROF_QSETUP]++; _pq0 = prof_now(); }
 
+    int sk = log2i(cw) - 2;
+    Rdoq q;
+    q.base = t->rc_base[txs][ptype];
+    q.base_eob = t->rc_base_eob[txs][ptype];
+    q.br = t->rc_br[txs < 3 ? txs : 3][ptype];
+    q.eob_extra = t->rc_eob_extra[txs][ptype];
+    q.eob_pt = t->rc_eob_pt[sk][ptype];
+    q.pos_r = t->scan_r[sk];
+    q.pos_c = t->scan_c[sk];
+    q.n_coded = n_coded;
+    q.cw = cw;
+    q.rect = 0;
+    int W = cw + 2;
+    if (t->speed < 10 || rate_out) {
+        /* zero only the rows the context reads can touch (max coded
+         * row + 2 neighbors): a full 34x34 memset dominated this stage
+         * on dense-coefficient content */
+        int maxr = t->scan_rmax[sk][eob - 1];
+        int zrows = maxr + 3 < W ? maxr + 3 : W;
+        memset(q.pad, 0, sizeof(int) * (size_t)W * zrows);
+        for (int si = 0; si < eob; si++)
+            if (ord[si])
+                q.pad[q.pos_r[si] * W + q.pos_c[si]] =
+                    ord[si] < 127 ? (int)ord[si] : 127;
+    }
     if (t->speed >= 10) {
         /* speed 10: plain round-half quantization, no RDOQ passes */
         for (int si = 0; si < eob; si++) {
             if (!ord[si]) continue;
-            int pos = scan[si];
-            int rr2 = pos / cw, cc2 = pos % cw;
-            levels[(size_t)rr2 * n + cc2] = (int32_t)(ord[si] * sg_nat[pos]);
+            size_t oi = (size_t)q.pos_r[si] * n + q.pos_c[si];
+            levels[oi] = out32[oi] < 0 ? (int32_t)-ord[si]
+                                       : (int32_t)ord[si];
         }
         if (ord_out) memcpy(ord_out, ord, (size_t)eob * 8);
         if (eob_out) *eob_out = eob;
         if (e2_out)
             *e2_out = e2_scan_f64(t->dq_dc, dqa_i, shift, a_scan, ord, eob,
                                   n_coded);
+        if (rate_out) *rate_out = rdoq_rate_from_pad(&q, ord, eob);
         return;
     }
-    Rdoq q;
-    q.base = t->rc_base[txs][ptype];
-    q.base_eob = t->rc_base_eob[txs][ptype];
-    q.br = t->rc_br[txs < 3 ? txs : 3][ptype];
-    q.eob_extra = t->rc_eob_extra[txs][ptype];
-    q.eob_pt = t->rc_eob_pt[log2i(cw) - 2][ptype];
-    q.n_coded = n_coded;
-    q.cw = cw;
-    q.rect = 0;
-    int W = cw + 2;
-    /* zero only the rows the context reads can touch (max coded row
-     * + 2 neighbors): a full 34x34 memset dominated this stage on
-     * dense-coefficient content */
-    int maxr = 0;
-    for (int si = 0; si < eob; si++) {
-        int pos = scan[si];
-        q.pos_r[si] = pos >> (log2i(cw));
-        q.pos_c[si] = pos & (cw - 1);
-        if (q.pos_r[si] > maxr) maxr = q.pos_r[si];
-    }
-    int zrows = maxr + 3 < W ? maxr + 3 : W;
-    memset(q.pad, 0, sizeof(int) * (size_t)W * zrows);
-    for (int si = 0; si < eob; si++)
-        if (ord[si])
-            q.pad[q.pos_r[si] * W + q.pos_c[si]] =
-                ord[si] < 127 ? (int)ord[si] : 127;
 
     double lam = (double)((((int64_t)dqa_i * dqa_i) >> (2 * shift)) *
                           RDOQ_KNUM) /
@@ -1091,33 +1244,45 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
      * with quantization matrices). a = 2 on non-screen frames (measured
      * -2..-6% iso-score bytes on sinusoid/fractal/mixed/oriented), 0 on
      * screen-content frames whose value IS the HF (text/edges regressed
-     * +6..13% under weighting). OAVIF_RDOQ_HF overrides. */
-    double hf_a = ptype ? t->rdoq_hf_uv : t->rdoq_hf;
-    double hf_den = (double)n_coded;
+     * +6..13% under weighting). OAVIF_RDOQ_HF overrides. Weights come
+     * from the tile's precomputed table (build_ws_tables) — values are
+     * the identical IEEE expression, minus the per-call divisions. */
+    const double *ws = t->ws_sq[ptype] + WS_SQ_OFF[sk];
 
-#define WS(si) (hf_a > 0.0 ? 1.0 / (1.0 + hf_a * (double)(si) / hf_den) : 1.0)
-
-#define ERR2(si, lvl)                                                        \
-    ({                                                                       \
-        double _a = a_scan[si];                                              \
-        double _e = _a - (double)(((int64_t)(lvl) *                          \
-                                   ((si) == 0 ? t->dq_dc : dqa_i)) >>       \
-                                  shift);                                    \
-        _e * _e * WS(si);                                                    \
-    })
+    /* Distortion-term precompute for ALL phases (vectorized): keep
+     * (ek_pre, at the initial level), decrement (ed_pre, level-1) and
+     * drop (e0sq, level 0) terms. Exactness: phase 1 only ZEROES a
+     * strict suffix, reading each position's terms at its initial
+     * level; phase 2 touches only the final eob coefficient (still at
+     * its initial level); phase 3 visits each interior position once.
+     * So every term a phase reads is exactly what the old in-place
+     * ERR2 evaluation computed (identical per-element IEEE op order).
+     * DC (si 0) is scalar for its own quantizer. */
+    static _Thread_local double ek_pre[1024], ed_pre[1024], e0sq[1024];
+    {
+        int64_t l0 = ord[0];
+        double a0 = a_scan[0];
+        double e0 = a0 - (double)((l0 * t->dq_dc) >> shift);
+        double e1 = a0 - (double)(((l0 - 1) * t->dq_dc) >> shift);
+        ek_pre[0] = e0 * e0 * ws[0];
+        ed_pre[0] = e1 * e1 * ws[0];
+        vdec_terms_f64(a_scan + 1, ord + 1, ws + 1, eob - 1, dqa_i,
+                       shift, ek_pre + 1, ed_pre + 1);
+        vdrop_terms_f64(a_scan, ws, eob, e0sq);
+    }
 
     /* --- phase 1: eob shrinking --- */
     while (eob > 0) {
         int si = eob - 1;
         int64_t lvl = ord[si];
-        double keep = ERR2(si, lvl) +
+        double keep = ek_pre[si] +
                       lam * (double)(rdoq_eobpt_cost(&q, eob) +
                                      rdoq_eob_coeff_cost(&q, lvl, si));
         int pe = si - 1;
         while (pe >= 0 && ord[pe] == 0) pe--;
         q.pad[q.pos_r[si] * W + q.pos_c[si]] = 0;
         if (pe < 0) {
-            if (ERR2(si, 0) < keep) {
+            if (e0sq[si] < keep) {
                 ord[si] = 0;
                 eob = 0;
             } else {
@@ -1127,7 +1292,7 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
             break;
         }
         int64_t lp = ord[pe];
-        double drop = ERR2(si, 0) +
+        double drop = e0sq[si] +
                       lam * (double)(rdoq_eobpt_cost(&q, pe + 1) +
                                      rdoq_eob_coeff_cost(&q, lp, pe));
         keep += lam * (double)rdoq_int_cost(&q, lp, rdoq_base_ctx(&q, pe), pe);
@@ -1145,9 +1310,9 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
         int si = eob - 1;
         int64_t lvl = ord[si];
         if (lvl >= 2) {
-            if (ERR2(si, lvl - 1) +
+            if (ed_pre[si] +
                     lam * (double)rdoq_eob_coeff_cost(&q, lvl - 1, si) <
-                ERR2(si, lvl) +
+                ek_pre[si] +
                     lam * (double)rdoq_eob_coeff_cost(&q, lvl, si)) {
                 ord[si] = lvl - 1;
                 q.pad[q.pos_r[si] * W + q.pos_c[si]] =
@@ -1167,40 +1332,8 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
          * identical to the full evaluation — no Python mirror needed
          * (same argument as the lam*6144 bound, which still covers
          * lvl > 3 where the delta depends on the br context). */
-        int bd_min[4] = {0, 1 << 30, 1 << 30, 1 << 30};
-        int bd_max[4] = {0, -(1 << 30), -(1 << 30), -(1 << 30)};
-        for (int b = 0; b <= 25; b++) {
-            int d1 = (int)q.base[b][1] + 128 - (int)q.base[b][0];
-            int d2 = (int)q.base[b][2] - (int)q.base[b][1];
-            int d3 = (int)q.base[b][3] - (int)q.base[b][2];
-            if (d1 < bd_min[1]) bd_min[1] = d1;
-            if (d1 > bd_max[1]) bd_max[1] = d1;
-            if (d2 < bd_min[2]) bd_min[2] = d2;
-            if (d2 > bd_max[2]) bd_max[2] = d2;
-            if (d3 < bd_min[3]) bd_min[3] = d3;
-            if (d3 > bd_max[3]) bd_max[3] = d3;
-        }
-        /* vectorizable precompute of the decrement distortion deltas:
-         * every ERR2 term here depends only on a_scan (fixed) and the
-         * element's OWN current level — phase 3 never revisits a
-         * position, so values computed after phase 2 are exactly what
-         * the serial loop would compute in place (identical per-element
-         * float ops; the branchy loop below then touches only the
-         * decisions) */
-        static _Thread_local double ek_pre[1024], ed_pre[1024];
-        {
-            int lim = eob - 1 > 0 ? eob - 1 : 0;
-            for (int si2 = 0; si2 < lim; si2++) {
-                int64_t l2 = ord[si2];
-                double wsi = WS(si2);
-                int64_t dqv = si2 == 0 ? t->dq_dc : dqa_i;
-                double a2 = a_scan[si2];
-                double e0 = a2 - (double)((l2 * dqv) >> shift);
-                double e1 = a2 - (double)(((l2 - 1) * dqv) >> shift);
-                ek_pre[si2] = e0 * e0 * wsi;
-                ed_pre[si2] = e1 * e1 * wsi;
-            }
-        }
+        const int32_t *bd_min = t->rc_bd_min[txs][ptype];
+        const int32_t *bd_max = t->rc_bd_max[txs][ptype];
         for (si = eob - 2; si >= 0; si--) {
             lvl = ord[si];
             if (lvl == 0) continue;
@@ -1230,12 +1363,12 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
     if (prof_enabled > 0) { prof_acc[PROF_QRDOQ] += prof_now() - _pq0; prof_cnt[PROF_QRDOQ]++; _pq0 = prof_now(); }
     for (int si = 0; si < eob; si++) {
         if (!ord[si]) continue;
-        int pos = scan[si];
-        int rr = pos / cw, cc = pos % cw;
-        levels[(size_t)rr * n + cc] = (int32_t)(ord[si] * sg_nat[pos]);
+        size_t oi = (size_t)q.pos_r[si] * n + q.pos_c[si];
+        levels[oi] = out32[oi] < 0 ? (int32_t)-ord[si] : (int32_t)ord[si];
     }
     if (ord_out) memcpy(ord_out, ord, (size_t)eob * 8);
     if (eob_out) *eob_out = eob;
+    if (rate_out) *rate_out = rdoq_rate_from_pad(&q, ord, eob);
     if (e2_out) {
         *e2_out = e2_scan_f64(t->dq_dc, dqa_i, shift, a_scan, ord, eob,
                               n_coded);
@@ -1249,7 +1382,8 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
  * dequant shift ((pels>256)+(pels>1024)) and rect base-ctx bands. */
 static void quantize_rect(const Tile *t, const int32_t *resid, int tw,
                           int th, int ptype, int32_t *levels,
-                          double *e2_out, int64_t *ord_out, int *eob_out) {
+                          double *e2_out, int64_t *ord_out, int *eob_out,
+                          int64_t *rate_out) {
     PROF_SCOPE(PROF_QUANT);
     int fi = tw > th ? 7 : 8;
     int16_t r16[32 * 32];
@@ -1287,9 +1421,7 @@ static void quantize_rect(const Tile *t, const int32_t *resid, int tw,
     memset(levels, 0, (size_t)npx * 4);
 
     double a_nat[32 * 32];
-    int sg_nat[32 * 32];
     vabs_scale_f64(out32, npx, inv_scale, a_nat);
-    for (int i = 0; i < npx; i++) sg_nat[i] = out32[i] < 0 ? -1 : 1;
     double a_scan[1024];
     for (int si = 0; si < n_coded; si++) a_scan[si] = a_nat[scan[si]];
 
@@ -1308,75 +1440,84 @@ static void quantize_rect(const Tile *t, const int32_t *resid, int tw,
             *e2_out = e2;
         }
         if (eob_out) *eob_out = 0;
+        if (rate_out) *rate_out = 256;
         return;
     }
 
-    if (t->speed >= 10) {
-        for (int si = 0; si < eob; si++) {
-            if (!ord[si]) continue;
-            int pos = scan[si];
-            levels[pos] = (int32_t)(ord[si] * sg_nat[pos]);
-        }
-        if (ord_out) memcpy(ord_out, ord, (size_t)eob * 8);
-        if (eob_out) *eob_out = eob;
-        if (e2_out)
-            *e2_out = e2_scan_f64(t->dq_dc, dqa_i, shift, a_scan, ord, eob,
-                                  n_coded);
-        return;
-    }
+    int sk = tw > th ? 4 : 5;
     Rdoq q;
     q.base = t->rc_base[txs][ptype];
     q.base_eob = t->rc_base_eob[txs][ptype];
     q.br = t->rc_br[txs < 3 ? txs : 3][ptype];
     q.eob_extra = t->rc_eob_extra[txs][ptype];
     q.eob_pt = t->rc_eob_pt_rect[n_coded == 128 ? 0 : 1][ptype];
+    q.pos_r = t->scan_r[sk];
+    q.pos_c = t->scan_c[sk];
     q.n_coded = n_coded;
     q.cw = tw;
     q.rect = tw > th ? 1 : 2;
     int W = tw + 2;
-    int maxr = 0;
-    for (int si = 0; si < eob; si++) {
-        int pos = scan[si];
-        q.pos_r[si] = pos / tw;
-        q.pos_c[si] = pos % tw;
-        if (q.pos_r[si] > maxr) maxr = q.pos_r[si];
+    if (t->speed < 10 || rate_out) {
+        int maxr = t->scan_rmax[sk][eob - 1];
+        int zrows = maxr + 3 < th + 2 ? maxr + 3 : th + 2;
+        memset(q.pad, 0, sizeof(int) * (size_t)W * zrows);
+        for (int si = 0; si < eob; si++)
+            if (ord[si])
+                q.pad[q.pos_r[si] * W + q.pos_c[si]] =
+                    ord[si] < 127 ? (int)ord[si] : 127;
     }
-    int zrows = maxr + 3 < th + 2 ? maxr + 3 : th + 2;
-    memset(q.pad, 0, sizeof(int) * (size_t)W * zrows);
-    for (int si = 0; si < eob; si++)
-        if (ord[si])
-            q.pad[q.pos_r[si] * W + q.pos_c[si]] =
-                ord[si] < 127 ? (int)ord[si] : 127;
+    if (t->speed >= 10) {
+        for (int si = 0; si < eob; si++) {
+            if (!ord[si]) continue;
+            int pos = scan[si];
+            levels[pos] = out32[pos] < 0 ? (int32_t)-ord[si]
+                                         : (int32_t)ord[si];
+        }
+        if (ord_out) memcpy(ord_out, ord, (size_t)eob * 8);
+        if (eob_out) *eob_out = eob;
+        if (e2_out)
+            *e2_out = e2_scan_f64(t->dq_dc, dqa_i, shift, a_scan, ord, eob,
+                                  n_coded);
+        if (rate_out) *rate_out = rdoq_rate_from_pad(&q, ord, eob);
+        return;
+    }
 
     double lam = (double)((((int64_t)dqa_i * dqa_i) >> (2 * shift)) *
                           RDOQ_KNUM) /
                  (RDOQ_KDEN * 128.0) * t->cur_lamscale;
 
-    /* frequency weighting as in quantize_mat (mirrors _rdoq_rect) */
-    double hf_a = ptype ? t->rdoq_hf_uv : t->rdoq_hf;
-    double hf_den = (double)n_coded;
+    /* frequency weighting as in quantize_mat (mirrors _rdoq_rect);
+     * precomputed per-ptype table, same IEEE values */
+    const double *ws = t->ws_rect[ptype] + (n_coded == 128 ? 0 : 128);
 
-#define ERR2R(si, lvl)                                                       \
-    ({                                                                       \
-        double _a = a_scan[si];                                              \
-        double _e = _a - (double)(((int64_t)(lvl) *                          \
-                                   ((si) == 0 ? t->dq_dc : dqa_i)) >>        \
-                                  shift);                                    \
-        _e * _e * WS(si);                                                    \
-    })
+    /* distortion-term precompute for all phases, as in quantize_mat
+     * (same exactness argument: each phase reads a position's terms at
+     * its initial level exactly once) */
+    static _Thread_local double ek_pre[1024], ed_pre[1024], e0sq[1024];
+    {
+        int64_t l0 = ord[0];
+        double a0 = a_scan[0];
+        double e0 = a0 - (double)((l0 * t->dq_dc) >> shift);
+        double e1 = a0 - (double)(((l0 - 1) * t->dq_dc) >> shift);
+        ek_pre[0] = e0 * e0 * ws[0];
+        ed_pre[0] = e1 * e1 * ws[0];
+        vdec_terms_f64(a_scan + 1, ord + 1, ws + 1, eob - 1, dqa_i,
+                       shift, ek_pre + 1, ed_pre + 1);
+        vdrop_terms_f64(a_scan, ws, eob, e0sq);
+    }
 
     /* --- phase 1: eob shrinking --- */
     while (eob > 0) {
         int si = eob - 1;
         int64_t lvl = ord[si];
-        double keep = ERR2R(si, lvl) +
+        double keep = ek_pre[si] +
                       lam * (double)(rdoq_eobpt_cost(&q, eob) +
                                      rdoq_eob_coeff_cost(&q, lvl, si));
         int pe = si - 1;
         while (pe >= 0 && ord[pe] == 0) pe--;
         q.pad[q.pos_r[si] * W + q.pos_c[si]] = 0;
         if (pe < 0) {
-            if (ERR2R(si, 0) < keep) {
+            if (e0sq[si] < keep) {
                 ord[si] = 0;
                 eob = 0;
             } else {
@@ -1386,7 +1527,7 @@ static void quantize_rect(const Tile *t, const int32_t *resid, int tw,
             break;
         }
         int64_t lp = ord[pe];
-        double drop = ERR2R(si, 0) +
+        double drop = e0sq[si] +
                       lam * (double)(rdoq_eobpt_cost(&q, pe + 1) +
                                      rdoq_eob_coeff_cost(&q, lp, pe));
         keep += lam * (double)rdoq_int_cost(&q, lp, rdoq_base_ctx(&q, pe), pe);
@@ -1404,21 +1545,38 @@ static void quantize_rect(const Tile *t, const int32_t *resid, int tw,
         int si = eob - 1;
         int64_t lvl = ord[si];
         if (lvl >= 2) {
-            if (ERR2R(si, lvl - 1) +
+            if (ed_pre[si] +
                     lam * (double)rdoq_eob_coeff_cost(&q, lvl - 1, si) <
-                ERR2R(si, lvl) +
+                ek_pre[si] +
                     lam * (double)rdoq_eob_coeff_cost(&q, lvl, si)) {
                 ord[si] = lvl - 1;
                 q.pad[q.pos_r[si] * W + q.pos_c[si]] =
                     (lvl - 1) < 127 ? (int)(lvl - 1) : 127;
             }
         }
-        /* --- phase 3: interior level decrements (reverse scan) --- */
+        /* --- phase 3: interior level decrements (reverse scan) ---
+         * same precomputed-deltas + exact rate-delta bands as
+         * quantize_mat (rect base ctxs span the same 0..25 range the
+         * bands cover; the +-1 cost-unit guard makes the banded
+         * outcome identical to the full evaluation) */
+        const int32_t *bd_min = t->rc_bd_min[txs][ptype];
+        const int32_t *bd_max = t->rc_bd_max[txs][ptype];
         for (si = eob - 2; si >= 0; si--) {
             lvl = ord[si];
             if (lvl == 0) continue;
-            double ek = ERR2R(si, lvl), ed = ERR2R(si, lvl - 1);
-            if (ed - ek >= lam * 6144.0) continue; /* provably losing */
+            double ek = ek_pre[si], ed = ed_pre[si];
+            double dd = ed - ek;
+            if (lvl <= 3) {
+                if (dd >= lam * (double)(bd_max[lvl] + 1)) continue;
+                if (dd < lam * (double)(bd_min[lvl] - 1)) {
+                    ord[si] = lvl - 1;
+                    q.pad[q.pos_r[si] * W + q.pos_c[si]] =
+                        (lvl - 1) < 127 ? (int)(lvl - 1) : 127;
+                    continue;
+                }
+            } else if (dd >= lam * 6144.0) {
+                continue; /* provably losing */
+            }
             int bctx = rdoq_base_ctx(&q, si);
             if (ed + lam * (double)rdoq_int_cost(&q, lvl - 1, bctx, si) <
                 ek + lam * (double)rdoq_int_cost(&q, lvl, bctx, si)) {
@@ -1432,14 +1590,15 @@ static void quantize_rect(const Tile *t, const int32_t *resid, int tw,
     for (int si = 0; si < eob; si++) {
         if (!ord[si]) continue;
         int pos = scan[si];
-        levels[pos] = (int32_t)(ord[si] * sg_nat[pos]);
+        levels[pos] = out32[pos] < 0 ? (int32_t)-ord[si] : (int32_t)ord[si];
     }
     if (ord_out) memcpy(ord_out, ord, (size_t)eob * 8);
     if (eob_out) *eob_out = eob;
+    if (rate_out) *rate_out = rdoq_rate_from_pad(&q, ord, eob);
     if (e2_out)
         *e2_out = e2_scan_f64(t->dq_dc, dqa_i, shift, a_scan, ord, eob,
                               n_coded);
-#undef ERR2R
+
 }
 
 /* rect dequant + normative inverse (frame.py _dequant_inv_rect): the
@@ -2552,7 +2711,7 @@ static int encode_luma_txb_c(Tile *t, int px_, int py_, int tx, int y_mode,
         int fi2 = tt == 2 ? (tx == 8 ? 9 : 10)
                   : tt == 1 ? (tx == 8 ? 4 : 5)
                             : (tx == 4 ? 6 : log2i(tx) - 3);
-        quantize_mat(t, resid, tx, 0, fi2, lv, NULL, NULL, NULL);
+        quantize_mat(t, resid, tx, 0, fi2, lv, NULL, NULL, NULL, NULL);
         *rate_out = 0;
         return tt;
     }
@@ -2560,8 +2719,8 @@ static int encode_luma_txb_c(Tile *t, int px_, int py_, int tx, int y_mode,
     double e2;
     int64_t ord[1024];
     int eob = 0;
-    quantize_mat(t, resid, tx, 0, fi, lv, &e2, ord, &eob);
-    int64_t rate = rate_estimate_scan(t, ord, eob, tx, 0);
+    int64_t rate;
+    quantize_mat(t, resid, tx, 0, fi, lv, &e2, ord, &eob, &rate);
     int nnz = 0;
     for (int si = 0; si < eob; si++)
         if (ord[si]) nnz++;
@@ -2603,8 +2762,9 @@ static int encode_luma_txb_c(Tile *t, int px_, int py_, int tx, int y_mode,
                                        : (tx == 8 ? 9 : 10);
             double e2_c;
             int eob_c = 0;
-            quantize_mat(t, resid, tx, 0, fi_c, lv_c, &e2_c, ord, &eob_c);
-            int64_t rate_c = rate_estimate_scan(t, ord, eob_c, tx, 0);
+            int64_t rate_c;
+            quantize_mat(t, resid, tx, 0, fi_c, lv_c, &e2_c, ord, &eob_c,
+                         &rate_c);
             double rd_c = e2_c + lam * (double)rate_c;
             if (rd_c < best_rd) {
                 best_rd = rd_c;
@@ -2784,7 +2944,9 @@ static void encode_coeffs_rect_c(Tile *t, int plane, int tw, int th, int px,
  * levels (mirrors frame.py _rect_mode_and_levels: shared by the duel
  * trial and the final rect encode) */
 static int rect_mode_and_levels_c(Tile *t, int x, int y, int bw, int bh,
-                                  int32_t *pred_out, int32_t *lv_out) {
+                                  int32_t *pred_out, int32_t *lv_out,
+                                  int64_t *rate_out /* nullable: fused
+                                  exact rate (== rate_estimate_rect) */) {
     int ha = y > 0, hl = x > 0;
     Edges e;
     build_edges_buf(t, t->recon[0], x, y, bw, bh, ha, hl, &e);
@@ -2818,10 +2980,13 @@ static int rect_mode_and_levels_c(Tile *t, int x, int y, int bw, int bh,
     int all0 = 1;
     for (int i = 0; i < bw * bh; i++)
         if (resid[i]) { all0 = 0; break; }
-    if (all0)
+    if (all0) {
         memset(lv_out, 0, (size_t)bw * bh * 4);
-    else
-        quantize_rect(t, resid, bw, bh, 0, lv_out, NULL, NULL, NULL);
+        if (rate_out) *rate_out = 256; /* eob 0: txb_skip only */
+    } else {
+        quantize_rect(t, resid, bw, bh, 0, lv_out, NULL, NULL, NULL,
+                      rate_out);
+    }
     return best_mode;
 }
 
@@ -2842,7 +3007,8 @@ static void try_rect_luma_c(Tile *t, int x, int y, int part,
         int sx = x + (part == 2 ? 16 * k : 0);
         int sy = y + (part == 1 ? 16 * k : 0);
         int32_t pred[32 * 32], lv[32 * 32];
-        rect_mode_and_levels_c(t, sx, sy, bw, bh, pred, lv);
+        int64_t rate_k;
+        rect_mode_and_levels_c(t, sx, sy, bw, bh, pred, lv, &rate_k);
         int lnz = 0;
         for (int i = 0; i < bw * bh; i++)
             if (lv[i]) { lnz = 1; break; }
@@ -2855,7 +3021,7 @@ static void try_rect_luma_c(Tile *t, int x, int y, int part,
                 rec[(size_t)(sy + rr) * t->pw + sx + cc] =
                     v < 0 ? 0 : (v > hi ? hi : v);
             }
-        rate += rate_estimate_rect(t, lv, bw, bh, 0);
+        rate += rate_k;
     }
     int64_t dist = 0;
     for (int rr = 0; rr < 32; rr++)
@@ -3034,9 +3200,11 @@ static void encode_block_rect_c(Tile *t, int r, int c, int bw, int bh) {
         if (all0)
             memset(y_levels, 0, (size_t)npx * 4);
         else
-            quantize_rect(t, resid, bw, bh, 0, y_levels, NULL, NULL, NULL);
+            quantize_rect(t, resid, bw, bh, 0, y_levels, NULL, NULL, NULL,
+                          NULL);
     } else {
-        y_mode = rect_mode_and_levels_c(t, x, y, bw, bh, y_pred, y_levels);
+        y_mode = rect_mode_and_levels_c(t, x, y, bw, bh, y_pred, y_levels,
+                                        NULL);
     }
     int y_nz = 0;
     for (int i = 0; i < npx; i++)
@@ -3176,7 +3344,7 @@ static void encode_block_rect_c(Tile *t, int r, int c, int bw, int bh) {
                     }
                 if (all0) memset(lv_dc[i], 0, (size_t)npx * 4);
                 else quantize_rect(t, resid, bw, bh, 1, lv_dc[i], NULL,
-                                   NULL, NULL);
+                                   NULL, NULL, NULL);
             }
             if (best_a[0] == 0 && best_a[1] == 0) {
                 for (int i = 0; i < 2; i++) {
@@ -3198,7 +3366,7 @@ static void encode_block_rect_c(Tile *t, int r, int c, int bw, int bh) {
                         }
                     if (all0) memset(lv_cfl[i], 0, (size_t)npx * 4);
                     else quantize_rect(t, resid, bw, bh, 1, lv_cfl[i], NULL,
-                                       NULL, NULL);
+                                       NULL, NULL, NULL);
                 }
                 int64_t cost_dc = 0, cost_cfl = 4;
                 for (int i = 0; i < 2; i++) {
@@ -3236,7 +3404,7 @@ static void encode_block_rect_c(Tile *t, int r, int c, int bw, int bh) {
                     }
                 if (all0) memset(uv_lv[i], 0, (size_t)npx * 4);
                 else quantize_rect(t, resid, bw, bh, 1, uv_lv[i], NULL,
-                                   NULL, NULL);
+                                   NULL, NULL, NULL);
             }
         }
         for (int i = 0; i < 2; i++)
@@ -4850,6 +5018,7 @@ size_t tile_encode(
         t.rdoq_hf_uv = hfu_env ? atof(hfu_env) : t.rdoq_hf;
         if (t.rdoq_hf_uv < 0.0) t.rdoq_hf_uv = 0.0;
     }
+    build_ws_tables(&t); /* after rdoq_hf/_uv: the weights bake them in */
     t.filter_intra = filter_intra && fi_taps != NULL;
     t.fi_taps = fi_taps;
     t.lr_cfg = lr_cfg;

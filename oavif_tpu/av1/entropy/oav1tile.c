@@ -3699,26 +3699,31 @@ static void encode_block(Tile *t, int r, int c, int size) {
             t->dec_mode = 0;
         }
     }
+    static _Thread_local int32_t lv_a[64 * 64], pr_a[64 * 64];
+    static _Thread_local int32_t y_recon[64 * 64];
+    int tt_a[4] = {0, 0, 0, 0};
+    int64_t d0 = 0, r0 = 0;
+    int d0_done = 0; /* depth-0 trial already cached in lv_a/... */
     if (t->screen_tools && size >= 8 && size <= 64 && !rep_on &&
         !use_palette && can_code) {
         int64_t rate_pal, dist_pal;
         int cand = try_palette_y_c(t, x, y, size, pal_colors, pal_map,
                                    &rate_pal, &dist_pal);
         if (cand) {
-            static _Thread_local int32_t lvN[64 * 64], prN[64 * 64],
-                recN[64 * 64];
-            int ttN[4];
-            int64_t dN, rN;
+            /* the duel's depth-0 trial doubles as the main duel's
+             * depth-0 arm (identical inputs, recon restored) — cached
+             * so the losing-palette path never recomputes it */
             try_luma_depth_c(t, x, y, size, 0, y_mode, ntr0, nbl0,
-                             can_code, NULL, lvN, prN, ttN, recN, &dN,
-                             &rN);
+                             can_code, NULL, lv_a, pr_a, tt_a, y_recon,
+                             &d0, &r0);
+            d0_done = 1;
             double lam_pix =
                 (double)(((int64_t)t->dq_ac * t->dq_ac >> 6) * RDOQ_KNUM) /
                 (RDOQ_KDEN * 128.0) * t->cur_lamscale;
             /* lossy candidates carry their clustering SSE as distortion
              * (zero for exact 2..8-value blocks) */
             if ((double)dist_pal + lam_pix * (double)rate_pal <
-                (double)dN + lam_pix * (double)rN) {
+                (double)d0 + lam_pix * (double)r0) {
                 use_palette = 1;
                 npal = cand;
                 y_mode = DC_PRED;
@@ -3733,7 +3738,6 @@ static void encode_block(Tile *t, int r, int c, int size) {
     int btx = size < 64 ? size : 64;
     int y_depth = 0;
     int y_txtypes[4] = {0, 0, 0, 0};
-    static _Thread_local int32_t y_recon[64 * 64];
     if (use_palette) {
         /* palette prediction is exact; zero residual, depth 0 */
         memset(levels, 0, (size_t)npx * 4);
@@ -3743,11 +3747,9 @@ static void encode_block(Tile *t, int r, int c, int size) {
             y_recon[i] = v < 0 ? 0 : (v > hi ? hi : v);
         }
     } else {
-        static _Thread_local int32_t lv_a[64 * 64], pr_a[64 * 64];
         static _Thread_local int32_t lv_b[64 * 64], pr_b[64 * 64];
         static _Thread_local int32_t rec_b[64 * 64];
-        int tt_a[4] = {0, 0, 0, 0}, tt_b[4] = {0, 0, 0, 0};
-        int64_t d0 = 0, r0 = 0;
+        int tt_b[4] = {0, 0, 0, 0};
         if (rep_on) {
             y_depth = rep_depth;
             if (!try_luma_depth_c(t, x, y, size, y_depth, y_mode, ntr0,
@@ -3764,8 +3766,9 @@ static void encode_block(Tile *t, int r, int c, int size) {
             memcpy(y_txtypes, tt_a, sizeof(tt_a));
             goto luma_done;
         }
-        try_luma_depth_c(t, x, y, size, 0, y_mode, ntr0, nbl0, can_code,
-                         NULL, lv_a, pr_a, tt_a, y_recon, &d0, &r0);
+        if (!d0_done)
+            try_luma_depth_c(t, x, y, size, 0, y_mode, ntr0, nbl0, can_code,
+                             NULL, lv_a, pr_a, tt_a, y_recon, &d0, &r0);
         int cat = log2i(size) - 3;
         int tctx = size > 4 ? tx_ctx_c(t, r, c, btx) : 0;
         double lam_pix =

@@ -142,15 +142,22 @@ typedef struct {
     int32_t rc_eob_pt[4][2][11]; /* by log2(cw)-2: nsym 5,7,9,11 */
     int32_t rc_eob_pt_rect[2][2][11]; /* [0]=128 (nsym 8), [1]=512 (10) */
     int32_t rc_txsz[4][3][3];    /* tx_size depth costs [cat][ctx][depth] */
-    /* RDOQ phase-3 decrement rate-delta bands per [txs][pt][lvl 1..3]
-     * (min/max of cost(l)-cost(l-1) over every reachable base ctx) —
-     * pure functions of the frozen rc_base rows, hoisted from the
-     * per-quantize band scan */
-    int32_t rc_bd_min[5][2][4], rc_bd_max[5][2][4];
+    /* offset-class-tightened variants: a scan position's base ctx lies
+     * in OCBASE[oc] + mag with mag in 0..4 (oc 0 = DC is exact), so
+     * per-class bands are far narrower than the global 0..25 span —
+     * [txs][pt][oc 0..5][lvl 1..3] decrement deltas for phase 3, and
+     * [txs][pt][oc][lclass 1..3] min/max of base[bctx][lclass]+128
+     * (rdoq_int_cost's table part for nonzero lvl <= 3) for phase 1 */
+    int32_t rc_bd3_min[5][2][6][4], rc_bd3_max[5][2][6][4];
+    int32_t rc_ic_min[5][2][6][4], rc_ic_max[5][2][6][4];
     /* scan-position decompositions per scan table k (squares 0..3,
      * rect 4=32x16 / 5=16x32): row, column, and the running row max
      * (so quantize's maxr over si<eob is one lookup) */
     int16_t scan_r[6][1024], scan_c[6][1024], scan_rmax[6][1024];
+    /* base-ctx offset class per scan position (index into OCBASE):
+     * 0 = DC, 1 = +1 (square rr+cc<2), 2 = +6 (rr+cc<4), 3 = +11
+     * (tall rr<2), 4 = +16 (wide cc<2), 5 = +21 */
+    int8_t scan_oc[6][1024];
     /* RDOQ frequency weights, exactly 1.0/(1 + hf_a*si/n_coded) per
      * ptype: squares flat at WS_SQ_OFF[log2(cw)-2], rect at 0/128 —
      * hoists the per-call serial divisions out of the phase-3 loop */
@@ -928,42 +935,63 @@ static void build_rdoq_costs(Tile *t) {
             for (int s = 0; s < 3; s++)
                 t->rc_txsz[cat][ctx][s] = icdf_sym_cost(row, s);
         }
-    /* phase-3 decrement bands (the per-quantize 0..25 scan, hoisted) */
+    /* RDOQ decrement/level-cost bands (the per-quantize ctx scans,
+     * hoisted and tightened per offset class) */
+    static const int OCBASE[6] = {0, 1, 6, 11, 16, 21};
     for (int txs = 0; txs < 5; txs++)
         for (int pt = 0; pt < 2; pt++) {
             const int32_t(*base)[4] = t->rc_base[txs][pt];
-            int32_t *bmin = t->rc_bd_min[txs][pt];
-            int32_t *bmax = t->rc_bd_max[txs][pt];
-            bmin[0] = bmax[0] = 0;
-            for (int l = 1; l < 4; l++) {
-                bmin[l] = 1 << 30;
-                bmax[l] = -(1 << 30);
-            }
-            for (int b = 0; b <= 25; b++) {
-                int d1 = (int)base[b][1] + 128 - (int)base[b][0];
-                int d2 = (int)base[b][2] - (int)base[b][1];
-                int d3 = (int)base[b][3] - (int)base[b][2];
-                if (d1 < bmin[1]) bmin[1] = d1;
-                if (d1 > bmax[1]) bmax[1] = d1;
-                if (d2 < bmin[2]) bmin[2] = d2;
-                if (d2 > bmax[2]) bmax[2] = d2;
-                if (d3 < bmin[3]) bmin[3] = d3;
-                if (d3 > bmax[3]) bmax[3] = d3;
+            /* offset-class-tightened bands: a position's ctx spans only
+             * OCBASE[oc]..OCBASE[oc]+4 (oc 0 = DC is exactly ctx 0) */
+            for (int oc = 0; oc < 6; oc++) {
+                int span = oc == 0 ? 1 : 5;
+                for (int l = 1; l < 4; l++) {
+                    int dmin = 1 << 30, dmax = -(1 << 30);
+                    int icmin = 1 << 30, icmax = -(1 << 30);
+                    for (int m = 0; m < span; m++) {
+                        int b = OCBASE[oc] + m;
+                        int d = (int)base[b][l] - (int)base[b][l - 1] +
+                                (l == 1 ? 128 : 0);
+                        int ic = (int)base[b][l] + 128;
+                        if (d < dmin) dmin = d;
+                        if (d > dmax) dmax = d;
+                        if (ic < icmin) icmin = ic;
+                        if (ic > icmax) icmax = ic;
+                    }
+                    t->rc_bd3_min[txs][pt][oc][l] = dmin;
+                    t->rc_bd3_max[txs][pt][oc][l] = dmax;
+                    t->rc_ic_min[txs][pt][oc][l] = icmin;
+                    t->rc_ic_max[txs][pt][oc][l] = icmax;
+                }
+                t->rc_bd3_min[txs][pt][oc][0] = 0;
+                t->rc_bd3_max[txs][pt][oc][0] = 0;
+                t->rc_ic_min[txs][pt][oc][0] = 0;
+                t->rc_ic_max[txs][pt][oc][0] = 0;
             }
         }
-    /* scan-position decompositions + prefix row max */
+    /* scan-position decompositions + prefix row max + offset class */
     static const int SCAN_LEN[6] = {16, 64, 256, 1024, 512, 512};
     static const int SCAN_W[6] = {4, 8, 16, 32, 32, 16};
     for (int k = 0; k < 6; k++) {
         if (!t->scan[k]) continue;
         int lw = log2i(SCAN_W[k]);
+        int rect = k == 4 ? 1 : (k == 5 ? 2 : 0);
         int16_t rmax = 0;
         for (int si = 0; si < SCAN_LEN[k]; si++) {
             int pos = t->scan[k][si];
-            t->scan_r[k][si] = (int16_t)(pos >> lw);
-            t->scan_c[k][si] = (int16_t)(pos & (SCAN_W[k] - 1));
-            if (t->scan_r[k][si] > rmax) rmax = t->scan_r[k][si];
+            int rr = pos >> lw, cc = pos & (SCAN_W[k] - 1);
+            t->scan_r[k][si] = (int16_t)rr;
+            t->scan_c[k][si] = (int16_t)cc;
+            if (rr > rmax) rmax = (int16_t)rr;
             t->scan_rmax[k][si] = rmax;
+            int8_t oc;
+            if (rr == 0 && cc == 0) oc = 0;
+            else if (rect == 1 && cc < 2) oc = 4;
+            else if (rect == 2 && rr < 2) oc = 3;
+            else if (!rect && rr + cc < 2) oc = 1;
+            else if (rr + cc < 4) oc = 2;
+            else oc = 5;
+            t->scan_oc[k][si] = oc;
         }
     }
 }
@@ -1006,6 +1034,9 @@ typedef struct {
     const int32_t (*eob_extra)[2];
     const int32_t *eob_pt;
     const int16_t *pos_r, *pos_c; /* tile scan_r/scan_c rows */
+    const int8_t *oc;             /* tile scan_oc row */
+    const int32_t (*bd3_min)[4], (*bd3_max)[4]; /* rc_bd3_* [oc] rows */
+    const int32_t (*ic_min)[4], (*ic_max)[4];   /* rc_ic_* [oc] rows */
     int n_coded, cw;
     int rect; /* 0 square, 1 wide (w>h), 2 tall — rect base-ctx bands */
     int pad[34 * 34];
@@ -1198,6 +1229,11 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
     q.eob_pt = t->rc_eob_pt[sk][ptype];
     q.pos_r = t->scan_r[sk];
     q.pos_c = t->scan_c[sk];
+    q.oc = t->scan_oc[sk];
+    q.bd3_min = t->rc_bd3_min[txs][ptype];
+    q.bd3_max = t->rc_bd3_max[txs][ptype];
+    q.ic_min = t->rc_ic_min[txs][ptype];
+    q.ic_max = t->rc_ic_max[txs][ptype];
     q.n_coded = n_coded;
     q.cw = cw;
     q.rect = 0;
@@ -1271,7 +1307,14 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
         vdrop_terms_f64(a_scan, ws, eob, e0sq);
     }
 
-    /* --- phase 1: eob shrinking --- */
+    /* --- phase 1: eob shrinking ---
+     * The only pad-dependent term in the drop-vs-keep comparison is
+     * rdoq_int_cost(lp, bctx(pe)); for lp <= 3 it lies in the
+     * offset-class band [ic_min, ic_max] (bctx = OCBASE[oc(pe)] + mag,
+     * mag 0..4). When the margin clears the band by one cost unit the
+     * decision skips the 5-neighbor context read; the +-1 guard dwarfs
+     * the regrouped-float rounding (same argument as phase 3's bands,
+     * documented there), so outcomes are identical. */
     while (eob > 0) {
         int si = eob - 1;
         int64_t lvl = ord[si];
@@ -1295,8 +1338,19 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
         double drop = e0sq[si] +
                       lam * (double)(rdoq_eobpt_cost(&q, pe + 1) +
                                      rdoq_eob_coeff_cost(&q, lp, pe));
-        keep += lam * (double)rdoq_int_cost(&q, lp, rdoq_base_ctx(&q, pe), pe);
-        if (drop < keep) {
+        int do_drop;
+        double m;
+        if (lp <= 3 &&
+            ((m = drop - keep) <
+                 lam * (double)(q.ic_min[q.oc[pe]][lp] - 1) ||
+             m >= lam * (double)(q.ic_max[q.oc[pe]][lp] + 1))) {
+            do_drop = m < lam * (double)(q.ic_min[q.oc[pe]][lp] - 1);
+        } else {
+            keep += lam *
+                    (double)rdoq_int_cost(&q, lp, rdoq_base_ctx(&q, pe), pe);
+            do_drop = drop < keep;
+        }
+        if (do_drop) {
             ord[si] = 0;
             eob = pe + 1;
         } else {
@@ -1323,7 +1377,8 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
          * Exact fast bands: the rate tables are FROZEN per tile, so for
          * level classes 1..3 the decrement's rate delta
          * cost(l)-cost(l-1) lies in a precomputable [dmin_l, dmax_l]
-         * over every reachable base ctx. A decrement is accepted iff
+         * over the position's reachable base ctxs (offset class + mag
+         * 0..4; DC is exact). A decrement is accepted iff
          * dD < lam*delta(bctx); when dD clears the banded bound by at
          * least lam (the +-1 cost-unit widening) the outcome is decided
          * WITHOUT computing the context or the table costs. The 1-unit
@@ -1332,16 +1387,16 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
          * identical to the full evaluation — no Python mirror needed
          * (same argument as the lam*6144 bound, which still covers
          * lvl > 3 where the delta depends on the br context). */
-        const int32_t *bd_min = t->rc_bd_min[txs][ptype];
-        const int32_t *bd_max = t->rc_bd_max[txs][ptype];
         for (si = eob - 2; si >= 0; si--) {
             lvl = ord[si];
             if (lvl == 0) continue;
             double ek = ek_pre[si], ed = ed_pre[si];
             double dd = ed - ek;
             if (lvl <= 3) {
-                if (dd >= lam * (double)(bd_max[lvl] + 1)) continue;
-                if (dd < lam * (double)(bd_min[lvl] - 1)) {
+                const int32_t *b3min = q.bd3_min[q.oc[si]];
+                const int32_t *b3max = q.bd3_max[q.oc[si]];
+                if (dd >= lam * (double)(b3max[lvl] + 1)) continue;
+                if (dd < lam * (double)(b3min[lvl] - 1)) {
                     ord[si] = lvl - 1;
                     q.pad[q.pos_r[si] * W + q.pos_c[si]] =
                         (lvl - 1) < 127 ? (int)(lvl - 1) : 127;
@@ -1453,6 +1508,11 @@ static void quantize_rect(const Tile *t, const int32_t *resid, int tw,
     q.eob_pt = t->rc_eob_pt_rect[n_coded == 128 ? 0 : 1][ptype];
     q.pos_r = t->scan_r[sk];
     q.pos_c = t->scan_c[sk];
+    q.oc = t->scan_oc[sk];
+    q.bd3_min = t->rc_bd3_min[txs][ptype];
+    q.bd3_max = t->rc_bd3_max[txs][ptype];
+    q.ic_min = t->rc_ic_min[txs][ptype];
+    q.ic_max = t->rc_ic_max[txs][ptype];
     q.n_coded = n_coded;
     q.cw = tw;
     q.rect = tw > th ? 1 : 2;
@@ -1506,7 +1566,7 @@ static void quantize_rect(const Tile *t, const int32_t *resid, int tw,
         vdrop_terms_f64(a_scan, ws, eob, e0sq);
     }
 
-    /* --- phase 1: eob shrinking --- */
+    /* --- phase 1: eob shrinking (banded as in quantize_mat) --- */
     while (eob > 0) {
         int si = eob - 1;
         int64_t lvl = ord[si];
@@ -1530,8 +1590,19 @@ static void quantize_rect(const Tile *t, const int32_t *resid, int tw,
         double drop = e0sq[si] +
                       lam * (double)(rdoq_eobpt_cost(&q, pe + 1) +
                                      rdoq_eob_coeff_cost(&q, lp, pe));
-        keep += lam * (double)rdoq_int_cost(&q, lp, rdoq_base_ctx(&q, pe), pe);
-        if (drop < keep) {
+        int do_drop;
+        double m;
+        if (lp <= 3 &&
+            ((m = drop - keep) <
+                 lam * (double)(q.ic_min[q.oc[pe]][lp] - 1) ||
+             m >= lam * (double)(q.ic_max[q.oc[pe]][lp] + 1))) {
+            do_drop = m < lam * (double)(q.ic_min[q.oc[pe]][lp] - 1);
+        } else {
+            keep += lam *
+                    (double)rdoq_int_cost(&q, lp, rdoq_base_ctx(&q, pe), pe);
+            do_drop = drop < keep;
+        }
+        if (do_drop) {
             ord[si] = 0;
             eob = pe + 1;
         } else {
@@ -1555,20 +1626,19 @@ static void quantize_rect(const Tile *t, const int32_t *resid, int tw,
             }
         }
         /* --- phase 3: interior level decrements (reverse scan) ---
-         * same precomputed-deltas + exact rate-delta bands as
-         * quantize_mat (rect base ctxs span the same 0..25 range the
-         * bands cover; the +-1 cost-unit guard makes the banded
+         * same precomputed-deltas + offset-class rate-delta bands as
+         * quantize_mat (the +-1 cost-unit guard makes the banded
          * outcome identical to the full evaluation) */
-        const int32_t *bd_min = t->rc_bd_min[txs][ptype];
-        const int32_t *bd_max = t->rc_bd_max[txs][ptype];
         for (si = eob - 2; si >= 0; si--) {
             lvl = ord[si];
             if (lvl == 0) continue;
             double ek = ek_pre[si], ed = ed_pre[si];
             double dd = ed - ek;
             if (lvl <= 3) {
-                if (dd >= lam * (double)(bd_max[lvl] + 1)) continue;
-                if (dd < lam * (double)(bd_min[lvl] - 1)) {
+                const int32_t *b3min = q.bd3_min[q.oc[si]];
+                const int32_t *b3max = q.bd3_max[q.oc[si]];
+                if (dd >= lam * (double)(b3max[lvl] + 1)) continue;
+                if (dd < lam * (double)(b3min[lvl] - 1)) {
                     ord[si] = lvl - 1;
                     q.pad[q.pos_r[si] * W + q.pos_c[si]] =
                         (lvl - 1) < 127 ? (int)(lvl - 1) : 127;
@@ -2684,10 +2754,14 @@ static int64_t rate_estimate_txb(const Tile *t, const int32_t *levels,
 }
 
 /* predict + quantize one luma txb from the current recon; two-way ADST RD
- * for tx 8/16 (mirrors frame.py _encode_luma_txb). Returns tx_type. */
+ * for tx 8/16 (mirrors frame.py _encode_luma_txb). Returns tx_type.
+ * allow_duel=0 keeps the DCT path + rate but skips the tx-type duel
+ * (the two-phase tx search: split TRIALS at the default speed judge on
+ * DCT, and only the winning depth re-runs with duels). */
 static int encode_luma_txb_c(Tile *t, int px_, int py_, int tx, int y_mode,
                              int ntr, int nbl, int can_code, int forced_tt,
-                             int32_t *lv, int32_t *pred, int64_t *rate_out) {
+                             int allow_duel, int32_t *lv, int32_t *pred,
+                             int64_t *rate_out) {
     Edges e;
     build_edges_buf_tr(t, t->recon[0], px_, py_, tx, tx, py_ > 0, px_ > 0,
                        ntr, nbl, &e);
@@ -2726,7 +2800,8 @@ static int encode_luma_txb_c(Tile *t, int px_, int py_, int tx, int y_mode,
         if (ord[si]) nnz++;
     int txtype = 0;
     int nnz_gate = t->speed <= 4 ? 1 : 6;
-    if ((tx == 8 || tx == 16) && nnz >= nnz_gate && t->speed <= 9) {
+    if ((tx == 8 || tx == 16) && nnz >= nnz_gate && t->speed <= 9 &&
+        allow_duel) {
         /* three-way transform RD in the COEFFICIENT domain (one shared
          * gain per size): DCT vs ADST vs IDTX — identity is the
          * screen-content transform. No inverse for the losers. */
@@ -2783,6 +2858,7 @@ static int encode_luma_txb_c(Tile *t, int px_, int py_, int tx, int y_mode,
 static int try_luma_depth_c(Tile *t, int x, int y, int size, int depth,
                             int y_mode, int ntr_blk, int nbl_blk,
                             int can_code, const int *forced_tt,
+                            int allow_duel,
                             int32_t *lv_out /* txb-major */,
                             int32_t *pred_out, int *txtypes,
                             int32_t *recon_out /* (size,size) */,
@@ -2817,7 +2893,7 @@ static int try_luma_depth_c(Tile *t, int x, int y, int size, int depth,
             txtypes[idx] =
                 encode_luma_txb_c(t, px_, py_, tx, y_mode, ntr, nbl,
                                   can_code, forced_tt ? forced_tt[idx] : -1,
-                                  lv, pred, &r_txb);
+                                  allow_duel, lv, pred, &r_txb);
             int lnz = 0;
             for (int i = 0; i < tx * tx; i++)
                 if (lv[i]) { lnz = 1; break; }
@@ -3067,8 +3143,8 @@ static void try_square_arm_c(Tile *t, int r, int c, int part,
             rec_t[32 * 32];
         int tts[4];
         int64_t d_, r_;
-        try_luma_depth_c(t, bx, by, bs, 0, y_mode, ntr, nbl, 1, NULL, lv_t,
-                         pr_t, tts, rec_t, &d_, &r_);
+        try_luma_depth_c(t, bx, by, bs, 0, y_mode, ntr, nbl, 1, NULL, 1,
+                         lv_t, pr_t, tts, rec_t, &d_, &r_);
         for (int rr = 0; rr < bs; rr++)
             memcpy(rec + (size_t)(by + rr) * t->pw + bx,
                    rec_t + (size_t)rr * bs, (size_t)bs * 4);
@@ -3714,7 +3790,7 @@ static void encode_block(Tile *t, int r, int c, int size) {
              * depth-0 arm (identical inputs, recon restored) — cached
              * so the losing-palette path never recomputes it */
             try_luma_depth_c(t, x, y, size, 0, y_mode, ntr0, nbl0,
-                             can_code, NULL, lv_a, pr_a, tt_a, y_recon,
+                             can_code, NULL, 1, lv_a, pr_a, tt_a, y_recon,
                              &d0, &r0);
             d0_done = 1;
             double lam_pix =
@@ -3753,14 +3829,14 @@ static void encode_block(Tile *t, int r, int c, int size) {
         if (rep_on) {
             y_depth = rep_depth;
             if (!try_luma_depth_c(t, x, y, size, y_depth, y_mode, ntr0,
-                                  nbl0, can_code, rep_tt, lv_a, pr_a, tt_a,
-                                  y_recon, &d0, &r0)) {
+                                  nbl0, can_code, rep_tt, 1, lv_a, pr_a,
+                                  tt_a, y_recon, &d0, &r0)) {
                 /* replayed split is all-zero at this q: skip semantics
                  * demand the depth-0 whole-block prediction */
                 static const int tt_dct[4] = {0, 0, 0, 0};
                 y_depth = 0;
                 try_luma_depth_c(t, x, y, size, 0, y_mode, ntr0, nbl0,
-                                 can_code, tt_dct, lv_a, pr_a, tt_a,
+                                 can_code, tt_dct, 1, lv_a, pr_a, tt_a,
                                  y_recon, &d0, &r0);
             }
             memcpy(y_txtypes, tt_a, sizeof(tt_a));
@@ -3768,7 +3844,7 @@ static void encode_block(Tile *t, int r, int c, int size) {
         }
         if (!d0_done)
             try_luma_depth_c(t, x, y, size, 0, y_mode, ntr0, nbl0, can_code,
-                             NULL, lv_a, pr_a, tt_a, y_recon, &d0, &r0);
+                             NULL, 1, lv_a, pr_a, tt_a, y_recon, &d0, &r0);
         int cat = log2i(size) - 3;
         int tctx = size > 4 ? tx_ctx_c(t, r, c, btx) : 0;
         double lam_pix =
@@ -3780,7 +3856,7 @@ static void encode_block(Tile *t, int r, int c, int size) {
              * angle_delta symbol the directional side pays. */
             int64_t dB = 0, rB = 0;
             if (try_luma_depth_c(t, x, y, size, 0, y_nominee, ntr0, nbl0,
-                                 can_code, NULL, lv_b, pr_b, tt_b, rec_b,
+                                 can_code, NULL, 1, lv_b, pr_b, tt_b, rec_b,
                                  &dB, &rB)) {
                 /* only directional nominees pay the angle_delta +
                  * kf_y-rarity premium */
@@ -3835,8 +3911,8 @@ static void encode_block(Tile *t, int r, int c, int size) {
             if (10 * fi_ssd < 9 * ssd_dc) {
                 int64_t dF = 0, rF = 0;
                 if (try_luma_depth_c(t, x, y, size, 0, FILTER_BASE + fi_best,
-                                     ntr0, nbl0, can_code, NULL, lv_b, pr_b,
-                                     tt_b, rec_b, &dF, &rF)) {
+                                     ntr0, nbl0, can_code, NULL, 1, lv_b,
+                                     pr_b, tt_b, rec_b, &dF, &rF)) {
                     double rdD = (double)d0 + lam_pix * (double)r0;
                     double rdF = (double)dF + lam_pix * (double)(rF + 300);
                     if (rdF < rdD) {
@@ -3855,15 +3931,25 @@ static void encode_block(Tile *t, int r, int c, int size) {
             (t->speed <= 8 || btx <= 16) &&
             (t->speed <= 5 ||
              d0 > ((int64_t)size * size * t->dq_ac * t->dq_ac) >> 9)) {
+            /* Two-phase tx-type search at the default speed: the split
+             * TRIAL judges on DCT only (the per-sub-txb ADST duel is
+             * most of the trial's quantize cost, wasted whenever
+             * depth 0 wins); only a WINNING split re-runs with duels.
+             * Quality presets (speed <= 8) keep dueled trials. */
+            int duel_in_trial = t->speed <= 8;
             int64_t d1, r1;
             if (try_luma_depth_c(t, x, y, size, 1, y_mode, ntr0, nbl0,
-                                 can_code, NULL, lv_b, pr_b, tt_b, rec_b,
-                                 &d1, &r1)) {
+                                 can_code, NULL, duel_in_trial, lv_b, pr_b,
+                                 tt_b, rec_b, &d1, &r1)) {
                 double rd0 = (double)(d0) +
                              lam_pix * (double)(r0 + t->rc_txsz[cat][tctx][0]);
                 double rd1 = (double)(d1) +
                              lam_pix * (double)(r1 + t->rc_txsz[cat][tctx][1]);
-                if (rd1 < rd0) {
+                if (rd1 < rd0 &&
+                    (duel_in_trial ||
+                     try_luma_depth_c(t, x, y, size, 1, y_mode, ntr0, nbl0,
+                                      can_code, NULL, 1, lv_b, pr_b, tt_b,
+                                      rec_b, &d1, &r1))) {
                     y_depth = 1;
                     memcpy(lv_a, lv_b, (size_t)npx * 4);
                     memcpy(pr_a, pr_b, (size_t)npx * 4);

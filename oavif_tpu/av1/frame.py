@@ -1473,8 +1473,13 @@ class TileEncoder:
                         size * size * self.dq_ac * self.dq_ac
                     ) >> 9:
                         continue
+                # two-phase tx-type search at the default speed (mirrors
+                # oav1tile.c): the split TRIAL judges on DCT only; a
+                # winning split re-runs with the per-txb duels
+                duel_in_trial = depth == 0 or self.speed <= 8
                 trial = pre0 if (depth == 0 and pre0 is not None) else (
-                    self._try_luma_depth(x, y, size, depth, y_mode, ntr, nbl)
+                    self._try_luma_depth(x, y, size, depth, y_mode, ntr, nbl,
+                                         allow_duel=duel_in_trial)
                 )
                 if trial is None:
                     # a split whose levels are ALL zero is rejected: a
@@ -1489,6 +1494,13 @@ class TileEncoder:
                 ) / (RDOQ_KDEN * 128.0) * self._lam_scale
                 rd = float(dist) + lam_pix * float(rate)
                 if best is None or rd < best[0]:
+                    if not duel_in_trial:
+                        trial = self._try_luma_depth(
+                            x, y, size, depth, y_mode, ntr, nbl
+                        )
+                        if trial is None:
+                            continue  # dueled split went all-zero: keep 0
+                        jobs_d, _, _, recon_blk = trial
                     best = (rd, depth, jobs_d, recon_blk, dist)
             _, y_depth, y_jobs, y_recon, _ = best
         y_tx = tx >> y_depth
@@ -2669,11 +2681,13 @@ class TileEncoder:
 
     def _encode_luma_txb(self, px_: int, py_: int, tx: int, y_mode: int,
                          ntr: int, nbl: int, can_code: bool = True,
-                         forced_tt: int = -1):
+                         forced_tt: int = -1, allow_duel: bool = True):
         """Predict one luma txb from the current recon, quantize (RDOQ),
         two-way ADST RD for tx 8/16. Returns (levels, pred, tx_type).
         forced_tt >= 0 replays a recorded transform choice: quantize under
-        that transform only, no rate estimate (mirrors oav1tile.c)."""
+        that transform only, no rate estimate (mirrors oav1tile.c).
+        allow_duel=False keeps the DCT path + rate but skips the tx-type
+        duel (the two-phase tx search, mirrors oav1tile.c)."""
         ha, hl = py_ > 0, px_ > 0
         above, left = build_edges(
             self.recon[0], px_, py_, tx, tx, ha, hl, self.bitdepth,
@@ -2697,7 +2711,7 @@ class TileEncoder:
         tx_type = "dct_dct"
         nnz_gate = 1 if self.speed <= 4 else 6
         if (tx in (8, 16) and int((levels != 0).sum()) >= nnz_gate
-                and self.speed <= 9):
+                and self.speed <= 9 and allow_duel):
             # three-way transform RD in the COEFFICIENT domain (the AV1
             # integer transforms share one gain per size, so SSEs are
             # comparable): DCT vs ADST vs IDTX — identity is the
@@ -2734,7 +2748,7 @@ class TileEncoder:
 
     def _try_luma_depth(self, x: int, y: int, size: int, depth: int,
                         y_mode: int, ntr_blk: int, nbl_blk: int,
-                        forced_tt=None):
+                        forced_tt=None, allow_duel: bool = True):
         """Trial-encode the block's luma at the given tx depth. Writes the
         trial recon into self.recon[0] and restores it before returning
         (the final coding pass rewrites it). Returns (jobs, dist, rate,
@@ -2761,6 +2775,7 @@ class TileEncoder:
                 levels, pred, tt, r_txb = self._encode_luma_txb(
                     px_, py_, tx, y_mode, ntr, nbl, can_code=size >= 8,
                     forced_tt=forced_tt[idx] if forced_tt else -1,
+                    allow_duel=allow_duel,
                 )
                 if np.any(levels):
                     any_nz = True

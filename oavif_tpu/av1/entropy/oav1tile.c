@@ -2170,7 +2170,7 @@ static int64_t palette_tokens_y_c(Tile *t, const uint8_t *map, int hh,
  * libaom's k-means palette search behind io.zig:629). */
 static int try_palette_y_c(Tile *t, int x, int y, int size, uint16_t *pal,
                            uint8_t *map, int64_t *rate_out,
-                           int64_t *dist_out) {
+                           int64_t *dist_out, int want_rate) {
     PROF_SCOPE(PROF_PAL);
     enum { MAXD = 64 };
     static _Thread_local int32_t hist[1 << 12]; /* zero at rest */
@@ -2287,10 +2287,16 @@ static int try_palette_y_c(Tile *t, int x, int y, int size, uint16_t *pal,
             map[rr * size + cc] = (uint8_t)(hist[v] - 1);
         }
     for (int i = 0; i < ntouch; i++) hist[touched[i]] = 0;
-    int64_t rate = 128 * 6 + 128 * t->bitdepth +
-                   (int64_t)128 * (t->bitdepth - 3) * (npal - 1);
-    rate += palette_tokens_y_c(t, map, size, size, npal, 0);
-    *rate_out = rate;
+    if (want_rate) {
+        /* the token-cost walk is the bulk of the candidate's cost;
+         * replay callers need only pal/map (the duel is skipped) */
+        int64_t rate = 128 * 6 + 128 * t->bitdepth +
+                       (int64_t)128 * (t->bitdepth - 3) * (npal - 1);
+        rate += palette_tokens_y_c(t, map, size, size, npal, 0);
+        *rate_out = rate;
+    } else {
+        *rate_out = 0;
+    }
     *dist_out = dist;
     return npal;
 }
@@ -3764,7 +3770,7 @@ static void encode_block(Tile *t, int r, int c, int size) {
          * deterministic from the source; only the duel is skipped */
         int64_t rate_pal, dist_pal;
         int cand = try_palette_y_c(t, x, y, size, pal_colors, pal_map,
-                                   &rate_pal, &dist_pal);
+                                   &rate_pal, &dist_pal, 0);
         if (cand) {
             use_palette = 1;
             npal = cand;
@@ -3784,7 +3790,7 @@ static void encode_block(Tile *t, int r, int c, int size) {
         !use_palette && can_code) {
         int64_t rate_pal, dist_pal;
         int cand = try_palette_y_c(t, x, y, size, pal_colors, pal_map,
-                                   &rate_pal, &dist_pal);
+                                   &rate_pal, &dist_pal, 1);
         if (cand) {
             /* the duel's depth-0 trial doubles as the main duel's
              * depth-0 arm (identical inputs, recon restored) — cached

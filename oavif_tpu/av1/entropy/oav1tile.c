@@ -1314,13 +1314,17 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
      * mag 0..4). When the margin clears the band by one cost unit the
      * decision skips the 5-neighbor context read; the +-1 guard dwarfs
      * the regrouped-float rounding (same argument as phase 3's bands,
-     * documented there), so outcomes are identical. */
+     * documented there), so outcomes are identical.
+     * Drop chains average ~35 iterations on dense content, so the two
+     * rate terms that recur across iterations are carried: after a
+     * drop, the new tail's eobpt(eob) IS the just-computed eobpt(pe+1)
+     * and its eob-coeff cost IS the just-computed ec(lp, pe). */
+    int c_eobpt = eob > 0 ? rdoq_eobpt_cost(&q, eob) : 0;
+    int c_ec = eob > 0 ? rdoq_eob_coeff_cost(&q, ord[eob - 1], eob - 1) : 0;
     while (eob > 0) {
         int si = eob - 1;
         int64_t lvl = ord[si];
-        double keep = ek_pre[si] +
-                      lam * (double)(rdoq_eobpt_cost(&q, eob) +
-                                     rdoq_eob_coeff_cost(&q, lvl, si));
+        double keep = ek_pre[si] + lam * (double)(c_eobpt + c_ec);
         int pe = si - 1;
         while (pe >= 0 && ord[pe] == 0) pe--;
         q.pad[q.pos_r[si] * W + q.pos_c[si]] = 0;
@@ -1335,9 +1339,9 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
             break;
         }
         int64_t lp = ord[pe];
-        double drop = e0sq[si] +
-                      lam * (double)(rdoq_eobpt_cost(&q, pe + 1) +
-                                     rdoq_eob_coeff_cost(&q, lp, pe));
+        int n_eobpt = rdoq_eobpt_cost(&q, pe + 1);
+        int n_ec = rdoq_eob_coeff_cost(&q, lp, pe);
+        double drop = e0sq[si] + lam * (double)(n_eobpt + n_ec);
         int do_drop;
         double m;
         if (lp <= 3 &&
@@ -1353,6 +1357,8 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
         if (do_drop) {
             ord[si] = 0;
             eob = pe + 1;
+            c_eobpt = n_eobpt;
+            c_ec = n_ec;
         } else {
             q.pad[q.pos_r[si] * W + q.pos_c[si]] = lvl < 127 ? (int)lvl : 127;
             break;
@@ -1566,13 +1572,14 @@ static void quantize_rect(const Tile *t, const int32_t *resid, int tw,
         vdrop_terms_f64(a_scan, ws, eob, e0sq);
     }
 
-    /* --- phase 1: eob shrinking (banded as in quantize_mat) --- */
+    /* --- phase 1: eob shrinking (banded + carried terms, as in
+     * quantize_mat) --- */
+    int c_eobpt = eob > 0 ? rdoq_eobpt_cost(&q, eob) : 0;
+    int c_ec = eob > 0 ? rdoq_eob_coeff_cost(&q, ord[eob - 1], eob - 1) : 0;
     while (eob > 0) {
         int si = eob - 1;
         int64_t lvl = ord[si];
-        double keep = ek_pre[si] +
-                      lam * (double)(rdoq_eobpt_cost(&q, eob) +
-                                     rdoq_eob_coeff_cost(&q, lvl, si));
+        double keep = ek_pre[si] + lam * (double)(c_eobpt + c_ec);
         int pe = si - 1;
         while (pe >= 0 && ord[pe] == 0) pe--;
         q.pad[q.pos_r[si] * W + q.pos_c[si]] = 0;
@@ -1587,9 +1594,9 @@ static void quantize_rect(const Tile *t, const int32_t *resid, int tw,
             break;
         }
         int64_t lp = ord[pe];
-        double drop = e0sq[si] +
-                      lam * (double)(rdoq_eobpt_cost(&q, pe + 1) +
-                                     rdoq_eob_coeff_cost(&q, lp, pe));
+        int n_eobpt = rdoq_eobpt_cost(&q, pe + 1);
+        int n_ec = rdoq_eob_coeff_cost(&q, lp, pe);
+        double drop = e0sq[si] + lam * (double)(n_eobpt + n_ec);
         int do_drop;
         double m;
         if (lp <= 3 &&
@@ -1605,6 +1612,8 @@ static void quantize_rect(const Tile *t, const int32_t *resid, int tw,
         if (do_drop) {
             ord[si] = 0;
             eob = pe + 1;
+            c_eobpt = n_eobpt;
+            c_ec = n_ec;
         } else {
             q.pad[q.pos_r[si] * W + q.pos_c[si]] = lvl < 127 ? (int)lvl : 127;
             break;

@@ -819,10 +819,40 @@ static inline void vsq_terms_f64(const double *a, int cnt, double *t) {
     for (; i < cnt; i++) t[i] = a[i] * a[i];
 }
 
+/* 8-lane blocked double sum: interleaved lane accumulators over the
+ * array, lanes folded in index order, tail appended sequentially. This
+ * IS the accumulation-order contract shared with the NumPy mirror
+ * (frame.py _sum8) — both sides add the same doubles in the same order,
+ * so results are bit-identical, and the addsd latency chain of a plain
+ * sequential sum (the old contract) drops 8x. */
+static double vsum8_f64(const double *t, int n) {
+    int m = n & ~7;
+    double s = 0.0;
+#if OAV1_F64_VEC
+    if (m) {
+        __m512d acc = _mm512_setzero_pd();
+        for (int i = 0; i < m; i += 8)
+            acc = _mm512_add_pd(acc, _mm512_loadu_pd(t + i));
+        double lanes[8];
+        _mm512_storeu_pd(lanes, acc);
+        for (int l = 0; l < 8; l++) s += lanes[l];
+    }
+#else
+    if (m) {
+        double acc[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+        for (int i = 0; i < m; i += 8)
+            for (int l = 0; l < 8; l++) acc[l] += t[i + l];
+        for (int l = 0; l < 8; l++) s += acc[l];
+    }
+#endif
+    for (int i = m; i < n; i++) s += t[i];
+    return s;
+}
+
 /* quantizer reconstruction error: sum of (a - dequant(level))^2 over the
  * coded region + passthrough energy past eob. Terms are computed
- * vectorized; the SUM stays sequential in scan order (parity contract
- * with the NumPy mirror's `e2 += e * e` loop). Requires eob >= 1. */
+ * vectorized; the SUM follows the vsum8_f64 blocked order (parity
+ * contract with the NumPy mirror's _sum8). Requires eob >= 1. */
 static double e2_scan_f64(int64_t dq_dc, int64_t dq_ac, int shift,
                           const double *a_scan, const int64_t *ord, int eob,
                           int n_coded) {
@@ -831,9 +861,7 @@ static double e2_scan_f64(int64_t dq_dc, int64_t dq_ac, int shift,
     double e0 = a_scan[0] - (double)((ord[0] * dq_dc) >> shift);
     tsq[0] = e0 * e0;
     vsq_terms_f64(a_scan + eob, n_coded - eob, tsq + eob);
-    double e2 = 0.0;
-    for (int si = 0; si < n_coded; si++) e2 += tsq[si];
-    return e2;
+    return vsum8_f64(tsq, n_coded);
 }
 
 /* RDOQ rate model: bit costs in 1/128-bit units at 1/256 probability
@@ -1210,9 +1238,7 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
         if (e2_out) {
             double tsq[1024];
             vsq_terms_f64(a_scan, n_coded, tsq);
-            double e2 = 0.0;
-            for (int si = 0; si < n_coded; si++) e2 += tsq[si];
-            *e2_out = e2;
+            *e2_out = vsum8_f64(tsq, n_coded);
         }
         if (eob_out) *eob_out = 0;
         if (rate_out) *rate_out = 256;
@@ -1496,9 +1522,7 @@ static void quantize_rect(const Tile *t, const int32_t *resid, int tw,
         if (e2_out) {
             double tsq[1024];
             vsq_terms_f64(a_scan, n_coded, tsq);
-            double e2 = 0.0;
-            for (int si = 0; si < n_coded; si++) e2 += tsq[si];
-            *e2_out = e2;
+            *e2_out = vsum8_f64(tsq, n_coded);
         }
         if (eob_out) *eob_out = 0;
         if (rate_out) *rate_out = 256;

@@ -36,6 +36,26 @@ from .consts import (
 from .entropy.rangecoder import RangeEncoder, update_cdf
 
 
+def _sum8(t: np.ndarray) -> float:
+    """8-lane blocked double sum — THE accumulation-order contract with
+    oav1tile.c vsum8_f64: interleaved lane accumulators over the array,
+    lanes folded in index order, tail appended sequentially. Both sides
+    add the same doubles in the same order, so sums are bit-identical."""
+    t = np.ascontiguousarray(t, dtype=np.float64)
+    n = t.size
+    m = n & ~7
+    s = 0.0
+    if m:
+        acc = np.zeros(8, dtype=np.float64)
+        for row in t[:m].reshape(-1, 8):
+            acc += row
+        for l in range(8):
+            s += float(acc[l])
+    for i in range(m, n):
+        s += float(t[i])
+    return s
+
+
 class _PyShim:
     """Adapter giving the pure-Python RangeEncoder the native interface."""
 
@@ -3156,11 +3176,8 @@ class TileEncoder:
         nz = np.nonzero(order)[0]
         out = np.zeros((tx, tx), dtype=np.int64)
         if len(nz) == 0:
-            e2 = 0.0
-            for si in range(n_coded):
-                a = float(a_nat[int(scan[si])])
-                e2 += a * a
-            return out, e2
+            a_s = np.asarray(a_nat, dtype=np.float64)[scan]
+            return out, _sum8(a_s * a_s)
         eob = int(nz[-1]) + 1
 
         a_scan = a_nat[scan]
@@ -3172,13 +3189,13 @@ class TileEncoder:
                     p = int(scan[si])
                     lv_nat0[p] = order[si] * int(sg_nat[p])
             out[:cw, :cw] = lv_nat0.reshape(cw, cw)
-            e2 = 0.0
-            for si in range(n_coded):
-                lvl = order[si] if si < eob else 0
-                dq = dqd if int(scan[si]) == 0 else dqa
-                e = float(a_scan[si]) - float((int(lvl) * dq) >> shift)
-                e2 += e * e
-            return out, e2
+            lvl_f = np.zeros(n_coded, dtype=np.int64)
+            lvl_f[:eob] = np.asarray(order[:eob], dtype=np.int64)
+            dq_f = np.full(n_coded, int(dqa), dtype=np.int64)
+            dq_f[np.asarray(scan) == 0] = int(dqd)
+            e = (np.asarray(a_scan, dtype=np.float64)
+                 - ((lvl_f * dq_f) >> shift).astype(np.float64))
+            return out, _sum8(e * e)
         dq_scan = [dqd if int(scan[si]) == 0 else dqa for si in range(eob)]
         pos_r = [int(scan[si]) >> bwl for si in range(eob)]
         pos_c = [int(scan[si]) & (cw - 1) for si in range(eob)]
@@ -3343,14 +3360,13 @@ class TileEncoder:
                 p = int(scan[si])
                 lv_nat[p] = ofl[si] * int(sg_nat[p])
         out[:cw, :cw] = lv_nat.reshape(cw, cw)
-        e2 = 0.0
-        for si in range(n_coded):
-            pos = int(scan[si])
-            lvl = ofl[si] if si < eob else 0
-            dq = dqd if pos == 0 else dqa
-            e = float(a_nat[pos]) - float((lvl * dq) >> shift)
-            e2 += e * e
-        return out, e2
+        lvl_f = np.zeros(n_coded, dtype=np.int64)
+        lvl_f[:eob] = np.asarray(ofl[:eob], dtype=np.int64)
+        dq_f = np.full(n_coded, int(dqa), dtype=np.int64)
+        dq_f[np.asarray(scan) == 0] = int(dqd)
+        e = (np.asarray(a_nat, dtype=np.float64)[scan]
+             - ((lvl_f * dq_f) >> shift).astype(np.float64))
+        return out, _sum8(e * e)
 
     def _dequant_inv(self, levels: np.ndarray, tx: int,
                      tx_type: str = "dct_dct", ptype: int = 0) -> np.ndarray:

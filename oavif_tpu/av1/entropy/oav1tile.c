@@ -684,9 +684,10 @@ static void mm_i16_pairs(const int16_t *A, const int32_t *Bp, int n,
 /* ---- elementwise float64 vector helpers for the quantizer ----
  * Per-element IEEE double ops only (abs/mul/div/floor/convert): a lane
  * computes exactly what the scalar expression computes, so results are
- * bit-identical to the NumPy mirror regardless of vector width. All
- * ACCUMULATIONS stay scalar-sequential at the call sites (float sum
- * order is part of the C<->Python parity contract). */
+ * bit-identical to the NumPy mirror regardless of vector width. Float
+ * ACCUMULATIONS follow the vsum8_f64 blocked order, which the NumPy
+ * mirror reproduces exactly (frame.py _sum8 — the order IS the
+ * C<->Python parity contract). */
 #if defined(__AVX512F__) && defined(__AVX512DQ__)
 #define OAV1_F64_VEC 1
 #endif
@@ -817,6 +818,22 @@ static inline void vsq_terms_f64(const double *a, int cnt, double *t) {
     }
 #endif
     for (; i < cnt; i++) t[i] = a[i] * a[i];
+}
+
+/* eob = 1 + highest index with l[i] != 0, scanning from the tail 8
+ * lanes at a time (typical eob << n_coded after quantization) */
+static inline int veob_scan(const int64_t *l, int n) {
+    int i = n;
+#if OAV1_F64_VEC
+    for (; i >= 8; i -= 8) {
+        __m512i v = _mm512_loadu_si512((const void *)(l + i - 8));
+        __mmask8 nzm = _mm512_test_epi64_mask(v, v);
+        if (nzm) return i - 8 + (31 - __builtin_clz((unsigned)nzm)) + 1;
+    }
+#endif
+    for (; i > 0; i--)
+        if (l[i - 1]) return i;
+    return 0;
 }
 
 /* 8-lane blocked double sum: interleaved lane accumulators over the
@@ -1063,11 +1080,14 @@ typedef struct {
     const int32_t *eob_pt;
     const int16_t *pos_r, *pos_c; /* tile scan_r/scan_c rows */
     const int8_t *oc;             /* tile scan_oc row */
+    const int16_t *rmax;          /* tile scan_rmax row */
     const int32_t (*bd3_min)[4], (*bd3_max)[4]; /* rc_bd3_* [oc] rows */
     const int32_t (*ic_min)[4], (*ic_max)[4];   /* rc_ic_* [oc] rows */
     int n_coded, cw;
     int rect; /* 0 square, 1 wide (w>h), 2 tall — rect base-ctx bands */
-    int pad[34 * 34];
+    int pad[34 * 34 + 16]; /* +16: the bulk mag map's full-width vector
+                              loads may overread past a row end (the
+                              overread lanes are discarded) */
 } Rdoq;
 
 static int rdoq_hi_cost(const Rdoq *q, int brctx, int64_t lvl) {
@@ -1152,20 +1172,91 @@ static int rdoq_eobpt_cost(const Rdoq *q, int e) {
     return r;
 }
 
+/* Bulk base-ctx magnitude map over the (static) pad: for every grid
+ * position, min((sum of the 5 clamped-to-3 neighbors + 1) >> 1, 4) —
+ * exactly rdoq_base_ctx's mag term, 16 columns per vector step. Row
+ * overreads land in the next pad row (allocated; lanes discarded). */
+static void vmag5_map(const int *pad, int W, int rows, int cw,
+                      int8_t *magm) {
+    for (int rr = 0; rr < rows; rr++) {
+        const int *p0 = pad + (size_t)rr * W;
+        const int *p1 = p0 + W, *p2 = p1 + W;
+        int c = 0;
+#if OAV1_F64_VEC
+        const __m512i three = _mm512_set1_epi32(3);
+        const __m512i four = _mm512_set1_epi32(4);
+        const __m512i one = _mm512_set1_epi32(1);
+        for (; c < cw; c += 16) {
+            __m512i a = _mm512_min_epi32(
+                _mm512_loadu_si512((const void *)(p0 + c + 1)), three);
+            __m512i b = _mm512_min_epi32(
+                _mm512_loadu_si512((const void *)(p1 + c)), three);
+            __m512i d = _mm512_min_epi32(
+                _mm512_loadu_si512((const void *)(p1 + c + 1)), three);
+            __m512i e = _mm512_min_epi32(
+                _mm512_loadu_si512((const void *)(p0 + c + 2)), three);
+            __m512i f = _mm512_min_epi32(
+                _mm512_loadu_si512((const void *)(p2 + c)), three);
+            __m512i m = _mm512_add_epi32(
+                _mm512_add_epi32(_mm512_add_epi32(a, b),
+                                 _mm512_add_epi32(d, e)),
+                f);
+            m = _mm512_min_epi32(
+                _mm512_srli_epi32(_mm512_add_epi32(m, one), 1), four);
+            int rem = cw - c < 16 ? cw - c : 16;
+            __m128i m8 = _mm512_cvtepi32_epi8(m);
+            if (rem == 16) {
+                _mm_storeu_si128((__m128i *)(magm + (size_t)rr * cw + c),
+                                 m8);
+            } else {
+                int8_t tmp[16];
+                _mm_storeu_si128((__m128i *)tmp, m8);
+                memcpy(magm + (size_t)rr * cw + c, tmp, (size_t)rem);
+            }
+        }
+#else
+        for (; c < cw; c++) {
+            int mag = imin(p0[c + 1], 3) + imin(p1[c], 3) +
+                      imin(p1[c + 1], 3) + imin(p0[c + 2], 3) +
+                      imin(p2[c], 3);
+            magm[(size_t)rr * cw + c] = (int8_t)imin((mag + 1) >> 1, 4);
+        }
+#endif
+    }
+}
+
 /* Fused txb rate: identical integer value to rate_estimate_scan/_rect
  * over the same final levels, but computed from the quantizer's OWN
  * end-of-phase pad (which equals the pad those functions rebuild from
  * scratch: drops zero it, decrements update it, kept levels restore
- * it). Every term is the same frozen-table lookup, so callers that
- * previously paired quantize + rate_estimate get the same rate without
- * a second ofl gather + pad memset/fill + scan walk. */
+ * it). Every term is the same frozen-table lookup; the base-ctx mags
+ * come from one vectorized sweep over the static pad instead of 5
+ * scalar neighbor reads per coefficient. */
 static int64_t rdoq_rate_from_pad(const Rdoq *q, const int64_t *ord,
                                   int eob) {
     if (eob == 0) return 256; /* txb_skip=1, ~2 bits */
     int64_t r = 128 + rdoq_eobpt_cost(q, eob);
     r += rdoq_eob_coeff_cost(q, ord[eob - 1], eob - 1);
-    for (int si = eob - 2; si >= 0; si--)
-        r += rdoq_int_cost(q, ord[si], rdoq_base_ctx(q, si), si);
+    if (eob < 2) return r;
+    static const int OCB[6] = {0, 1, 6, 11, 16, 21};
+    static _Thread_local int8_t magm[32 * 32];
+    int rows = q->rmax[eob - 2] + 1;
+    vmag5_map(q->pad, q->cw + 2, rows, q->cw, magm);
+    for (int si = eob - 2; si >= 0; si--) {
+        int64_t lvl = ord[si];
+        int oc = q->oc[si];
+        int bctx = oc == 0
+                       ? 0
+                       : OCB[oc] +
+                             magm[(size_t)q->pos_r[si] * q->cw +
+                                  q->pos_c[si]];
+        r += q->base[bctx][lvl < 3 ? (int)lvl : 3];
+        if (lvl) {
+            r += 128;
+            if (lvl > 3)
+                r += rdoq_hi_cost(q, rdoq_br_ctx(q, si), lvl);
+        }
+    }
     return r;
 }
 
@@ -1231,9 +1322,7 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
     int64_t ord[1024];
     vquant_f64(a_scan, n_coded, up, dq_ac, ord);
     ord[0] = (int64_t)floor(a_scan[0] * up / dq_dc + 0.5);
-    int eob = 0;
-    for (int si = n_coded - 1; si >= 0; si--)
-        if (ord[si]) { eob = si + 1; break; }
+    int eob = veob_scan(ord, n_coded);
     if (eob == 0) {
         if (e2_out) {
             double tsq[1024];
@@ -1256,6 +1345,7 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
     q.pos_r = t->scan_r[sk];
     q.pos_c = t->scan_c[sk];
     q.oc = t->scan_oc[sk];
+    q.rmax = t->scan_rmax[sk];
     q.bd3_min = t->rc_bd3_min[txs][ptype];
     q.bd3_max = t->rc_bd3_max[txs][ptype];
     q.ic_min = t->rc_ic_min[txs][ptype];
@@ -1515,9 +1605,7 @@ static void quantize_rect(const Tile *t, const int32_t *resid, int tw,
     int64_t ord[1024];
     vquant_f64(a_scan, n_coded, up, dq_ac, ord);
     ord[0] = (int64_t)floor(a_scan[0] * up / dq_dc + 0.5);
-    int eob = 0;
-    for (int si = n_coded - 1; si >= 0; si--)
-        if (ord[si]) { eob = si + 1; break; }
+    int eob = veob_scan(ord, n_coded);
     if (eob == 0) {
         if (e2_out) {
             double tsq[1024];
@@ -1539,6 +1627,7 @@ static void quantize_rect(const Tile *t, const int32_t *resid, int tw,
     q.pos_r = t->scan_r[sk];
     q.pos_c = t->scan_c[sk];
     q.oc = t->scan_oc[sk];
+    q.rmax = t->scan_rmax[sk];
     q.bd3_min = t->rc_bd3_min[txs][ptype];
     q.bd3_max = t->rc_bd3_max[txs][ptype];
     q.ic_min = t->rc_ic_min[txs][ptype];
@@ -1723,116 +1812,6 @@ static void dequant_inv_rect(const Tile *t, const int32_t *levels, int tw,
     inv_txfm2d_c(resid_out, tw, th, t->bitdepth);
 }
 
-/* rect twin of rate_estimate_scan/rate_estimate_txb (mirrors frame.py
- * _rate_estimate_rect_txb) */
-static int64_t rate_estimate_rect(const Tile *t, const int32_t *levels,
-                                  int tw, int th, int ptype) {
-    PROF_SCOPE(PROF_RATE);
-    int n_coded = tw * th;
-    const int32_t *scan = t->scan[tw > th ? 4 : 5];
-    int lo_i = log2i(tw < th ? tw : th), hi_i = log2i(tw > th ? tw : th);
-    int txs = ((lo_i - 2) + (hi_i - 2) + 1) >> 1;
-    const int32_t(*cost_base)[4] = t->rc_base[txs][ptype];
-    const int32_t(*cost_base_eob)[3] = t->rc_base_eob[txs][ptype];
-    const int32_t(*cost_br)[4] = t->rc_br[txs < 3 ? txs : 3][ptype];
-    const int32_t(*cost_eob_extra)[2] = t->rc_eob_extra[txs][ptype];
-    const int32_t *cost_eob_pt =
-        t->rc_eob_pt_rect[n_coded == 128 ? 0 : 1][ptype];
-    int wide = tw > th;
-
-    int64_t ofl[1024];
-    int eob = 0;
-    for (int si = 0; si < n_coded; si++) {
-        int32_t v = levels[scan[si]];
-        ofl[si] = v < 0 ? -(int64_t)v : v;
-        if (ofl[si]) eob = si + 1;
-    }
-    if (eob == 0) return 256;
-
-    int W = tw + 2;
-    int pad[34 * 34];
-    {
-        /* zero only rows reachable by the +2-row context reads; ctx is
-         * read at ZERO positions inside the eob prefix too, so track
-         * the max row over the whole scan prefix */
-        int maxr = 0;
-        for (int si = 0; si < eob; si++) {
-            int rr2 = scan[si] / tw;
-            if (rr2 > maxr) maxr = rr2;
-        }
-        int zrows = maxr + 3 < th + 2 ? maxr + 3 : th + 2;
-        memset(pad, 0, sizeof(int) * (size_t)W * zrows);
-    }
-    for (int si = 0; si < eob; si++)
-        if (ofl[si]) {
-            int pos = scan[si];
-            pad[(pos / tw) * W + (pos % tw)] =
-                ofl[si] < 127 ? (int)ofl[si] : 127;
-        }
-
-    int pt;
-    if (eob == 1) pt = 1;
-    else if (eob == 2) pt = 2;
-    else pt = (32 - __builtin_clz((unsigned)(eob - 1))) + 1;
-    int64_t rr_ = 128 + cost_eob_pt[pt - 1];
-    if (pt >= 3) {
-        int nbits = pt - 2;
-        int rest = eob - (1 << (pt - 2)) - 1;
-        int msb = (rest >> (nbits - 1)) & 1;
-        rr_ += cost_eob_extra[pt - 3][msb] + 128 * (nbits - 1);
-    }
-
-    for (int si = eob - 1; si >= 0; si--) {
-        int64_t lvl = ofl[si];
-        int pos = scan[si];
-        int rr = pos / tw, cc = pos % tw;
-        if (si == eob - 1) {
-            int ectx;
-            if (si == 0) ectx = 0;
-            else if (si <= n_coded / 8) ectx = 1;
-            else if (si <= n_coded / 4) ectx = 2;
-            else ectx = 3;
-            rr_ += cost_base_eob[ectx][(lvl < 3 ? (int)lvl : 3) - 1];
-        } else {
-            int mag = imin(pad[rr * W + cc + 1], 3) +
-                      imin(pad[(rr + 1) * W + cc], 3) +
-                      imin(pad[(rr + 1) * W + cc + 1], 3) +
-                      imin(pad[rr * W + cc + 2], 3) +
-                      imin(pad[(rr + 2) * W + cc], 3);
-            mag = imin((mag + 1) >> 1, 4);
-            int bctx;
-            if (pos == 0) bctx = 0;
-            else if (wide && cc < 2) bctx = mag + 16;
-            else if (!wide && rr < 2) bctx = mag + 11;
-            else if (rr + cc < 4) bctx = mag + 6;
-            else bctx = mag + 21;
-            rr_ += cost_base[bctx][lvl < 3 ? (int)lvl : 3];
-        }
-        if (lvl) rr_ += 128;
-        if (lvl > 3) {
-            int mag = imin(pad[rr * W + cc + 1], 15) +
-                      imin(pad[(rr + 1) * W + cc], 15) +
-                      imin(pad[(rr + 1) * W + cc + 1], 15);
-            mag = imin((mag + 1) >> 1, 6);
-            int brctx;
-            if (pos == 0) brctx = mag;
-            else if (rr < 2 && cc < 2) brctx = mag + 7;
-            else brctx = mag + 14;
-            int64_t rem = lvl - 3;
-            for (int i = 0; i < 4; i++) {
-                int k = rem < 3 ? (int)rem : 3;
-                rr_ += cost_br[brctx][k];
-                rem -= k;
-                if (k < 3) break;
-            }
-            if (lvl > 14) {
-                int bl = 64 - __builtin_clzll((unsigned long long)(lvl - 14));
-                rr_ += 128 * (2 * bl - 1);
-            }
-        }
-    }
-    return rr_;
-}
 
 /* dequant + normative inverse transform (frame.py _dequant_inv) */
 static void dequant_inv_tt(const Tile *t, const int32_t *levels, int tx,
@@ -2670,127 +2649,6 @@ static void txb_edge_counts(int size, int tx, int ti, int tj, int ntr_blk,
     *nbl = b < tx ? b : tx;
 }
 
-/* approximate coded bits (1/128 units) of one txb from the RDOQ cost
- * tables (mirrors frame.py _rate_estimate_txb exactly) */
-/* core rate model over scan-order magnitudes (ofl[0..eob)) — the caller
- * usually has these straight out of quantize_mat */
-static int64_t rate_estimate_scan(const Tile *t, const int64_t *ofl, int eob,
-                                  int tx, int ptype) {
-    PROF_SCOPE(PROF_RATE);
-    int cw = tx < 32 ? tx : 32;
-    int n_coded = cw * cw;
-    const int32_t *scan = t->scan[log2i(cw) - 2];
-    int txs = log2i(tx) - 2;
-    const int32_t(*cost_base)[4] = t->rc_base[txs][ptype];
-    const int32_t(*cost_base_eob)[3] = t->rc_base_eob[txs][ptype];
-    const int32_t(*cost_br)[4] = t->rc_br[txs < 3 ? txs : 3][ptype];
-    const int32_t(*cost_eob_extra)[2] = t->rc_eob_extra[txs][ptype];
-    const int32_t *cost_eob_pt = t->rc_eob_pt[log2i(cw) - 2][ptype];
-    int bwl = log2i(cw);
-    if (eob == 0) return 256; /* txb_skip=1, ~2 bits */
-
-    int W = cw + 2;
-    int pad[34 * 34];
-    {
-        /* zero only rows reachable by the +2-row context reads; ctx is
-         * read at ZERO positions inside the eob prefix too, so track
-         * the max row over the whole scan prefix */
-        int maxr = 0;
-        for (int si = 0; si < eob; si++) {
-            int rr2 = scan[si] >> bwl;
-            if (rr2 > maxr) maxr = rr2;
-        }
-        int zrows = maxr + 3 < W ? maxr + 3 : W;
-        memset(pad, 0, sizeof(int) * (size_t)W * zrows);
-    }
-    for (int si = 0; si < eob; si++) {
-        if (ofl[si]) {
-            int pos = scan[si];
-            pad[(pos >> bwl) * W + (pos & (cw - 1))] =
-                ofl[si] < 127 ? (int)ofl[si] : 127;
-        }
-    }
-
-    int pt;
-    if (eob == 1) pt = 1;
-    else if (eob == 2) pt = 2;
-    else pt = (32 - __builtin_clz((unsigned)(eob - 1))) + 1;
-    int64_t rr_ = 128 + cost_eob_pt[pt - 1];
-    if (pt >= 3) {
-        int nbits = pt - 2;
-        int rest = eob - (1 << (pt - 2)) - 1;
-        int msb = (rest >> (nbits - 1)) & 1;
-        rr_ += cost_eob_extra[pt - 3][msb] + 128 * (nbits - 1);
-    }
-
-    for (int si = eob - 1; si >= 0; si--) {
-        int64_t lvl = ofl[si];
-        int pos = scan[si];
-        int rr = pos >> bwl, cc = pos & (cw - 1);
-        if (si == eob - 1) {
-            int ectx;
-            if (si == 0) ectx = 0;
-            else if (si <= n_coded / 8) ectx = 1;
-            else if (si <= n_coded / 4) ectx = 2;
-            else ectx = 3;
-            rr_ += cost_base_eob[ectx][(lvl < 3 ? (int)lvl : 3) - 1];
-        } else {
-            int mag = imin(pad[rr * W + cc + 1], 3) +
-                      imin(pad[(rr + 1) * W + cc], 3) +
-                      imin(pad[(rr + 1) * W + cc + 1], 3) +
-                      imin(pad[rr * W + cc + 2], 3) +
-                      imin(pad[(rr + 2) * W + cc], 3);
-            mag = imin((mag + 1) >> 1, 4);
-            int bctx;
-            if (pos == 0) bctx = 0;
-            else if (rr + cc < 2) bctx = mag + 1;
-            else if (rr + cc < 4) bctx = mag + 6;
-            else bctx = mag + 21;
-            rr_ += cost_base[bctx][lvl < 3 ? (int)lvl : 3];
-        }
-        if (lvl) rr_ += 128; /* sign */
-        if (lvl > 3) {
-            int mag = imin(pad[rr * W + cc + 1], 15) +
-                      imin(pad[(rr + 1) * W + cc], 15) +
-                      imin(pad[(rr + 1) * W + cc + 1], 15);
-            mag = imin((mag + 1) >> 1, 6);
-            int brctx;
-            if (pos == 0) brctx = mag;
-            else if (rr < 2 && cc < 2) brctx = mag + 7;
-            else brctx = mag + 14;
-            int64_t rem = lvl - 3;
-            for (int i = 0; i < 4; i++) {
-                int k = rem < 3 ? (int)rem : 3;
-                rr_ += cost_br[brctx][k];
-                rem -= k;
-                if (k < 3) break;
-            }
-            if (lvl > 14) {
-                int bl = 64 - __builtin_clzll((unsigned long long)(lvl - 14));
-                rr_ += 128 * (2 * bl - 1);
-            }
-        }
-    }
-    return rr_;
-}
-
-static int64_t rate_estimate_txb(const Tile *t, const int32_t *levels,
-                                 int tx, int ptype) {
-    int cw = tx < 32 ? tx : 32;
-    int n_coded = cw * cw;
-    const int32_t *scan = t->scan[log2i(cw) - 2];
-    int bwl = log2i(cw);
-    int64_t ofl[1024];
-    int eob = 0;
-    for (int si = 0; si < n_coded; si++) {
-        int pos = scan[si];
-        int rr = pos >> bwl, cc = pos & (cw - 1);
-        int32_t v = levels[(size_t)rr * tx + cc];
-        ofl[si] = v < 0 ? -(int64_t)v : v;
-        if (ofl[si]) eob = si + 1;
-    }
-    return rate_estimate_scan(t, ofl, eob, tx, ptype);
-}
 
 /* predict + quantize one luma txb from the current recon; two-way ADST RD
  * for tx 8/16 (mirrors frame.py _encode_luma_txb). Returns tx_type.

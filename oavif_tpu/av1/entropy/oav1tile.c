@@ -142,13 +142,14 @@ typedef struct {
     int32_t rc_eob_pt[4][2][11]; /* by log2(cw)-2: nsym 5,7,9,11 */
     int32_t rc_eob_pt_rect[2][2][11]; /* [0]=128 (nsym 8), [1]=512 (10) */
     int32_t rc_txsz[4][3][3];    /* tx_size depth costs [cat][ctx][depth] */
-    /* offset-class-tightened variants: a scan position's base ctx lies
-     * in OCBASE[oc] + mag with mag in 0..4 (oc 0 = DC is exact), so
-     * per-class bands are far narrower than the global 0..25 span —
-     * [txs][pt][oc 0..5][lvl 1..3] decrement deltas for phase 3, and
-     * [txs][pt][oc][lclass 1..3] min/max of base[bctx][lclass]+128
-     * (rdoq_int_cost's table part for nonzero lvl <= 3) for phase 1 */
-    int32_t rc_bd3_min[5][2][6][4], rc_bd3_max[5][2][6][4];
+    /* phase-3 EXACT decrement rate deltas per reachable base ctx
+     * (0..25 = OCBASE[oc] + mag): cost(l) - cost(l-1) for lvl 1..3.
+     * With the exact per-position ctx from the bulk mag map, the
+     * decrement decision is one table read + one guarded compare. */
+    int32_t rc_dd3[5][2][26][4];
+    /* offset-class-tightened bands for phase 1: [txs][pt][oc][lclass
+     * 1..3] min/max of base[bctx][lclass]+128 (rdoq_int_cost's table
+     * part for nonzero lvl <= 3) over the class's reachable ctxs */
     int32_t rc_ic_min[5][2][6][4], rc_ic_max[5][2][6][4];
     /* scan-position decompositions per scan table k (squares 0..3,
      * rect 4=32x16 / 5=16x32): row, column, and the running row max
@@ -980,36 +981,35 @@ static void build_rdoq_costs(Tile *t) {
             for (int s = 0; s < 3; s++)
                 t->rc_txsz[cat][ctx][s] = icdf_sym_cost(row, s);
         }
-    /* RDOQ decrement/level-cost bands (the per-quantize ctx scans,
-     * hoisted and tightened per offset class) */
+    /* RDOQ decrement deltas / level-cost bands (the per-quantize ctx
+     * scans, hoisted: exact per-ctx deltas for phase 3, offset-class
+     * bands for phase 1) */
     static const int OCBASE[6] = {0, 1, 6, 11, 16, 21};
     for (int txs = 0; txs < 5; txs++)
         for (int pt = 0; pt < 2; pt++) {
             const int32_t(*base)[4] = t->rc_base[txs][pt];
+            for (int b = 0; b < 26; b++) {
+                t->rc_dd3[txs][pt][b][0] = 0;
+                for (int l = 1; l < 4; l++)
+                    t->rc_dd3[txs][pt][b][l] =
+                        (int)base[b][l] - (int)base[b][l - 1] +
+                        (l == 1 ? 128 : 0);
+            }
             /* offset-class-tightened bands: a position's ctx spans only
              * OCBASE[oc]..OCBASE[oc]+4 (oc 0 = DC is exactly ctx 0) */
             for (int oc = 0; oc < 6; oc++) {
                 int span = oc == 0 ? 1 : 5;
                 for (int l = 1; l < 4; l++) {
-                    int dmin = 1 << 30, dmax = -(1 << 30);
                     int icmin = 1 << 30, icmax = -(1 << 30);
                     for (int m = 0; m < span; m++) {
                         int b = OCBASE[oc] + m;
-                        int d = (int)base[b][l] - (int)base[b][l - 1] +
-                                (l == 1 ? 128 : 0);
                         int ic = (int)base[b][l] + 128;
-                        if (d < dmin) dmin = d;
-                        if (d > dmax) dmax = d;
                         if (ic < icmin) icmin = ic;
                         if (ic > icmax) icmax = ic;
                     }
-                    t->rc_bd3_min[txs][pt][oc][l] = dmin;
-                    t->rc_bd3_max[txs][pt][oc][l] = dmax;
                     t->rc_ic_min[txs][pt][oc][l] = icmin;
                     t->rc_ic_max[txs][pt][oc][l] = icmax;
                 }
-                t->rc_bd3_min[txs][pt][oc][0] = 0;
-                t->rc_bd3_max[txs][pt][oc][0] = 0;
                 t->rc_ic_min[txs][pt][oc][0] = 0;
                 t->rc_ic_max[txs][pt][oc][0] = 0;
             }
@@ -1081,8 +1081,8 @@ typedef struct {
     const int16_t *pos_r, *pos_c; /* tile scan_r/scan_c rows */
     const int8_t *oc;             /* tile scan_oc row */
     const int16_t *rmax;          /* tile scan_rmax row */
-    const int32_t (*bd3_min)[4], (*bd3_max)[4]; /* rc_bd3_* [oc] rows */
-    const int32_t (*ic_min)[4], (*ic_max)[4];   /* rc_ic_* [oc] rows */
+    const int32_t (*dd3)[4];                  /* rc_dd3 [bctx] rows */
+    const int32_t (*ic_min)[4], (*ic_max)[4]; /* rc_ic_* [oc] rows */
     int n_coded, cw;
     int rect; /* 0 square, 1 wide (w>h), 2 tall — rect base-ctx bands */
     int pad[34 * 34 + 16]; /* +16: the bulk mag map's full-width vector
@@ -1172,20 +1172,22 @@ static int rdoq_eobpt_cost(const Rdoq *q, int e) {
     return r;
 }
 
-/* Bulk base-ctx magnitude map over the (static) pad: for every grid
- * position, min((sum of the 5 clamped-to-3 neighbors + 1) >> 1, 4) —
- * exactly rdoq_base_ctx's mag term, 16 columns per vector step. Row
- * overreads land in the next pad row (allocated; lanes discarded). */
-static void vmag5_map(const int *pad, int W, int rows, int cw,
-                      int8_t *magm) {
+/* Bulk base-ctx stencil-sum map over the pad: for every grid position,
+ * the RAW sum of the 5 clamped-to-3 neighbors (rdoq_base_ctx's mag
+ * before its (s+1)>>1 / clamp-4 — applied at read time, 2 ops), 16
+ * columns per vector step. Keeping sums instead of clamped mags makes
+ * the phase-3 decrement resync 5 in-place decrements (a level drop
+ * from lvl <= 3 lowers each affected stencil sum by exactly 1) instead
+ * of 5 full stencil recomputes. Row overreads land in the next pad row
+ * (allocated; lanes discarded). */
+static void vsum5_map(const int *pad, int W, int rows, int cw,
+                      int8_t *summ) {
     for (int rr = 0; rr < rows; rr++) {
         const int *p0 = pad + (size_t)rr * W;
         const int *p1 = p0 + W, *p2 = p1 + W;
         int c = 0;
 #if OAV1_F64_VEC
         const __m512i three = _mm512_set1_epi32(3);
-        const __m512i four = _mm512_set1_epi32(4);
-        const __m512i one = _mm512_set1_epi32(1);
         for (; c < cw; c += 16) {
             __m512i a = _mm512_min_epi32(
                 _mm512_loadu_si512((const void *)(p0 + c + 1)), three);
@@ -1201,17 +1203,15 @@ static void vmag5_map(const int *pad, int W, int rows, int cw,
                 _mm512_add_epi32(_mm512_add_epi32(a, b),
                                  _mm512_add_epi32(d, e)),
                 f);
-            m = _mm512_min_epi32(
-                _mm512_srli_epi32(_mm512_add_epi32(m, one), 1), four);
             int rem = cw - c < 16 ? cw - c : 16;
             __m128i m8 = _mm512_cvtepi32_epi8(m);
             if (rem == 16) {
-                _mm_storeu_si128((__m128i *)(magm + (size_t)rr * cw + c),
+                _mm_storeu_si128((__m128i *)(summ + (size_t)rr * cw + c),
                                  m8);
             } else {
                 int8_t tmp[16];
                 _mm_storeu_si128((__m128i *)tmp, m8);
-                memcpy(magm + (size_t)rr * cw + c, tmp, (size_t)rem);
+                memcpy(summ + (size_t)rr * cw + c, tmp, (size_t)rem);
             }
         }
 #else
@@ -1219,11 +1219,14 @@ static void vmag5_map(const int *pad, int W, int rows, int cw,
             int mag = imin(p0[c + 1], 3) + imin(p1[c], 3) +
                       imin(p1[c + 1], 3) + imin(p0[c + 2], 3) +
                       imin(p2[c], 3);
-            magm[(size_t)rr * cw + c] = (int8_t)imin((mag + 1) >> 1, 4);
+            summ[(size_t)rr * cw + c] = (int8_t)mag;
         }
 #endif
     }
 }
+
+/* mag read from the sum map: rdoq_base_ctx's final two ops */
+static inline int mag_of_sum(int s) { return imin((s + 1) >> 1, 4); }
 
 /* Fused txb rate: identical integer value to rate_estimate_scan/_rect
  * over the same final levels, but computed from the quantizer's OWN
@@ -1232,24 +1235,21 @@ static void vmag5_map(const int *pad, int W, int rows, int cw,
  * it). Every term is the same frozen-table lookup; the base-ctx mags
  * come from one vectorized sweep over the static pad instead of 5
  * scalar neighbor reads per coefficient. */
-static int64_t rdoq_rate_from_pad(const Rdoq *q, const int64_t *ord,
-                                  int eob) {
+static int64_t rdoq_rate_from_pad_m(const Rdoq *q, const int64_t *ord,
+                                    int eob, const int8_t *summ) {
     if (eob == 0) return 256; /* txb_skip=1, ~2 bits */
     int64_t r = 128 + rdoq_eobpt_cost(q, eob);
     r += rdoq_eob_coeff_cost(q, ord[eob - 1], eob - 1);
     if (eob < 2) return r;
     static const int OCB[6] = {0, 1, 6, 11, 16, 21};
-    static _Thread_local int8_t magm[32 * 32];
-    int rows = q->rmax[eob - 2] + 1;
-    vmag5_map(q->pad, q->cw + 2, rows, q->cw, magm);
     for (int si = eob - 2; si >= 0; si--) {
         int64_t lvl = ord[si];
         int oc = q->oc[si];
         int bctx = oc == 0
                        ? 0
                        : OCB[oc] +
-                             magm[(size_t)q->pos_r[si] * q->cw +
-                                  q->pos_c[si]];
+                             mag_of_sum(summ[(size_t)q->pos_r[si] * q->cw +
+                                             q->pos_c[si]]);
         r += q->base[bctx][lvl < 3 ? (int)lvl : 3];
         if (lvl) {
             r += 128;
@@ -1258,6 +1258,86 @@ static int64_t rdoq_rate_from_pad(const Rdoq *q, const int64_t *ord,
         }
     }
     return r;
+}
+
+static int64_t rdoq_rate_from_pad(const Rdoq *q, const int64_t *ord,
+                                  int eob) {
+    static _Thread_local int8_t summ[32 * 32];
+    if (eob >= 2)
+        vsum5_map(q->pad, q->cw + 2, q->rmax[eob - 2] + 1, q->cw, summ);
+    return rdoq_rate_from_pad_m(q, ord, eob, summ);
+}
+
+/* --- phase 3 (interior level decrements, reverse scan), shared by the
+ * square and rect quantizers ---
+ * EXACT per-position base contexts: one bulk stencil-sum sweep over
+ * the post-phase-2 pad (vsum5_map) replaces the 5-neighbor ctx read
+ * per position, and the old offset-class bands collapse to the
+ * position's exact decrement rate delta rc_dd3[bctx][lvl]. The
+ * +-1-cost-unit guard keeps outcomes identical to the full float
+ * evaluation: the regrouped (ed-ek) < lam*delta compare differs from
+ * the original (ed+lam*c1) < (ek+lam*c0) by ~1e-13 relative rounding,
+ * dwarfed by a full lam cost unit; marginal cases re-run the original
+ * op order. The sum map stays in sync with pad across decrements at 5
+ * in-place decrements each (a drop from lvl <= 3 lowers min(lvl,3) by
+ * exactly 1; the stencil positions reading (rr,cc) are scan-earlier,
+ * i.e. not yet visited in reverse scan; a drop from lvl > 3 leaves
+ * min(lvl,3) unchanged). Post: summ == vsum5_map(final pad), so the
+ * fused rate reuses it. */
+static void rdoq_phase3(Rdoq *q, int64_t *ord, int eob, double lam,
+                        const double *ek_pre, const double *ed_pre,
+                        int8_t *summ) {
+    static const int OCB[6] = {0, 1, 6, 11, 16, 21};
+    int W = q->cw + 2, cw = q->cw;
+    int rows3 = q->rmax[eob - 2] + 1;
+    vsum5_map(q->pad, W, rows3, cw, summ);
+    for (int si = eob - 2; si >= 0; si--) {
+        int64_t lvl = ord[si];
+        if (lvl == 0) continue;
+        double ek = ek_pre[si], ed = ed_pre[si];
+        double dd = ed - ek;
+        int rr = q->pos_r[si], cc = q->pos_c[si];
+        if (lvl <= 3) {
+            int oc = q->oc[si];
+            int bctx =
+                oc == 0
+                    ? 0
+                    : OCB[oc] + mag_of_sum(summ[(size_t)rr * cw + cc]);
+            int del = q->dd3[bctx][lvl];
+            if (dd >= lam * (double)(del + 1)) continue;
+            int dec;
+            if (dd < lam * (double)(del - 1)) {
+                dec = 1;
+            } else {
+                /* marginal: the original-order exact evaluation */
+                dec = ed + lam * (double)rdoq_int_cost(q, lvl - 1, bctx,
+                                                       si) <
+                      ek + lam * (double)rdoq_int_cost(q, lvl, bctx, si);
+            }
+            if (!dec) continue;
+            ord[si] = lvl - 1;
+            q->pad[rr * W + cc] = (int)(lvl - 1);
+            /* each stencil source reading (rr,cc) loses exactly 1 */
+            int8_t *sr = summ + (size_t)rr * cw + cc;
+            if (cc >= 1) sr[-1]--;                      /* (rr, cc-1) */
+            if (cc >= 2) sr[-2]--;                      /* (rr, cc-2) */
+            if (rr >= 1) {
+                sr[-(ptrdiff_t)cw]--;                   /* (rr-1, cc) */
+                if (cc >= 1) sr[-(ptrdiff_t)cw - 1]--;  /* (rr-1,cc-1) */
+            }
+            if (rr >= 2) sr[-2 * (ptrdiff_t)cw]--;      /* (rr-2, cc) */
+        } else {
+            if (dd >= lam * 6144.0) continue; /* provably losing */
+            int bctx = rdoq_base_ctx(q, si);
+            if (ed + lam * (double)rdoq_int_cost(q, lvl - 1, bctx, si) <
+                ek + lam * (double)rdoq_int_cost(q, lvl, bctx, si)) {
+                ord[si] = lvl - 1;
+                q->pad[rr * W + cc] =
+                    (lvl - 1) < 127 ? (int)(lvl - 1) : 127;
+                /* lvl-1 >= 3: min(pad,3) unchanged, summ stays valid */
+            }
+        }
+    }
 }
 
 static void quantize_mat(const Tile *t, const int32_t *resid, int n,
@@ -1346,8 +1426,7 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
     q.pos_c = t->scan_c[sk];
     q.oc = t->scan_oc[sk];
     q.rmax = t->scan_rmax[sk];
-    q.bd3_min = t->rc_bd3_min[txs][ptype];
-    q.bd3_max = t->rc_bd3_max[txs][ptype];
+    q.dd3 = t->rc_dd3[txs][ptype];
     q.ic_min = t->rc_ic_min[txs][ptype];
     q.ic_max = t->rc_ic_max[txs][ptype];
     q.n_coded = n_coded;
@@ -1481,6 +1560,7 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
         }
     }
 
+    static _Thread_local int8_t summ[32 * 32];
     if (eob > 0) {
         /* --- phase 2: eob coefficient level decrement (floor 1) --- */
         int si = eob - 1;
@@ -1495,46 +1575,9 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
                     (lvl - 1) < 127 ? (int)(lvl - 1) : 127;
             }
         }
-        /* --- phase 3: interior level decrements (reverse scan) ---
-         * Exact fast bands: the rate tables are FROZEN per tile, so for
-         * level classes 1..3 the decrement's rate delta
-         * cost(l)-cost(l-1) lies in a precomputable [dmin_l, dmax_l]
-         * over the position's reachable base ctxs (offset class + mag
-         * 0..4; DC is exact). A decrement is accepted iff
-         * dD < lam*delta(bctx); when dD clears the banded bound by at
-         * least lam (the +-1 cost-unit widening) the outcome is decided
-         * WITHOUT computing the context or the table costs. The 1-unit
-         * guard dwarfs the ~1e-13 relative float-order difference
-         * between (ed-ek) vs (ed+lam*c0)<(ek+lam*c1), so outcomes are
-         * identical to the full evaluation — no Python mirror needed
-         * (same argument as the lam*6144 bound, which still covers
-         * lvl > 3 where the delta depends on the br context). */
-        for (si = eob - 2; si >= 0; si--) {
-            lvl = ord[si];
-            if (lvl == 0) continue;
-            double ek = ek_pre[si], ed = ed_pre[si];
-            double dd = ed - ek;
-            if (lvl <= 3) {
-                const int32_t *b3min = q.bd3_min[q.oc[si]];
-                const int32_t *b3max = q.bd3_max[q.oc[si]];
-                if (dd >= lam * (double)(b3max[lvl] + 1)) continue;
-                if (dd < lam * (double)(b3min[lvl] - 1)) {
-                    ord[si] = lvl - 1;
-                    q.pad[q.pos_r[si] * W + q.pos_c[si]] =
-                        (lvl - 1) < 127 ? (int)(lvl - 1) : 127;
-                    continue;
-                }
-            } else if (dd >= lam * 6144.0) {
-                continue;
-            }
-            int bctx = rdoq_base_ctx(&q, si);
-            if (ed + lam * (double)rdoq_int_cost(&q, lvl - 1, bctx, si) <
-                ek + lam * (double)rdoq_int_cost(&q, lvl, bctx, si)) {
-                ord[si] = lvl - 1;
-                q.pad[q.pos_r[si] * W + q.pos_c[si]] =
-                    (lvl - 1) < 127 ? (int)(lvl - 1) : 127;
-            }
-        }
+        /* --- phase 3: exact-ctx interior decrements (rdoq_phase3) --- */
+        if (eob >= 2)
+            rdoq_phase3(&q, ord, eob, lam, ek_pre, ed_pre, summ);
     }
 
     if (prof_enabled > 0) { prof_acc[PROF_QRDOQ] += prof_now() - _pq0; prof_cnt[PROF_QRDOQ]++; _pq0 = prof_now(); }
@@ -1545,7 +1588,9 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
     }
     if (ord_out) memcpy(ord_out, ord, (size_t)eob * 8);
     if (eob_out) *eob_out = eob;
-    if (rate_out) *rate_out = rdoq_rate_from_pad(&q, ord, eob);
+    if (rate_out)
+        *rate_out = eob >= 2 ? rdoq_rate_from_pad_m(&q, ord, eob, summ)
+                             : rdoq_rate_from_pad(&q, ord, eob);
     if (e2_out) {
         *e2_out = e2_scan_f64(t->dq_dc, dqa_i, shift, a_scan, ord, eob,
                               n_coded);
@@ -1628,8 +1673,7 @@ static void quantize_rect(const Tile *t, const int32_t *resid, int tw,
     q.pos_c = t->scan_c[sk];
     q.oc = t->scan_oc[sk];
     q.rmax = t->scan_rmax[sk];
-    q.bd3_min = t->rc_bd3_min[txs][ptype];
-    q.bd3_max = t->rc_bd3_max[txs][ptype];
+    q.dd3 = t->rc_dd3[txs][ptype];
     q.ic_min = t->rc_ic_min[txs][ptype];
     q.ic_max = t->rc_ic_max[txs][ptype];
     q.n_coded = n_coded;
@@ -1733,6 +1777,7 @@ static void quantize_rect(const Tile *t, const int32_t *resid, int tw,
         }
     }
 
+    static _Thread_local int8_t summ[32 * 32];
     if (eob > 0) {
         /* --- phase 2: eob coefficient level decrement (floor 1) --- */
         int si = eob - 1;
@@ -1747,36 +1792,10 @@ static void quantize_rect(const Tile *t, const int32_t *resid, int tw,
                     (lvl - 1) < 127 ? (int)(lvl - 1) : 127;
             }
         }
-        /* --- phase 3: interior level decrements (reverse scan) ---
-         * same precomputed-deltas + offset-class rate-delta bands as
-         * quantize_mat (the +-1 cost-unit guard makes the banded
-         * outcome identical to the full evaluation) */
-        for (si = eob - 2; si >= 0; si--) {
-            lvl = ord[si];
-            if (lvl == 0) continue;
-            double ek = ek_pre[si], ed = ed_pre[si];
-            double dd = ed - ek;
-            if (lvl <= 3) {
-                const int32_t *b3min = q.bd3_min[q.oc[si]];
-                const int32_t *b3max = q.bd3_max[q.oc[si]];
-                if (dd >= lam * (double)(b3max[lvl] + 1)) continue;
-                if (dd < lam * (double)(b3min[lvl] - 1)) {
-                    ord[si] = lvl - 1;
-                    q.pad[q.pos_r[si] * W + q.pos_c[si]] =
-                        (lvl - 1) < 127 ? (int)(lvl - 1) : 127;
-                    continue;
-                }
-            } else if (dd >= lam * 6144.0) {
-                continue; /* provably losing */
-            }
-            int bctx = rdoq_base_ctx(&q, si);
-            if (ed + lam * (double)rdoq_int_cost(&q, lvl - 1, bctx, si) <
-                ek + lam * (double)rdoq_int_cost(&q, lvl, bctx, si)) {
-                ord[si] = lvl - 1;
-                q.pad[q.pos_r[si] * W + q.pos_c[si]] =
-                    (lvl - 1) < 127 ? (int)(lvl - 1) : 127;
-            }
-        }
+        /* --- phase 3: exact-ctx interior decrements (rdoq_phase3;
+         * the rect offset classes ride the same oc tables) --- */
+        if (eob >= 2)
+            rdoq_phase3(&q, ord, eob, lam, ek_pre, ed_pre, summ);
     }
 
     for (int si = 0; si < eob; si++) {
@@ -1786,7 +1805,9 @@ static void quantize_rect(const Tile *t, const int32_t *resid, int tw,
     }
     if (ord_out) memcpy(ord_out, ord, (size_t)eob * 8);
     if (eob_out) *eob_out = eob;
-    if (rate_out) *rate_out = rdoq_rate_from_pad(&q, ord, eob);
+    if (rate_out)
+        *rate_out = eob >= 2 ? rdoq_rate_from_pad_m(&q, ord, eob, summ)
+                             : rdoq_rate_from_pad(&q, ord, eob);
     if (e2_out)
         *e2_out = e2_scan_f64(t->dq_dc, dqa_i, shift, a_scan, ord, eob,
                               n_coded);

@@ -13,6 +13,13 @@
 #include <stdlib.h>
 #include <string.h>
 
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+#define ENC_U8_VEC 1
+#include <immintrin.h>
+#else
+#define ENC_U8_VEC 0
+#endif
+
 #define EC_PROB_SHIFT 6
 #define EC_MIN_PROB 4
 #define PROB_TOP 32768u
@@ -173,6 +180,38 @@ size_t enc_done(Enc *e, uint8_t **dst) {
 
 static inline int min_i(int a, int b) { return a < b ? a : b; }
 
+#if ENC_U8_VEC
+/* Bulk base-ctx magnitude map over the (static-during-emission) pad:
+ * min((sum of the 5 clamped-to-3 stencil neighbors + 1) >> 1, 4) for
+ * every grid position, one masked 64-lane row per step. avg_epu8(s, 0)
+ * is exactly (s + 1) >> 1. Identical values to the scalar 5-load read,
+ * so the emitted bitstream is unchanged. */
+static void mag5_map_u8(const uint8_t *pad, int stride, int rows, int cw,
+                        uint8_t *magm) {
+    const __m512i three = _mm512_set1_epi8(3);
+    const __m512i four = _mm512_set1_epi8(4);
+    const __m512i zero = _mm512_setzero_si512();
+    __mmask64 m = cw >= 64 ? ~(__mmask64)0 : (((__mmask64)1 << cw) - 1);
+    for (int rr = 0; rr < rows; rr++) {
+        const uint8_t *p0 = pad + (size_t)rr * stride;
+        const uint8_t *p1 = p0 + stride, *p2 = p1 + stride;
+        __m512i a = _mm512_min_epu8(_mm512_maskz_loadu_epi8(m, p0 + 1),
+                                    three);
+        __m512i b = _mm512_min_epu8(_mm512_maskz_loadu_epi8(m, p1), three);
+        __m512i d = _mm512_min_epu8(_mm512_maskz_loadu_epi8(m, p1 + 1),
+                                    three);
+        __m512i e = _mm512_min_epu8(_mm512_maskz_loadu_epi8(m, p0 + 2),
+                                    three);
+        __m512i f = _mm512_min_epu8(_mm512_maskz_loadu_epi8(m, p2), three);
+        __m512i s = _mm512_add_epi8(
+            _mm512_add_epi8(_mm512_add_epi8(a, b), _mm512_add_epi8(d, e)),
+            f);
+        __m512i mg = _mm512_min_epu8(_mm512_avg_epu8(s, zero), four);
+        _mm512_mask_storeu_epi8(magm + (size_t)rr * cw, m, mg);
+    }
+}
+#endif
+
 /* levels: cw*cw natural-order int32 (signed). scan: cw*cw int32.
  * CDF row pointers with strides; returns eob (0 if all-zero txb).
  * Also writes cul_level (capped 63) and dc category to out_ctx[2]. */
@@ -229,14 +268,24 @@ int enc_coeffs(
     int stride = cw + 2;
     static _Thread_local uint8_t pad_buf[(64 + 2) * (64 + 2)];
     uint8_t *pad = pad_buf;
+    int maxr = 0;
     for (int si = 0; si < eob; si++) {
         int pos = scan[si];
+        int rf = pos >> bwl;
+        if (rf > maxr) maxr = rf;
         int32_t v = lv[pos];
         if (!v) continue;
         int a = v < 0 ? -v : v;
-        pad[(pos >> bwl) * stride + (pos & (cw - 1))] =
-            (uint8_t)(a > 127 ? 127 : a);
+        pad[rf * stride + (pos & (cw - 1))] = (uint8_t)(a > 127 ? 127 : a);
     }
+    const uint8_t *magm = NULL;
+#if ENC_U8_VEC
+    static _Thread_local uint8_t magm_buf[64 * 64];
+    if (eob >= 8) {
+        mag5_map_u8(pad, stride, maxr + 1, cw, magm_buf);
+        magm = magm_buf;
+    }
+#endif
 
     for (int si = eob - 1; si >= 0; si--) {
         int pos = scan[si];
@@ -252,11 +301,16 @@ int enc_coeffs(
             enc_symbol_adapt(e, base_eob_rows + (size_t)ctx_eob * 4, 3,
                              min_i(level, 3) - 1);
         } else {
-            const uint8_t *p = pad + rr * stride + cc;
-            int mag = min_i(p[1], 3) + min_i(p[stride], 3) +
+            int mag;
+            if (magm) {
+                mag = magm[rr * cw + cc];
+            } else {
+                const uint8_t *p = pad + rr * stride + cc;
+                mag = min_i(p[1], 3) + min_i(p[stride], 3) +
                       min_i(p[stride + 1], 3) + min_i(p[2], 3) +
                       min_i(p[2 * stride], 3);
-            mag = min_i((mag + 1) >> 1, 4);
+                mag = min_i((mag + 1) >> 1, 4);
+            }
             int bctx;
             if (pos == 0) bctx = 0;
             else if (rr + cc < 2) bctx = mag + 1;
@@ -361,13 +415,24 @@ int enc_coeffs_rect(
     /* thread-local all-zero pad, sparsely set + cleared (see enc_coeffs) */
     static _Thread_local uint8_t pad_buf_r[(64 + 2) * (64 + 2)];
     uint8_t *pad = pad_buf_r;
+    int maxr = 0;
     for (int si = 0; si < eob; si++) {
         int pos = scan[si];
+        int rf = pos / cw;
+        if (rf > maxr) maxr = rf;
         int32_t v = lv[pos];
         if (!v) continue;
         int a = v < 0 ? -v : v;
-        pad[(pos / cw) * stride + (pos % cw)] = (uint8_t)(a > 127 ? 127 : a);
+        pad[rf * stride + (pos % cw)] = (uint8_t)(a > 127 ? 127 : a);
     }
+    const uint8_t *magm = NULL;
+#if ENC_U8_VEC
+    static _Thread_local uint8_t magm_buf_r[64 * 64];
+    if (eob >= 8) {
+        mag5_map_u8(pad, stride, maxr + 1, cw, magm_buf_r);
+        magm = magm_buf_r;
+    }
+#endif
 
     for (int si = eob - 1; si >= 0; si--) {
         int pos = scan[si];
@@ -383,11 +448,16 @@ int enc_coeffs_rect(
             enc_symbol_adapt(e, base_eob_rows + (size_t)ctx_eob * 4, 3,
                              min_i(level, 3) - 1);
         } else {
-            const uint8_t *p = pad + rr * stride + cc;
-            int mag = min_i(p[1], 3) + min_i(p[stride], 3) +
+            int mag;
+            if (magm) {
+                mag = magm[rr * cw + cc];
+            } else {
+                const uint8_t *p = pad + rr * stride + cc;
+                mag = min_i(p[1], 3) + min_i(p[stride], 3) +
                       min_i(p[stride + 1], 3) + min_i(p[2], 3) +
                       min_i(p[2 * stride], 3);
-            mag = min_i((mag + 1) >> 1, 4);
+                mag = min_i((mag + 1) >> 1, 4);
+            }
             int bctx;
             if (pos == 0) bctx = 0;
             else if (wide && cc < 2) bctx = mag + 16;

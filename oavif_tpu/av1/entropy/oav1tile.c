@@ -809,18 +809,6 @@ static inline void vdrop_terms_f64(const double *a, const double *w,
     for (; i < cnt; i++) e0[i] = a[i] * a[i] * w[i];
 }
 
-/* t[i] = a[i] * a[i] */
-static inline void vsq_terms_f64(const double *a, int cnt, double *t) {
-    int i = 0;
-#if OAV1_F64_VEC
-    for (; i + 8 <= cnt; i += 8) {
-        __m512d x = _mm512_loadu_pd(a + i);
-        _mm512_storeu_pd(t + i, _mm512_mul_pd(x, x));
-    }
-#endif
-    for (; i < cnt; i++) t[i] = a[i] * a[i];
-}
-
 /* eob = 1 + highest index with l[i] != 0, scanning from the tail 8
  * lanes at a time (typical eob << n_coded after quantization) */
 static inline int veob_scan(const int64_t *l, int n) {
@@ -867,19 +855,47 @@ static double vsum8_f64(const double *t, int n) {
     return s;
 }
 
-/* quantizer reconstruction error: sum of (a - dequant(level))^2 over the
- * coded region + passthrough energy past eob. Terms are computed
- * vectorized; the SUM follows the vsum8_f64 blocked order (parity
- * contract with the NumPy mirror's _sum8). Requires eob >= 1. */
+/* quantizer reconstruction error: sum of (a - dequant(level))^2 over
+ * the coded region + passthrough energy past eob. ord[i] == 0 for all
+ * i >= eob (eob = last nonzero + 1), so the err2 term collapses to
+ * a*a bitwise there (a >= 0 and a - 0.0 == a), letting one fused pass
+ * compute terms in-register and accumulate them in exactly the
+ * vsum8_f64 blocked order (the parity contract with the NumPy mirror's
+ * _sum8: 8 lane accumulators over full blocks in index order, lanes
+ * folded in order, tail sequential — n_coded here is always a multiple
+ * of 8, so no tail). The DC lane of block 0 uses dq_dc. */
 static double e2_scan_f64(int64_t dq_dc, int64_t dq_ac, int shift,
                           const double *a_scan, const int64_t *ord, int eob,
                           int n_coded) {
+#if OAV1_F64_VEC
+    const __m512i vdq = _mm512_set1_epi64(dq_ac);
+    const __m512i vdq0 = _mm512_mask_set1_epi64(vdq, 1, dq_dc);
+    __m512d acc = _mm512_setzero_pd();
+    int m1 = (eob + 7) & ~7; /* err2 region incl. the boundary block */
+    int i = 0;
+    for (; i < m1; i += 8) {
+        __m512i lv = _mm512_loadu_si512((const void *)(ord + i));
+        __m512i p = _mm512_srli_epi64(
+            _mm512_mullo_epi64(lv, i ? vdq : vdq0), (unsigned)shift);
+        __m512d e = _mm512_sub_pd(_mm512_loadu_pd(a_scan + i),
+                                  _mm512_cvtepi64_pd(p));
+        acc = _mm512_add_pd(acc, _mm512_mul_pd(e, e));
+    }
+    for (; i < n_coded; i += 8) { /* past eob: levels all zero */
+        __m512d av = _mm512_loadu_pd(a_scan + i);
+        acc = _mm512_add_pd(acc, _mm512_mul_pd(av, av));
+    }
+    double lanes[8], s = 0.0;
+    _mm512_storeu_pd(lanes, acc);
+    for (int l = 0; l < 8; l++) s += lanes[l];
+    return s;
+#else
     double tsq[64 * 64];
-    verr2_terms_f64(a_scan, ord, eob, dq_ac, shift, tsq);
+    verr2_terms_f64(a_scan, ord, n_coded, dq_ac, shift, tsq);
     double e0 = a_scan[0] - (double)((ord[0] * dq_dc) >> shift);
     tsq[0] = e0 * e0;
-    vsq_terms_f64(a_scan + eob, n_coded - eob, tsq + eob);
     return vsum8_f64(tsq, n_coded);
+#endif
 }
 
 /* RDOQ rate model: bit costs in 1/128-bit units at 1/256 probability
@@ -1404,11 +1420,9 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
     ord[0] = (int64_t)floor(a_scan[0] * up / dq_dc + 0.5);
     int eob = veob_scan(ord, n_coded);
     if (eob == 0) {
-        if (e2_out) {
-            double tsq[1024];
-            vsq_terms_f64(a_scan, n_coded, tsq);
-            *e2_out = vsum8_f64(tsq, n_coded);
-        }
+        if (e2_out)
+            *e2_out = e2_scan_f64(t->dq_dc, dqa_i, shift, a_scan, ord, 0,
+                                  n_coded);
         if (eob_out) *eob_out = 0;
         if (rate_out) *rate_out = 256;
         return;
@@ -1652,11 +1666,9 @@ static void quantize_rect(const Tile *t, const int32_t *resid, int tw,
     ord[0] = (int64_t)floor(a_scan[0] * up / dq_dc + 0.5);
     int eob = veob_scan(ord, n_coded);
     if (eob == 0) {
-        if (e2_out) {
-            double tsq[1024];
-            vsq_terms_f64(a_scan, n_coded, tsq);
-            *e2_out = vsum8_f64(tsq, n_coded);
-        }
+        if (e2_out)
+            *e2_out = e2_scan_f64(t->dq_dc, dqa_i, shift, a_scan, ord, 0,
+                                  n_coded);
         if (eob_out) *eob_out = 0;
         if (rate_out) *rate_out = 256;
         return;

@@ -33,11 +33,13 @@ typedef struct {
     size_t len, cap;
 } Enc;
 
+static void out_grow(Enc *e) {
+    e->cap = e->cap ? e->cap * 2 : 4096;
+    e->out = (uint8_t *)realloc(e->out, e->cap);
+}
+
 static void out_push(Enc *e, uint8_t b) {
-    if (e->len == e->cap) {
-        e->cap = e->cap ? e->cap * 2 : 4096;
-        e->out = (uint8_t *)realloc(e->out, e->cap);
-    }
+    if (e->len == e->cap) out_grow(e);
     e->out[e->len++] = b;
 }
 
@@ -80,11 +82,16 @@ static void normalize(Enc *e, uint64_t low, uint32_t rng) {
     low <<= d;
     rng <<= d;
     int pending = e->pending + d;
-    while (pending >= 8) {
-        int shift = 15 + pending - 8;
-        out_push(e, (uint8_t)(low >> shift));
-        low &= (1ull << shift) - 1;
-        pending -= 8;
+    if (pending >= 8) {
+        /* at most 2 bytes per call (pending <= 7 + 13); one capacity
+         * check, unchecked writes */
+        while (e->len + 2 > e->cap) out_grow(e);
+        do {
+            int shift = 15 + pending - 8;
+            e->out[e->len++] = (uint8_t)(low >> shift);
+            low &= (1ull << shift) - 1;
+            pending -= 8;
+        } while (pending >= 8);
     }
     e->low = low;
     e->rng = rng;
@@ -115,14 +122,14 @@ void enc_symbol(Enc *e, uint16_t *icdf, int nsym, int s) {
 void update_cdf_c(uint16_t *icdf, int nsym, int val) {
     int count = icdf[nsym];
     int rate = 3 + (count > 15) + (count > 31) + (nsym <= 3 ? 1 : 2);
-    int tmp = PROB_TOP;
-    for (int i = 0; i < nsym - 1; i++) {
-        if (i == val) tmp = 0;
-        if (tmp < icdf[i])
-            icdf[i] -= (uint16_t)((icdf[i] - tmp) >> rate);
-        else
-            icdf[i] += (uint16_t)((tmp - icdf[i]) >> rate);
-    }
+    /* split at val: tmp is PROB_TOP for i < val (pull up; equal-value
+     * no-op matches the old subtract-zero branch) and 0 from val on
+     * (pull down) — same arithmetic, no per-element branch */
+    int i = 0;
+    for (; i < val && i < nsym - 1; i++)
+        icdf[i] += (uint16_t)((PROB_TOP - icdf[i]) >> rate);
+    for (; i < nsym - 1; i++)
+        icdf[i] -= (uint16_t)(icdf[i] >> rate);
     icdf[nsym] = (uint16_t)(count + (count < 32));
 }
 
@@ -232,11 +239,39 @@ int enc_coeffs(
     int n_coded = cw * cw;
     int bwl = ilog_nz((uint32_t)cw) - 1;
 
-    /* eob = highest nonzero scan index + 1; scan from the end with an
-     * early exit (typical eob << n_coded after quantization) */
+    /* eob = highest nonzero scan index + 1, and levels gathered to scan
+     * order ONCE (16-lane tail-first gather with an early exit at the
+     * first nonzero block) so every later loop is a unit-stride read
+     * instead of a scan[] gather. n_coded is always a multiple of 16. */
     int eob = 0;
+#if ENC_U8_VEC
+    static _Thread_local int32_t ls_buf[64 * 64];
+    const int32_t *ls = ls_buf;
+    {
+        int si = n_coded;
+        while (si >= 16) {
+            si -= 16;
+            __m512i idx = _mm512_loadu_si512((const void *)(scan + si));
+            __m512i v = _mm512_i32gather_epi32(idx, lv, 4);
+            _mm512_storeu_si512((void *)(ls_buf + si), v);
+            __mmask16 nz = _mm512_test_epi32_mask(v, v);
+            if (nz) {
+                eob = si + 32 - __builtin_clz((unsigned)nz);
+                break;
+            }
+        }
+        for (int i = 0; i + 16 <= si; i += 16) {
+            __m512i idx = _mm512_loadu_si512((const void *)(scan + i));
+            _mm512_storeu_si512((void *)(ls_buf + i),
+                                _mm512_i32gather_epi32(idx, lv, 4));
+        }
+    }
+#define LV_AT(si_) ls[si_]
+#else
     for (int si = n_coded - 1; si >= 0; si--)
         if (lv[scan[si]]) { eob = si + 1; break; }
+#define LV_AT(si_) lv[scan[si_]]
+#endif
 
     enc_symbol_adapt(e, txb_skip_row, 2, eob == 0);
     if (eob == 0) {
@@ -273,7 +308,7 @@ int enc_coeffs(
         int pos = scan[si];
         int rf = pos >> bwl;
         if (rf > maxr) maxr = rf;
-        int32_t v = lv[pos];
+        int32_t v = LV_AT(si);
         if (!v) continue;
         int a = v < 0 ? -v : v;
         pad[rf * stride + (pos & (cw - 1))] = (uint8_t)(a > 127 ? 127 : a);
@@ -290,7 +325,7 @@ int enc_coeffs(
     for (int si = eob - 1; si >= 0; si--) {
         int pos = scan[si];
         int rr = pos >> bwl, cc = pos & (cw - 1);
-        int32_t v = lv[pos];
+        int32_t v = LV_AT(si);
         int level = v < 0 ? -v : v;
         if (si == eob - 1) {
             int ctx_eob;
@@ -341,8 +376,7 @@ int enc_coeffs(
     int dc_cat = 0;
     int cul = 0;
     for (int si = 0; si < eob; si++) {
-        int pos = scan[si];
-        int32_t v = lv[pos];
+        int32_t v = LV_AT(si);
         int level = v < 0 ? -v : v;
         cul += level;
         if (!level) continue;
@@ -357,9 +391,11 @@ int enc_coeffs(
     }
     /* restore the thread-local pad's all-zero rest state */
     for (int si = 0; si < eob; si++) {
+        if (!LV_AT(si)) continue;
         int pos = scan[si];
         pad[(pos >> bwl) * stride + (pos & (cw - 1))] = 0;
     }
+#undef LV_AT
     out_ctx[0] = cul > 63 ? 63 : cul;
     out_ctx[1] = dc_cat;
     return eob;
@@ -386,9 +422,37 @@ int enc_coeffs_rect(
     int n_coded = cw * ch;
     int wide = cw > ch;
 
+    /* eob + scan-order level gather, as in enc_coeffs (n_coded is 128
+     * or 512 — multiples of 16) */
     int eob = 0;
+#if ENC_U8_VEC
+    static _Thread_local int32_t ls_buf_r[32 * 32];
+    const int32_t *ls = ls_buf_r;
+    {
+        int si = n_coded;
+        while (si >= 16) {
+            si -= 16;
+            __m512i idx = _mm512_loadu_si512((const void *)(scan + si));
+            __m512i v = _mm512_i32gather_epi32(idx, lv, 4);
+            _mm512_storeu_si512((void *)(ls_buf_r + si), v);
+            __mmask16 nz = _mm512_test_epi32_mask(v, v);
+            if (nz) {
+                eob = si + 32 - __builtin_clz((unsigned)nz);
+                break;
+            }
+        }
+        for (int i = 0; i + 16 <= si; i += 16) {
+            __m512i idx = _mm512_loadu_si512((const void *)(scan + i));
+            _mm512_storeu_si512((void *)(ls_buf_r + i),
+                                _mm512_i32gather_epi32(idx, lv, 4));
+        }
+    }
+#define LV_AT(si_) ls[si_]
+#else
     for (int si = n_coded - 1; si >= 0; si--)
         if (lv[scan[si]]) { eob = si + 1; break; }
+#define LV_AT(si_) lv[scan[si_]]
+#endif
 
     enc_symbol_adapt(e, txb_skip_row, 2, eob == 0);
     if (eob == 0) {
@@ -420,7 +484,7 @@ int enc_coeffs_rect(
         int pos = scan[si];
         int rf = pos / cw;
         if (rf > maxr) maxr = rf;
-        int32_t v = lv[pos];
+        int32_t v = LV_AT(si);
         if (!v) continue;
         int a = v < 0 ? -v : v;
         pad[rf * stride + (pos % cw)] = (uint8_t)(a > 127 ? 127 : a);
@@ -437,7 +501,7 @@ int enc_coeffs_rect(
     for (int si = eob - 1; si >= 0; si--) {
         int pos = scan[si];
         int rr = pos / cw, cc = pos % cw;
-        int32_t v = lv[pos];
+        int32_t v = LV_AT(si);
         int level = v < 0 ? -v : v;
         if (si == eob - 1) {
             int ctx_eob;
@@ -488,8 +552,7 @@ int enc_coeffs_rect(
     int dc_cat = 0;
     int cul = 0;
     for (int si = 0; si < eob; si++) {
-        int pos = scan[si];
-        int32_t v = lv[pos];
+        int32_t v = LV_AT(si);
         int level = v < 0 ? -v : v;
         cul += level;
         if (!level) continue;
@@ -503,9 +566,11 @@ int enc_coeffs_rect(
         if (level > 14) enc_golomb(e, (uint32_t)(level - 15));
     }
     for (int si = 0; si < eob; si++) {
+        if (!LV_AT(si)) continue;
         int pos = scan[si];
         pad[(pos / cw) * stride + (pos % cw)] = 0;
     }
+#undef LV_AT
     out_ctx[0] = cul > 63 ? 63 : cul;
     out_ctx[1] = dc_cat;
     return eob;

@@ -32,6 +32,7 @@ enum {
     PROF_BLOCK, PROF_LUMA_TRIAL, PROF_QUANT, PROF_RATE, PROF_INV,
     PROF_PREDICT, PROF_MODE, PROF_PART, PROF_PAL, PROF_RECT,
     PROF_RECT_BLK, PROF_QFWD, PROF_QSETUP, PROF_QRDOQ, PROF_QE2,
+    PROF_COEFFS,
     PROF_SETUP, PROF_CODE, PROF_TOTAL,
     PROF_NSLOT
 };
@@ -39,6 +40,7 @@ static const char *const PROF_NAMES[PROF_NSLOT] = {
     "block", "luma_trial", "quant_rdoq", "rate_est", "inv_recon",
     "predict", "mode_choose", "part_ssd", "palette", "rect_duel",
     "rect_block", "q_fwd", "q_setup", "q_rdoq", "q_e2",
+    "coeffs",
     "setup", "code", "total"};
 static _Thread_local double prof_acc[PROF_NSLOT];
 static _Thread_local int64_t prof_cnt[PROF_NSLOT];
@@ -2009,6 +2011,7 @@ static void encode_coeffs_txb(Tile *t, int plane, int tx, int px, int py,
                 packed[r * cw + c2] = levels[(size_t)r * tx + c2];
         lv = packed;
     }
+    PROF_SCOPE(PROF_COEFFS);
     enc_coeffs(t->enc, lv, cw, t->scan[log2i(cw) - 2], txb_skip_row,
                eob_pt_row, eob_nsym, eob_extra_rows, base_eob_rows, base_rows,
                br_rows, dc_sign_row, txtype_row, txtype_nsym, txtype_sym,
@@ -2940,6 +2943,7 @@ static void encode_coeffs_rect_c(Tile *t, int plane, int tw, int th, int px,
         t->cdf[CDF_COEFF_BR] + ((size_t)imin(txs, 3) * 2 + ptype) * 21 * 5;
     uint16_t *dc_sign_row = t->cdf[CDF_DC_SIGN] + ((size_t)ptype * 3 + sctx) * 3;
     int32_t out_ctx[2];
+    PROF_SCOPE(PROF_COEFFS);
     enc_coeffs_rect(t->enc, levels, tw, th, t->scan[tw > th ? 4 : 5],
                     txb_skip_row, eob_pt_row, eob_nsym, eob_extra_rows,
                     base_eob_rows, base_rows, br_rows, dc_sign_row, out_ctx);

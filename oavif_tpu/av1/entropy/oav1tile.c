@@ -145,10 +145,15 @@ typedef struct {
     int32_t rc_eob_pt_rect[2][2][11]; /* [0]=128 (nsym 8), [1]=512 (10) */
     int32_t rc_txsz[4][3][3];    /* tx_size depth costs [cat][ctx][depth] */
     /* phase-3 EXACT decrement rate deltas per reachable base ctx
-     * (0..25 = OCBASE[oc] + mag): cost(l) - cost(l-1) for lvl 1..3.
-     * With the exact per-position ctx from the bulk mag map, the
-     * decrement decision is one table read + one guarded compare. */
-    int32_t rc_dd3[5][2][26][4];
+     * (0..25 = OCBASE[oc] + mag): cost(l) - cost(l-1) for lvl 1..3,
+     * with the +-1-cost-unit guard BAKED IN as doubles (lo = del-1,
+     * hi = del+1), compared against dd * (1/lam) — one multiply and
+     * two loads per position, no int->double converts. Outcomes are
+     * identical to the exact evaluation: the bounds sit a full cost
+     * unit inside/outside the true boundary, dwarfing the ~1e-16
+     * relative rounding of the reciprocal form; marginal cases re-run
+     * the original float op order. */
+    double rc_dd3_lo[5][2][26][4], rc_dd3_hi[5][2][26][4];
     /* offset-class-tightened bands for phase 1: [txs][pt][oc][lclass
      * 1..3] min/max of base[bctx][lclass]+128 (rdoq_int_cost's table
      * part for nonzero lvl <= 3) over the class's reachable ctxs */
@@ -1007,11 +1012,14 @@ static void build_rdoq_costs(Tile *t) {
         for (int pt = 0; pt < 2; pt++) {
             const int32_t(*base)[4] = t->rc_base[txs][pt];
             for (int b = 0; b < 26; b++) {
-                t->rc_dd3[txs][pt][b][0] = 0;
-                for (int l = 1; l < 4; l++)
-                    t->rc_dd3[txs][pt][b][l] =
-                        (int)base[b][l] - (int)base[b][l - 1] +
-                        (l == 1 ? 128 : 0);
+                t->rc_dd3_lo[txs][pt][b][0] = 0.0;
+                t->rc_dd3_hi[txs][pt][b][0] = 0.0;
+                for (int l = 1; l < 4; l++) {
+                    int d = (int)base[b][l] - (int)base[b][l - 1] +
+                            (l == 1 ? 128 : 0);
+                    t->rc_dd3_lo[txs][pt][b][l] = (double)(d - 1);
+                    t->rc_dd3_hi[txs][pt][b][l] = (double)(d + 1);
+                }
             }
             /* offset-class-tightened bands: a position's ctx spans only
              * OCBASE[oc]..OCBASE[oc]+4 (oc 0 = DC is exactly ctx 0) */
@@ -1099,7 +1107,8 @@ typedef struct {
     const int16_t *pos_r, *pos_c; /* tile scan_r/scan_c rows */
     const int8_t *oc;             /* tile scan_oc row */
     const int16_t *rmax;          /* tile scan_rmax row */
-    const int32_t (*dd3)[4];                  /* rc_dd3 [bctx] rows */
+    const double (*dd3_lo)[4], (*dd3_hi)[4];  /* rc_dd3_* [bctx] rows
+                                                 (guarded bounds, f64) */
     const int32_t (*ic_min)[4], (*ic_max)[4]; /* rc_ic_* [oc] rows */
     int n_coded, cw;
     int rect; /* 0 square, 1 wide (w>h), 2 tall — rect base-ctx bands */
@@ -1308,6 +1317,7 @@ static void rdoq_phase3(Rdoq *q, int64_t *ord, int eob, double lam,
     static const int OCB[6] = {0, 1, 6, 11, 16, 21};
     int W = q->cw + 2, cw = q->cw;
     int rows3 = q->rmax[eob - 2] + 1;
+    double inv_lam = 1.0 / lam;
     vsum5_map(q->pad, W, rows3, cw, summ);
     for (int si = eob - 2; si >= 0; si--) {
         int64_t lvl = ord[si];
@@ -1321,10 +1331,10 @@ static void rdoq_phase3(Rdoq *q, int64_t *ord, int eob, double lam,
                 oc == 0
                     ? 0
                     : OCB[oc] + mag_of_sum(summ[(size_t)rr * cw + cc]);
-            int del = q->dd3[bctx][lvl];
-            if (dd >= lam * (double)(del + 1)) continue;
+            double rr_ = dd * inv_lam;
+            if (rr_ >= q->dd3_hi[bctx][lvl]) continue;
             int dec;
-            if (dd < lam * (double)(del - 1)) {
+            if (rr_ < q->dd3_lo[bctx][lvl]) {
                 dec = 1;
             } else {
                 /* marginal: the original-order exact evaluation */
@@ -1345,7 +1355,7 @@ static void rdoq_phase3(Rdoq *q, int64_t *ord, int eob, double lam,
             }
             if (rr >= 2) sr[-2 * (ptrdiff_t)cw]--;      /* (rr-2, cc) */
         } else {
-            if (dd >= lam * 6144.0) continue; /* provably losing */
+            if (dd * inv_lam >= 6144.0) continue; /* provably losing */
             int bctx = rdoq_base_ctx(q, si);
             if (ed + lam * (double)rdoq_int_cost(q, lvl - 1, bctx, si) <
                 ek + lam * (double)rdoq_int_cost(q, lvl, bctx, si)) {
@@ -1442,7 +1452,8 @@ static void quantize_mat(const Tile *t, const int32_t *resid, int n,
     q.pos_c = t->scan_c[sk];
     q.oc = t->scan_oc[sk];
     q.rmax = t->scan_rmax[sk];
-    q.dd3 = t->rc_dd3[txs][ptype];
+    q.dd3_lo = t->rc_dd3_lo[txs][ptype];
+    q.dd3_hi = t->rc_dd3_hi[txs][ptype];
     q.ic_min = t->rc_ic_min[txs][ptype];
     q.ic_max = t->rc_ic_max[txs][ptype];
     q.n_coded = n_coded;
@@ -1687,7 +1698,8 @@ static void quantize_rect(const Tile *t, const int32_t *resid, int tw,
     q.pos_c = t->scan_c[sk];
     q.oc = t->scan_oc[sk];
     q.rmax = t->scan_rmax[sk];
-    q.dd3 = t->rc_dd3[txs][ptype];
+    q.dd3_lo = t->rc_dd3_lo[txs][ptype];
+    q.dd3_hi = t->rc_dd3_hi[txs][ptype];
     q.ic_min = t->rc_ic_min[txs][ptype];
     q.ic_max = t->rc_ic_max[txs][ptype];
     q.n_coded = n_coded;

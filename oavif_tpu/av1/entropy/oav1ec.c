@@ -710,11 +710,23 @@ void inv_txfm2d_c(int32_t *c, int w, int h, int bitdepth) {
     int row_shift = maxd >= 16 ? 2 : (maxd >= 8 ? 1 : 0);
     int64_t clamp = ((int64_t)1 << (bitdepth + 7)) - 1;
 
-    for (int r = 0; r < h; r++)
-        for (int cc = 0; cc < w; cc++)
-            buf[r * w + cc] = (w == 64 && cc >= 32) || (h == 64 && r >= 32)
-                                  ? 0
-                                  : c[r * w + cc];
+    /* per-row nonzero flags: an all-zero row passes through the row
+     * cascade EXACTLY as zeros (every butterfly and round2 maps 0 to 0,
+     * and the clamp keeps 0), so its lane group can skip the transform
+     * when the whole group is zero — quantized blocks concentrate
+     * energy in the top rows, so most row groups skip */
+    uint8_t nzr[64] = {0};
+    for (int r = 0; r < h; r++) {
+        int64_t acc = 0;
+        for (int cc = 0; cc < w; cc++) {
+            int64_t v = (w == 64 && cc >= 32) || (h == 64 && r >= 32)
+                            ? 0
+                            : c[r * w + cc];
+            buf[r * w + cc] = v;
+            acc |= v;
+        }
+        nzr[r] = acc != 0;
+    }
 
     /* rect (|log2w - log2h| odd): the spec's 1/sqrt2 pre-scale
      * (Round2(x * 2896, 12)), mirrored from transform.py inv_txfm2d */
@@ -736,6 +748,9 @@ void inv_txfm2d_c(int32_t *c, int w, int h, int bitdepth) {
      * whenever h allows (every dim here but 4 is a multiple of 8) */
 #define ROWS_PASS(LNC, FN)                                                   \
     for (int r0 = 0; r0 < h; r0 += LNC) {                                    \
+        int any = 0;                                                         \
+        for (int l = 0; l < LNC; l++) any |= nzr[r0 + l];                    \
+        if (!any) continue; /* zero rows stay exact zeros */                 \
         for (int i = 0; i < w; i++)                                          \
             for (int l = 0; l < LNC; l++)                                    \
                 vec[i * LNC + l] = buf[(size_t)(r0 + l) * w + i];            \
